@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` — one entry per implemented operator from SURVEY.md §2,
+running against the driver testdata (TPC-H-ish tables mapped onto the
+Ozone namespace model per FIXTURES.md §9 / hadoop_ozone_spark.model).
+``oracle_sql()`` — the DuckDB-equivalent SQL for each, built from the
+same CTE fragments so both sides share one derivation.
+
+Cross-engine determinism rules used throughout (see model.py docstring):
+- double sums go through DECIMAL(18,2) (exact) then CAST AS DOUBLE;
+- DuckDB SUM() is wrapped in CAST(.. AS BIGINT) (DuckDB sums to HUGEINT);
+- every top-k has a full deterministic ORDER BY (ties broken by key);
+- no fractional double→int casts (Spark truncates, DuckDB rounds) —
+  always floor() first.
 """
 
 from __future__ import annotations
@@ -12,27 +19,707 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from hadoop_ozone_spark import model
+from hadoop_ozone_spark.functions.binning import file_size_upper_bound_sql
+from hadoop_ozone_spark.operators import audit as audit_ops
+from hadoop_ozone_spark.operators import cdc as cdc_ops
+from hadoop_ozone_spark.operators import listing, mutations, recon, s3
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+DEC = "decimal(18,2)"
+DEC4 = "decimal(22,4)"
+
+
+def _dsum(col: str):
+    """Exact double sum: decimal-accumulate then cast back to double."""
+    return F.sum(F.col(col).cast(DEC)).cast("double")
+
+
+def _dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def _dsum4_sql(expr: str) -> str:
+    """Scale-4 variant for 2dp×2dp products (exact, engine-agnostic)."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(22,4))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style headline queries (flagship + bench anchors)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary over lineitem.
+
+    Single-shuffle hash aggregate with map-side combine; at 100 TB this
+    is a full scan + 6-group agg — bandwidth-bound, the right plan.
+    """
+    li = model.load(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       {_dsum_sql('l_extendedprice')} AS sum_base_price,
+       {_dsum4_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped join: customer ⋈ orders ⋈ lineitem, top-10 revenue.
+
+    customer is broadcast (small dim); top-k is TakeOrderedAndProject.
+    """
+    cust = model.load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = model.load(spark, sf_dir, "orders")
+    li = model.load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       {_dsum4_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped star join: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem.
+
+    All dims broadcast; single shuffle for the final group-by.
+    """
+    region = model.load(spark, sf_dir, "region")
+    nation = model.load(spark, sf_dir, "nation")
+    cust = model.load(spark, sf_dir, "customer")
+    orders = model.load(spark, sf_dir, "orders")
+    li = model.load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q5_SQL = f"""
+SELECT r_name, n_name,
+       {_dsum4_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Namespace scans & listing (S1/S2/F2/W1/W2/W3)
+# ---------------------------------------------------------------------------
+
+def s1_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = model.om_keys(spark, sf_dir)
+    return listing.prefix_scan(keys, "/vol_r/bkt_o/dir3/").select("row_key", "data_size")
+
+
+S1_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="SELECT row_key, data_size FROM om_keys WHERE starts_with(row_key, '/vol_r/bkt_o/dir3/')",
+)
+
+
+def s2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: exact-key get; the probe key is the namespace minimum so the
+    query is self-contained (scalar-subquery ≡ broadcast 1-row join)."""
+    keys = model.om_keys(spark, sf_dir)
+    probe = keys.agg(F.min("row_key").alias("row_key"))
+    return keys.join(F.broadcast(probe), "row_key").select("row_key", "data_size", "container_id")
+
+
+S2_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT row_key, data_size, container_id FROM om_keys
+WHERE row_key = (SELECT min(row_key) FROM om_keys)""",
+)
+
+
+def f2_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = model.om_keys(spark, sf_dir)
+    return listing.range_scan(
+        keys, "/vol_n/bkt_o/dir2/", "/vol_n/bkt_o/dir4/"
+    ).select("row_key", "data_size")
+
+
+F2_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT row_key, data_size FROM om_keys
+WHERE row_key >= '/vol_n/bkt_o/dir2/' AND row_key < '/vol_n/bkt_o/dir4/'""",
+)
+
+
+def w1_list_keys_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = model.om_keys(spark, sf_dir)
+    return listing.list_keys(
+        keys, volume="vol_r", bucket="bkt_o", start_key="/vol_r/bkt_o/dir3/", max_keys=100
+    ).select("row_key", "data_size")
+
+
+W1_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT row_key, data_size FROM om_keys
+WHERE starts_with(row_key, '/vol_r/bkt_o/') AND row_key > '/vol_r/bkt_o/dir3/'
+ORDER BY row_key LIMIT 100""",
+)
+
+
+def w2_s3_common_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = model.om_keys(spark, sf_dir).filter(
+        (F.col("volume") == "vol_a") & (F.col("bucket") == "bkt_f")
+    )
+    return s3.list_objects_v2(keys, prefix="dir1/", delimiter="/", max_keys=100)
+
+
+W2_PREFIX_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT name, entry_type, size FROM (
+  SELECT DISTINCT
+    concat('dir1/', split_part(substring(key, length('dir1/') + 1, 100000), '/', 1), '/') AS name,
+    'PREFIX' AS entry_type,
+    CAST(0 AS BIGINT) AS size
+  FROM om_keys
+  WHERE volume = 'vol_a' AND bucket = 'bkt_f' AND starts_with(key, 'dir1/')
+) ORDER BY name LIMIT 100""",
+)
+
+
+def w2_s3_leaf_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = model.om_keys(spark, sf_dir).filter(
+        (F.col("volume") == "vol_a") & (F.col("bucket") == "bkt_f")
+    )
+    return s3.list_objects_v2(keys, prefix="dir1/sub2/", delimiter="/", max_keys=40)
+
+
+W2_LEAF_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT key AS name, 'KEY' AS entry_type, data_size AS size
+FROM om_keys
+WHERE volume = 'vol_a' AND bucket = 'bkt_f' AND starts_with(key, 'dir1/sub2/')
+ORDER BY name LIMIT 40""",
+)
+
+
+def w3_list_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = model.om_keys(spark, sf_dir).filter(
+        (F.col("volume") == "vol_n") & (F.col("bucket") == "bkt_o")
+    )
+    return listing.list_status(keys, "dir4")
+
+
+W3_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT concat('dir4/', split_part(substring(key, 6, 100000), '/', 1)) AS name,
+       max(strpos(substring(key, 6, 100000), '/') > 0) AS is_dir,
+       count(*) AS num_files,
+       CAST(SUM(data_size) AS BIGINT) AS total_size
+FROM om_keys
+WHERE volume = 'vol_n' AND bucket = 'bkt_o' AND starts_with(key, 'dir4/')
+GROUP BY 1 ORDER BY name""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Recon analytics (A1/A3/A4/A5/A6, J1/J2/J4/J5, F4)
+# ---------------------------------------------------------------------------
+
+def a1_file_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recon.file_size_histogram(model.om_keys(spark, sf_dir))
+
+
+A1_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body=f"""SELECT volume, bucket,
+       {file_size_upper_bound_sql('data_size')} AS file_size,
+       count(*) AS cnt
+FROM om_keys
+GROUP BY 1, 2, 3
+ORDER BY volume, bucket, file_size""",
+)
+
+
+def a3_namespace_du(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recon.namespace_du(model.om_keys(spark, sf_dir))
+
+
+A3_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT volume, bucket, dir,
+       count(*) AS num_files,
+       CAST(SUM(data_size) AS BIGINT) AS size_of_files
+FROM (
+  SELECT volume, bucket, split_part(key, '/', 1) AS dir, data_size FROM om_keys
+  UNION ALL
+  SELECT volume, bucket,
+         concat(split_part(key, '/', 1), '/', split_part(key, '/', 2)) AS dir,
+         data_size
+  FROM om_keys
+)
+GROUP BY volume, bucket, dir
+ORDER BY volume, bucket, dir""",
+)
+
+
+def a4_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recon.table_counts(
+        model.om_keys(spark, sf_dir),
+        model.om_events(spark, sf_dir),
+        model.containers(spark, sf_dir),
+    )
+
+
+A4_SQL = """
+SELECT table_name, cnt FROM (
+  SELECT 'keyTable' AS table_name, count(*) AS cnt FROM lineitem
+  UNION ALL SELECT 'eventTable', count(*) FROM events
+  UNION ALL SELECT 'containerTable', count(*) FROM part
+) ORDER BY table_name
+"""
+
+
+def a5_quota_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recon.quota_usage(model.om_keys(spark, sf_dir))
+
+
+A5_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT volume, bucket,
+       CAST(SUM(data_size * replication_factor) AS BIGINT) AS used_bytes,
+       count(*) AS used_namespace
+FROM om_keys GROUP BY volume, bucket ORDER BY volume, bucket""",
+)
+
+
+def a6_cluster_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recon.cluster_state(
+        model.containers(spark, sf_dir), model.container_replicas(spark, sf_dir)
+    )
+
+
+A6_SQL = model.with_ctes(
+    model.CONTAINERS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    body="""SELECT
+  (SELECT count(*) FROM containers) AS total_containers,
+  (SELECT CAST(SUM(CASE WHEN state = 'OPEN' THEN 1 ELSE 0 END) AS BIGINT) FROM containers) AS open_containers,
+  (SELECT CAST(SUM(CASE WHEN state = 'DELETED' THEN 1 ELSE 0 END) AS BIGINT) FROM containers) AS deleted_containers,
+  (SELECT CAST(SUM(used_bytes) AS BIGINT) FROM containers) AS total_used_bytes,
+  (SELECT count(DISTINCT datanode_id) FROM container_replicas) AS total_datanodes""",
+)
+
+
+def j4_container_key_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recon.container_key_index(model.om_keys(spark, sf_dir))
+
+
+J4_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT container_id, count(*) AS num_keys,
+       CAST(SUM(data_size) AS BIGINT) AS total_bytes
+FROM om_keys GROUP BY container_id ORDER BY container_id""",
+)
+
+
+def j1_keys_for_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: keys of the lowest OPEN container (self-contained probe)."""
+    keys = model.om_keys(spark, sf_dir)
+    cont = model.containers(spark, sf_dir)
+    probe = cont.filter(F.col("state") == "OPEN").agg(
+        F.min("container_id").alias("container_id")
+    )
+    return (
+        keys.join(F.broadcast(probe), "container_id")
+        .join(F.broadcast(cont), "container_id")
+        .select("container_id", "row_key", "data_size", "state")
+        .orderBy("row_key")
+        .limit(1000)
+    )
+
+
+J1_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    model.CONTAINERS_CTE,
+    body="""SELECT k.container_id, k.row_key, k.data_size, c.state
+FROM om_keys k JOIN containers c ON k.container_id = c.container_id
+WHERE k.container_id = (SELECT min(container_id) FROM containers WHERE state = 'OPEN')
+ORDER BY k.row_key LIMIT 1000""",
+)
+
+
+def j2_container_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recon.container_health(
+        model.containers(spark, sf_dir), model.container_replicas(spark, sf_dir)
+    ).orderBy("container_id")
+
+
+J2_SQL = model.with_ctes(
+    model.CONTAINERS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    body="""SELECT c.container_id, c.state, c.replication_factor,
+       COALESCE(r.replica_count, 0) AS replica_count,
+       CASE WHEN COALESCE(r.replica_count, 0) = 0 THEN 'MISSING'
+            WHEN COALESCE(r.replica_count, 0) < c.replication_factor THEN 'UNDER_REPLICATED'
+            WHEN COALESCE(r.replica_count, 0) > c.replication_factor THEN 'OVER_REPLICATED'
+            ELSE 'HEALTHY' END AS health
+FROM containers c
+LEFT JOIN (SELECT container_id, count(*) AS replica_count
+           FROM container_replicas GROUP BY container_id) r
+  ON c.container_id = r.container_id
+WHERE c.state <> 'DELETED'
+ORDER BY c.container_id""",
+)
+
+
+def j2_health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recon.container_health_summary(
+        model.containers(spark, sf_dir), model.container_replicas(spark, sf_dir)
+    )
+
+
+J2_SUMMARY_SQL = model.with_ctes(
+    model.CONTAINERS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    body="""SELECT health, count(*) AS cnt FROM (
+  SELECT CASE WHEN COALESCE(r.replica_count, 0) = 0 THEN 'MISSING'
+              WHEN COALESCE(r.replica_count, 0) < c.replication_factor THEN 'UNDER_REPLICATED'
+              WHEN COALESCE(r.replica_count, 0) > c.replication_factor THEN 'OVER_REPLICATED'
+              ELSE 'HEALTHY' END AS health
+  FROM containers c
+  LEFT JOIN (SELECT container_id, count(*) AS replica_count
+             FROM container_replicas GROUP BY container_id) r
+    ON c.container_id = r.container_id
+  WHERE c.state <> 'DELETED'
+) GROUP BY health ORDER BY health""",
+)
+
+
+def j5_keys_in_open_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: existence semi-join — keys whose container exists and is OPEN."""
+    keys = model.om_keys(spark, sf_dir)
+    open_cont = model.containers(spark, sf_dir).filter(F.col("state") == "OPEN")
+    return (
+        keys.join(F.broadcast(open_cont.select("container_id")), "container_id", "left_semi")
+        .groupBy("volume", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("volume", "bucket")
+    )
+
+
+J5_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    model.CONTAINERS_CTE,
+    body="""SELECT volume, bucket, count(*) AS cnt FROM om_keys
+WHERE container_id IN (SELECT container_id FROM containers WHERE state = 'OPEN')
+GROUP BY volume, bucket ORDER BY volume, bucket""",
+)
+
+
+def f4_tombstone_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/SO2: suppress keys whose container is DELETED (anti-join)."""
+    keys = model.om_keys(spark, sf_dir)
+    deleted = model.containers(spark, sf_dir).filter(F.col("state") == "DELETED")
+    return (
+        keys.join(F.broadcast(deleted.select("container_id")), "container_id", "left_anti")
+        .groupBy("volume")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("data_size").alias("total_size"))
+        .orderBy("volume")
+    )
+
+
+F4_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    model.CONTAINERS_CTE,
+    body="""SELECT volume, count(*) AS cnt, CAST(SUM(data_size) AS BIGINT) AS total_size
+FROM om_keys
+WHERE container_id NOT IN (SELECT container_id FROM containers WHERE state = 'DELETED')
+GROUP BY volume ORDER BY volume""",
+)
+
+
+# ---------------------------------------------------------------------------
+# CDC (S4/SO1/A2/A7) and audit (A8/X11)
+# ---------------------------------------------------------------------------
+
+def so1_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = model.om_events(spark, sf_dir)
+    return cdc_ops.latest_state(ev).select("row_key", "seqno", "op", "data_size")
+
+
+SO1_SQL = model.with_ctes(
+    model.OM_EVENTS_CTE,
+    body="""SELECT row_key, seqno, op, data_size FROM (
+  SELECT row_key, seqno, op, data_size,
+         row_number() OVER (PARTITION BY row_key ORDER BY seqno DESC) AS rn
+  FROM om_events
+) WHERE rn = 1 AND op <> 'DELETE'""",
+)
+
+
+def a2_signed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = model.om_events(spark, sf_dir)
+    return cdc_ops.signed_counts(ev, "op")
+
+
+A2_SQL = model.with_ctes(
+    model.OM_EVENTS_CTE,
+    body="""SELECT op,
+       CAST(SUM(CASE WHEN op = 'PUT' THEN 1 WHEN op = 'DELETE' THEN -1 ELSE 0 END) AS BIGINT) AS net_count,
+       count(*) AS event_count,
+       CAST(SUM(CASE WHEN op = 'DELETE' THEN -data_size ELSE data_size END) AS BIGINT) AS net_bytes
+FROM om_events GROUP BY op ORDER BY op""",
+)
+
+
+def a7_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc_ops.daily_growth(model.om_events(spark, sf_dir))
+
+
+A7_SQL = model.with_ctes(
+    model.OM_EVENTS_CTE,
+    body="""SELECT date_trunc('day', event_time) AS day,
+       count(*) AS event_count,
+       CAST(SUM(CASE WHEN op = 'DELETE' THEN -data_size ELSE data_size END) AS BIGINT) AS net_bytes
+FROM om_events GROUP BY 1 ORDER BY day""",
+)
+
+
+def a8_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audit_ops.top_users(model.audit_log(spark, sf_dir))
+
+
+A8_USERS_SQL = model.with_ctes(
+    model.AUDIT_LOG_CTE,
+    body="""SELECT "user", count(*) AS total FROM audit_log
+GROUP BY "user" ORDER BY total DESC, "user" ASC LIMIT 5""",
+)
+
+
+def a8_top_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audit_ops.top_ops(model.audit_log(spark, sf_dir))
+
+
+A8_OPS_SQL = model.with_ctes(
+    model.AUDIT_LOG_CTE,
+    body="""SELECT op, count(*) AS total FROM audit_log
+GROUP BY op ORDER BY total DESC, op ASC LIMIT 5""",
+)
+
+
+def x11_busiest_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audit_ops.busiest_seconds(model.audit_log(spark, sf_dir))
+
+
+X11_SQL = model.with_ctes(
+    model.AUDIT_LOG_CTE,
+    body="""SELECT date_trunc('second', datetime) AS second, count(*) AS total
+FROM audit_log GROUP BY 1 ORDER BY total DESC, second ASC LIMIT 5""",
+)
+
+
+def a8_failure_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audit_ops.failure_rate(model.audit_log(spark, sf_dir))
+
+
+A8_FAIL_SQL = model.with_ctes(
+    model.AUDIT_LOG_CTE,
+    body="""SELECT op, count(*) AS total,
+       CAST(SUM(CASE WHEN result = 'FAILURE' THEN 1 ELSE 0 END) AS BIGINT) AS failures
+FROM audit_log GROUP BY op ORDER BY op""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Mutations (M2/M3/M5)
+# ---------------------------------------------------------------------------
+
+def m2_rename_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = model.om_keys(spark, sf_dir)
+    renamed = mutations.rename_prefix(
+        keys, "/vol_r/bkt_o/dir3/", "/vol_r/bkt_o/renamed3/"
+    )
+    return renamed.filter(F.col("row_key").startswith("/vol_r/bkt_o/renamed3/")).select(
+        "row_key", "data_size"
+    )
+
+
+M2_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT concat('/vol_r/bkt_o/renamed3/',
+              substring(row_key, length('/vol_r/bkt_o/dir3/') + 1, 100000)) AS row_key,
+       data_size
+FROM om_keys WHERE starts_with(row_key, '/vol_r/bkt_o/dir3/')""",
+)
+
+
+def m3_delete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = model.om_keys(spark, sf_dir)
+    remaining = mutations.delete_prefix(keys, "/vol_a/bkt_f/dir2/")
+    return (
+        remaining.groupBy("volume")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("data_size").alias("total_size"))
+        .orderBy("volume")
+    )
+
+
+M3_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT volume, count(*) AS cnt, CAST(SUM(data_size) AS BIGINT) AS total_size
+FROM om_keys WHERE NOT starts_with(row_key, '/vol_a/bkt_f/dir2/')
+GROUP BY volume ORDER BY volume""",
+)
+
+
+def m5_multipart_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 over synthesized parts: upload=orderkey, part=linenumber; rows
+    with l_partkey % 13 == 0 removed to create gap sequences."""
+    li = model.load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 13 != 0)
+    parts = li.select(
+        F.col("l_orderkey").alias("upload_id"),
+        F.col("l_linenumber").alias("part_number"),
+        F.floor(F.col("l_extendedprice") * 100).alias("data_size"),
+    )
+    return mutations.multipart_complete_check(parts)
+
+
+M5_SQL = """
+WITH parts AS (
+  SELECT l_orderkey AS upload_id, l_linenumber AS part_number,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS data_size
+  FROM lineitem WHERE l_partkey % 13 <> 0
+), ranked AS (
+  SELECT upload_id, part_number, data_size,
+         row_number() OVER (PARTITION BY upload_id ORDER BY part_number) AS rn
+  FROM parts
+)
+SELECT upload_id, count(*) AS num_parts, max(part_number) AS max_part,
+       min(part_number) AS min_part, CAST(SUM(data_size) AS BIGINT) AS total_size,
+       (max(CASE WHEN part_number <> rn THEN 1 ELSE 0 END) = 0 AND min(part_number) = 1) AS is_valid
+FROM ranked GROUP BY upload_id ORDER BY upload_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "s1_prefix_scan": s1_prefix_scan,
+        "s2_point_lookup": s2_point_lookup,
+        "f2_range_scan": f2_range_scan,
+        "w1_list_keys_page": w1_list_keys_page,
+        "w2_s3_common_prefixes": w2_s3_common_prefixes,
+        "w2_s3_leaf_listing": w2_s3_leaf_listing,
+        "w3_list_status": w3_list_status,
+        "a1_file_size_histogram": a1_file_size_histogram,
+        "a3_namespace_du": a3_namespace_du,
+        "a4_table_counts": a4_table_counts,
+        "a5_quota_usage": a5_quota_usage,
+        "a6_cluster_state": a6_cluster_state,
+        "j4_container_key_index": j4_container_key_index,
+        "j1_keys_for_container": j1_keys_for_container,
+        "j2_container_health": j2_container_health,
+        "j2_health_summary": j2_health_summary,
+        "j5_keys_in_open_containers": j5_keys_in_open_containers,
+        "f4_tombstone_anti_join": f4_tombstone_anti_join,
+        "so1_latest_state": so1_latest_state,
+        "a2_signed_counts": a2_signed_counts,
+        "a7_daily_growth": a7_daily_growth,
+        "a8_top_users": a8_top_users,
+        "a8_top_ops": a8_top_ops,
+        "a8_failure_rate": a8_failure_rate,
+        "x11_busiest_seconds": x11_busiest_seconds,
+        "m2_rename_prefix": m2_rename_prefix,
+        "m3_delete_prefix": m3_delete_prefix,
+        "m5_multipart_check": m5_multipart_check,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_top_revenue_orders": Q3_SQL,
+        "q5_nation_revenue": Q5_SQL,
+        "s1_prefix_scan": S1_SQL,
+        "s2_point_lookup": S2_SQL,
+        "f2_range_scan": F2_SQL,
+        "w1_list_keys_page": W1_SQL,
+        "w2_s3_common_prefixes": W2_PREFIX_SQL,
+        "w2_s3_leaf_listing": W2_LEAF_SQL,
+        "w3_list_status": W3_SQL,
+        "a1_file_size_histogram": A1_SQL,
+        "a3_namespace_du": A3_SQL,
+        "a4_table_counts": A4_SQL,
+        "a5_quota_usage": A5_SQL,
+        "a6_cluster_state": A6_SQL,
+        "j4_container_key_index": J4_SQL,
+        "j1_keys_for_container": J1_SQL,
+        "j2_container_health": J2_SQL,
+        "j2_health_summary": J2_SUMMARY_SQL,
+        "j5_keys_in_open_containers": J5_SQL,
+        "f4_tombstone_anti_join": F4_SQL,
+        "so1_latest_state": SO1_SQL,
+        "a2_signed_counts": A2_SQL,
+        "a7_daily_growth": A7_SQL,
+        "a8_top_users": A8_USERS_SQL,
+        "a8_top_ops": A8_OPS_SQL,
+        "a8_failure_rate": A8_FAIL_SQL,
+        "x11_busiest_seconds": X11_SQL,
+        "m2_rename_prefix": M2_SQL,
+        "m3_delete_prefix": M3_SQL,
+        "m5_multipart_check": M5_SQL,
+    }

@@ -1,0 +1,239 @@
+"""Data model: driver TPC-H-ish testdata → Ozone namespace tables.
+
+The reference's universe is a 3-level namespace ``/volume/bucket/key``
+stored in RocksDB column families (SURVEY.md §1.1; reference
+``OMDBDefinition.java``, ``OmKeyInfo.java:48-71``). The driver supplies
+TPC-H-ish parquet instead of OM protobuf dumps, so — per FIXTURES.md §9 —
+we derive the namespace tables deterministically from them:
+
+- ``lineitem``  → ``om_keys``   (the keyTable; one row per object key)
+- ``events``    → ``om_events`` (the CDC feed, SURVEY §2.1 S4)
+- ``part``      → ``containers``; ``lineitem`` → ``container_replicas``
+- ``documents`` / ``embeddings`` → datapipe corpora (used as-is)
+
+Every derivation exists twice, in lockstep: a Spark ``DataFrame`` builder
+and a DuckDB CTE string (used by ``__spark_entry__.oracle_sql``). Both
+use only arithmetic whose result is bit-identical across engines
+(integer modulo, string concat of integers, ``floor`` before any
+double→int cast — Spark truncates, DuckDB rounds, so we never cast a
+fractional double directly).
+
+Scale note: at 100 TB the physical ``om_keys`` table would be written
+partitioned by ``(volume, bucket)`` and sorted by ``key`` within files
+(see ``sources/snapshot.py``); the derivation below is only the test
+shim that stands a TPC-H file in for that table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects. Read nanos as long and integer-divide to micros
+        # (exact — a double division would lose precision at ~1.6e18 ns;
+        # DuckDB likewise truncates ns→us, so the engines agree).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# om_keys: lineitem → keyTable rows (ref OmKeyInfo.java:48-71)
+#
+#   volume  = 'vol_' || lower(l_returnflag)            (3 volumes)
+#   bucket  = 'bkt_' || lower(l_linestatus)            (2 buckets/volume)
+#   key     = dir<orderkey%7>/sub<partkey%5>/f_<orderkey>_<linenumber>
+#   row_key = '/volume/bucket/key'   (OM_KEY_PREFIX join,
+#             ref OmMetadataManagerImpl.java:531-590)
+#   data_size           = floor(l_extendedprice * 100)  (bytes)
+#   replication_factor  = 3 if orderkey even else 1     (RATIS THREE/ONE)
+#   container_id        = l_partkey   (block location → container join J1/J4)
+#   creation_time       = l_shipdate
+# ---------------------------------------------------------------------------
+
+def om_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    volume = F.concat(F.lit("vol_"), F.lower("l_returnflag"))
+    bucket = F.concat(F.lit("bkt_"), F.lower("l_linestatus"))
+    # filename carries (orderkey, linenumber, partkey, suppkey, size) —
+    # the minimal combination that is UNIQUE in the driver data at every
+    # sf (namespace row keys must be unique, as in RocksDB)
+    key = F.concat(
+        F.lit("dir"), F.col("l_orderkey") % 7,
+        F.lit("/sub"), F.col("l_partkey") % 5,
+        F.lit("/f_"), F.col("l_orderkey"), F.lit("_"), F.col("l_linenumber"),
+        F.lit("_"), F.col("l_partkey"), F.lit("_"), F.col("l_suppkey"),
+        F.lit("_"), F.floor(F.col("l_extendedprice") * 100),
+    )
+    return li.select(
+        volume.alias("volume"),
+        bucket.alias("bucket"),
+        key.alias("key"),
+        F.concat(F.lit("/"), volume, F.lit("/"), bucket, F.lit("/"), key).alias("row_key"),
+        F.floor(F.col("l_extendedprice") * 100).alias("data_size"),
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(3)).otherwise(F.lit(1)).alias(
+            "replication_factor"
+        ),
+        F.col("l_partkey").alias("container_id"),
+        F.col("l_suppkey").alias("datanode_id"),
+        F.col("l_shipdate").alias("creation_time"),
+    )
+
+
+OM_KEYS_CTE = """
+om_keys AS (
+  SELECT
+    concat('vol_', lower(l_returnflag)) AS volume,
+    concat('bkt_', lower(l_linestatus)) AS bucket,
+    concat('dir', l_orderkey % 7, '/sub', l_partkey % 5,
+           '/f_', l_orderkey, '_', l_linenumber, '_', l_partkey, '_',
+           l_suppkey, '_', CAST(floor(l_extendedprice * 100) AS BIGINT)) AS key,
+    concat('/vol_', lower(l_returnflag), '/bkt_', lower(l_linestatus),
+           '/dir', l_orderkey % 7, '/sub', l_partkey % 5,
+           '/f_', l_orderkey, '_', l_linenumber, '_', l_partkey, '_',
+           l_suppkey, '_', CAST(floor(l_extendedprice * 100) AS BIGINT)) AS row_key,
+    CAST(floor(l_extendedprice * 100) AS BIGINT) AS data_size,
+    CASE WHEN l_orderkey % 2 = 0 THEN 3 ELSE 1 END AS replication_factor,
+    l_partkey AS container_id,
+    l_suppkey AS datanode_id,
+    l_shipdate AS creation_time
+  FROM lineitem
+)"""
+
+
+# ---------------------------------------------------------------------------
+# om_events: events → CDC feed (ref OMDBUpdateEvent.java:28-160).
+# op derived deterministically from event_type; key = object path keyed by
+# user_id so one key sees many ops over time (PUT/UPDATE/DELETE history).
+# seqno = event_id (strictly increasing in the driver data).
+# ---------------------------------------------------------------------------
+
+def om_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "purchase", F.lit("PUT"))
+        .when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+    )
+    return ev.select(
+        F.col("event_id").alias("seqno"),
+        op.alias("op"),
+        F.concat(F.lit("/vol_cdc/bkt_cdc/obj_"), F.col("user_id")).alias("row_key"),
+        F.floor(F.col("value") * 1000).alias("data_size"),
+        F.col("ts").alias("event_time"),
+        F.col("user_id"),
+        F.col("event_type"),
+    )
+
+
+OM_EVENTS_CTE = """
+om_events AS (
+  SELECT
+    event_id AS seqno,
+    CASE WHEN event_type = 'purchase' THEN 'PUT'
+         WHEN event_type = 'error' THEN 'DELETE'
+         ELSE 'UPDATE' END AS op,
+    concat('/vol_cdc/bkt_cdc/obj_', user_id) AS row_key,
+    CAST(floor(value * 1000) AS BIGINT) AS data_size,
+    ts AS event_time,
+    user_id,
+    event_type
+  FROM events
+)"""
+
+
+# ---------------------------------------------------------------------------
+# containers + replicas: SCM container plane (ref ContainerHealthStatus.java:
+# 52-113). containers ← part; replicas ← distinct (container, datanode)
+# pairs observed in lineitem block locations.
+# ---------------------------------------------------------------------------
+
+def containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    state = (
+        F.when(F.col("p_partkey") % 11 == 0, F.lit("DELETED"))
+        .when(F.col("p_size") % 3 == 0, F.lit("OPEN"))
+        .when(F.col("p_size") % 3 == 1, F.lit("CLOSING"))
+        .otherwise(F.lit("CLOSED"))
+    )
+    return p.select(
+        F.col("p_partkey").alias("container_id"),
+        state.alias("state"),
+        F.lit(3).alias("replication_factor"),
+        F.floor(F.col("p_retailprice") * 1000).alias("used_bytes"),
+    )
+
+
+CONTAINERS_CTE = """
+containers AS (
+  SELECT
+    p_partkey AS container_id,
+    CASE WHEN p_partkey % 11 = 0 THEN 'DELETED'
+         WHEN p_size % 3 = 0 THEN 'OPEN'
+         WHEN p_size % 3 = 1 THEN 'CLOSING'
+         ELSE 'CLOSED' END AS state,
+    3 AS replication_factor,
+    CAST(floor(p_retailprice * 1000) AS BIGINT) AS used_bytes
+  FROM part
+)"""
+
+
+def container_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("l_partkey").alias("container_id"),
+            F.col("l_suppkey").alias("datanode_id"),
+        )
+        .distinct()
+    )
+
+
+CONTAINER_REPLICAS_CTE = """
+container_replicas AS (
+  SELECT DISTINCT l_partkey AS container_id, l_suppkey AS datanode_id
+  FROM lineitem
+)"""
+
+
+# audit_log: orders → audit rows (ref commands.properties:18-22):
+# user ← customer id bucketized (skewed), op ← orderpriority,
+# result ← orderstatus.
+def audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderdate").alias("datetime"),
+        F.concat(F.lit("user_"), F.col("o_custkey") % 37).alias("user"),
+        F.col("o_orderpriority").alias("op"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("SUCCESS"))
+        .otherwise(F.lit("FAILURE"))
+        .alias("result"),
+        F.col("o_totalprice"),
+    )
+
+
+AUDIT_LOG_CTE = """
+audit_log AS (
+  SELECT
+    o_orderdate AS datetime,
+    concat('user_', o_custkey % 37) AS "user",
+    o_orderpriority AS op,
+    CASE WHEN o_orderstatus = 'F' THEN 'SUCCESS' ELSE 'FAILURE' END AS result,
+    o_totalprice
+  FROM orders
+)"""
+
+
+def with_ctes(*ctes: str, body: str) -> str:
+    """Assemble a DuckDB oracle query from shared CTE fragments."""
+    joined = ",\n".join(c.strip() for c in ctes)
+    return f"WITH {joined}\n{body}"

@@ -1,0 +1,55 @@
+"""A8/X11 — SQL over audit logs (ref ozone auditparser).
+
+Templates (tools/src/main/resources/commands.properties:20-22):
+top-5 users, top-5 ops, top-5 per-second activity buckets. All are
+groupBy + TakeOrderedAndProject top-k; ties broken by group key so the
+cut is deterministic (the reference's SQLite templates under-specify
+order on ties — we pin it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def top_users(audit: DataFrame, k: int = 5) -> DataFrame:
+    return (
+        audit.groupBy("user")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .orderBy(F.desc("total"), F.asc("user"))
+        .limit(k)
+    )
+
+
+def top_ops(audit: DataFrame, k: int = 5) -> DataFrame:
+    return (
+        audit.groupBy("op")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .orderBy(F.desc("total"), F.asc("op"))
+        .limit(k)
+    )
+
+
+def busiest_seconds(audit: DataFrame, k: int = 5, ts_col: str = "datetime") -> DataFrame:
+    """X11: per-second activity bucket (ref template uses substr to the
+    comma — i.e. truncate to seconds)."""
+    sec = F.date_trunc("second", F.col(ts_col)).alias("second")
+    return (
+        audit.groupBy(sec)
+        .agg(F.count(F.lit(1)).alias("total"))
+        .orderBy(F.desc("total"), F.asc("second"))
+        .limit(k)
+    )
+
+
+def failure_rate(audit: DataFrame) -> DataFrame:
+    """Per-op success/failure split (auditparser ad-hoc query surface)."""
+    return (
+        audit.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("result") == "FAILURE", 1).otherwise(0)).alias("failures"),
+        )
+        .orderBy("op")
+    )

@@ -1,0 +1,94 @@
+"""Mutations as declarative transforms (SURVEY §2.8).
+
+M2 prefix rename (BasicOzoneFileSystem.RenameIterator:273-308 — the
+reference pages 1000 keys at a time and rewrites each; relationally it
+is one projection over the prefix-filtered set), M3 recursive delete
+(:456-520 — an anti-filter), M5 multipart complete validation
+(S3MultipartUploadCompleteRequest.java:165-260 — strictly ascending,
+gap-free part numbers, ETag match), M4 deferred GC
+(KeyDeletingService.java:68-250 — age-based drain of the tombstone
+table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rename_prefix(
+    keys: DataFrame, src: str, dst: str, key_col: str = "row_key"
+) -> DataFrame:
+    """M2: rename every key under ``src`` to live under ``dst``.
+
+    One whole-stage-codegen projection — no per-key RPC loop. The
+    reference's batched iterator exists only because its store mutates
+    in place; immutable parquet turns rename into rewrite-on-read or a
+    new snapshot write.
+    """
+    c = F.col(key_col)
+    return keys.withColumn(
+        key_col,
+        F.when(
+            c.startswith(src),
+            F.concat(F.lit(dst), F.substring(c, len(src) + 1, 1_000_000)),
+        ).otherwise(c),
+    )
+
+
+def delete_prefix(keys: DataFrame, prefix: str, key_col: str = "row_key") -> DataFrame:
+    """M3: recursive delete = anti-filter on the subtree prefix."""
+    return keys.filter(~F.col(key_col).startswith(prefix))
+
+
+def gc_expired(
+    deleted_keys: DataFrame,
+    now_epoch_ms: int,
+    ttl_ms: int,
+    ts_col: str = "deletion_time",
+    batch: int = 20000,
+) -> DataFrame:
+    """M4: select the GC batch — tombstones older than the TTL, oldest
+    first, capped at the per-task limit (OZONE_KEY_DELETING_LIMIT_PER_TASK
+    = 20000, OMConfigKeys.java:88)."""
+    return (
+        deleted_keys.filter(F.col(ts_col) < F.lit(now_epoch_ms - ttl_ms))
+        .orderBy(ts_col)
+        .limit(batch)
+    )
+
+
+def multipart_complete_check(
+    parts: DataFrame,
+    upload_col: str = "upload_id",
+    part_col: str = "part_number",
+) -> DataFrame:
+    """M5: per-upload validation — part numbers must be strictly
+    ascending with no gaps starting at 1
+    (S3MultipartUploadCompleteRequest.java:399-450).
+
+    A part list is valid iff sorted part_number == row_number, i.e.
+    count == max(part_number) and min == 1 with distinct parts. Returns
+    (upload_id, num_parts, max_part, min_part, is_valid, total_size).
+    """
+    w = Window.partitionBy(upload_col).orderBy(part_col)
+    ranked = parts.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(upload_col)
+        .agg(
+            F.count(F.lit(1)).alias("num_parts"),
+            F.max(part_col).alias("max_part"),
+            F.min(part_col).alias("min_part"),
+            F.sum("data_size").alias("total_size"),
+            F.max(F.when(F.col(part_col) != F.col("_rn"), 1).otherwise(0)).alias("_gap"),
+        )
+        .select(
+            upload_col,
+            "num_parts",
+            "max_part",
+            "min_part",
+            "total_size",
+            ((F.col("_gap") == 0) & (F.col("min_part") == 1)).alias("is_valid"),
+        )
+        .orderBy(upload_col)
+    )

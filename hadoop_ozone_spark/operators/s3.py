@@ -1,0 +1,106 @@
+"""S3 gateway listing semantics.
+
+W2 ListObjectsV2 delimiter grouping (ref BucketEndpoint.java:90-228):
+split the ordered key stream into Contents (leaf keys) and
+CommonPrefixes (first delimiter segment after the prefix, deduped), both
+counting toward max-keys; truncation yields a ContinueToken.
+X7/X8 ContinueToken encode (ref ContinueToken.java:57-130): hex payload
++ sha256 integrity digest.
+SO3 multi-delete (ref BucketEndpoint.java:341-420).
+M6 server-side copy (ref ObjectEndpoint.java:574-660).
+
+Scale shape: grouping is a map-side derived column + groupBy on it; the
+final order-by-name cut is a top-k (`TakeOrderedAndProject`), so listing
+a 10^9-key bucket moves only ``max_keys`` rows to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def list_objects_v2(
+    keys: DataFrame,
+    prefix: str = "",
+    delimiter: str = "/",
+    start_after: str | None = None,
+    max_keys: int = 1000,
+    key_col: str = "key",
+    size_col: str = "data_size",
+) -> DataFrame:
+    """W2: one row per Contents entry or CommonPrefix, ordered by name.
+
+    Returns (name, entry_type['KEY'|'PREFIX'], size). The reference
+    walks the sorted stream once, deduping consecutive dir prefixes
+    (BucketEndpoint.java:177-209); relationally that is: group leaf keys
+    under their first-delimiter-segment, emit the segment once.
+    """
+    out = keys
+    if prefix:
+        out = out.filter(F.col(key_col).startswith(prefix))
+    if start_after:
+        out = out.filter(F.col(key_col) > start_after)
+    rel = F.substring(F.col(key_col), len(prefix) + 1, 1_000_000)
+    grp = F.when(
+        F.instr(rel, delimiter) > 0,
+        F.concat(F.lit(prefix), F.substring_index(rel, delimiter, 1), F.lit(delimiter)),
+    )
+    tagged = out.select(
+        grp.alias("common_prefix"), F.col(key_col).alias("key"), F.col(size_col).alias("sz")
+    )
+    prefixes = (
+        tagged.filter(F.col("common_prefix").isNotNull())
+        .groupBy("common_prefix")
+        .agg(F.count(F.lit(1)))
+        .select(
+            F.col("common_prefix").alias("name"),
+            F.lit("PREFIX").alias("entry_type"),
+            F.lit(0).cast("long").alias("size"),
+        )
+    )
+    contents = tagged.filter(F.col("common_prefix").isNull()).select(
+        F.col("key").alias("name"),
+        F.lit("KEY").alias("entry_type"),
+        F.col("sz").cast("long").alias("size"),
+    )
+    return prefixes.unionByName(contents).orderBy("name").limit(max_keys)
+
+
+def continue_token(last_key: DataFrame, key_col: str = "name") -> DataFrame:
+    """X7: token = hex(lastKey) + sha256 digest (ref ContinueToken.java:57-130).
+
+    Input: a 1-row DF holding the last emitted name of a truncated page.
+    """
+    k = F.col(key_col)
+    payload = F.lower(F.hex(F.encode(k, "UTF-8")))
+    return last_key.select(
+        k.alias("last_key"),
+        payload.alias("token_payload"),
+        F.sha2(k, 256).alias("token_digest"),
+    )
+
+
+def multi_delete(
+    keys: DataFrame, targets: DataFrame, key_col: str = "row_key"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """SO3: S3 ?delete batch. Returns (new_state, deleted, errors):
+    new_state = keys ∖ targets; deleted = matched targets; errors =
+    targets that did not exist."""
+    on = keys[key_col] == targets[key_col]
+    new_state = keys.join(targets, on, "left_anti")
+    deleted = targets.join(keys, on, "left_semi")
+    errors = targets.join(keys, on, "left_anti")
+    return new_state, deleted, errors
+
+
+def copy_object(
+    keys: DataFrame, src_prefix: str, dst_prefix: str, key_col: str = "row_key"
+) -> DataFrame:
+    """M6: server-side copy — duplicate rows under a new key prefix and
+    append to the namespace (ref ObjectEndpoint x-amz-copy-source)."""
+    copied = keys.filter(F.col(key_col).startswith(src_prefix)).withColumn(
+        key_col,
+        F.concat(F.lit(dst_prefix), F.substring(F.col(key_col), len(src_prefix) + 1, 1_000_000)),
+    )
+    return keys.unionByName(copied)

@@ -1,0 +1,89 @@
+"""W1/W2/W3 listing semantics — the golden scenarios from FIXTURES.md §10:
+pagination-resume ≡ full listing; delimiter grouping; fake-dir synthesis."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_ozone_spark import model
+from hadoop_ozone_spark.operators import listing, s3
+
+
+@pytest.fixture(scope="module")
+def keys(spark, sf_dir):
+    return model.om_keys(spark, sf_dir).cache()
+
+
+def test_pagination_resume_equals_full_listing(keys):
+    """Concatenating pages (token = last key of previous page) must equal
+    the single full listing (ref OmMetadataManagerImpl seek-resume)."""
+    full = [
+        r["row_key"]
+        for r in listing.list_keys(keys, volume="vol_r", bucket="bkt_o", max_keys=100_000).collect()
+    ]
+    paged, token = [], None
+    while True:
+        page = listing.list_keys(
+            keys, volume="vol_r", bucket="bkt_o", start_key=token, max_keys=7
+        ).collect()
+        if not page:
+            break
+        paged.extend(r["row_key"] for r in page)
+        token = page[-1]["row_key"]
+    assert paged == full
+    assert len(full) > 20
+
+
+def test_list_keys_prefix_and_start_interplay(keys):
+    """startKey exclusive + prefix filter (truth table :867-884)."""
+    rows = listing.list_keys(
+        keys,
+        volume="vol_r",
+        bucket="bkt_o",
+        prefix="/vol_r/bkt_o/dir3/",
+        start_key="/vol_r/bkt_o/dir3/sub1/",
+        max_keys=50,
+    ).collect()
+    assert all(r["row_key"].startswith("/vol_r/bkt_o/dir3/") for r in rows)
+    assert all(r["row_key"] > "/vol_r/bkt_o/dir3/sub1/" for r in rows)
+    assert rows == sorted(rows, key=lambda r: r["row_key"])
+
+
+def test_s3_delimiter_grouping(keys):
+    """Contents vs CommonPrefixes split (ref BucketEndpoint.java:177-209)."""
+    scoped = keys.filter((F.col("volume") == "vol_a") & (F.col("bucket") == "bkt_f"))
+    top = s3.list_objects_v2(scoped, prefix="", delimiter="/", max_keys=1000).collect()
+    assert all(r["entry_type"] == "PREFIX" for r in top)  # nothing at root level
+    assert [r["name"] for r in top] == sorted(r["name"] for r in top)
+    leaves = s3.list_objects_v2(scoped, prefix="dir1/sub2/", delimiter="/", max_keys=10).collect()
+    assert all(r["entry_type"] == "KEY" for r in leaves)
+    assert len(leaves) <= 10
+
+
+def test_s3_max_keys_counts_both(keys):
+    """Prefixes and keys both count toward max-keys (W2)."""
+    scoped = keys.filter((F.col("volume") == "vol_a") & (F.col("bucket") == "bkt_f"))
+    out = s3.list_objects_v2(scoped, prefix="dir1/", delimiter="/", max_keys=3).collect()
+    assert len(out) == 3
+
+
+def test_continue_token_shape(spark):
+    df = spark.createDataFrame([("dir1/sub2/",)], "name string")
+    row = s3.continue_token(df).first()
+    assert row["token_payload"] == "dir1/sub2/".encode().hex()
+    assert len(row["token_digest"]) == 64
+
+
+def test_list_status_fake_dirs(keys):
+    """Non-recursive listStatus collapses descendants into fake dirs
+    (ref KeyManagerImpl.java:2357-2411)."""
+    scoped = keys.filter((F.col("volume") == "vol_n") & (F.col("bucket") == "bkt_o")).select(
+        "key", "data_size"
+    )
+    rows = listing.list_status(scoped, "dir4").collect()
+    assert all(r["is_dir"] for r in rows)  # all children are subX dirs
+    assert {r["name"] for r in rows} <= {f"dir4/sub{i}" for i in range(5)}
+    total = sum(r["num_files"] for r in rows)
+    direct = scoped.filter(F.col("key").startswith("dir4/")).count()
+    assert total == direct

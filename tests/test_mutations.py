@@ -1,0 +1,54 @@
+"""M2/M3/M5 mutation-as-transform semantics (FIXTURES §10.7/10.10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_ozone_spark.operators import mutations, s3
+
+
+def test_rename_prefix(spark):
+    keys = spark.createDataFrame(
+        [("/v/b/src/a",), ("/v/b/src/b/c",), ("/v/b/other",)], "row_key string"
+    )
+    got = sorted(
+        r["row_key"] for r in mutations.rename_prefix(keys, "/v/b/src/", "/v/b/dst/").collect()
+    )
+    assert got == ["/v/b/dst/a", "/v/b/dst/b/c", "/v/b/other"]
+
+
+def test_delete_prefix(spark):
+    keys = spark.createDataFrame([("/v/b/x/1",), ("/v/b/x/2",), ("/v/b/y",)], "row_key string")
+    got = [r["row_key"] for r in mutations.delete_prefix(keys, "/v/b/x/").collect()]
+    assert got == ["/v/b/y"]
+
+
+def test_multipart_gap_detection(spark):
+    """Gap sequences must fail completion
+    (ref S3MultipartUploadCompleteRequest.java:399-450)."""
+    parts = spark.createDataFrame(
+        [("u1", 1, 10), ("u1", 2, 10), ("u1", 3, 10),
+         ("u2", 1, 10), ("u2", 2, 10), ("u2", 4, 10),   # gap: 3 missing
+         ("u3", 2, 10), ("u3", 3, 10)],                  # doesn't start at 1
+        "upload_id string, part_number int, data_size long",
+    )
+    got = {r["upload_id"]: r["is_valid"] for r in mutations.multipart_complete_check(parts).collect()}
+    assert got == {"u1": True, "u2": False, "u3": False}
+
+
+def test_multi_delete_split(spark):
+    keys = spark.createDataFrame([("/v/b/a",), ("/v/b/b",)], "row_key string")
+    targets = spark.createDataFrame([("/v/b/b",), ("/v/b/missing",)], "row_key string")
+    new_state, deleted, errors = s3.multi_delete(keys, targets)
+    assert [r["row_key"] for r in new_state.collect()] == ["/v/b/a"]
+    assert [r["row_key"] for r in deleted.collect()] == ["/v/b/b"]
+    assert [r["row_key"] for r in errors.collect()] == ["/v/b/missing"]
+
+
+def test_gc_expired_batch(spark):
+    deleted = spark.createDataFrame(
+        [(f"/v/b/k{i}", i * 1000) for i in range(10)], "row_key string, deletion_time long"
+    )
+    got = mutations.gc_expired(deleted, now_epoch_ms=10_000, ttl_ms=4000, batch=3).collect()
+    # expired = deletion_time < 6000 → k0..k5; oldest-first batch of 3
+    assert [r["row_key"] for r in got] == ["/v/b/k0", "/v/b/k1", "/v/b/k2"]

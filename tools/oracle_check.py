@@ -1,0 +1,110 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB at the given sf, then compares
+row-count, sorted column names, and an order-insensitive value hash.
+
+Usage:  python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from hadoop_ozone_spark.model import TABLES  # noqa: E402
+from hadoop_ozone_spark.session import get_spark  # noqa: E402
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def norm_cell(v):
+        if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+            return "NULL"
+        if isinstance(v, bool):
+            return str(v).lower()
+        if isinstance(v, float):
+            return repr(round(v, 6))
+        if isinstance(v, pd.Timestamp):
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return str(v)
+
+    out = df.map(norm_cell)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(get_spark("oracle-check"), sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"SKIP {name}: no oracle (rows-only: {len(sdf)} rows)")
+            continue
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        elapsed = time.time() - t0
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} != {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        if not problems:
+            ns, no = normalize(sdf), normalize(odf)
+            hs, ho = value_hash(ns), value_hash(no)
+            if hs != ho:
+                problems.append(f"hash {hs} != {ho}")
+                diff = ns.compare(no) if ns.shape == no.shape else None
+                if diff is not None and len(diff):
+                    print(diff.head(5))
+                else:
+                    print("  spark:\n", ns.head(3), "\n  oracle:\n", no.head(3))
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"OK   {name} ({len(sdf)} rows, {elapsed:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
