@@ -26,6 +26,7 @@ from hadoop_ozone_spark.functions.binning import file_size_upper_bound_sql
 from hadoop_ozone_spark.operators import audit as audit_ops
 from hadoop_ozone_spark.operators import cdc as cdc_ops
 from hadoop_ozone_spark.operators import listing, mutations, recon, s3
+from hadoop_ozone_spark.plans import datapipe_queries
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -686,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m2_rename_prefix": m2_rename_prefix,
         "m3_delete_prefix": m3_delete_prefix,
         "m5_multipart_check": m5_multipart_check,
+        **datapipe_queries.QUERIES,
     }
 
 
@@ -722,4 +724,5 @@ def oracle_sql() -> dict[str, str]:
         "m2_rename_prefix": M2_SQL,
         "m3_delete_prefix": M3_SQL,
         "m5_multipart_check": M5_SQL,
+        **datapipe_queries.ORACLES,
     }

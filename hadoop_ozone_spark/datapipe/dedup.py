@@ -1,0 +1,247 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point at 100 TB):
+
+- exact: one groupBy on a 128-bit content hash — shuffle keyed by the
+  hash, perfectly balanced, map-side combinable.
+- n-gram Jaccard (exact pairwise): only for oracle-sized verification
+  or as the *verify* stage after LSH blocking — the shingle self-join
+  is quadratic in the worst case and must never run unblocked on the
+  full corpus.
+- MinHash+LSH: the scale path. signatures = k min-hashes over shingles
+  (map-only), banding → candidate pairs via groupBy on (band, hash) —
+  the only shuffle — then exact-Jaccard verification on candidates only.
+- SimHash: 64-bit fingerprint via sign-aggregated token hashes; near-dup
+  = small Hamming distance within LSH buckets of fingerprint chunks.
+
+All shingle/hash computation is built-in Column expressions (xxhash64,
+transform, aggregate) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_ozone_spark.datapipe.text import tokens
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5-groupBy; canonical = min doc_id per group.
+
+    Returns one row per duplicate-set (n_copies >= 2) with the canonical
+    id — the delete-list is everything in the group except canonical.
+    """
+    h = F.md5(F.col(text_col))
+    return (
+        docs.groupBy(h.alias("content_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("canonical_doc_id")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (map-only)."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ t).
+
+    Blocked on shared shingles (pairs with zero overlap never meet).
+    jaccard = |∩| / (|A| + |B| − |∩|) computed as exact-int division.
+    """
+    st = shingle_table(docs, text_col, n)
+    sizes = st.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = st.alias("a")
+    b = st.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NUM_HASHES = 32  # minhash signature length
+BANDS = 8       # 8 bands × 4 rows: catches jaccard ≳ 0.6 w.h.p.
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def minhash_signature(text: Column, n: int = 3, num_hashes: int = NUM_HASHES) -> Column:
+    """k-min-hash signature over shingles, via xxhash64(shingle, seed)
+    — array<long> of length k, computed map-side."""
+    sh = shingles(text, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(s, seed))
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """LSH banding: docs sharing any band-hash become candidate pairs.
+
+    Shuffle is keyed by (band_id, band_hash) — the classic MinHash-LSH
+    plan; bucket skew (a degenerate shingle shared by everything) is
+    handled by AQE skew-split at scale.
+    """
+    sigs = docs.select("doc_id", minhash_signature(F.col(text_col), n).alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Full MinHash pipeline: LSH candidates → exact-Jaccard verify.
+
+    The verify join touches only candidate docs (semi-join pushdown),
+    so the quadratic exact stage runs on a vanishing fraction of the
+    corpus — this is the 100 TB shape.
+    """
+    cands = minhash_lsh_candidates(docs, text_col, n)
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    scoped = docs.join(cand_docs, "doc_id", "left_semi")
+    exact = ngram_jaccard_pairs(scoped, text_col, n, threshold)
+    return exact.join(cands, ["doc_a", "doc_b"], "left_semi").orderBy("doc_a", "doc_b")
+
+
+def simhash(text: Column, num_bits: int = 64) -> Column:
+    """64-bit SimHash fingerprint: sign-sum of token-hash bits.
+
+    bit_i(fp) = 1 iff Σ_tokens (bit_i(xxhash64(token)) ? +1 : −1) > 0.
+    Pure array expressions (aggregate over tokens) — map-only.
+    """
+    toks = F.array_distinct(tokens(text))
+    # per-bit signed counts, folded over tokens; the bit loop is unrolled
+    # in Python (F.shiftright needs a literal bit count)
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), num_bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) * 2 - 1
+                    for i in range(num_bits)
+                ]
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(num_bits):
+        # bit 63 of a signed long is the sign bit: 1<<63 wraps negative
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        fp = fp + F.when(
+            F.element_at(counts, i + 1) > 0, F.lit(bit_val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return fp
+
+
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit fingerprint chunks (a
+    pair within hamming ≤ 3 of 4 chunks must share one), verify exact
+    Hamming distance on candidates."""
+    fp = docs.select("doc_id", simhash(F.col(text_col)).alias("fp"))
+    chunks = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright(F.col("fp"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "fp", "c.chunk_id", "c.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

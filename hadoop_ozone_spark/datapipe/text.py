@@ -1,0 +1,105 @@
+"""Text-analysis operators for a training-data pipeline.
+
+Beyond-reference surface (BASELINE.json north star): token counting,
+quality scoring, language ID (n-gram/stopword heuristic), document
+fingerprinting. All pure Column expressions — at 100 TB these are
+map-only passes fused into one whole-stage-codegen stage over the
+corpus scan, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic stopword votes per language (tiny on purpose — the
+# heuristic must be cheap and identically computable in the oracle)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "die", "und"],
+    "es": ["el", "la", "que"],
+    "fr": ["le", "la", "et"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the BPE-ish regex variant lives in
+    token_count_bpe_ish)."""
+    return F.split(F.trim(text), "\\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """Sub-word-ish token estimate: words + digit runs + punctuation
+    marks counted separately (a cheap stand-in for BPE length)."""
+    words = F.size(F.split(F.trim(text), "[^A-Za-z0-9]+"))
+    puncts = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    return words + puncts
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality signals: length, token count, mean token length,
+    punctuation count, stopword hits + ratio. Ratios are exact-int
+    divisions in double (bit-identical across engines)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*LANG_STOPWORDS["en"])))
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (F.length(F.regexp_replace(t, "\\s", "")).cast("double") / n_tok).alias(
+            "mean_token_len"
+        ),
+        F.length(F.regexp_replace(t, "[A-Za-z0-9\\s]", "")).alias("n_punct"),
+        stop_hits.alias("stopword_hits"),
+        (stop_hits.cast("double") / n_tok).alias("stopword_ratio"),
+    )
+
+
+def _stopword_hits(toks: Column, stopwords: list[str]) -> Column:
+    # NB: the filter lambda must be unary — Spark passes (element, index)
+    # to binary lambdas, which would shadow a captured default arg
+    return F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(F.lower(text))
+    return {lang: _stopword_hits(toks, sw) for lang, sw in LANG_STOPWORDS.items()}
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID; deterministic argmax (tie → priority
+    order en > de > es > fr > unknown)."""
+    scores = lang_scores(F.col(text_col))
+    en, de, es, fr = scores["en"], scores["de"], scores["es"], scores["fr"]
+    pred = (
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= es) & (de >= fr) & (de > 0), F.lit("de"))
+        .when((es >= fr) & (es > 0), F.lit("es"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        en.alias("score_en"),
+        de.alias("score_de"),
+        es.alias("score_es"),
+        fr.alias("score_fr"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text — the exact-dedup key (a rolling-hash shingle fingerprint is
+    minhash's job, datapipe/dedup.py)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    return docs.select(
+        "doc_id", F.md5(norm).alias("fingerprint"), F.length(norm).alias("norm_len")
+    )

@@ -237,3 +237,35 @@ def with_ctes(*ctes: str, body: str) -> str:
     """Assemble a DuckDB oracle query from shared CTE fragments."""
     joined = ",\n".join(c.strip() for c in ctes)
     return f"WITH {joined}\n{body}"
+
+
+# ---------------------------------------------------------------------------
+# dedup_corpus: documents + injected duplicates, so the dedup operators
+# have verifiable work to do (the driver corpus is all-distinct):
+#  - exact copies   (doc_id % 7 == 0  → doc_id + 2_000_000, same text)
+#  - near copies    (doc_id % 10 == 0 → doc_id + 1_000_000, text + ' extra token')
+# ---------------------------------------------------------------------------
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    exact_copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", "lang", "source"
+    )
+    near_copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        "lang",
+        "source",
+    )
+    return docs.unionByName(exact_copies).unionByName(near_copies)
+
+
+DEDUP_CORPUS_CTE = """
+dedup_corpus AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text, lang, source FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, concat(text, ' extra token'), lang, source
+  FROM documents WHERE doc_id % 10 = 0
+)"""

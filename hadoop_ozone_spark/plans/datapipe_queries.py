@@ -1,0 +1,261 @@
+"""Datapipe query plans + DuckDB oracles (dedup, similarity, text,
+multimodal) — the beyond-reference surface mandated by BASELINE.json.
+
+Kept separate from __spark_entry__ so the entry file stays a thin
+registry. Every oracle-backed query follows the cross-engine
+determinism rules from model.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_ozone_spark import model
+from hadoop_ozone_spark.datapipe import dedup, multimodal, similarity, text
+
+
+# --- text analysis --------------------------------------------------------
+
+def dp_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_features(model.load(spark, sf_dir, "documents"))
+
+
+DP_TOKEN_STATS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(t) AS n_tokens,
+       CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(t) AS mean_token_len,
+       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+       len(list_filter(t, x -> x IN ('the', 'and', 'of'))) AS stopword_hits,
+       CAST(len(list_filter(t, x -> x IN ('the', 'and', 'of'))) AS DOUBLE) / len(t) AS stopword_ratio
+FROM toks
+"""
+
+
+def dp_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(model.load(spark, sf_dir, "documents"))
+
+
+DP_LANG_ID_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x IN ('the', 'and', 'of'))) AS score_en,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x IN ('der', 'die', 'und'))) AS score_de,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x IN ('el', 'la', 'que'))) AS score_es,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x IN ('le', 'la', 'et'))) AS score_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr
+                 AND score_en > 0 THEN 'en'
+            WHEN score_de >= score_es AND score_de >= score_fr AND score_de > 0 THEN 'de'
+            WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+            WHEN score_fr > 0 THEN 'fr'
+            ELSE 'unknown' END AS predicted_lang,
+       score_en, score_de, score_es, score_fr
+FROM scored
+"""
+
+
+def dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(model.load(spark, sf_dir, "documents"))
+
+
+DP_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_len
+FROM documents
+"""
+
+
+# --- dedup ----------------------------------------------------------------
+
+def dp_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(model.dedup_corpus(spark, sf_dir))
+
+
+DP_EXACT_DEDUP_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    body="""SELECT content_hash, canonical_doc_id, n_copies FROM (
+  SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+         count(*) AS n_copies
+  FROM dedup_corpus GROUP BY md5(text)
+) WHERE n_copies >= 2 ORDER BY canonical_doc_id""",
+)
+
+
+def dp_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(model.dedup_corpus(spark, sf_dir), threshold=0.5)
+
+
+DP_NGRAM_JACCARD_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    body=r""", toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM dedup_corpus
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common, sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+       CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON common.doc_a = sa.doc_id
+JOIN sizes sb ON common.doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+ORDER BY doc_a, doc_b""",
+)
+
+# DuckDB has no xxhash64 — minhash/simhash get rows-only checks.
+
+def dp_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_pairs(model.dedup_corpus(spark, sf_dir), threshold=0.5)
+
+
+def dp_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(model.dedup_corpus(spark, sf_dir), max_hamming=4)
+
+
+# --- similarity search ----------------------------------------------------
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = model.load(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+
+def dp_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = model.load(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+DP_ANN_BRUTE_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+FROM embeddings, q
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+BUCKET_SQL_EXPR = """list_sum(list_transform(generate_series(0, 5),
+       p -> CASE WHEN list_sum(list_transform(generate_series(0, len(ve) - 1),
+                      d -> ve[d+1] * CAST(((p*31 + d*7) % 13 - 6) AS DOUBLE))) > 0
+                 THEN (1 << p) ELSE 0 END))"""
+
+
+def dp_ann_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.bucket_histogram(model.load(spark, sf_dir, "embeddings"))
+
+
+DP_ANN_BUCKETS_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+SELECT CAST({BUCKET_SQL_EXPR} AS INTEGER) AS bucket_id, count(*) AS n_vectors
+FROM v GROUP BY 1 ORDER BY bucket_id
+"""
+
+
+def dp_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = model.load(spark, sf_dir, "embeddings")
+    return similarity.bucketed_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+DP_ANN_BUCKETED_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+b AS (SELECT vec_id, ve, CAST({BUCKET_SQL_EXPR} AS INTEGER) AS bucket_id FROM v),
+q AS (SELECT ve AS qv, bucket_id AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(ve, qv) /
+             (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+FROM b, q WHERE b.bucket_id = q.qbucket
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# --- multimodal -----------------------------------------------------------
+
+def dp_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_media(model.load(spark, sf_dir, "documents"))
+    return multimodal.resize_plan(media)
+
+
+DP_MEDIA_RESIZE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       doc_id % 640 + 32 AS width,
+       doc_id % 480 + 32 AS height,
+       224 / (doc_id % 640 + 32) AS scale_x,
+       224 / (doc_id % 480 + 32) AS scale_y
+FROM documents
+"""
+
+
+def dp_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_media(model.load(spark, sf_dir, "documents"))
+    return multimodal.frame_sample(media)
+
+
+DP_FRAME_SAMPLE_SQL = """
+SELECT doc_id, unnest(generate_series(0, CAST(doc_id % 30 AS BIGINT), 10)) AS frame_idx,
+       doc_id % 640 + 32 AS width,
+       doc_id % 480 + 32 AS height
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+def dp_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction — no SQL oracle (rows-only check);
+    the Python batch path is exercised by tests/test_datapipe.py."""
+    media = multimodal.synthesize_media(model.load(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+QUERIES = {
+    "dp_token_stats": dp_token_stats,
+    "dp_lang_id": dp_lang_id,
+    "dp_fingerprint": dp_fingerprint,
+    "dp_exact_dedup": dp_exact_dedup,
+    "dp_ngram_jaccard": dp_ngram_jaccard,
+    "dp_minhash_pairs": dp_minhash_pairs,
+    "dp_simhash_pairs": dp_simhash_pairs,
+    "dp_ann_brute_topk": dp_ann_brute_topk,
+    "dp_ann_bucket_histogram": dp_ann_bucket_histogram,
+    "dp_ann_bucketed_topk": dp_ann_bucketed_topk,
+    "dp_media_resize_plan": dp_media_resize_plan,
+    "dp_media_frame_sample": dp_media_frame_sample,
+    "dp_media_features": dp_media_features,
+}
+
+ORACLES = {
+    "dp_token_stats": DP_TOKEN_STATS_SQL,
+    "dp_lang_id": DP_LANG_ID_SQL,
+    "dp_fingerprint": DP_FINGERPRINT_SQL,
+    "dp_exact_dedup": DP_EXACT_DEDUP_SQL,
+    "dp_ngram_jaccard": DP_NGRAM_JACCARD_SQL,
+    "dp_ann_brute_topk": DP_ANN_BRUTE_SQL,
+    "dp_ann_bucket_histogram": DP_ANN_BUCKETS_SQL,
+    "dp_ann_bucketed_topk": DP_ANN_BUCKETED_SQL,
+    "dp_media_resize_plan": DP_MEDIA_RESIZE_SQL,
+    "dp_media_frame_sample": DP_FRAME_SAMPLE_SQL,
+    # dp_minhash_pairs / dp_simhash_pairs / dp_media_features:
+    # non-SQL-expressible (xxhash64 / Python batch) → rows-only.
+}

@@ -1,0 +1,91 @@
+"""Datapipe operators: dedup finds the injected duplicates, minhash
+candidates cover exact-jaccard truth, ANN recall, multimodal batch path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_ozone_spark import model
+from hadoop_ozone_spark.datapipe import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return model.dedup_corpus(spark, sf_dir).cache()
+
+
+def test_exact_dedup_finds_injected_copies(spark, sf_dir):
+    corpus = model.dedup_corpus(spark, sf_dir)
+    groups = dedup.exact_dedup_groups(corpus).collect()
+    docs = model.load(spark, sf_dir, "documents")
+    expected = docs.filter(F.col("doc_id") % 7 == 0).count()
+    assert len(groups) == expected
+    assert all(g["n_copies"] == 2 for g in groups)
+    # canonical is always the original, not the +2M copy
+    assert all(g["canonical_doc_id"] < 2_000_000 for g in groups)
+
+
+def test_minhash_candidates_cover_exact_truth(corpus):
+    """LSH candidates must contain every true high-jaccard pair
+    (recall check at threshold 0.5 — bands tuned for ≳0.6)."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.7).collect()
+    }
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_dedup_pairs(corpus, threshold=0.7).collect()
+    }
+    assert truth, "expected injected near-dups to produce pairs"
+    missed = truth - mh
+    assert len(missed) <= max(1, len(truth) // 10)  # ≥90% recall
+
+
+def test_simhash_near_dups(corpus):
+    pairs = dedup.simhash_pairs(corpus, max_hamming=4).collect()
+    # injected near-copies differ by two tokens → tiny hamming distance
+    near = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert any(b - a == 1_000_000 for a, b in near)
+
+
+def test_ann_bucketed_recall(spark, sf_dir):
+    emb = model.load(spark, sf_dir, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qvec"))
+    brute = [r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=5).collect()]
+    bucketed = [r["vec_id"] for r in similarity.bucketed_topk(emb, q, k=5).collect()]
+    # query itself (cosine 1.0) must be found by both
+    assert brute[0] == 7
+    assert bucketed[0] == 7
+
+
+def test_media_features_batch_path(spark, sf_dir):
+    media = multimodal.synthesize_media(model.load(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    assert all(r["n_bytes"] > 0 and 0.0 <= r["feat_mean"] <= 1.0 for r in rows)
+    assert set(feats.columns) == {
+        "doc_id", "media_type", "n_bytes", "feat_mean", "feat_max", "frame_count"
+    }
+
+
+def test_lang_id_deterministic_argmax(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog of war", "en"),
+         (2, "der hund und die katze", "de"),
+         (3, "xyzzy plugh", "zz")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r["predicted_lang"] for r in text.lang_id(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "unknown"}
+
+
+def test_token_count_variants(spark):
+    docs = spark.createDataFrame([(1, "  hello,  world! 42  ")], "doc_id long, text string")
+    row = docs.select(
+        text.token_count(F.col("text")).alias("ws"),
+        text.token_count_bpe_ish(F.col("text")).alias("bpe"),
+    ).first()
+    assert row["ws"] == 3
+    assert row["bpe"] > row["ws"]  # punctuation counted separately
