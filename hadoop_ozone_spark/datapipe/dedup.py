@@ -169,37 +169,34 @@ def minhash_dedup_pairs(
     return exact.join(cands, ["doc_a", "doc_b"], "left_semi").orderBy("doc_a", "doc_b")
 
 
-def simhash(text: Column, num_bits: int = 64) -> Column:
-    """64-bit SimHash fingerprint: sign-sum of token-hash bits.
+def simhash_table(
+    docs: DataFrame, text_col: str = "text", num_bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash fingerprints: (doc_id, fp).
 
     bit_i(fp) = 1 iff Σ_tokens (bit_i(xxhash64(token)) ? +1 : −1) > 0.
-    Pure array expressions (aggregate over tokens) — map-only.
+
+    Shape: explode distinct tokens → ONE hash per token → one groupBy
+    with 64 narrow SUM aggregates (map-side combinable), then fold the
+    64 sums into the fingerprint. (A previous array-fold formulation
+    nested 64 expressions inside an aggregate lambda — the codegen blew
+    the heap; 64 flat aggregate columns are linear and cheap.)
     """
-    toks = F.array_distinct(tokens(text))
-    # per-bit signed counts, folded over tokens; the bit loop is unrolled
-    # in Python (F.shiftright needs a literal bit count)
-    counts = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), num_bits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) * 2 - 1
-                    for i in range(num_bits)
-                ]
-            ),
-            lambda a, d: a + d,
-        ),
-    )
+    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"))
+    h = F.xxhash64("t")
+    aggs = [
+        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+        for i in range(num_bits)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
     fp = F.lit(0).cast("long")
     for i in range(num_bits):
         # bit 63 of a signed long is the sign bit: 1<<63 wraps negative
         bit_val = (1 << i) if i < 63 else -(1 << 63)
-        fp = fp + F.when(
-            F.element_at(counts, i + 1) > 0, F.lit(bit_val).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return fp
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select("doc_id", fp.alias("fp"))
 
 
 def simhash_pairs(
@@ -208,7 +205,7 @@ def simhash_pairs(
     """SimHash near-dup pairs: block on 16-bit fingerprint chunks (a
     pair within hamming ≤ 3 of 4 chunks must share one), verify exact
     Hamming distance on candidates."""
-    fp = docs.select("doc_id", simhash(F.col(text_col)).alias("fp"))
+    fp = simhash_table(docs, text_col)
     chunks = fp.select(
         "doc_id",
         "fp",

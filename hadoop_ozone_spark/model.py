@@ -188,9 +188,12 @@ containers AS (
 
 
 def container_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sparse deterministic subset so the J2 classifier sees all four
+    # health classes (unfiltered, every container is OVER-replicated)
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.select(
+        li.filter((F.col("l_partkey") + F.col("l_suppkey")) % 11 < 2)
+        .select(
             F.col("l_partkey").alias("container_id"),
             F.col("l_suppkey").alias("datanode_id"),
         )
@@ -201,7 +204,7 @@ def container_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINER_REPLICAS_CTE = """
 container_replicas AS (
   SELECT DISTINCT l_partkey AS container_id, l_suppkey AS datanode_id
-  FROM lineitem
+  FROM lineitem WHERE (l_partkey + l_suppkey) % 11 < 2
 )"""
 
 

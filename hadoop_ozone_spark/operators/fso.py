@@ -1,0 +1,73 @@
+"""J3 — FSO directory-tree path resolution.
+
+Reference: FSO buckets key rows by ``parentObjectID/name``; resolving a
+path walks components one at a time (OMFileRequest.java:901-930), and
+listing walks the tree with a DFS stack (KeyManagerImpl.java:2450-2700).
+
+Spark-first inversion: instead of per-lookup walks, MATERIALIZE the
+full path for every directory once — an iterative self-join to fixpoint
+(depth-bounded loop, one broadcast join per level since the frontier is
+the parent level). Every later query is then an ordinary equi-join on
+the materialized path. At 100 TB the dir table is ~1e6× smaller than
+the file table, so each iteration broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROOT_PARENT = 0  # bucket root sentinel
+
+
+def materialize_paths(dirs: DataFrame, max_depth: int = 64) -> DataFrame:
+    """dirs(object_id, parent_object_id, name) → (object_id, path, depth).
+
+    Iterative fixpoint: level 0 = children of the bucket root; level
+    d+1 = dirs whose parent resolved at level d. Terminates when a level
+    is empty (or max_depth, guarding cyclic corruption).
+    """
+    resolved = (
+        dirs.filter(F.col("parent_object_id") == ROOT_PARENT)
+        .select(
+            "object_id",
+            F.col("name").alias("path"),
+            F.lit(0).alias("depth"),
+        )
+    )
+    frontier = resolved
+    for depth in range(1, max_depth):
+        parents = frontier.select(
+            F.col("object_id").alias("parent_object_id"),
+            F.col("path").alias("parent_path"),
+        )
+        nxt = (
+            dirs.join(F.broadcast(parents), "parent_object_id")
+            .select(
+                "object_id",
+                F.concat(F.col("parent_path"), F.lit("/"), F.col("name")).alias("path"),
+                F.lit(depth).alias("depth"),
+            )
+        )
+        if nxt.isEmpty():
+            break
+        resolved = resolved.unionByName(nxt)
+        frontier = nxt
+    return resolved
+
+
+def resolve_files(files: DataFrame, dir_paths: DataFrame) -> DataFrame:
+    """fileTable rows (parent_object_id, name, ...) → full paths via one
+    equi-join against the materialized dir paths."""
+    return (
+        files.join(
+            F.broadcast(
+                dir_paths.select(
+                    F.col("object_id").alias("parent_object_id"),
+                    F.col("path").alias("dir_path"),
+                )
+            ),
+            "parent_object_id",
+        )
+        .withColumn("path", F.concat(F.col("dir_path"), F.lit("/"), F.col("name")))
+    )

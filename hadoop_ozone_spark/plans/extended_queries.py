@@ -1,0 +1,356 @@
+"""Extended operator queries: FSO resolution (J3), versions (W6/F6),
+part listing (W4), top-k (W5), slim projection (F5/X8), dir dedup (A9),
+open-key commit (M1), audit round-trip (S7), freon generator (S8),
+debug scan (S6), time formatting (X9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_ozone_spark import model
+from hadoop_ozone_spark.operators import fso
+from hadoop_ozone_spark.sources import audit as audit_src
+from hadoop_ozone_spark.sources import generators, snapshot
+
+
+# --- J3: FSO dir tree -----------------------------------------------------
+#
+# Synthesized FSO directoryTable from the lineitem-derived namespace:
+# level-1 dirs dirD (D = orderkey%7), level-2 dirs subS (S = partkey%5),
+# with arithmetic object ids (engine-portable):
+#   bucket_code = vol_idx*2 + bkt_idx   (a=0,n=1,r=2 × f=0,o=1)
+#   id(dirD)  = (bucket_code+1)*1000 + D          parent = 0
+#   id(subS)  = id(dirD)*100 + S                  parent = id(dirD)
+
+def _fso_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = model.load(spark, sf_dir, "lineitem")
+    vol_idx = (
+        F.when(F.lower("l_returnflag") == "a", 0)
+        .when(F.lower("l_returnflag") == "n", 1)
+        .otherwise(2)
+    )
+    bkt_idx = F.when(F.lower("l_linestatus") == "f", 0).otherwise(1)
+    d = F.col("l_orderkey") % 7
+    s = F.col("l_partkey") % 5
+    l1_id = (vol_idx * 2 + bkt_idx + 1) * 1000 + d
+    level1 = li.select(
+        l1_id.alias("object_id"),
+        F.lit(0).cast("long").alias("parent_object_id"),
+        F.concat(F.lit("dir"), d).alias("name"),
+    ).distinct()
+    level2 = li.select(
+        (l1_id * 100 + s).alias("object_id"),
+        l1_id.cast("long").alias("parent_object_id"),
+        F.concat(F.lit("sub"), s).alias("name"),
+    ).distinct()
+    return level1.unionByName(level2)
+
+
+FSO_DIRS_CTE = """
+fso_dirs AS (
+  SELECT DISTINCT
+    (CASE lower(l_returnflag) WHEN 'a' THEN 0 WHEN 'n' THEN 1 ELSE 2 END * 2
+     + CASE lower(l_linestatus) WHEN 'f' THEN 0 ELSE 1 END + 1) * 1000
+     + l_orderkey % 7 AS object_id,
+    CAST(0 AS BIGINT) AS parent_object_id,
+    concat('dir', l_orderkey % 7) AS name
+  FROM lineitem
+  UNION
+  SELECT DISTINCT
+    ((CASE lower(l_returnflag) WHEN 'a' THEN 0 WHEN 'n' THEN 1 ELSE 2 END * 2
+      + CASE lower(l_linestatus) WHEN 'f' THEN 0 ELSE 1 END + 1) * 1000
+      + l_orderkey % 7) * 100 + l_partkey % 5 AS object_id,
+    (CASE lower(l_returnflag) WHEN 'a' THEN 0 WHEN 'n' THEN 1 ELSE 2 END * 2
+     + CASE lower(l_linestatus) WHEN 'f' THEN 0 ELSE 1 END + 1) * 1000
+     + l_orderkey % 7 AS parent_object_id,
+    concat('sub', l_partkey % 5) AS name
+  FROM lineitem
+)"""
+
+
+def j3_fso_path_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fso.materialize_paths(_fso_dirs(spark, sf_dir)).orderBy("object_id")
+
+
+J3_SQL = model.with_ctes(
+    FSO_DIRS_CTE,
+    body="""SELECT object_id, path, depth FROM (
+  WITH RECURSIVE walk(object_id, path, depth) AS (
+    SELECT object_id, name AS path, 0 AS depth FROM fso_dirs WHERE parent_object_id = 0
+    UNION ALL
+    SELECT d.object_id, concat(w.path, '/', d.name), w.depth + 1
+    FROM fso_dirs d JOIN walk w ON d.parent_object_id = w.object_id
+  )
+  SELECT * FROM walk
+) ORDER BY object_id""",
+)
+
+
+# --- W6/F6: latest-version selection -------------------------------------
+
+def w6_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """slimLocationVersion: keep only the max-version location group per
+    key object (ref KeyManagerImpl.java:2437-2438). Versions synthesized
+    as l_linenumber per orderkey-object."""
+    li = model.load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_linenumber"), F.desc("l_partkey"), F.desc("l_suppkey"),
+        F.desc(F.floor(F.col("l_extendedprice") * 100)),
+    )
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("l_orderkey").alias("object_id"),
+            F.col("l_linenumber").alias("latest_version"),
+            F.floor(F.col("l_extendedprice") * 100).alias("latest_size"),
+        )
+        .orderBy("object_id")
+    )
+
+
+W6_SQL = """
+SELECT object_id, latest_version, latest_size FROM (
+  SELECT l_orderkey AS object_id, l_linenumber AS latest_version,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS latest_size,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC,
+                    CAST(floor(l_extendedprice * 100) AS BIGINT) DESC
+         ) AS rn
+  FROM lineitem
+) WHERE rn = 1 ORDER BY object_id
+"""
+
+
+# --- W4: ordered multipart-part listing ----------------------------------
+
+def w4_list_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List parts from part-number-marker (ref KeyManagerImpl.java:
+    1414-1500): TreeMap tail-scan ≡ filter > marker + orderBy + limit.
+    Upload probed as the smallest orderkey (self-contained)."""
+    li = model.load(spark, sf_dir, "lineitem")
+    probe = li.agg(F.min("l_orderkey").alias("l_orderkey"))
+    return (
+        li.join(F.broadcast(probe), "l_orderkey")
+        .filter(F.col("l_linenumber") > 1)  # part-number-marker = 1
+        .select(
+            F.col("l_orderkey").alias("upload_id"),
+            F.col("l_linenumber").alias("part_number"),
+            F.floor(F.col("l_extendedprice") * 100).alias("part_size"),
+        )
+        .orderBy("part_number", "part_size")
+        .limit(100)
+    )
+
+
+W4_SQL = """
+SELECT l_orderkey AS upload_id, l_linenumber AS part_number,
+       CAST(floor(l_extendedprice * 100) AS BIGINT) AS part_size
+FROM lineitem
+WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem) AND l_linenumber > 1
+ORDER BY part_number, part_size LIMIT 100
+"""
+
+
+# --- W5: top-k after state filter ----------------------------------------
+
+def w5_topk_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listContainer: state filter → sorted().limit(count)
+    (ref SCMClientProtocolServer.java:393-400)."""
+    return (
+        model.containers(spark, sf_dir)
+        .filter(F.col("state") == "CLOSED")
+        .orderBy(F.desc("used_bytes"), F.asc("container_id"))
+        .limit(10)
+        .select("container_id", "state", "used_bytes")
+    )
+
+
+W5_SQL = model.with_ctes(
+    model.CONTAINERS_CTE,
+    body="""SELECT container_id, state, used_bytes FROM containers
+WHERE state = 'CLOSED' ORDER BY used_bytes DESC, container_id ASC LIMIT 10""",
+)
+
+
+# --- F5/X8: slim projection + ETag ---------------------------------------
+
+def f5_slim_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Response-shaping projection (ref S3 list returns name/size/mtime/
+    etag subset; ETag via digest, ContinueToken.java:70). Column pruning
+    reaches the scan: only 3 physical columns are read."""
+    keys = model.om_keys(spark, sf_dir)
+    return keys.filter(F.col("volume") == "vol_r").select(
+        "row_key",
+        "data_size",
+        F.md5(F.col("row_key")).alias("etag"),
+    )
+
+
+F5_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT row_key, data_size, md5(row_key) AS etag
+FROM om_keys WHERE volume = 'vol_r'""",
+)
+
+
+# --- A9: distinct-dir dedup count ----------------------------------------
+
+def a9_distinct_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListObjects commonPrefixes dedup-count (ref BucketEndpoint.java:
+    177-209): distinct first-level dirs per bucket."""
+    keys = model.om_keys(spark, sf_dir)
+    return (
+        keys.groupBy("volume", "bucket")
+        .agg(F.countDistinct(F.substring_index("key", "/", 1)).alias("n_dirs"))
+        .orderBy("volume", "bucket")
+    )
+
+
+A9_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT volume, bucket, count(DISTINCT split_part(key, '/', 1)) AS n_dirs
+FROM om_keys GROUP BY volume, bucket ORDER BY volume, bucket""",
+)
+
+
+# --- M1: open-key commit --------------------------------------------------
+
+def m1_open_key_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Create/commit lifecycle (ref OMKeyCreateRequest/OMKeyCommitRequest):
+    openKeyTable rows move to keyTable on commit. Open = orderkey%5==1;
+    committed = the even-suppkey half; final state = base ∪ committed."""
+    keys = model.om_keys(spark, sf_dir)
+    # the filename embeds the orderkey ('.../f_<orderkey>_...'), so the
+    # open flag derives from the key itself, as the reference's open-key
+    # row key embeds the clientID (OmMetadataManagerImpl.java:584-587)
+    tagged = keys.withColumn(
+        "is_open", F.split(F.col("key"), "_")[1].cast("long") % 5 == 1
+    )
+    base = tagged.filter(~F.col("is_open"))
+    committed = tagged.filter(F.col("is_open") & (F.col("datanode_id") % 2 == 0))
+    final = base.unionByName(committed)
+    return (
+        final.groupBy("volume", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_keys"), F.sum("data_size").alias("total_bytes"))
+        .orderBy("volume", "bucket")
+    )
+
+
+M1_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT volume, bucket, count(*) AS n_keys,
+       CAST(SUM(data_size) AS BIGINT) AS total_bytes
+FROM om_keys
+WHERE NOT (CAST(split_part(key, '_', 2) AS BIGINT) % 5 = 1)
+   OR datanode_id % 2 = 0
+GROUP BY volume, bucket ORDER BY volume, bucket""",
+)
+
+
+# --- S7: audit log text round-trip ---------------------------------------
+
+def s7_audit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render the audit table to log lines, parse them back, aggregate —
+    proves the text loader recovers every field (ref DatabaseHelper)."""
+    audit = model.audit_log(spark, sf_dir)
+    lines = audit_src.format_audit_lines(audit)
+    parsed = audit_src.parse_audit_lines(lines)
+    return (
+        parsed.groupBy("op", "result")
+        .agg(F.count(F.lit(1)).alias("total"), F.min("datetime").alias("first_seen"))
+        .orderBy("op", "result")
+    )
+
+
+S7_SQL = model.with_ctes(
+    model.AUDIT_LOG_CTE,
+    body="""SELECT op, result, count(*) AS total, min(datetime) AS first_seen
+FROM audit_log GROUP BY op, result ORDER BY op, result""",
+)
+
+
+# --- S8: freon generator --------------------------------------------------
+
+def s8_freon_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = generators.generate_keys(spark, num_volumes=10, num_buckets=100, num_keys=100_000)
+    return generators.generator_report(keys)
+
+
+S8_SQL = """
+WITH g AS (SELECT range AS id FROM range(100000)),
+keys AS (
+  SELECT concat('vol', id % 10) AS volume,
+         concat('bucket', (id // 10) % 100) AS bucket,
+         10240 + (id * 37) % 1024 AS data_size
+  FROM g
+)
+SELECT volume, count(*) AS keys_added, CAST(SUM(data_size) AS BIGINT) AS total_bytes,
+       count(DISTINCT bucket) AS buckets_used
+FROM keys GROUP BY volume ORDER BY volume
+"""
+
+
+# --- S6: debug scan -------------------------------------------------------
+
+def s6_debug_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = model.om_keys(spark, sf_dir)
+    return snapshot.debug_scan(keys.select("row_key", "data_size", "container_id"), length=50)
+
+
+S6_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="SELECT row_key, data_size, container_id FROM om_keys ORDER BY row_key LIMIT 50",
+)
+
+
+# --- X9: time formatting --------------------------------------------------
+
+def x9_time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch→ISO rendering for endpoint responses (ref ContainerEndpoint
+    .java:194-197): per-day formatted-string buckets."""
+    keys = model.om_keys(spark, sf_dir)
+    return (
+        keys.groupBy(F.date_format("creation_time", "yyyy-MM-dd").alias("day_str"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("day_str")
+    )
+
+
+X9_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT strftime(creation_time, '%Y-%m-%d') AS day_str, count(*) AS cnt
+FROM om_keys GROUP BY 1 ORDER BY day_str""",
+)
+
+
+QUERIES = {
+    "j3_fso_path_resolution": j3_fso_path_resolution,
+    "w6_latest_version": w6_latest_version,
+    "w4_list_parts": w4_list_parts,
+    "w5_topk_containers": w5_topk_containers,
+    "f5_slim_projection": f5_slim_projection,
+    "a9_distinct_dirs": a9_distinct_dirs,
+    "m1_open_key_commit": m1_open_key_commit,
+    "s7_audit_roundtrip": s7_audit_roundtrip,
+    "s8_freon_generator": s8_freon_generator,
+    "s6_debug_scan": s6_debug_scan,
+    "x9_time_format": x9_time_format,
+}
+
+ORACLES = {
+    "j3_fso_path_resolution": J3_SQL,
+    "w6_latest_version": W6_SQL,
+    "w4_list_parts": W4_SQL,
+    "w5_topk_containers": W5_SQL,
+    "f5_slim_projection": F5_SQL,
+    "a9_distinct_dirs": A9_SQL,
+    "m1_open_key_commit": M1_SQL,
+    "s7_audit_roundtrip": S7_SQL,
+    "s8_freon_generator": S8_SQL,
+    "s6_debug_scan": S6_SQL,
+    "x9_time_format": X9_SQL,
+}

@@ -1,0 +1,167 @@
+"""Structured Streaming incremental maintenance — the Spark shape of the
+reference's Recon pipeline (SURVEY §3.3).
+
+Reference flow: OM emits a CDC feed (``getDBUpdates``,
+OzoneManager.java:3660-3670) → OMDBUpdatesHandler decodes typed events
+with old values (OMDBUpdatesHandler.java:43-120) → ReconOmTasks maintain
+materialized aggregates incrementally (``process``) with a full-rebuild
+fallback (``reprocess``) (ReconTaskControllerImpl.java:80-200).
+
+Spark shape:
+- the event feed is a file/Delta-less parquet stream read with
+  ``readStream`` (at 100 TB: Kafka or a DSv2 source — same plan);
+- each Recon task is an update-mode streaming aggregation or a
+  ``foreachBatch`` MERGE into a parquet mart;
+- ``reprocess`` ≡ running the identical aggregation as a batch query
+  over the snapshot — tests assert process ≡ reprocess, exactly the
+  reference's TestFileSizeCountTask scenarios;
+- exactly-once: seqno-keyed idempotent MERGE + checkpointLocation.
+
+UPDATE retraction (NSSummaryTask.java:117-126): an UPDATE event carries
+old_value; its contribution is (−old, +new) in the same batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# S4 event schema (ref OMDBUpdateEvent.java:28-160): old_size carries the
+# UPDATE retraction payload (struct-typed old_value collapses to the
+# size field for the count/bytes marts).
+EVENT_SCHEMA = StructType(
+    [
+        StructField("seqno", LongType()),
+        StructField("op", StringType()),
+        StructField("row_key", StringType()),
+        StructField("data_size", LongType()),
+        StructField("old_size", LongType()),
+        StructField("event_time", TimestampType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """S4 as a stream: parquet-file micro-batches stand in for the RPC
+    feed; swap for Kafka at deployment without touching the queries."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+
+
+def size_delta(df: DataFrame) -> DataFrame:
+    """Signed contributions: PUT +size, DELETE −size, UPDATE −old +new
+    (ref FileSizeCountTask.java:115-157 — UPDATE decrements the old bin
+    and increments the new one)."""
+    return df.select(
+        "seqno",
+        "row_key",
+        "event_time",
+        F.when(F.col("op") == "PUT", F.col("data_size"))
+        .when(F.col("op") == "DELETE", -F.col("data_size"))
+        .otherwise(F.col("data_size") - F.coalesce(F.col("old_size"), F.lit(0)))
+        .alias("bytes_delta"),
+        F.when(F.col("op") == "PUT", F.lit(1))
+        .when(F.col("op") == "DELETE", F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("count_delta"),
+    )
+
+
+def streaming_table_counts(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """A2/A4: running net counts + bytes in update mode."""
+    return (
+        size_delta(events.withWatermark("event_time", watermark))
+        .groupBy()
+        .agg(
+            F.sum("count_delta").alias("net_count"),
+            F.sum("bytes_delta").alias("net_bytes"),
+            F.max("seqno").alias("last_seqno"),
+        )
+    )
+
+
+def run_foreachbatch_merge(
+    events: DataFrame,
+    mart_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """A2 as an idempotent foreachBatch MERGE into a parquet mart.
+
+    Signed deltas are commutative, so batch arrival order doesn't matter;
+    the only hazard is replay after failure. foreachBatch re-delivers
+    with the SAME batch_id, so the mart stores the last applied batch_id
+    and replays become no-ops — the Spark analogue of the reference's
+    "task failure → rerun from a consistent point" contract
+    (ReconTaskControllerImpl). max(seqno) is carried as the feed
+    high-watermark for observability/snapshot-resync decisions.
+    """
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        deltas = (
+            size_delta(batch)
+            .groupBy()
+            .agg(
+                F.sum("count_delta").alias("net_count"),
+                F.sum("bytes_delta").alias("net_bytes"),
+                F.max("seqno").alias("max_seqno"),
+            )
+        )
+        try:
+            prev = spark.read.parquet(mart_dir).first()
+        except Exception:
+            prev = None
+        new = deltas.first()
+        if new is None or new["max_seqno"] is None:
+            return
+        if prev is not None and batch_id <= prev["last_batch_id"]:
+            return  # replayed batch — idempotent no-op
+        merged = [
+            (
+                (prev["net_count"] if prev else 0) + new["net_count"],
+                (prev["net_bytes"] if prev else 0) + new["net_bytes"],
+                max(prev["last_seqno"] if prev else 0, new["max_seqno"]),
+                batch_id,
+            )
+        ]
+        spark.createDataFrame(
+            merged, "net_count long, net_bytes long, last_seqno long, last_batch_id long"
+        ).write.mode("overwrite").parquet(mart_dir)
+
+    return (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_file_size_histogram(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """A1/A2 combined: per-size-bin running counts in update mode
+    (the FILE_COUNT_BY_SIZE mart maintained incrementally)."""
+    from hadoop_ozone_spark.functions.binning import file_size_upper_bound
+
+    wm = events.withWatermark("event_time", watermark)
+    signed = wm.select(
+        file_size_upper_bound(F.coalesce(F.col("data_size"), F.lit(0))).alias("file_size"),
+        F.when(F.col("op") == "PUT", F.lit(1))
+        .when(F.col("op") == "DELETE", F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("delta"),
+    )
+    return signed.groupBy("file_size").agg(F.sum("delta").alias("cnt"))

@@ -1,0 +1,100 @@
+"""Structured Streaming maintenance: process ≡ reprocess equivalence
+(the reference's core Recon contract, FIXTURES §10.5)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_ozone_spark.streaming import maintenance
+
+EVENTS = [
+    # seqno, op, row_key, data_size, old_size, event_time
+    (1, "PUT", "/v/b/k1", 500, None, "2024-01-01 00:00:01"),
+    (2, "PUT", "/v/b/k2", 2000, None, "2024-01-01 00:00:02"),
+    (3, "UPDATE", "/v/b/k1", 1500, 500, "2024-01-01 00:00:03"),
+    (4, "DELETE", "/v/b/k2", 2000, None, "2024-01-01 00:00:04"),
+    (5, "PUT", "/v/b/k3", 4096, None, "2024-01-01 00:00:05"),
+]
+
+
+@pytest.fixture()
+def events_df(spark):
+    df = spark.createDataFrame(
+        [(s, op, k, d, o, t) for s, op, k, d, o, t in EVENTS],
+        "seqno long, op string, row_key string, data_size long, old_size long, event_time string",
+    )
+    return df.withColumn("event_time", F.to_timestamp("event_time"))
+
+
+def test_size_delta_update_retraction(events_df):
+    """UPDATE contributes (−old +new) — ref FileSizeCountTask:115-157."""
+    d = {r["seqno"]: (r["count_delta"], r["bytes_delta"]) for r in maintenance.size_delta(events_df).collect()}
+    assert d[1] == (1, 500)
+    assert d[3] == (0, 1000)   # 1500 − 500
+    assert d[4] == (-1, -2000)
+
+
+def test_foreachbatch_merge_process_equals_reprocess(spark, events_df):
+    """Stream the events file-by-file; final mart must equal the batch
+    recompute over all events (process ≡ reprocess)."""
+    tmp = tempfile.mkdtemp(prefix="ozspark_stream_")
+    events_dir, mart_dir, ckpt = f"{tmp}/events", f"{tmp}/mart", f"{tmp}/ckpt"
+    try:
+        # write each event as its own file → one micro-batch each
+        for i, row in enumerate(events_df.collect()):
+            spark.createDataFrame([row], schema=maintenance.EVENT_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(events_dir)
+        stream = maintenance.read_event_stream(spark, events_dir)
+        q = maintenance.run_foreachbatch_merge(stream, mart_dir, ckpt)
+        q.awaitTermination(120)
+        mart = spark.read.parquet(mart_dir).first()
+        batch = (
+            maintenance.size_delta(events_df)
+            .groupBy()
+            .agg(
+                F.sum("count_delta").alias("net_count"),
+                F.sum("bytes_delta").alias("net_bytes"),
+            )
+            .first()
+        )
+        # PUT k1 +1, PUT k2 +1, UPDATE 0, DELETE −1, PUT k3 +1 → 2
+        assert mart["net_count"] == batch["net_count"] == 2
+        # 500 + 2000 + (1500−500) − 2000 + 4096
+        assert mart["net_bytes"] == batch["net_bytes"] == 500 + 2000 + 1000 - 2000 + 4096
+        assert mart["last_seqno"] == 5
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_histogram_matches_batch(spark, events_df):
+    """Update-mode histogram over the stream ≡ batch signed histogram."""
+    tmp = tempfile.mkdtemp(prefix="ozspark_hist_")
+    try:
+        events_df.write.mode("overwrite").parquet(f"{tmp}/events")
+        stream = maintenance.read_event_stream(spark, f"{tmp}/events", max_files_per_trigger=10)
+        hist = maintenance.streaming_file_size_histogram(stream)
+        q = (
+            hist.writeStream.format("memory")
+            .queryName("hist_test")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["file_size"]: r["cnt"]
+            for r in spark.sql("SELECT * FROM hist_test").collect()
+        }
+        # k1 PUT 500→bin1024; k2 PUT+DELETE 2000→bin2048 nets 0;
+        # k1 UPDATE → 0 delta rows in bins; k3 PUT 4096→bin4096
+        assert got[1024] == 1
+        assert got[2048] == 0
+        assert got[4096] == 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
