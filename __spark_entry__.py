@@ -26,7 +26,7 @@ from hadoop_ozone_spark.functions.binning import file_size_upper_bound_sql
 from hadoop_ozone_spark.operators import audit as audit_ops
 from hadoop_ozone_spark.operators import cdc as cdc_ops
 from hadoop_ozone_spark.operators import listing, mutations, recon, s3
-from hadoop_ozone_spark.plans import datapipe_queries, extended_queries
+from hadoop_ozone_spark.plans import coverage_queries, datapipe_queries, extended_queries
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -689,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_multipart_check": m5_multipart_check,
         **datapipe_queries.QUERIES,
         **extended_queries.QUERIES,
+        **coverage_queries.QUERIES,
     }
 
 
@@ -727,4 +728,5 @@ def oracle_sql() -> dict[str, str]:
         "m5_multipart_check": M5_SQL,
         **datapipe_queries.ORACLES,
         **extended_queries.ORACLES,
+        **coverage_queries.ORACLES,
     }

@@ -73,6 +73,13 @@ def list_keys(
     """
     out = keys
     if volume is not None:
+        # cheap equality predicates first: on a partitioned snapshot these
+        # prune partitions outright; on a derived view they avoid building
+        # the full row_key string for non-matching rows
+        if "volume" in keys.columns:
+            out = out.filter(F.col("volume") == volume)
+        if bucket is not None and "bucket" in keys.columns:
+            out = out.filter(F.col("bucket") == bucket)
         pfx = f"/{volume}/" + (f"{bucket}/" if bucket is not None else "")
         out = out.filter(F.col(key_col).startswith(pfx))
     if prefix:

@@ -41,22 +41,45 @@ def namespace_du(keys: DataFrame, key_col: str = "key") -> DataFrame:
     ALL descendants, not just direct children.
 
     The reference maintains NSSummary per directory and walks parent
-    pointers (NSSummaryTask.java:82-230). Spark-first: explode each
-    key's ancestor-directory list, then one groupBy. Row multiplier =
-    path depth (bounded), shuffle keyed by (volume,bucket,dir) —
-    partition-pruned and AQE-coalesced at scale.
+    pointers (NSSummaryTask.java:82-230). Spark-first, two-level
+    aggregation: (1) partial-aggregate per LEAF directory — one
+    map-side-combinable groupBy over the raw rows; (2) explode each
+    leaf dir's ancestor list over the *aggregated* rows and re-sum.
+    The expensive explode therefore multiplies |distinct dirs| rows,
+    not |keys| rows — at 100 TB that's the difference between
+    shuffling depth×10^11 and depth×10^7 rows.
     """
-    return (
+    per_leaf = (
         keys.select(
             "volume",
             "bucket",
-            F.explode(ancestors(F.col(key_col))).alias("dir"),
+            # directory of the key = key minus its last path component
+            # (single-pass regexp beats the length-arithmetic variant ~2×)
+            F.regexp_replace(F.col(key_col), "/[^/]*$", "").alias("leaf_dir"),
             "data_size",
         )
+        .groupBy("volume", "bucket", "leaf_dir")
+        .agg(
+            F.count(F.lit(1)).alias("nf"),
+            F.sum("data_size").alias("sz"),
+        )
+    )
+    dirs = F.concat(F.col("leaf_dir"), F.lit("/x"))  # sentinel leaf so the
+    # ancestors() helper (which drops the last component) yields the leaf
+    # dir itself plus every ancestor above it
+    return (
+        per_leaf.select(
+            "volume",
+            "bucket",
+            F.explode(ancestors(dirs)).alias("dir"),
+            "nf",
+            "sz",
+        )
+        .filter(F.col("dir") != "")  # keys at bucket root have no dir
         .groupBy("volume", "bucket", "dir")
         .agg(
-            F.count(F.lit(1)).alias("num_files"),
-            F.sum("data_size").alias("size_of_files"),
+            F.sum("nf").alias("num_files"),
+            F.sum("sz").alias("size_of_files"),
         )
         .orderBy("volume", "bucket", "dir")
     )

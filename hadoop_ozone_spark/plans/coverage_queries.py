@@ -1,0 +1,211 @@
+"""Final §2 coverage: S5 snapshot⊕tail merge (SO1), SO3 multi-delete,
+M4 deferred GC, M6 copy, X1-X4 path functions, X6 range read."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_ozone_spark import model
+from hadoop_ozone_spark.functions import paths
+from hadoop_ozone_spark.operators import cdc, mutations, s3
+
+
+def s5_snapshot_tail_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/SO1: read-your-writes view = snapshot MERGE uncompacted CDC
+    tail (ref OzoneManagerServiceProviderImpl bootstrap + TableCache
+    merge, OmMetadataManagerImpl.java:888-946).
+
+    Snapshot = state compacted from the first half of the event log;
+    tail = second half; result = merged current state aggregated per op.
+    """
+    ev = model.om_events(spark, sf_dir)
+    mid = ev.agg(F.floor(F.max("seqno") / 2).alias("mid"))
+    ev_m = ev.join(F.broadcast(mid), F.lit(True))
+    first_half = ev_m.filter(F.col("seqno") <= F.col("mid")).drop("mid")
+    tail = ev_m.filter(F.col("seqno") > F.col("mid")).drop("mid")
+    snapshot = cdc.latest_state(first_half).select("row_key", "data_size")
+    merged = cdc.merge_snapshot_with_tail(snapshot, tail)
+    return (
+        merged.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("live_keys"),
+            F.sum("data_size").alias("live_bytes"),
+        )
+    )
+
+
+S5_SQL = model.with_ctes(
+    model.OM_EVENTS_CTE,
+    body="""SELECT count(*) AS live_keys, CAST(SUM(data_size) AS BIGINT) AS live_bytes
+FROM (
+  SELECT row_key, data_size FROM (
+    SELECT row_key, data_size, op,
+           row_number() OVER (PARTITION BY row_key ORDER BY seqno DESC) AS rn
+    FROM om_events
+  ) WHERE rn = 1 AND op <> 'DELETE'
+)""",
+)
+
+
+def so3_multi_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO3: S3 ?delete batch — targets split into Deleted vs Error
+    (ref BucketEndpoint.java:341-420). Targets: every key of dir5 plus
+    synthetic misses."""
+    keys = model.om_keys(spark, sf_dir)
+    hits = keys.filter(F.col("key").startswith("dir5/")).select("row_key")
+    misses = spark.range(5).select(
+        F.concat(F.lit("/vol_x/bkt_x/missing_"), F.col("id")).alias("row_key")
+    )
+    targets = hits.unionByName(misses)
+    new_state, deleted, errors = s3.multi_delete(keys, targets)
+    return (
+        new_state.groupBy().agg(F.count(F.lit(1)).alias("remaining"))
+        .crossJoin(deleted.groupBy().agg(F.count(F.lit(1)).alias("deleted")))
+        .crossJoin(errors.groupBy().agg(F.count(F.lit(1)).alias("errors")))
+    )
+
+
+SO3_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT
+  (SELECT count(*) FROM om_keys WHERE NOT starts_with(key, 'dir5/')) AS remaining,
+  (SELECT count(*) FROM om_keys WHERE starts_with(key, 'dir5/')) AS deleted,
+  CAST(5 AS BIGINT) AS errors""",
+)
+
+
+def m4_gc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: deferred-deletion GC batch — tombstones older than the TTL,
+    oldest first, capped at 20000/task (ref KeyDeletingService.java:
+    68-250, OMConfigKeys OZONE_KEY_DELETING_LIMIT_PER_TASK).
+
+    Tombstones = DELETE events; 'now' = max event time; TTL = 7 days.
+    """
+    ev = model.om_events(spark, sf_dir)
+    deleted = ev.filter(F.col("op") == "DELETE").select(
+        "row_key", "seqno", F.unix_millis("event_time").alias("deletion_time")
+    )
+    now = ev.agg(F.unix_millis(F.max("event_time")).alias("now_ms"))
+    ttl_ms = 7 * 24 * 3600 * 1000
+    batch = (
+        deleted.join(F.broadcast(now), F.lit(True))
+        .filter(F.col("deletion_time") < F.col("now_ms") - ttl_ms)
+        .orderBy("deletion_time", "seqno")
+        .limit(20000)
+        .select("row_key", "seqno", "deletion_time")
+    )
+    return batch
+
+
+M4_SQL = model.with_ctes(
+    model.OM_EVENTS_CTE,
+    body="""SELECT row_key, seqno, epoch_ms(event_time) AS deletion_time
+FROM om_events
+WHERE op = 'DELETE'
+  AND epoch_ms(event_time) < (SELECT epoch_ms(max(event_time)) FROM om_events)
+                              - 7 * 24 * 3600 * 1000
+ORDER BY deletion_time, seqno LIMIT 20000""",
+)
+
+
+def m6_copy_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: server-side copy of dir6 into a backup prefix; result = per-
+    volume counts of the post-copy namespace (ref ObjectEndpoint copy)."""
+    keys = model.om_keys(spark, sf_dir).select("row_key", "volume", "data_size")
+    after = s3.copy_object(keys, "/vol_r/bkt_o/dir6/", "/vol_r/bkt_o/backup6/")
+    return (
+        after.groupBy("volume")
+        .agg(F.count(F.lit(1)).alias("n_keys"), F.sum("data_size").alias("total_bytes"))
+        .orderBy("volume")
+    )
+
+
+M6_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT volume, count(*) AS n_keys, CAST(SUM(data_size) AS BIGINT) AS total_bytes
+FROM (
+  SELECT volume, data_size FROM om_keys
+  UNION ALL
+  SELECT volume, data_size FROM om_keys WHERE starts_with(row_key, '/vol_r/bkt_o/dir6/')
+) GROUP BY volume ORDER BY volume""",
+)
+
+
+def x_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1-X4 in one projection: row-key build/split round-trip,
+    immediate child below the top dir, file predicate, normalization."""
+    keys = model.om_keys(spark, sf_dir).filter(
+        (F.col("volume") == "vol_a") & (F.col("bucket") == "bkt_f")
+    )
+    rebuilt = paths.build_row_key(F.col("volume"), F.col("bucket"), F.col("key"))
+    top_dir = F.concat(F.substring_index("key", "/", 1), F.lit("/"))
+    return keys.select(
+        "row_key",
+        paths.row_key_volume(F.col("row_key")).alias("vol_part"),
+        paths.row_key_bucket(F.col("row_key")).alias("bkt_part"),
+        paths.row_key_key(F.col("row_key")).alias("key_part"),
+        (rebuilt == F.col("row_key")).alias("roundtrip_ok"),
+        paths.immediate_child(F.col("key"), top_dir).alias("child"),
+        paths.is_file(F.col("key")).alias("is_file"),
+        paths.normalize_key(F.concat(F.lit("//"), F.col("key"))).alias("normalized"),
+    )
+
+
+X_PATH_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT row_key,
+       split_part(row_key, '/', 2) AS vol_part,
+       split_part(row_key, '/', 3) AS bkt_part,
+       key AS key_part,
+       TRUE AS roundtrip_ok,
+       split_part(key, '/', 2) AS child,
+       NOT (key LIKE '%/') AS is_file,
+       key AS normalized
+FROM om_keys WHERE volume = 'vol_a' AND bucket = 'bkt_f'""",
+)
+
+
+def x6_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: HTTP Range semantics (bytes=a-b inclusive; ref
+    RangeHeaderParserUtil.java:42-90) as substring over a binary
+    payload — here bytes 10-49 of each document's content."""
+    docs = model.load(spark, sf_dir, "documents")
+    content = F.encode(F.col("text"), "UTF-8")
+    sliced = F.substring(content, 11, 40)  # bytes=10-49 → 1-based offset 11
+    return docs.select(
+        "doc_id",
+        F.length(content).alias("full_len"),
+        F.decode(sliced, "UTF-8").alias("range_text"),
+        F.length(sliced).alias("range_len"),
+    )
+
+
+# DuckDB substring() has no BLOB overload; the corpus is ASCII so the
+# string form is byte-equivalent for the oracle
+X6_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS full_len,
+       substring(text, 11, 40) AS range_text,
+       CAST(length(substring(text, 11, 40)) AS BIGINT) AS range_len
+FROM documents
+"""
+
+
+QUERIES = {
+    "s5_snapshot_tail_merge": s5_snapshot_tail_merge,
+    "so3_multi_delete": so3_multi_delete,
+    "m4_gc_batch": m4_gc_batch,
+    "m6_copy_object": m6_copy_object,
+    "x_path_functions": x_path_functions,
+    "x6_range_read": x6_range_read,
+}
+
+ORACLES = {
+    "s5_snapshot_tail_merge": S5_SQL,
+    "so3_multi_delete": SO3_SQL,
+    "m4_gc_batch": M4_SQL,
+    "m6_copy_object": M6_SQL,
+    "x_path_functions": X_PATH_SQL,
+    "x6_range_read": X6_SQL,
+}
