@@ -23,6 +23,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
+    "q6_selective_agg",
     "w1_list_keys_page",
     "w2_s3_common_prefixes",
     "a1_file_size_histogram",
@@ -33,6 +34,11 @@ HEADLINE = [
     "so1_latest_state",
     "a8_top_users",
     "m5_multipart_check",
+    "j3_fso_path_resolution",
+    "dp_exact_dedup",
+    "dp_minhash_pairs",
+    "dp_token_stats",
+    "dp_ann_brute_topk",
 ]
 
 

@@ -93,16 +93,27 @@ BANDS = 8       # 8 bands × 4 rows: catches jaccard ≳ 0.6 w.h.p.
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
 
-def minhash_signature(text: Column, n: int = 3, num_hashes: int = NUM_HASHES) -> Column:
-    """k-min-hash signature over shingles, via xxhash64(shingle, seed)
-    — array<long> of length k, computed map-side."""
-    sh = shingles(text, n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, seed))
-        ),
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(doc_id, sig: array<long>[k]) — k-min-hash signatures.
+
+    Two-step: hash each string shingle ONCE to a long (the expensive
+    string pass), then derive the k hash families by re-hashing the
+    long array with k seeds (cheap long→long). Naively inlining the
+    shingle construction into every seed branch recomputes the
+    split/slice/join pipeline k times per row — 25× slower measured.
+    """
+    hashed = docs.select(
+        "doc_id",
+        F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("h0"),
     )
+
+    def seeded_min(k: int):  # factory: transform lambdas must stay unary
+        return F.array_min(F.transform(F.col("h0"), lambda h: F.xxhash64(h, F.lit(k))))
+
+    sig = F.array(*[seeded_min(k) for k in range(num_hashes)])
+    return hashed.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -114,7 +125,7 @@ def minhash_lsh_candidates(
     plan; bucket skew (a degenerate shingle shared by everything) is
     handled by AQE skew-split at scale.
     """
-    sigs = docs.select("doc_id", minhash_signature(F.col(text_col), n).alias("sig"))
+    sigs = minhash_signatures(docs, text_col, n)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -154,19 +165,34 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash pipeline: LSH candidates → exact-Jaccard verify.
 
-    The verify join touches only candidate docs (semi-join pushdown),
-    so the quadratic exact stage runs on a vanishing fraction of the
-    corpus — this is the 100 TB shape.
+    Verification scores each candidate PAIR directly: join the two
+    shingle-set arrays onto the pair and compute
+    |array_intersect| / |union|. Cost is O(|candidates| × shingles),
+    never a shingle self-join — an earlier formulation re-ran the
+    blocked quadratic join over candidate docs and blew up on hot
+    shingles (shared vocabulary) at 10× corpus size. This is the
+    100 TB shape: LSH banding is the only all-pairs stage.
     """
     cands = minhash_lsh_candidates(docs, text_col, n)
-    cand_docs = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    sets = docs.select("doc_id", shingles(F.col(text_col), n).alias("sh"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            F.size("sh_a").alias("size_a"),
+            F.size("sh_b").alias("size_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
     )
-    scoped = docs.join(cand_docs, "doc_id", "left_semi")
-    exact = ngram_jaccard_pairs(scoped, text_col, n, threshold)
-    return exact.join(cands, ["doc_a", "doc_b"], "left_semi").orderBy("doc_a", "doc_b")
 
 
 def simhash_table(

@@ -27,6 +27,7 @@ def materialize_paths(dirs: DataFrame, max_depth: int = 64) -> DataFrame:
     d+1 = dirs whose parent resolved at level d. Terminates when a level
     is empty (or max_depth, guarding cyclic corruption).
     """
+    dirs = dirs.cache()  # scanned once per level of the fixpoint loop
     resolved = (
         dirs.filter(F.col("parent_object_id") == ROOT_PARENT)
         .select(

@@ -40,7 +40,15 @@ def list_objects_v2(
     if prefix:
         out = out.filter(F.col(key_col).startswith(prefix))
     if start_after:
-        out = out.filter(F.col(key_col) > start_after)
+        resume = F.col(key_col) > start_after
+        if start_after.endswith(delimiter):
+            # token was a CommonPrefix: skip the entire already-emitted
+            # subtree, not just keys sorting after the prefix string —
+            # the reference's ContinueToken(lastKey, lastDir) seek-past
+            # (BucketEndpoint.java:173-223, ContinueToken.java:35-130);
+            # without this, resume re-derives the same prefix forever
+            resume = resume & ~F.col(key_col).startswith(start_after)
+        out = out.filter(resume)
     rel = F.substring(F.col(key_col), len(prefix) + 1, 1_000_000)
     grp = F.when(
         F.instr(rel, delimiter) > 0,

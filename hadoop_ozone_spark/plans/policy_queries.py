@@ -1,0 +1,125 @@
+"""Policy/quota queries: A5 enforcement, longest-prefix ACL, Q6-style
+selective aggregate (predicate-pushdown showcase)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_ozone_spark import model
+from hadoop_ozone_spark.operators import recon
+from hadoop_ozone_spark.operators.acl import longest_prefix_acl
+
+
+def a5_quota_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota check (ref OMKeyRequest.java:480-500): recompute usage,
+    join bucket quotas, flag over-quota. Quotas synthesized per bucket
+    (bkt_f tight, bkt_o loose) so both outcomes appear."""
+    usage = recon.quota_usage(model.om_keys(spark, sf_dir))
+    quota = F.when(F.col("bucket") == "bkt_f", F.lit(500_000_000)).otherwise(
+        F.lit(100_000_000_000)
+    )
+    return usage.select(
+        "volume",
+        "bucket",
+        "used_bytes",
+        "used_namespace",
+        quota.alias("quota_in_bytes"),
+        (F.col("used_bytes") > quota).alias("over_quota"),
+    ).orderBy("volume", "bucket")
+
+
+A5_ENFORCE_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT volume, bucket, used_bytes, used_namespace, quota_in_bytes,
+       used_bytes > quota_in_bytes AS over_quota
+FROM (
+  SELECT volume, bucket,
+         CAST(SUM(data_size * replication_factor) AS BIGINT) AS used_bytes,
+         count(*) AS used_namespace,
+         CASE WHEN bucket = 'bkt_f' THEN 500000000 ELSE 100000000000 END AS quota_in_bytes
+  FROM om_keys GROUP BY volume, bucket
+) ORDER BY volume, bucket""",
+)
+
+
+ACL_PREFIXES = [
+    ("dir1/", "user:alice:rw"),
+    ("dir1/sub2/", "user:bob:r"),
+    ("dir3/", "group:eng:rw"),
+    ("dir3/sub0/", "user:carol:rwx"),
+    ("dir5/", "world::r"),
+]
+
+
+def acl_longest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix ACL resolution over one bucket's keys (ref
+    PrefixManagerImpl RadixTree)."""
+    keys = model.om_keys(spark, sf_dir).filter(
+        (F.col("volume") == "vol_n") & (F.col("bucket") == "bkt_f")
+    )
+    prefixes = spark.createDataFrame(ACL_PREFIXES, "prefix string, acl string")
+    out = longest_prefix_acl(keys.select("key"), prefixes)
+    return (
+        out.groupBy("matched_prefix", "acl")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("matched_prefix")
+    )
+
+
+ACL_VALUES_SQL = " , ".join(f"('{p}', '{a}')" for p, a in ACL_PREFIXES)
+
+ACL_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body=f""", acl_prefixes(prefix, acl) AS (VALUES {ACL_VALUES_SQL})
+SELECT matched_prefix, acl, count(*) AS n_keys FROM (
+  SELECT k.key,
+         arg_max(p.prefix, length(p.prefix)) AS matched_prefix,
+         arg_max(p.acl, length(p.prefix)) AS acl
+  FROM (SELECT key FROM om_keys WHERE volume = 'vol_n' AND bucket = 'bkt_f') k
+  LEFT JOIN acl_prefixes p ON starts_with(k.key, p.prefix)
+  GROUP BY k.key
+) GROUP BY matched_prefix, acl ORDER BY matched_prefix""",
+)
+
+
+def q6_selective_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shaped selective aggregate: tight scan predicates that must
+    reach the parquet reader (pushdown showcase) + one global sum."""
+    li = model.load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(22,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "2021-01-01")
+            & (F.col("l_shipdate") < "2022-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2021-01-01' AND l_shipdate < TIMESTAMP '2022-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+QUERIES = {
+    "a5_quota_enforcement": a5_quota_enforcement,
+    "acl_longest_prefix": acl_longest_prefix,
+    "q6_selective_agg": q6_selective_agg,
+}
+
+ORACLES = {
+    "a5_quota_enforcement": A5_ENFORCE_SQL,
+    "acl_longest_prefix": ACL_SQL,
+    "q6_selective_agg": Q6_SQL,
+}
