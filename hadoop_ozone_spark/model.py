@@ -272,3 +272,30 @@ dedup_corpus AS (
   SELECT doc_id + 1000000, concat(text, ' extra token'), lang, source
   FROM documents WHERE doc_id % 10 = 0
 )"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_corpus: embeddings + injected near-duplicates (vec_id + 1e6,
+# each component ×1.01 — scaling preserves cosine exactly, so the
+# near-dup detector has verifiable positives; random pairs max ~0.4).
+# ---------------------------------------------------------------------------
+
+def embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.01)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    return emb.unionByName(copies)
+
+
+EMBEDDING_CORPUS_CTE = """
+embedding_corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         CAST(list_transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT)) AS FLOAT[])
+  FROM embeddings WHERE vec_id % 10 = 0
+)"""

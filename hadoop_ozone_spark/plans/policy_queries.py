@@ -123,3 +123,88 @@ ORACLES = {
     "acl_longest_prefix": ACL_SQL,
     "q6_selective_agg": Q6_SQL,
 }
+
+
+# --- embedding-cosine near-dup + event sessionization ---------------------
+
+def dp_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.99) over the
+    corpus with injected scaled copies. Exact all-pairs baseline — the
+    oracle-checkable answer key; the LSH-bucketed variant
+    (similarity.bucketed_index) is the production path at scale."""
+    from hadoop_ozone_spark.datapipe.similarity import as_double, cosine
+
+    emb = model.embedding_corpus(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = F.round(cosine(as_double(F.col("ea")), as_double(F.col("eb"))), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.99)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+DP_EMB_NEARDUP_SQL = model.with_ctes(
+    model.EMBEDDING_CORPUS_CTE,
+    body="""SELECT vec_a, vec_b, cosine_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+               6) AS cosine_sim
+  FROM embedding_corpus a JOIN embedding_corpus b ON a.vec_id < b.vec_id
+) WHERE cosine_sim >= 0.99 ORDER BY vec_a, vec_b""",
+)
+
+
+def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (30-minute idle
+    gap): lag + cumulative-sum session ids, then per-session rollup.
+    The training-pipeline shape for clickstream/interaction data."""
+    from pyspark.sql import Window
+
+    ev = model.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("sess_no", F.sum(new_sess).over(w))
+    return (
+        sess.groupBy("user_id", "sess_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "sess_no")
+    )
+
+
+EV_SESSION_SQL = """
+SELECT user_id, sess_no, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM (
+  SELECT user_id, ts,
+         CAST(SUM(CASE WHEN prev_ts IS NULL
+                    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
+  FROM (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
+)
+GROUP BY user_id, sess_no ORDER BY user_id, sess_no
+"""
+
+
+QUERIES.update({
+    "dp_embedding_neardup": dp_embedding_neardup,
+    "ev_sessionization": ev_sessionization,
+})
+ORACLES.update({
+    "dp_embedding_neardup": DP_EMB_NEARDUP_SQL,
+    "ev_sessionization": EV_SESSION_SQL,
+})
