@@ -208,3 +208,44 @@ ORACLES.update({
     "dp_embedding_neardup": DP_EMB_NEARDUP_SQL,
     "ev_sessionization": EV_SESSION_SQL,
 })
+
+
+# --- X10: storage-unit pretty printing -------------------------------------
+
+def x10_storage_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-readable byte units in the freon report style
+    (ref RandomKeyGenerator.java:960): per-bucket used bytes rendered
+    as B/KB/MB/GB with one decimal. Pure arithmetic CASE — identical
+    in both engines (exact-int / power-of-two divisions in double)."""
+    usage = recon.quota_usage(model.om_keys(spark, sf_dir))
+    b = F.col("used_bytes")
+    human = (
+        F.when(b >= 2**30, F.concat(F.round(b / F.lit(2**30), 1), F.lit(" GB")))
+        .when(b >= 2**20, F.concat(F.round(b / F.lit(2**20), 1), F.lit(" MB")))
+        .when(b >= 2**10, F.concat(F.round(b / F.lit(2**10), 1), F.lit(" KB")))
+        .otherwise(F.concat(b, F.lit(" B")))
+    )
+    return usage.select("volume", "bucket", "used_bytes", human.alias("human_size")).orderBy(
+        "volume", "bucket"
+    )
+
+
+X10_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT volume, bucket, used_bytes,
+       CASE WHEN used_bytes >= 1073741824
+              THEN concat(round(used_bytes / 1073741824.0, 1), ' GB')
+            WHEN used_bytes >= 1048576
+              THEN concat(round(used_bytes / 1048576.0, 1), ' MB')
+            WHEN used_bytes >= 1024
+              THEN concat(round(used_bytes / 1024.0, 1), ' KB')
+            ELSE concat(used_bytes, ' B') END AS human_size
+FROM (
+  SELECT volume, bucket,
+         CAST(SUM(data_size * replication_factor) AS BIGINT) AS used_bytes
+  FROM om_keys GROUP BY volume, bucket
+) ORDER BY volume, bucket""",
+)
+
+QUERIES["x10_storage_units"] = x10_storage_units
+ORACLES["x10_storage_units"] = X10_SQL

@@ -1,0 +1,84 @@
+"""Scale probe: does the design hold at 10×-100× the bench data?
+
+Synthesizes an N-million-key namespace (freon-law generator), writes
+the partitioned+sorted snapshot, then measures the core operators
+AGAINST THE SNAPSHOT (the deployment shape — queries hit materialized
+tables, not the TPC-H derivation shim). Reports rows/s so runs at
+different N are comparable; near-constant rows/s across N = linear
+scaling, the property the 100 TB claim rests on.
+
+Usage: python tools/scale_probe.py [num_keys_millions]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hadoop_ozone_spark.operators import listing, recon  # noqa: E402
+from hadoop_ozone_spark.session import get_spark  # noqa: E402
+from hadoop_ozone_spark.sources import generators, snapshot  # noqa: E402
+
+
+def main() -> None:
+    n_m = float(sys.argv[1]) if len(sys.argv) > 1 else 6.0
+    n = int(n_m * 1_000_000)
+    spark = get_spark("scale-probe")
+    tmp = tempfile.mkdtemp(prefix="ozspark_scale_")
+    out = {"num_keys": n, "timings_sec": {}, "rows_per_sec": {}}
+    try:
+        t0 = time.time()
+        keys = generators.generate_keys(
+            spark, num_volumes=6, num_buckets=50, num_keys=n
+        ).withColumn(
+            "key",
+            F.concat(
+                F.lit("dir"), F.col("object_id") % 7,
+                F.lit("/sub"), F.col("object_id") % 5,
+                F.lit("/"), F.col("key"),
+            ),
+        ).withColumn(
+            "row_key",
+            F.concat(F.lit("/"), "volume", F.lit("/"), "bucket", F.lit("/"), "key"),
+        ).withColumn("container_id", F.col("object_id") % 20000)
+        snapshot.write_snapshot(keys, f"{tmp}/snap")
+        out["timings_sec"]["ingest_write_snapshot"] = round(time.time() - t0, 2)
+
+        snap = snapshot.read_snapshot(spark, f"{tmp}/snap")
+        cases = {
+            "w1_list_page": lambda: listing.list_keys(
+                snap, volume="vol3", bucket="bucket7", max_keys=1000
+            ).count(),
+            "s1_prefix_scan": lambda: snap.filter(
+                (F.col("volume") == "vol3")
+                & (F.col("bucket") == "bucket7")
+                & F.col("key").startswith("dir3/")
+            ).count(),
+            "a1_histogram": lambda: recon.file_size_histogram(snap).count(),
+            "a3_namespace_du": lambda: recon.namespace_du(snap).count(),
+            "a5_quota_usage": lambda: snap.groupBy("volume", "bucket")
+            .agg(F.sum("data_size"), F.count(F.lit(1)))
+            .count(),
+            "j4_container_index": lambda: recon.container_key_index(snap).count(),
+        }
+        for name, fn in cases.items():
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            out["timings_sec"][name] = round(dt, 2)
+            out["rows_per_sec"][name] = int(n / dt)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
