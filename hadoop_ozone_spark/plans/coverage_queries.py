@@ -209,3 +209,86 @@ ORACLES = {
     "x_path_functions": X_PATH_SQL,
     "x6_range_read": X6_SQL,
 }
+
+
+# --- nested locations + metadata map (OmKeyInfo's nested model) -----------
+
+def nested_locations_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the OmKeyInfo nested shape — object → sorted array of
+    version structs (version, size, container) — then explode it back
+    (J4's explode path over real ArrayType(StructType)) and derive W6
+    latest-version facts. Oracle computes the same facts windowed,
+    proving build→explode loses nothing (SURVEY §1.2 nested mapping).
+    """
+    li = model.load(spark, sf_dir, "lineitem")
+    flat = li.select(
+        F.col("l_orderkey").alias("object_id"),
+        F.struct(
+            F.col("l_linenumber").alias("version"),
+            F.floor(F.col("l_extendedprice") * 100).alias("size"),
+            F.col("l_partkey").alias("container_id"),
+        ).alias("loc"),
+    )
+    nested = flat.groupBy("object_id").agg(
+        F.sort_array(F.collect_list("loc")).alias("locations")
+    )
+    exploded = nested.select(
+        "object_id", F.size("locations").alias("n_versions"), F.explode("locations").alias("l")
+    )
+    return (
+        exploded.groupBy("object_id", "n_versions")
+        .agg(
+            F.max("l.version").alias("max_version"),
+            F.sum("l.size").alias("total_bytes"),
+            F.countDistinct("l.container_id").alias("n_containers"),
+        )
+        .orderBy("object_id")
+    )
+
+
+NESTED_SQL = """
+SELECT l_orderkey AS object_id,
+       count(*) AS n_versions,
+       max(l_linenumber) AS max_version,
+       CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_bytes,
+       count(DISTINCT l_partkey) AS n_containers
+FROM lineitem
+GROUP BY l_orderkey ORDER BY object_id
+"""
+
+
+def gdpr_metadata_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata map column (OmKeyInfo Map<String,String>, gdprEnabled
+    flag — OzoneConsts.java:372): build a real MapType column, filter
+    on element_at, aggregate. The oracle computes the same partition
+    arithmetic directly (the map is a Spark-side representation check)."""
+    keys = model.om_keys(spark, sf_dir)
+    oid = F.split(F.col("key"), "_")[1].cast("long")
+    meta = F.create_map(
+        F.lit("gdprEnabled"),
+        F.when(oid % 3 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit("owner"),
+        F.concat(F.lit("user_"), oid % 37),
+    )
+    tagged = keys.withColumn("metadata", meta)
+    return (
+        tagged.filter(F.element_at("metadata", "gdprEnabled") == "true")
+        .groupBy("volume")
+        .agg(F.count(F.lit(1)).alias("gdpr_keys"), F.sum("data_size").alias("gdpr_bytes"))
+        .orderBy("volume")
+    )
+
+
+GDPR_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT volume, count(*) AS gdpr_keys,
+       CAST(SUM(data_size) AS BIGINT) AS gdpr_bytes
+FROM om_keys
+WHERE CAST(split_part(key, '_', 2) AS BIGINT) % 3 = 0
+GROUP BY volume ORDER BY volume""",
+)
+
+QUERIES["nested_locations_stats"] = nested_locations_stats
+QUERIES["gdpr_metadata_filter"] = gdpr_metadata_filter
+ORACLES["nested_locations_stats"] = NESTED_SQL
+ORACLES["gdpr_metadata_filter"] = GDPR_SQL

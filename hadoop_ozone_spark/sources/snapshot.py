@@ -23,11 +23,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def write_snapshot(keys: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_snapshot(
+    keys: DataFrame, path: str, mode: str = "overwrite", compression: str = "zstd"
+) -> None:
     (
         keys.repartition("volume", "bucket")
         .sortWithinPartitions("key")
         .write.mode(mode)
+        .option("compression", compression)  # zstd: ~2× snappy ratio at
+        # similar scan speed — at 100 TB the scan is IO-bound, so ratio wins
         .partitionBy("volume", "bucket")
         .parquet(path)
     )

@@ -1,0 +1,48 @@
+"""CDC → snapshot maintenance: dynamic-partition MERGE.
+
+The reference applies cache mutations to RocksDB via batched
+WriteBatches (OzoneManagerDoubleBuffer.java:187-300). On immutable
+parquet the equivalent is: take the micro-batch of events, find the
+``(volume, bucket)`` partitions it touches, rewrite ONLY those
+partitions as (old rows − deleted − replaced) ∪ upserts, using Spark's
+dynamic partition overwrite so untouched partitions are untouched
+files. At 100 TB a micro-batch touches a handful of hot buckets —
+the rewrite is proportional to touched data, not table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_ozone_spark.operators import cdc
+
+
+def apply_events_to_snapshot(
+    spark: SparkSession,
+    snapshot_dir: str,
+    events: DataFrame,
+    key_col: str = "row_key",
+) -> None:
+    """MERGE a batch of CDC events into the partitioned snapshot.
+
+    events: (seqno, op, row_key, volume, bucket, key, data_size, ...)
+    — latest-op-wins within the batch, DELETE drops the row, PUT/UPDATE
+    upserts the payload.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    compacted = cdc.latest_state(events, key_col=key_col)  # PUT/UPDATE survivors
+    touched = events.select("volume", "bucket").distinct()
+    snap = spark.read.parquet(snapshot_dir)
+    affected_old = snap.join(F.broadcast(touched), ["volume", "bucket"], "left_semi")
+    all_batch_keys = events.select(key_col).distinct()
+    kept = affected_old.join(all_batch_keys, key_col, "left_anti")
+    cols = snap.columns
+    merged = kept.select(*cols).unionByName(compacted.select(*cols))
+    (
+        merged.repartition("volume", "bucket")
+        .sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .partitionBy("volume", "bucket")
+        .parquet(snapshot_dir)
+    )
