@@ -26,12 +26,32 @@ shim that stands a TPC-H file in for that table.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+# Derived-table memo: the driver runs dozens of queries sequentially in
+# one session; each namespace query re-deriving om_keys from lineitem
+# would repay the string-building cost every time. Cache the derived
+# DataFrame (persisted MEMORY_AND_DISK — sf0.1 keys ≈ 120 MB) keyed by
+# (session, sf_dir). In deployment this memo IS the snapshot table.
+_DERIVED_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memoized(
+    name: str, spark: SparkSession, sf_dir: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _DERIVED_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _DERIVED_CACHE[key] = df
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -61,6 +81,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def om_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized("om_keys", spark, sf_dir, lambda: _build_om_keys(spark, sf_dir))
+
+
+def _build_om_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     volume = F.concat(F.lit("vol_"), F.lower("l_returnflag"))
     bucket = F.concat(F.lit("bkt_"), F.lower("l_linestatus"))
@@ -118,6 +142,10 @@ om_keys AS (
 # ---------------------------------------------------------------------------
 
 def om_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized("om_events", spark, sf_dir, lambda: _build_om_events(spark, sf_dir))
+
+
+def _build_om_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     op = (
         F.when(F.col("event_type") == "purchase", F.lit("PUT"))
@@ -250,6 +278,10 @@ def with_ctes(*ctes: str, body: str) -> str:
 # ---------------------------------------------------------------------------
 
 def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized("dedup_corpus", spark, sf_dir, lambda: _build_dedup_corpus(spark, sf_dir))
+
+
+def _build_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
     exact_copies = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", "lang", "source"
