@@ -57,6 +57,25 @@ def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
     )
 
 
+def hashed_shingle_df(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, h0: array<long>) — distinct shingle HASHES without
+    materializing shingle strings: hash each token once (projection
+    barrier — element_at over a *column* reads the materialized array;
+    inlining the token-hash expression into every position re-evaluates
+    it O(tokens²)), then hash the n-tuple of token hashes per position.
+    Equivalent blocking power to string shingles, no string building —
+    the form the 100 TB minhash pass uses."""
+    th = docs.select(
+        "doc_id",
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("th") - (n - 1), F.lit(0))),
+        lambda i: F.xxhash64(*[F.element_at(F.col("th"), i + j) for j in range(n)]),
+    )
+    return th.select("doc_id", F.array_distinct(grams).alias("h0"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
@@ -104,10 +123,7 @@ def minhash_signatures(
     shingle construction into every seed branch recomputes the
     split/slice/join pipeline k times per row — 25× slower measured.
     """
-    hashed = docs.select(
-        "doc_id",
-        F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("h0"),
-    )
+    hashed = hashed_shingle_df(docs, text_col, n)
 
     def seeded_min(k: int):  # factory: transform lambdas must stay unary
         return F.array_min(F.transform(F.col("h0"), lambda h: F.xxhash64(h, F.lit(k))))
@@ -174,7 +190,7 @@ def minhash_dedup_pairs(
     100 TB shape: LSH banding is the only all-pairs stage.
     """
     cands = minhash_lsh_candidates(docs, text_col, n)
-    sets = docs.select("doc_id", shingles(F.col(text_col), n).alias("sh"))
+    sets = hashed_shingle_df(docs, text_col, n).withColumnRenamed("h0", "sh")
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -354,3 +354,67 @@ ORACLES = {
     "s6_debug_scan": S6_SQL,
     "x9_time_format": X9_SQL,
 }
+
+
+# --- W1 family completion: listBuckets / listVolumes ----------------------
+# om_buckets / om_volumes derived as aggregates of the key namespace
+# (ref OmBucketInfo / OmVolumeArgs; listBuckets OmMetadataManagerImpl
+# .java:760-828, listVolumes :993-1036).
+
+def w1_list_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listBuckets(volume, startBucket=None, maxBuckets): ordered page
+    of a volume's buckets with their running aggregates."""
+    keys = model.om_keys(spark, sf_dir)
+    return (
+        keys.filter(F.col("volume") == "vol_n")
+        .groupBy("volume", "bucket")
+        .agg(
+            F.sum(F.col("data_size") * F.col("replication_factor")).alias("used_bytes"),
+            F.count(F.lit(1)).alias("used_namespace"),
+            F.min("creation_time").alias("creation_time"),
+        )
+        .withColumn(
+            "storage_type",
+            F.when(F.col("bucket") == "bkt_f", F.lit("SSD")).otherwise(F.lit("DISK")),
+        )
+        .orderBy("bucket")
+        .limit(1000)
+    )
+
+
+W1_BUCKETS_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT volume, bucket,
+       CAST(SUM(data_size * replication_factor) AS BIGINT) AS used_bytes,
+       count(*) AS used_namespace,
+       min(creation_time) AS creation_time,
+       CASE WHEN bucket = 'bkt_f' THEN 'SSD' ELSE 'DISK' END AS storage_type
+FROM om_keys WHERE volume = 'vol_n'
+GROUP BY volume, bucket ORDER BY bucket LIMIT 1000""",
+)
+
+
+def w1_list_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listVolumes(owner): volumes with owner + namespace totals; owner
+    derived deterministically (userTable maps user → volume list)."""
+    keys = model.om_keys(spark, sf_dir)
+    return (
+        keys.groupBy("volume")
+        .agg(F.count(F.lit(1)).alias("used_namespace"), F.sum("data_size").alias("used_bytes"))
+        .withColumn("owner", F.concat(F.lit("admin_"), F.substring("volume", 5, 1)))
+        .orderBy("volume")
+    )
+
+
+W1_VOLUMES_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT volume, count(*) AS used_namespace,
+       CAST(SUM(data_size) AS BIGINT) AS used_bytes,
+       concat('admin_', substring(volume, 5, 1)) AS owner
+FROM om_keys GROUP BY volume ORDER BY volume""",
+)
+
+QUERIES["w1_list_buckets"] = w1_list_buckets
+QUERIES["w1_list_volumes"] = w1_list_volumes
+ORACLES["w1_list_buckets"] = W1_BUCKETS_SQL
+ORACLES["w1_list_volumes"] = W1_VOLUMES_SQL
