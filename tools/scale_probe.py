@@ -80,5 +80,39 @@ def main() -> None:
         spark.stop()
 
 
+def docs_probe(n_docs: int) -> None:
+    """Datapipe scale probe: synthesize n_docs documents (deterministic
+    150-token texts over a 200-word vocab, 1% near-duplicates) and time
+    the dedup family."""
+    from hadoop_ozone_spark.datapipe import dedup
+
+    spark = get_spark("scale-probe-docs")
+    vocab_expr = "transform(sequence(1, 150), i -> concat('w', pmod(hash(id * 1000 + i), 200)))"
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.expr(vocab_expr), " ").alias("text"),
+    )
+    dups = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.unionByName(dups).persist()
+    out = {"num_docs": corpus.count(), "timings_sec": {}, "pairs": {}}
+    cases = {
+        "exact_dedup": lambda: dedup.exact_dedup_groups(corpus).count(),
+        "minhash_pairs": lambda: dedup.minhash_dedup_pairs(corpus, threshold=0.5).count(),
+        "simhash_pairs": lambda: dedup.simhash_pairs(corpus, max_hamming=4).count(),
+    }
+    for name, fn in cases.items():
+        t0 = time.time()
+        out["pairs"][name] = fn()
+        out["timings_sec"][name] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--docs":
+        docs_probe(int(float(sys.argv[2]) * 1000))
+    else:
+        main()
