@@ -7,7 +7,9 @@ tables, not the TPC-H derivation shim). Reports rows/s so runs at
 different N are comparable; near-constant rows/s across N = linear
 scaling, the property the 100 TB claim rests on.
 
-Usage: python tools/scale_probe.py [num_keys_millions]
+Usage:
+  python tools/scale_probe.py [num_keys_millions]     # namespace ops
+  python tools/scale_probe.py --docs <num_docs_thousands>  # dedup ops
 """
 
 from __future__ import annotations
@@ -92,27 +94,32 @@ def docs_probe(n_docs: int) -> None:
         F.col("id").alias("doc_id"),
         F.array_join(F.expr(vocab_expr), " ").alias("text"),
     )
+    # dup ids live strictly above the real id range (no collision at any N)
     dups = docs.filter(F.col("doc_id") % 100 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(n_docs)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail")).alias("text"),
     )
     corpus = docs.unionByName(dups).persist()
-    out = {"num_docs": corpus.count(), "timings_sec": {}, "pairs": {}}
-    cases = {
-        "exact_dedup": lambda: dedup.exact_dedup_groups(corpus).count(),
-        "minhash_pairs": lambda: dedup.minhash_dedup_pairs(corpus, threshold=0.5).count(),
-        "simhash_pairs": lambda: dedup.simhash_pairs(corpus, max_hamming=4).count(),
-    }
-    for name, fn in cases.items():
-        t0 = time.time()
-        out["pairs"][name] = fn()
-        out["timings_sec"][name] = round(time.time() - t0, 2)
-    print(json.dumps(out))
-    spark.stop()
+    try:
+        out = {"num_docs": corpus.count(), "timings_sec": {}, "pairs": {}}
+        cases = {
+            "exact_dedup": lambda: dedup.exact_dedup_groups(corpus).count(),
+            "minhash_pairs": lambda: dedup.minhash_dedup_pairs(corpus, threshold=0.5).count(),
+            "simhash_pairs": lambda: dedup.simhash_pairs(corpus, max_hamming=4).count(),
+        }
+        for name, fn in cases.items():
+            t0 = time.time()
+            out["pairs"][name] = fn()
+            out["timings_sec"][name] = round(time.time() - t0, 2)
+        print(json.dumps(out))
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--docs":
+    if len(sys.argv) > 1 and sys.argv[1] == "--docs":
+        if len(sys.argv) < 3:
+            raise SystemExit("usage: scale_probe.py --docs <num_docs_thousands>")
         docs_probe(int(float(sys.argv[2]) * 1000))
     else:
         main()
