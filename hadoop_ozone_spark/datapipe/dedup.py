@@ -244,26 +244,31 @@ def simhash_table(
 def simhash_pairs(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 8
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on 16-bit fingerprint chunks (a
-    pair within hamming ≤ 3 of 4 chunks must share one), verify exact
-    Hamming distance on candidates."""
+    """SimHash near-dup pairs: block on fingerprint chunks, verify exact
+    Hamming distance on candidates.
+
+    Recall guarantee by pigeonhole: two fingerprints within hamming h
+    split into h+1 chunks must agree on at least one chunk — so the
+    chunk count is derived from ``max_hamming`` (it is NOT a free
+    parameter; 4 fixed chunks would silently miss pairs at hamming 4-8).
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
     fp = simhash_table(docs, text_col)
+
+    def chunk(i: int):
+        w = width if i < n_chunks - 1 else 64 - width * (n_chunks - 1)
+        return F.struct(
+            F.lit(i).alias("chunk_id"),
+            F.shiftright(F.col("fp"), i * width)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias("chunk"),
+        )
+
     chunks = fp.select(
         "doc_id",
         "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_id"),
-                        F.shiftright(F.col("fp"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
+        F.explode(F.array(*[chunk(i) for i in range(n_chunks)])).alias("c"),
     ).select("doc_id", "fp", "c.chunk_id", "c.chunk")
     a = chunks.alias("a")
     b = chunks.alias("b")

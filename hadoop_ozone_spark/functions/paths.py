@@ -42,7 +42,7 @@ def immediate_child(key: Column, ancestor_prefix: Column | str) -> Column:
     take the first '/'-separated component.
     """
     prefix = F.lit(ancestor_prefix) if isinstance(ancestor_prefix, str) else ancestor_prefix
-    rel = F.expr_substr = F.substring(key, F.length(prefix) + 1, F.lit(1_000_000))
+    rel = F.substring(key, F.length(prefix) + 1, F.lit(1_000_000))
     return F.substring_index(rel, "/", 1)
 
 

@@ -36,12 +36,15 @@ def materialize_paths(dirs: DataFrame, max_depth: int = 64) -> DataFrame:
             F.lit(0).alias("depth"),
         )
     )
-    frontier = resolved
+    frontier = resolved.persist()
     for depth in range(1, max_depth):
         parents = frontier.select(
             F.col("object_id").alias("parent_object_id"),
             F.col("path").alias("parent_path"),
         )
+        # each frontier is persisted so level d+1's join (and the final
+        # union) read the cached level instead of replaying the whole
+        # lineage — O(depth) joins, not O(depth²)
         nxt = (
             dirs.join(F.broadcast(parents), "parent_object_id")
             .select(
@@ -49,8 +52,10 @@ def materialize_paths(dirs: DataFrame, max_depth: int = 64) -> DataFrame:
                 F.concat(F.col("parent_path"), F.lit("/"), F.col("name")).alias("path"),
                 F.lit(depth).alias("depth"),
             )
+            .persist()
         )
         if nxt.isEmpty():
+            nxt.unpersist()
             break
         resolved = resolved.unionByName(nxt)
         frontier = nxt

@@ -71,6 +71,10 @@ def list_keys(
     most ``max_keys`` rows ordered by key. Token for the next page = last
     emitted key.
     """
+    if bucket is not None and volume is None:
+        # reference listKeys requires the volume when a bucket is given
+        # (OmMetadataManagerImpl.java:861-865 validates volume first)
+        raise ValueError("list_keys: bucket filter requires volume")
     out = keys
     if volume is not None:
         # cheap equality predicates first: on a partitioned snapshot these

@@ -24,16 +24,28 @@ def rename_prefix(
     One whole-stage-codegen projection — no per-key RPC loop. The
     reference's batched iterator exists only because its store mutates
     in place; immutable parquet turns rename into rewrite-on-read or a
-    new snapshot write.
+    new snapshot write. Derived path columns (volume/bucket/key) are
+    recomputed so cross-bucket renames stay internally consistent.
     """
+    from hadoop_ozone_spark.functions import paths
+
     c = F.col(key_col)
-    return keys.withColumn(
+    out = keys.withColumn(
         key_col,
         F.when(
             c.startswith(src),
             F.concat(F.lit(dst), F.substring(c, len(src) + 1, 1_000_000)),
         ).otherwise(c),
     )
+    if key_col == "row_key":
+        for col, fn in (
+            ("volume", paths.row_key_volume),
+            ("bucket", paths.row_key_bucket),
+            ("key", paths.row_key_key),
+        ):
+            if col in keys.columns:
+                out = out.withColumn(col, fn(F.col(key_col)))
+    return out
 
 
 def delete_prefix(keys: DataFrame, prefix: str, key_col: str = "row_key") -> DataFrame:

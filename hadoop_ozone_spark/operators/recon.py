@@ -54,8 +54,12 @@ def namespace_du(keys: DataFrame, key_col: str = "key") -> DataFrame:
             "volume",
             "bucket",
             # directory of the key = key minus its last path component
-            # (single-pass regexp beats the length-arithmetic variant ~2×)
-            F.regexp_replace(F.col(key_col), "/[^/]*$", "").alias("leaf_dir"),
+            # (single-pass regexp beats the length-arithmetic variant ~2×);
+            # keys at bucket root (no '/') have no directory — the regexp
+            # alone would leave the filename itself as a phantom dir
+            F.when(F.instr(F.col(key_col), "/") == 0, F.lit(""))
+            .otherwise(F.regexp_replace(F.col(key_col), "/[^/]*$", ""))
+            .alias("leaf_dir"),
             "data_size",
         )
         .groupBy("volume", "bucket", "leaf_dir")

@@ -106,9 +106,24 @@ def copy_object(
     keys: DataFrame, src_prefix: str, dst_prefix: str, key_col: str = "row_key"
 ) -> DataFrame:
     """M6: server-side copy — duplicate rows under a new key prefix and
-    append to the namespace (ref ObjectEndpoint x-amz-copy-source)."""
+    append to the namespace (ref ObjectEndpoint x-amz-copy-source).
+
+    Derived path columns (volume/bucket/key) are recomputed from the new
+    row_key so a cross-bucket copy stays internally consistent — stale
+    source columns would mis-attribute quota/partition downstream.
+    """
+    from hadoop_ozone_spark.functions import paths
+
     copied = keys.filter(F.col(key_col).startswith(src_prefix)).withColumn(
         key_col,
         F.concat(F.lit(dst_prefix), F.substring(F.col(key_col), len(src_prefix) + 1, 1_000_000)),
     )
+    if key_col == "row_key":
+        for col, fn in (
+            ("volume", paths.row_key_volume),
+            ("bucket", paths.row_key_bucket),
+            ("key", paths.row_key_key),
+        ):
+            if col in keys.columns:
+                copied = copied.withColumn(col, fn(F.col(key_col)))
     return keys.unionByName(copied)

@@ -25,7 +25,9 @@ def generate_keys(
     i = F.col("id")
     return spark.range(num_keys).select(
         F.concat(F.lit("vol"), i % num_volumes).alias("volume"),
-        F.concat(F.lit("bucket"), (i / num_volumes).cast("long") % num_buckets).alias(
+        # integer div, not (i / V).cast — fractional double→long casts
+        # are the exact cross-engine hazard model.py's rules forbid
+        F.concat(F.lit("bucket"), F.expr(f"id div {num_volumes}") % num_buckets).alias(
             "bucket"
         ),
         F.concat(F.lit("key"), i).alias("key"),

@@ -32,13 +32,19 @@ def apply_events_to_snapshot(
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     compacted = cdc.latest_state(events, key_col=key_col)  # PUT/UPDATE survivors
-    touched = events.select("volume", "bucket").distinct()
+    touched = [
+        (r["volume"], r["bucket"])
+        for r in events.select("volume", "bucket").distinct().collect()
+    ]  # micro-batches touch a handful of buckets; driver-side list is tiny
+    touched_df = spark.createDataFrame(touched, "volume string, bucket string")
     snap = spark.read.parquet(snapshot_dir)
-    affected_old = snap.join(F.broadcast(touched), ["volume", "bucket"], "left_semi")
+    affected_old = snap.join(F.broadcast(touched_df), ["volume", "bucket"], "left_semi")
     all_batch_keys = events.select(key_col).distinct()
     kept = affected_old.join(all_batch_keys, key_col, "left_anti")
     cols = snap.columns
-    merged = kept.select(*cols).unionByName(compacted.select(*cols))
+    merged = (
+        kept.select(*cols).unionByName(compacted.select(*cols)).persist()
+    )
     (
         merged.repartition("volume", "bucket")
         .sortWithinPartitions("key")
@@ -46,3 +52,22 @@ def apply_events_to_snapshot(
         .partitionBy("volume", "bucket")
         .parquet(snapshot_dir)
     )
+    # Dynamic overwrite only replaces partitions PRESENT in the written
+    # data. A touched partition whose every row was deleted produces no
+    # output rows, so its old files would survive — deleted keys would
+    # resurrect. Remove those partition directories explicitly (Hadoop
+    # FS API, so HDFS/S3A work the same as local).
+    still_present = {
+        (r["volume"], r["bucket"])
+        for r in merged.select("volume", "bucket").distinct().collect()
+    }
+    merged.unpersist()
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for vol, bkt in touched:
+        if (vol, bkt) not in still_present:
+            path = jvm.org.apache.hadoop.fs.Path(
+                f"{snapshot_dir}/volume={vol}/bucket={bkt}"
+            )
+            fs = path.getFileSystem(hconf)
+            fs.delete(path, True)

@@ -122,9 +122,15 @@ def run_foreachbatch_merge(
                 F.max("seqno").alias("max_seqno"),
             )
         )
+        from pyspark.errors import AnalysisException
+
         try:
             prev = spark.read.parquet(mart_dir).first()
-        except Exception:
+        except AnalysisException as e:
+            # only a missing mart means "no previous state" — a corrupt
+            # or unreadable mart must surface, not silently reset totals
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             prev = None
         new = deltas.first()
         if new is None or new["max_seqno"] is None:
@@ -153,15 +159,27 @@ def run_foreachbatch_merge(
 
 def streaming_file_size_histogram(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """A1/A2 combined: per-size-bin running counts in update mode
-    (the FILE_COUNT_BY_SIZE mart maintained incrementally)."""
+    (the FILE_COUNT_BY_SIZE mart maintained incrementally).
+
+    UPDATE is retract+emit ACROSS BINS (FileSizeCountTask.java:115-157:
+    decrement the old-size bin, increment the new-size bin) — each event
+    explodes into its signed per-bin contributions.
+    """
     from hadoop_ozone_spark.functions.binning import file_size_upper_bound
 
     wm = events.withWatermark("event_time", watermark)
-    signed = wm.select(
-        file_size_upper_bound(F.coalesce(F.col("data_size"), F.lit(0))).alias("file_size"),
-        F.when(F.col("op") == "PUT", F.lit(1))
-        .when(F.col("op") == "DELETE", F.lit(-1))
-        .otherwise(F.lit(0))
-        .alias("delta"),
+    new_bin = file_size_upper_bound(F.coalesce(F.col("data_size"), F.lit(0)))
+    old_bin = file_size_upper_bound(F.coalesce(F.col("old_size"), F.lit(0)))
+    contrib = F.struct(new_bin.alias("file_size"), F.lit(1).alias("delta"))
+    retract = F.struct(old_bin.alias("file_size"), F.lit(-1).alias("delta"))
+    remove = F.struct(new_bin.alias("file_size"), F.lit(-1).alias("delta"))
+    contributions = (
+        F.when(F.col("op") == "PUT", F.array(contrib))
+        .when(F.col("op") == "DELETE", F.array(remove))
+        .otherwise(  # UPDATE: −old bin, +new bin (no-op only if old is null)
+            F.when(F.col("old_size").isNull(), F.array().cast("array<struct<file_size:long,delta:int>>"))
+            .otherwise(F.array(retract, contrib))
+        )
     )
+    signed = wm.select(F.explode(contributions).alias("c")).select("c.file_size", "c.delta")
     return signed.groupBy("file_size").agg(F.sum("delta").alias("cnt"))

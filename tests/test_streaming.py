@@ -91,10 +91,11 @@ def test_streaming_histogram_matches_batch(spark, events_df):
             r["file_size"]: r["cnt"]
             for r in spark.sql("SELECT * FROM hist_test").collect()
         }
-        # k1 PUT 500→bin1024; k2 PUT+DELETE 2000→bin2048 nets 0;
-        # k1 UPDATE → 0 delta rows in bins; k3 PUT 4096→bin4096
-        assert got[1024] == 1
-        assert got[2048] == 0
+        # k1 PUT 500→+bin1024, then UPDATE 500→1500 moves it: −1024 +2048
+        # (FileSizeCountTask retract+emit); k2 PUT+DELETE 2000 nets 0 in
+        # 2048; k3 PUT 4096→bin4096. Final: 1024:0, 2048:1, 4096:1.
+        assert got[1024] == 0
+        assert got[2048] == 1
         assert got[4096] == 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -54,6 +54,27 @@ def test_apply_events_merges_only_touched_partitions(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_delete_emptying_partition_does_not_resurrect(spark):
+    """A DELETE batch that empties a partition must remove it — dynamic
+    overwrite alone leaves zero-output partitions' old files in place."""
+    tmp = tempfile.mkdtemp(prefix="ozspark_empty_")
+    try:
+        snap_df = spark.createDataFrame(SNAP_ROWS, SCHEMA)
+        snapshot.write_snapshot(snap_df, f"{tmp}/snap")
+        events = spark.createDataFrame(
+            [(1, "DELETE", "v1", "b2", "a/k3", "/v1/b2/a/k3", 0)],
+            "seqno long, op string, volume string, bucket string, key string, row_key string, data_size long",
+        )
+        upsert.apply_events_to_snapshot(spark, f"{tmp}/snap", events)
+        got = sorted(
+            r["row_key"] for r in spark.read.parquet(f"{tmp}/snap").collect()
+        )
+        assert got == ["/v1/b1/a/k1", "/v1/b1/a/k2", "/v2/b1/a/k4"]
+        assert not os.path.exists(f"{tmp}/snap/volume=v1/bucket=b2")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_bucketed_join_avoids_shuffle(spark):
     """Pre-bucketed tables co-locate the join: no Exchange in the plan
     (the 100 TB answer for repeated J1-style container joins)."""
