@@ -249,3 +249,56 @@ FROM (
 
 QUERIES["x10_storage_units"] = x10_storage_units
 ORACLES["x10_storage_units"] = X10_SQL
+
+
+# --- rollup + exact percentiles (beyond-reference SQL breadth) ------------
+
+def a1_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-size totals with ROLLUP(volume, bucket) — subtotal rows per
+    volume and a grand total (the reference has no grouping sets; Recon
+    recomputes each level separately — one rollup pass replaces three)."""
+    keys = model.om_keys(spark, sf_dir)
+    return (
+        keys.rollup("volume", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_keys"), F.sum("data_size").alias("total_bytes"))
+        .orderBy(F.asc_nulls_first("volume"), F.asc_nulls_first("bucket"))
+    )
+
+
+A1_ROLLUP_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT volume, bucket, count(*) AS n_keys,
+       CAST(SUM(data_size) AS BIGINT) AS total_bytes
+FROM om_keys GROUP BY ROLLUP(volume, bucket)
+ORDER BY volume ASC NULLS FIRST, bucket ASC NULLS FIRST""",
+)
+
+
+def size_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-volume size percentiles (Spark 4 `percentile` is exact
+    with linear interpolation — same law as DuckDB quantile_cont)."""
+    keys = model.om_keys(spark, sf_dir)
+    return (
+        keys.groupBy("volume")
+        .agg(
+            F.percentile("data_size", 0.5).alias("p50"),
+            F.percentile("data_size", 0.95).alias("p95"),
+            F.percentile("data_size", 0.99).alias("p99"),
+        )
+        .orderBy("volume")
+    )
+
+
+PERCENTILES_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT volume,
+       quantile_cont(data_size, 0.5) AS p50,
+       quantile_cont(data_size, 0.95) AS p95,
+       quantile_cont(data_size, 0.99) AS p99
+FROM om_keys GROUP BY volume ORDER BY volume""",
+)
+
+QUERIES["a1_histogram_rollup"] = a1_histogram_rollup
+QUERIES["size_percentiles"] = size_percentiles
+ORACLES["a1_histogram_rollup"] = A1_ROLLUP_SQL
+ORACLES["size_percentiles"] = PERCENTILES_SQL

@@ -32,6 +32,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, bool):
             return str(v).lower()
         if isinstance(v, float):
+            import os
+            if os.environ.get("STRICT_FLOATS"):
+                return repr(v)
             return repr(round(v, 6))
         if isinstance(v, pd.Timestamp):
             return v.strftime("%Y-%m-%d %H:%M:%S.%f")
