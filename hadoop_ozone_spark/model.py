@@ -46,7 +46,11 @@ _DERIVED_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def _memoized(
     name: str, spark: SparkSession, sf_dir: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    try:
+        session_id = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect has no sparkContext
+        session_id = str(id(spark))
+    key = (session_id, sf_dir, name)
     df = _DERIVED_CACHE.get(key)
     if df is None:
         df = build().persist()

@@ -90,8 +90,8 @@ def q6_selective_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(22,4)")
     return (
         li.filter(
-            (F.col("l_shipdate") >= "2021-01-01")
-            & (F.col("l_shipdate") < "2022-01-01")
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -107,7 +107,7 @@ Q6_SQL = """
 SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
        count(*) AS n_rows
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '2021-01-01' AND l_shipdate < TIMESTAMP '2022-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
 """
 
@@ -302,3 +302,99 @@ QUERIES["a1_histogram_rollup"] = a1_histogram_rollup
 QUERIES["size_percentiles"] = size_percentiles
 ORACLES["a1_histogram_rollup"] = A1_ROLLUP_SQL
 ORACLES["size_percentiles"] = PERCENTILES_SQL
+
+
+# --- TPC-H join-shape breadth: semi (q4), outer distribution (q13),
+#     group-filter (q18) -----------------------------------------------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped EXISTS semi-join: orders with at least one late line."""
+    orders = model.load(spark, sf_dir, "orders")
+    li = model.load(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > "1998-06-01").select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1998-06-01')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped left outer join: distribution of order counts per
+    customer INCLUDING zero-order customers."""
+    cust = model.load(spark, sf_dir, "customer")
+    orders = model.load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips nulls
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped group-filter (HAVING): orders whose total quantity
+    exceeds a threshold, with customer attribution."""
+    cust = model.load(spark, sf_dir, "customer")
+    orders = model.load(spark, sf_dir, "orders")
+    li = model.load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, o_orderkey AS orderkey, o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, orderkey ASC LIMIT 100
+"""
+
+QUERIES["q4_order_priority"] = q4_order_priority
+QUERIES["q13_customer_distribution"] = q13_customer_distribution
+QUERIES["q18_large_orders"] = q18_large_orders
+ORACLES["q4_order_priority"] = Q4_SQL
+ORACLES["q13_customer_distribution"] = Q13_SQL
+ORACLES["q18_large_orders"] = Q18_SQL
