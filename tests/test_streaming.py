@@ -99,3 +99,44 @@ def test_streaming_histogram_matches_batch(spark, events_df):
         assert got[4096] == 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_dedup_by_seqno(spark):
+    """Exactly-once event consumption: duplicate seqnos in the feed
+    (redelivery) are dropped with dropDuplicatesWithinWatermark —
+    the stream twin of the per-key max(seqno) dedup (SURVEY §2.9)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ozspark_dedup_")
+    try:
+        rows = [
+            (1, "PUT", "/v/b/k1", 100, None, "2024-01-01 00:00:01"),
+            (1, "PUT", "/v/b/k1", 100, None, "2024-01-01 00:00:01"),  # redelivered
+            (2, "PUT", "/v/b/k2", 200, None, "2024-01-01 00:00:02"),
+            (2, "PUT", "/v/b/k2", 200, None, "2024-01-01 00:00:02"),  # redelivered
+            (3, "DELETE", "/v/b/k1", 100, None, "2024-01-01 00:00:03"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "seqno long, op string, row_key string, data_size long, old_size long, event_time string",
+        ).withColumn("event_time", F.to_timestamp("event_time"))
+        df.write.mode("overwrite").parquet(f"{tmp}/events")
+        stream = maintenance.read_event_stream(spark, f"{tmp}/events", max_files_per_trigger=100)
+        deduped = stream.withWatermark("event_time", "1 hour").dropDuplicatesWithinWatermark(
+            ["seqno"]
+        )
+        agg = deduped.groupBy("op").agg(F.count(F.lit(1)).alias("cnt"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("dedup_test")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["op"]: r["cnt"] for r in spark.sql("SELECT * FROM dedup_test").collect()}
+        assert got == {"PUT": 2, "DELETE": 1}  # redeliveries dropped
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
