@@ -1,0 +1,116 @@
+"""Thin endpoint layer — the reference's query signatures, one function
+per RPC/REST entry point (SURVEY §7 architecture: "a thin 'endpoint'
+layer reproducing the reference's query signatures").
+
+Each endpoint is a named composition of operators over the namespace
+tables; nothing here adds logic — it fixes the public API a reference
+user would migrate to. Signatures mirror the reference calls cited in
+each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_ozone_spark.operators import cdc, listing, recon, s3
+
+
+class OzoneAnalytics:
+    """Facade over a namespace snapshot + CDC feed, the engine's public
+    API. ``keys`` is the keyTable DataFrame (from ``model.om_keys`` in
+    tests or ``sources.snapshot.read_snapshot`` in deployment)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        containers: DataFrame | None = None,
+        replicas: DataFrame | None = None,
+        events: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.keys = keys
+        self.containers = containers
+        self.replicas = replicas
+        self.events = events
+
+    # --- OM read RPCs -----------------------------------------------------
+
+    def list_keys(self, volume: str, bucket: str, prefix: str | None = None,
+                  start_key: str | None = None, max_keys: int = 1000) -> DataFrame:
+        """OzoneManagerRequestHandler case ListKeys →
+        OmMetadataManagerImpl.listKeys(:843-966)."""
+        return listing.list_keys(self.keys, volume=volume, bucket=bucket,
+                                 prefix=prefix, start_key=start_key, max_keys=max_keys)
+
+    def lookup_key(self, row_key: str) -> DataFrame:
+        """KeyManagerImpl.lookupKey(:641-700)."""
+        return listing.point_lookup(self.keys, row_key)
+
+    def list_status(self, volume: str, bucket: str, dir_path: str,
+                    recursive: bool = False) -> DataFrame:
+        """KeyManagerImpl.listStatus(:2357-2411): fake-dir synthesis."""
+        scoped = self.keys.filter(
+            (F.col("volume") == volume) & (F.col("bucket") == bucket)
+        ).select("key", "data_size")
+        return listing.list_status(scoped, dir_path, recursive=recursive)
+
+    # --- S3 gateway -------------------------------------------------------
+
+    def list_objects_v2(self, volume: str, bucket: str, prefix: str = "",
+                        delimiter: str = "/", continuation_token: str | None = None,
+                        max_keys: int = 1000) -> DataFrame:
+        """BucketEndpoint.get(:90-228): Contents + CommonPrefixes."""
+        scoped = self.keys.filter(
+            (F.col("volume") == volume) & (F.col("bucket") == bucket)
+        )
+        return s3.list_objects_v2(scoped, prefix=prefix, delimiter=delimiter,
+                                  start_after=continuation_token, max_keys=max_keys)
+
+    # --- Recon REST -------------------------------------------------------
+
+    def utilization_file_count(self, volume: str | None = None,
+                               bucket: str | None = None,
+                               file_size: int | None = None) -> DataFrame:
+        """/utilization/fileCount (UtilizationEndpoint.java:65-101)."""
+        out = recon.file_size_histogram(self.keys)
+        if volume is not None:
+            out = out.filter(F.col("volume") == volume)
+        if bucket is not None:
+            out = out.filter(F.col("bucket") == bucket)
+        if file_size is not None:
+            out = out.filter(F.col("file_size") == file_size)
+        return out
+
+    def namespace_summary(self, volume: str, bucket: str) -> DataFrame:
+        """/namespace/summary du rollup (NSSummaryEndpoint)."""
+        scoped = self.keys.filter(
+            (F.col("volume") == volume) & (F.col("bucket") == bucket)
+        )
+        return recon.namespace_du(scoped)
+
+    def containers_keys(self, container_id: int, max_keys: int = 1000) -> DataFrame:
+        """/containers/{id}/keys (ContainerEndpoint.java:141-216)."""
+        assert self.containers is not None
+        return recon.keys_for_container(self.keys, self.containers, container_id, max_keys)
+
+    def unhealthy_containers(self) -> DataFrame:
+        """/containers/unhealthy (ContainerHealthTask output)."""
+        assert self.containers is not None and self.replicas is not None
+        return recon.container_health(self.containers, self.replicas).filter(
+            F.col("health") != "HEALTHY"
+        )
+
+    def cluster_state(self) -> DataFrame:
+        """/clusterState (ClusterStateEndpoint.java:79-115)."""
+        assert self.containers is not None and self.replicas is not None
+        return recon.cluster_state(self.containers, self.replicas)
+
+    # --- CDC --------------------------------------------------------------
+
+    def current_state(self) -> DataFrame:
+        """Read-your-writes view: snapshot ⊕ CDC tail (SO1)."""
+        if self.events is None:
+            return self.keys
+        return cdc.merge_snapshot_with_tail(self.keys, self.events)

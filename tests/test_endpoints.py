@@ -1,0 +1,46 @@
+"""Endpoint facade: each reference query signature answers and agrees
+with the underlying operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_ozone_spark import model
+from hadoop_ozone_spark.endpoints import OzoneAnalytics
+
+
+@pytest.fixture(scope="module")
+def api(spark, sf_dir):
+    return OzoneAnalytics(
+        spark,
+        keys=model.om_keys(spark, sf_dir),
+        containers=model.containers(spark, sf_dir),
+        replicas=model.container_replicas(spark, sf_dir),
+    )
+
+
+def test_list_keys_endpoint(api):
+    page = api.list_keys("vol_r", "bkt_o", max_keys=10).collect()
+    assert len(page) == 10
+    assert all(r["row_key"].startswith("/vol_r/bkt_o/") for r in page)
+
+
+def test_lookup_and_list_status(api):
+    first = api.list_keys("vol_r", "bkt_o", max_keys=1).first()
+    assert api.lookup_key(first["row_key"]).count() == 1
+    children = api.list_status("vol_r", "bkt_o", "dir1").collect()
+    assert children and all(r["is_dir"] for r in children)
+
+
+def test_s3_and_utilization(api):
+    out = api.list_objects_v2("vol_a", "bkt_f", prefix="dir1/").collect()
+    assert {r["entry_type"] for r in out} == {"PREFIX"}
+    hist = api.utilization_file_count(volume="vol_a", bucket="bkt_f").collect()
+    assert hist and all(r["volume"] == "vol_a" for r in hist)
+
+
+def test_cluster_endpoints(api):
+    assert api.cluster_state().count() == 1
+    unhealthy = api.unhealthy_containers()
+    assert unhealthy.filter(F.col("health") == "HEALTHY").count() == 0
