@@ -93,9 +93,13 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = model.load(spark, sf_dir, "orders")
     li = model.load(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+    # Reduce orders by the selective dim join BEFORE the big shuffle with
+    # lineitem — the broadcast filter cuts ~80% of orders, so the shuffle
+    # (or AQE-converted broadcast) of the li⋈orders join moves 5× less.
+    # Catalyst won't reorder this without CBO stats, so order it by hand.
+    sel_orders = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(sel_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))

@@ -25,6 +25,10 @@ from hadoop_ozone_spark.sources import generators, snapshot
 #   id(subS)  = id(dirD)*100 + S                  parent = id(dirD)
 
 def _fso_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One scan: distinct (l1_id, s) pairs — map-side partial aggregation
+    # collapses 600k rows to ≤42×5 pairs per partition before the single
+    # tiny shuffle; both dir levels then derive from the pair set (the
+    # naive form scanned+shuffled lineitem twice).
     li = model.load(spark, sf_dir, "lineitem")
     vol_idx = (
         F.when(F.lower("l_returnflag") == "a", 0)
@@ -35,16 +39,19 @@ def _fso_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("l_orderkey") % 7
     s = F.col("l_partkey") % 5
     l1_id = (vol_idx * 2 + bkt_idx + 1) * 1000 + d
-    level1 = li.select(
-        l1_id.alias("object_id"),
+    pairs = li.select(
+        l1_id.cast("long").alias("l1"), (F.col("l_partkey") % 5).cast("long").alias("s")
+    ).distinct()
+    level1 = pairs.select(
+        F.col("l1").alias("object_id"),
         F.lit(0).cast("long").alias("parent_object_id"),
-        F.concat(F.lit("dir"), d).alias("name"),
+        F.concat(F.lit("dir"), F.col("l1") % 1000).alias("name"),
     ).distinct()
-    level2 = li.select(
-        (l1_id * 100 + s).alias("object_id"),
-        l1_id.cast("long").alias("parent_object_id"),
-        F.concat(F.lit("sub"), s).alias("name"),
-    ).distinct()
+    level2 = pairs.select(
+        (F.col("l1") * 100 + F.col("s")).alias("object_id"),
+        F.col("l1").alias("parent_object_id"),
+        F.concat(F.lit("sub"), F.col("s")).alias("name"),
+    )
     return level1.unionByName(level2)
 
 
