@@ -26,7 +26,13 @@ from hadoop_ozone_spark.functions.binning import file_size_upper_bound_sql
 from hadoop_ozone_spark.operators import audit as audit_ops
 from hadoop_ozone_spark.operators import cdc as cdc_ops
 from hadoop_ozone_spark.operators import listing, mutations, recon, s3
-from hadoop_ozone_spark.plans import coverage_queries, datapipe_queries, extended_queries, policy_queries
+from hadoop_ozone_spark.plans import (
+    coverage_queries,
+    datapipe_queries,
+    extended_queries,
+    policy_queries,
+    temporal_queries,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -695,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **extended_queries.QUERIES,
         **coverage_queries.QUERIES,
         **policy_queries.QUERIES,
+        **temporal_queries.QUERIES,
     }
 
 
@@ -735,4 +742,5 @@ def oracle_sql() -> dict[str, str]:
         **extended_queries.ORACLES,
         **coverage_queries.ORACLES,
         **policy_queries.ORACLES,
+        **temporal_queries.ORACLES,
     }

@@ -1,0 +1,90 @@
+"""As-of join and binned range join: semantics + plan-shape locks."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from hadoop_ozone_spark.operators import temporal
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_basic_semantics(spark):
+    probe = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 100),
+         (1, _ts("2024-01-01 12:00:00"), 101),
+         (2, _ts("2024-01-01 09:00:00"), 200)],
+        "k long, ts timestamp, probe_id long",
+    )
+    build = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:30:00"), 7),
+         (1, _ts("2024-01-01 11:00:00"), 8),
+         (2, _ts("2024-01-01 09:30:00"), 9)],  # after the only probe for k=2
+        "k long, ts timestamp, b_id long",
+    )
+    out = {
+        r["probe_id"]: r["b_id"]
+        for r in temporal.asof_join(
+            probe, build, keys=["k"], probe_ts="ts", build_ts="ts",
+            carry=["b_id"], tie_break="b_id",
+        ).collect()
+    }
+    assert out == {100: 7, 101: 8, 200: None}
+
+
+def test_asof_inclusive_and_tie_break(spark):
+    t = _ts("2024-01-01 10:00:00")
+    probe = spark.createDataFrame([(1, t, 100)], "k long, ts timestamp, probe_id long")
+    build = spark.createDataFrame(
+        [(1, t, 7), (1, t, 8)], "k long, ts timestamp, b_id long"
+    )
+    row = temporal.asof_join(
+        probe, build, keys=["k"], probe_ts="ts", build_ts="ts",
+        carry=["b_id"], tie_break="b_id",
+    ).collect()[0]
+    # equal-ts build rows ARE eligible (inclusive); max tie_break wins
+    assert row["b_id"] == 8
+
+
+def test_asof_single_shuffle(spark, sf_dir):
+    df = entry.queries()["ev_asof_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one hashpartitioning exchange for the window; the final orderBy is
+    # a range exchange — no join exchanges at all (no join operator)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_binned_matches_theta(spark):
+    facts = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 97 * 1.5).alias("v")
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 10.0, 50.0), (3, 50.0, 150.0)],
+        "tier_id int, lo double, hi double",
+    )
+    got = sorted(
+        (r["id"], r["tier_id"])
+        for r in temporal.range_join_binned(
+            facts, intervals, "v", "lo", "hi", bucket_width=7.0
+        ).collect()
+    )
+    want = sorted(
+        (r["id"], r["tier_id"])
+        for r in facts.join(
+            intervals, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+        ).collect()
+    )
+    assert got == want and len(got) == 1000
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    df = entry.queries()["ev_range_join_binned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
