@@ -119,21 +119,48 @@ def bucket_histogram(embeddings: DataFrame, vec_col: str = "embedding") -> DataF
 
 
 def bucketed_topk(
-    embeddings: DataFrame,
+    embeddings: DataFrame | None,
     query: DataFrame,
     k: int = 10,
     vec_col: str = "embedding",
     round_digits: int = 6,
+    probe_radius: int = 0,
+    num_planes: int = NUM_PLANES,
+    index: DataFrame | None = None,
 ) -> DataFrame:
-    """Probe only the query's bucket, then exact top-k inside it.
+    """Probe the query's bucket (plus all buckets within Hamming
+    distance ``probe_radius`` of it — multi-probe LSH: a true neighbor
+    differing on r plane signs lands r bit-flips away), then exact
+    top-k inside the probed buckets.
 
-    Approximate (recall < 1 when true neighbors land across the plane);
-    compare against brute_force_topk for the recall measurement.
+    ``index`` short-circuits the bucket assignment with a PERSISTED
+    (bucket_id, vec_id, vec) table — the deployment shape: assignment
+    is write-time work, a query only scans the probed buckets
+    (partition-pruned when the index is partitioned by bucket_id).
+
+    Approximate; compare against brute_force_topk for recall. Raising
+    ``probe_radius`` trades scan breadth for recall with the same
+    index — no rebuild.
     """
-    q = query.select("qvec", bucket_id(F.col("qvec")).alias("bucket_id"))
-    idx = bucketed_index(embeddings, vec_col)
+    q = query.select("qvec", bucket_id(F.col("qvec"), num_planes).alias("q_bucket"))
+    # the Hamming ball is tiny (≤ 2^num_planes ids) — enumerate and
+    # filter, then broadcast: the index side never shuffles
+    probes = (
+        q.select(
+            "qvec",
+            "q_bucket",
+            F.explode(F.sequence(F.lit(0), F.lit((1 << num_planes) - 1))).alias(
+                "bucket_id"
+            ),
+        )
+        .filter(
+            F.bit_count(F.col("bucket_id").bitwiseXOR(F.col("q_bucket"))) <= probe_radius
+        )
+        .drop("q_bucket")
+    )
+    idx = index if index is not None else bucketed_index(embeddings, vec_col)
     return (
-        idx.join(F.broadcast(q), "bucket_id")
+        idx.join(F.broadcast(probes), "bucket_id")
         .select(
             "vec_id",
             F.round(

@@ -116,10 +116,70 @@ def docs_probe(n_docs: int) -> None:
         spark.stop()
 
 
+def vecs_probe(n_vecs: int, dims: int = 64, k: int = 50) -> None:
+    """ANN scale probe, deployment shape: CLUSTERED deterministic
+    vectors (1000 hash-derived centroids + small noise — realistic
+    embeddings cluster; uniform-random vectors are LSH's no-structure
+    worst case and measure nothing), index built ONCE and persisted
+    partitioned by bucket_id, then brute-force vs multi-probe bucketed
+    top-k timed against the persisted artifact at several probe radii.
+    """
+    from hadoop_ozone_spark.datapipe import similarity
+
+    spark = get_spark("scale-probe-vecs")
+    n_clusters = 1000
+    centroid = f"cast(pmod(hash((id % {n_clusters}) * 31 + d), 2001) - 1000 as double) / 1000.0"
+    noise = "cast(pmod(hash(id * 131 + d), 401) - 200 as double) / 2000.0"
+    vec_expr = (
+        f"transform(sequence(0, {dims - 1}), d -> cast({centroid} + {noise} as float))"
+    )
+    emb = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), F.expr(vec_expr).alias("embedding")
+    )
+    query = emb.filter(F.col("vec_id") == 42).select(F.col("embedding").alias("qvec"))
+    tmp = tempfile.mkdtemp(prefix="ozspark_ann_")
+    try:
+        out = {"num_vecs": n_vecs, "dims": dims, "k": k, "timings_sec": {}, "recall_at_k": {}}
+        t0 = time.time()
+        similarity.bucketed_index(emb).write.partitionBy("bucket_id").parquet(f"{tmp}/idx")
+        out["timings_sec"]["index_build_write"] = round(time.time() - t0, 2)
+        idx = spark.read.parquet(f"{tmp}/idx")
+        t0 = time.time()
+        exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, query, k=k).collect()]
+        out["timings_sec"]["brute_topk"] = round(time.time() - t0, 2)
+        for radius in (0, 1, 2):
+            t0 = time.time()
+            approx = [
+                r["vec_id"]
+                for r in similarity.bucketed_topk(
+                    None, query, k=k, probe_radius=radius, index=idx
+                ).collect()
+            ]
+            out["timings_sec"][f"bucketed_topk_r{radius}"] = round(time.time() - t0, 2)
+            out["recall_at_k"][f"r{radius}"] = round(len(set(exact) & set(approx)) / k, 3)
+        sizes = sorted(
+            r["n_vectors"] for r in similarity.bucket_histogram(emb).collect()
+        )
+        out["bucket_occupancy"] = {
+            "n_buckets": len(sizes),
+            "min": sizes[0],
+            "max": sizes[-1],
+            "max_over_mean": round(sizes[-1] * len(sizes) / sum(sizes), 2),
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         if len(sys.argv) < 3:
             raise SystemExit("usage: scale_probe.py --docs <num_docs_thousands>")
         docs_probe(int(float(sys.argv[2]) * 1000))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--vecs":
+        if len(sys.argv) < 3:
+            raise SystemExit("usage: scale_probe.py --vecs <num_vecs_thousands>")
+        vecs_probe(int(float(sys.argv[2]) * 1000))
     else:
         main()
