@@ -95,6 +95,57 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def curation_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_mean_token_len: float = 12.0,
+) -> DataFrame:
+    """The composed training-data curation pass: quality gates +
+    language ID + exact-dedup canonicalization in ONE pipeline.
+
+    Physical shape (the reason to compose rather than chain the
+    standalone operators): all per-doc features fuse into a single
+    map-only codegen stage over the corpus scan; the cheap row filters
+    run BEFORE the dedup window, so the only shuffle (partitionBy
+    content_hash) moves just the surviving docs. Canonical = min doc_id
+    among quality-passing copies.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    mean_len = F.length(F.regexp_replace(t, "\\s", "")).cast("double") / n_tok
+    scores = lang_scores(t)
+    en, de, es, fr = scores["en"], scores["de"], scores["es"], scores["fr"]
+    pred = (
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= es) & (de >= fr) & (de > 0), F.lit("de"))
+        .when((es >= fr) & (es > 0), F.lit("es"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    staged = docs.select(
+        "doc_id",
+        F.md5(t).alias("content_hash"),
+        n_tok.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        pred.alias("predicted_lang"),
+    ).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("mean_token_len") <= max_mean_token_len)
+        & (F.col("predicted_lang") != "unknown")
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        staged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "predicted_lang", "n_tokens", "mean_token_len", "content_hash")
+        .orderBy("doc_id")
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text — the exact-dedup key (a rolling-hash shingle fingerprint is

@@ -77,6 +77,46 @@ FROM documents
 """
 
 
+def dp_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pass over the dedup corpus (quality gates →
+    lang-id → canonical dedup); one map stage + one window shuffle."""
+    return text.curation_pipeline(model.dedup_corpus(spark, sf_dir))
+
+
+DP_CURATION_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    body=r""", feats AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x IN ('the', 'and', 'of'))) AS s_en,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x IN ('der', 'die', 'und'))) AS s_de,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x IN ('el', 'la', 'que'))) AS s_es,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x IN ('le', 'la', 'et'))) AS s_fr
+  FROM dedup_corpus
+), lang AS (
+  SELECT *, CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                 WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                 WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                 WHEN s_fr > 0 THEN 'fr'
+                 ELSE 'unknown' END AS predicted_lang
+  FROM feats
+), ok AS (
+  SELECT * FROM lang
+  WHERE n_tokens >= 10 AND mean_token_len <= 12 AND predicted_lang <> 'unknown'
+), canon AS (
+  SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn FROM ok
+)
+SELECT doc_id, predicted_lang, n_tokens, mean_token_len, content_hash
+FROM canon WHERE rn = 1 ORDER BY doc_id""",
+)
+
+
 # --- dedup ----------------------------------------------------------------
 
 def dp_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,6 +273,7 @@ QUERIES = {
     "dp_token_stats": dp_token_stats,
     "dp_lang_id": dp_lang_id,
     "dp_fingerprint": dp_fingerprint,
+    "dp_curation_pipeline": dp_curation_pipeline,
     "dp_exact_dedup": dp_exact_dedup,
     "dp_ngram_jaccard": dp_ngram_jaccard,
     "dp_minhash_pairs": dp_minhash_pairs,
@@ -249,6 +290,7 @@ ORACLES = {
     "dp_token_stats": DP_TOKEN_STATS_SQL,
     "dp_lang_id": DP_LANG_ID_SQL,
     "dp_fingerprint": DP_FINGERPRINT_SQL,
+    "dp_curation_pipeline": DP_CURATION_SQL,
     "dp_exact_dedup": DP_EXACT_DEDUP_SQL,
     "dp_ngram_jaccard": DP_NGRAM_JACCARD_SQL,
     "dp_ann_brute_topk": DP_ANN_BRUTE_SQL,

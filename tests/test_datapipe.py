@@ -89,3 +89,29 @@ def test_token_count_variants(spark):
     ).first()
     assert row["ws"] == 3
     assert row["bpe"] > row["ws"]  # punctuation counted separately
+
+
+def test_curation_pipeline_canonicalizes_and_filters(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog of war ran over the hill again today", "en"),
+         (2, "the cat and the dog of war ran over the hill again today", "en"),  # dup
+         (3, "xyzzy plugh foo bar baz qux quux corge grault garply", "zz"),  # no lang
+         (4, "the and of", "en")],  # too short
+        "doc_id long, text string, lang string",
+    )
+    rows = text.curation_pipeline(docs, min_tokens=5).collect()
+    assert [r["doc_id"] for r in rows] == [1]  # dup 2 dropped, 3 unknown, 4 short
+    assert rows[0]["predicted_lang"] == "en"
+
+
+def test_curation_pipeline_filters_before_shuffle(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["dp_curation_pipeline"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # quality/lang filters must sit BELOW the window exchange so the
+    # shuffle moves only surviving docs: exactly one hash exchange, and
+    # a Filter appears after (deeper than) it in the plan text
+    assert plan.count("Exchange hashpartitioning") == 1
+    below_exchange = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "Filter" in below_exchange
