@@ -38,7 +38,10 @@ HEADLINE = [
     "dp_exact_dedup",
     "dp_minhash_pairs",
     "dp_token_stats",
+    "dp_curation_pipeline",
     "dp_ann_brute_topk",
+    "ev_asof_join",
+    "ev_range_join_binned",
 ]
 
 
