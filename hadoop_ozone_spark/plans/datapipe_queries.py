@@ -217,6 +217,14 @@ def dp_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bucketed_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def dp_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant: scan the query bucket plus its Hamming-1
+    ball (7 of 64 buckets) — recall recovery without rebuilding the
+    index (see BENCH_NOTES.md ANN probe: r=1 → recall 1.0)."""
+    emb = model.load(spark, sf_dir, "embeddings")
+    return similarity.bucketed_topk(emb, _query_vec(spark, sf_dir), k=10, probe_radius=1)
+
+
 DP_ANN_BUCKETED_SQL = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
 b AS (SELECT vec_id, ve, CAST({BUCKET_SQL_EXPR} AS INTEGER) AS bucket_id FROM v),
@@ -225,6 +233,25 @@ SELECT vec_id,
        round(list_dot_product(ve, qv) /
              (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
 FROM b, q WHERE b.bucket_id = q.qbucket
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+# hamming distance over the 6 plane bits, unrolled (engine-portable —
+# no popcount builtin needed)
+_HAMMING_6 = " + ".join(
+    f"CASE WHEN ((bucket_id >> {p}) & 1) <> ((qbucket >> {p}) & 1) THEN 1 ELSE 0 END"
+    for p in range(6)
+)
+
+DP_ANN_MULTIPROBE_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+b AS (SELECT vec_id, ve, CAST({BUCKET_SQL_EXPR} AS INTEGER) AS bucket_id FROM v),
+q AS (SELECT ve AS qv, bucket_id AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(ve, qv) /
+             (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+FROM b, q WHERE ({_HAMMING_6}) <= 1
 ORDER BY cosine_sim DESC, vec_id ASC
 LIMIT 10
 """
@@ -281,6 +308,7 @@ QUERIES = {
     "dp_ann_brute_topk": dp_ann_brute_topk,
     "dp_ann_bucket_histogram": dp_ann_bucket_histogram,
     "dp_ann_bucketed_topk": dp_ann_bucketed_topk,
+    "dp_ann_multiprobe_topk": dp_ann_multiprobe_topk,
     "dp_media_resize_plan": dp_media_resize_plan,
     "dp_media_frame_sample": dp_media_frame_sample,
     "dp_media_features": dp_media_features,
@@ -296,6 +324,7 @@ ORACLES = {
     "dp_ann_brute_topk": DP_ANN_BRUTE_SQL,
     "dp_ann_bucket_histogram": DP_ANN_BUCKETS_SQL,
     "dp_ann_bucketed_topk": DP_ANN_BUCKETED_SQL,
+    "dp_ann_multiprobe_topk": DP_ANN_MULTIPROBE_SQL,
     "dp_media_resize_plan": DP_MEDIA_RESIZE_SQL,
     "dp_media_frame_sample": DP_FRAME_SAMPLE_SQL,
     # dp_minhash_pairs / dp_simhash_pairs / dp_media_features:
