@@ -335,3 +335,30 @@ embedding_corpus AS (
          CAST(list_transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT)) AS FLOAT[])
   FROM embeddings WHERE vec_id % 10 = 0
 )"""
+
+
+def register_views(spark: SparkSession, sf_dir: str, derived: bool = True) -> list[str]:
+    """Expose the whole data model to ``spark.sql(...)``: every raw
+    driver table plus (optionally) the derived namespace tables — the
+    SQL front door for users of the engine. Returns the view names.
+
+    Derived views are backed by the per-session memo (persisted), so
+    repeated SQL against them does not re-derive.
+    """
+    names = []
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+        names.append(t)
+    if derived:
+        for name, fn in (
+            ("om_keys", om_keys),
+            ("om_events", om_events),
+            ("containers", containers),
+            ("container_replicas", container_replicas),
+            ("audit_log", audit_log),
+            ("dedup_corpus", dedup_corpus),
+            ("embedding_corpus", embedding_corpus),
+        ):
+            fn(spark, sf_dir).createOrReplaceTempView(name)
+            names.append(name)
+    return names

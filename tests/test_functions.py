@@ -80,3 +80,17 @@ def test_ancestors(spark):
     got = [r["a"] for r in df.select(ancestors(F.col("k")).alias("a")).collect()]
     assert got[0] == ["a", "a/b", "a/b/c"]
     assert got[1] == []
+
+
+def test_register_views_sql_front_door(spark, sf_dir):
+    from hadoop_ozone_spark import model
+
+    names = model.register_views(spark, sf_dir)
+    assert "lineitem" in names and "om_keys" in names
+    # raw and derived views answer SQL directly
+    n_keys = spark.sql("SELECT count(*) AS n FROM om_keys").first()["n"]
+    assert n_keys > 0
+    top = spark.sql(
+        "SELECT volume, count(*) AS n FROM om_keys GROUP BY volume ORDER BY n DESC LIMIT 1"
+    ).first()
+    assert top["n"] > 0
