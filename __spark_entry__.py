@@ -32,6 +32,7 @@ from hadoop_ozone_spark.plans import (
     extended_queries,
     policy_queries,
     temporal_queries,
+    tpch_queries,
 )
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -702,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **coverage_queries.QUERIES,
         **policy_queries.QUERIES,
         **temporal_queries.QUERIES,
+        **tpch_queries.QUERIES,
     }
 
 
@@ -743,4 +745,5 @@ def oracle_sql() -> dict[str, str]:
         **coverage_queries.ORACLES,
         **policy_queries.ORACLES,
         **temporal_queries.ORACLES,
+        **tpch_queries.ORACLES,
     }

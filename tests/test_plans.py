@@ -68,3 +68,30 @@ def test_salted_aggregation_equals_direct(spark, sf_dir):
         ).collect()
     }
     assert salted == direct
+
+
+def test_q7_dims_broadcast_fact_shuffles_once(spark, sf_dir):
+    p = plan_of(entry.queries()["q7_volume_shipping"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # dims must never shuffle the fact
+
+
+def test_q10_topk_after_aggregation(spark, sf_dir):
+    p = plan_of(entry.queries()["q10_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q16_distinct_count_partial_agg(spark, sf_dir):
+    p = plan_of(entry.queries()["q16_supplier_variety"](spark, sf_dir))
+    # distinct-count expands to two-phase aggregation
+    assert p.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in p
+
+
+def test_q19_part_filters_pushed_to_scan(spark, sf_dir):
+    p = plan_of(entry.queries()["q19_disjunctive_revenue"](spark, sf_dir))
+    # the quantity bounds (common to all OR branches after join) and the
+    # part brand/size IN-lists must reach the parquet readers
+    assert "PushedFilters: [" in p
+    assert "l_quantity" in p
