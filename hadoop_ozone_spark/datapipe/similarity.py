@@ -118,6 +118,100 @@ def bucket_histogram(embeddings: DataFrame, vec_col: str = "embedding") -> DataF
     )
 
 
+# --- IVF-flat (inverted-file) index ---------------------------------------
+#
+# The other coarse-quantization family: assign every vector to its
+# nearest centroid (the "inverted list"); a query scores the centroids,
+# probes the nprobe best lists, and runs exact cosine inside them.
+# Centroids here are deterministic seeds (the n_lists lowest vec_ids) so
+# the DuckDB oracle can replay assignment bit-for-bit; a trained
+# codebook (e.g. k-means over a sample) drops in via the ``centroids``
+# argument without changing any plan — assignment, probe, and verify
+# are the same single-shuffle programs.
+
+def ivf_centroids(
+    embeddings: DataFrame, n_lists: int = 16, vec_col: str = "embedding"
+) -> DataFrame:
+    """Seed codebook: (list_id, cvec) from the n_lists lowest vec_ids."""
+    return embeddings.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("list_id"), as_double(F.col(vec_col)).alias("cvec")
+    )
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Write-time artifact: (list_id, vec_id, vec) — each vector in its
+    nearest-centroid list (cosine, rounded; ties → lowest list_id).
+
+    One broadcast (the codebook) + one map-side-combinable groupBy on
+    vec_id: the corpus shuffles once, at index build, never at query.
+    Persist partitioned by list_id so probes prune partitions."""
+    c = centroids if centroids is not None else ivf_centroids(embeddings, n_lists, vec_col)
+    score = F.round(cosine(as_double(F.col(vec_col)), F.col("cvec")), round_digits)
+    scored = embeddings.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        F.col(vec_col),
+        (-F.col("list_id")).alias("neg_list"),
+        score.alias("score"),
+    )
+    # lexicographic struct max = argmax(score) with lowest-list tie-break
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct("score", "neg_list", F.col(vec_col).alias("vec"))).alias("m")
+    )
+    return best.select(
+        (-F.col("m.neg_list")).alias("list_id"), "vec_id", F.col("m.vec").alias(vec_col)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame | None,
+    query: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    index: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Score the codebook against the query, probe the nprobe best
+    lists, exact cosine top-k inside them. ``nprobe == n_lists``
+    degenerates to exact brute force (the recall invariant the tests
+    pin); smaller nprobe trades scan breadth for recall with the same
+    persisted index."""
+    c = centroids if centroids is not None else ivf_centroids(embeddings, n_lists, vec_col)
+    qscore = F.round(cosine(as_double(F.col("qvec")), F.col("cvec")), round_digits)
+    probes = (
+        query.crossJoin(F.broadcast(c))
+        .select("qvec", "list_id", qscore.alias("qscore"))
+        .orderBy(F.desc("qscore"), F.asc("list_id"))
+        .limit(nprobe)
+        .select("qvec", "list_id")
+    )
+    idx = (
+        index
+        if index is not None
+        else ivf_index(embeddings, n_lists, vec_col, centroids=c)
+    )
+    return (
+        idx.join(F.broadcast(probes), "list_id")
+        .select(
+            "vec_id",
+            F.round(
+                cosine(as_double(F.col(vec_col)), as_double(F.col("qvec"))),
+                round_digits,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def bucketed_topk(
     embeddings: DataFrame | None,
     query: DataFrame,

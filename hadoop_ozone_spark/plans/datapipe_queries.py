@@ -257,6 +257,45 @@ LIMIT 10
 """
 
 
+def dp_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat probe: nearest-centroid inverted lists (deterministic
+    seed codebook — oracle-replayable; a trained codebook drops in via
+    the centroids argument), query probes the 4 best of 16 lists."""
+    emb = model.load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_lists=16, nprobe=4
+    )
+
+
+_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+DP_ANN_IVF_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+c AS (SELECT vec_id AS list_id, ve AS cv FROM v WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, ve, list_id FROM (
+    SELECT v.vec_id, v.ve, c.list_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_COS.format(a='v.ve', b='c.cv')} DESC, c.list_id ASC) AS rn
+    FROM v, c
+  ) WHERE rn = 1
+),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+probes AS (
+  SELECT list_id FROM c, q
+  ORDER BY {_COS.format(a='c.cv', b='qv')} DESC, list_id ASC LIMIT 4
+)
+SELECT vec_id, {_COS.format(a='ve', b='qv')} AS cosine_sim
+FROM assign JOIN probes USING (list_id), q
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 # --- multimodal -----------------------------------------------------------
 
 def dp_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,6 +348,7 @@ QUERIES = {
     "dp_ann_bucket_histogram": dp_ann_bucket_histogram,
     "dp_ann_bucketed_topk": dp_ann_bucketed_topk,
     "dp_ann_multiprobe_topk": dp_ann_multiprobe_topk,
+    "dp_ann_ivf_topk": dp_ann_ivf_topk,
     "dp_media_resize_plan": dp_media_resize_plan,
     "dp_media_frame_sample": dp_media_frame_sample,
     "dp_media_features": dp_media_features,
@@ -325,6 +365,7 @@ ORACLES = {
     "dp_ann_bucket_histogram": DP_ANN_BUCKETS_SQL,
     "dp_ann_bucketed_topk": DP_ANN_BUCKETED_SQL,
     "dp_ann_multiprobe_topk": DP_ANN_MULTIPROBE_SQL,
+    "dp_ann_ivf_topk": DP_ANN_IVF_SQL,
     "dp_media_resize_plan": DP_MEDIA_RESIZE_SQL,
     "dp_media_frame_sample": DP_FRAME_SAMPLE_SQL,
     # dp_minhash_pairs / dp_simhash_pairs / dp_media_features:

@@ -59,6 +59,36 @@ def test_ann_bucketed_recall(spark, sf_dir):
     assert bucketed[0] == 7
 
 
+def test_ann_ivf_full_probe_equals_brute(spark, sf_dir):
+    """nprobe == n_lists degenerates to exact search: every list is
+    scanned, so the result must equal brute force row-for-row."""
+    emb = model.load(spark, sf_dir, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qvec"))
+    brute = [tuple(r) for r in similarity.brute_force_topk(emb, q, k=10).collect()]
+    full = [
+        tuple(r)
+        for r in similarity.ivf_topk(emb, q, k=10, n_lists=16, nprobe=16).collect()
+    ]
+    assert full == brute
+
+
+def test_ann_ivf_partial_probe_finds_query(spark, sf_dir):
+    emb = model.load(spark, sf_dir, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qvec"))
+    got = similarity.ivf_topk(emb, q, k=5, n_lists=16, nprobe=4).collect()
+    # the query vector's own list is always the best-scored probe, so
+    # the query itself (cosine 1.0) must surface first
+    assert got[0]["vec_id"] == 7
+    assert len(got) == 5
+
+
+def test_ann_ivf_index_partitions_complete(spark, sf_dir):
+    emb = model.load(spark, sf_dir, "embeddings")
+    idx = similarity.ivf_index(emb, n_lists=16)
+    assert idx.count() == emb.count()  # every vector lands in exactly one list
+    assert idx.select("list_id").distinct().count() <= 16
+
+
 def test_media_features_batch_path(spark, sf_dir):
     media = multimodal.synthesize_media(model.load(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media)
