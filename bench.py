@@ -40,8 +40,10 @@ HEADLINE = [
     "dp_token_stats",
     "dp_curation_pipeline",
     "dp_ann_brute_topk",
+    "dp_ann_ivf_topk",
     "ev_asof_join",
     "ev_range_join_binned",
+    "q21_waiting_suppliers",
 ]
 
 

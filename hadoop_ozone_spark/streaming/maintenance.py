@@ -23,7 +23,7 @@ old_value; its contribution is (−old, +new) in the same batch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
@@ -183,3 +183,64 @@ def streaming_file_size_histogram(events: DataFrame, watermark: str = "1 hour") 
     )
     signed = wm.select(F.explode(contributions).alias("c")).select("c.file_size", "c.delta")
     return signed.groupBy("file_size").agg(F.sum("delta").alias("cnt"))
+
+
+def default_container_of(key: Column | str = "row_key", n_containers: int = 8) -> Column:
+    """Stand-in container assignment for event feeds that don't carry
+    location lists: stable hash of the key. In the reference the
+    container ids arrive WITH the event (OmKeyInfo's location groups,
+    OMDBUpdatesHandler.java:62-110); any per-event Column works here."""
+    return F.pmod(F.xxhash64(key), F.lit(n_containers))
+
+
+def container_key_delta(
+    events: DataFrame, container_expr: Column | None = None
+) -> DataFrame:
+    """J4 incremental (ContainerKeyMapperTask.process): signed
+    container-membership deltas per event — PUT +1 key / +bytes,
+    DELETE −1 / −bytes, UPDATE 0 keys but −old+new bytes (a key rewrite
+    stays in its container at this granularity; a relocation arrives as
+    DELETE + PUT in the feed, exactly how the reference task treats
+    location-list changes)."""
+    cid = container_expr if container_expr is not None else default_container_of()
+    member = (
+        F.when(F.col("op") == "PUT", F.lit(1))
+        .when(F.col("op") == "DELETE", F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    size = F.coalesce(F.col("data_size"), F.lit(0))
+    old = F.coalesce(F.col("old_size"), F.lit(0))
+    bytes_d = (
+        F.when(F.col("op") == "PUT", size)
+        .when(F.col("op") == "DELETE", -size)
+        .otherwise(size - old)
+    )
+    return events.select(
+        "seqno",
+        cid.alias("container_id"),
+        "row_key",
+        member.alias("member_delta"),
+        bytes_d.alias("bytes_delta"),
+        "event_time",
+    )
+
+
+def streaming_container_key_index(
+    events: DataFrame,
+    container_expr: Column | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """J4 as a streaming aggregate: running (num_keys, total_bytes) per
+    container in update mode — the containerKeyTable mart maintained
+    incrementally instead of by reprocess. One stateful groupBy keyed
+    by container_id; map-side partial sums keep state rows at
+    |containers|, not |events|."""
+    wm = events.withWatermark("event_time", watermark)
+    return (
+        container_key_delta(wm, container_expr)
+        .groupBy("container_id")
+        .agg(
+            F.sum("member_delta").alias("num_keys"),
+            F.sum("bytes_delta").alias("total_bytes"),
+        )
+    )

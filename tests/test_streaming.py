@@ -7,6 +7,7 @@ import shutil
 import tempfile
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hadoop_ozone_spark.streaming import maintenance
@@ -138,5 +139,56 @@ def test_streaming_dedup_by_seqno(spark):
         q.awaitTermination(120)
         got = {r["op"]: r["cnt"] for r in spark.sql("SELECT * FROM dedup_test").collect()}
         assert got == {"PUT": 2, "DELETE": 1}  # redeliveries dropped
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_container_index_matches_batch(spark, events_df):
+    """J4 incremental (ContainerKeyMapperTask.process) ≡ reprocess:
+    stream the events into the per-container running index, then
+    recompute the same index from the compacted final state — the two
+    marts must agree on every surviving container."""
+    tmp = tempfile.mkdtemp(prefix="ozspark_ckidx_")
+    try:
+        events_df.write.mode("overwrite").parquet(f"{tmp}/events")
+        stream = maintenance.read_event_stream(
+            spark, f"{tmp}/events", max_files_per_trigger=10
+        )
+        idx = maintenance.streaming_container_key_index(stream)
+        q = (
+            idx.writeStream.format("memory")
+            .queryName("ckidx_test")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["container_id"]: (r["num_keys"], r["total_bytes"])
+            for r in spark.sql("SELECT * FROM ckidx_test").collect()
+            if r["num_keys"] > 0
+        }
+        # reprocess: latest-op-wins compaction of the same events, then
+        # the batch index over the surviving keys
+        w = Window.partitionBy("row_key").orderBy(F.desc("seqno"))
+        survivors = (
+            events_df.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "DELETE"))
+            .select("row_key", "data_size")
+        )
+        batch = {
+            r["container_id"]: (r["num_keys"], r["total_bytes"])
+            for r in survivors.groupBy(
+                maintenance.default_container_of().alias("container_id")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("num_keys"),
+                F.sum("data_size").alias("total_bytes"),
+            )
+            .collect()
+        }
+        assert got == batch
+        assert sum(n for n, _ in got.values()) == 2  # k1 (updated) + k3
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -157,6 +157,29 @@ def vecs_probe(n_vecs: int, dims: int = 64, k: int = 50) -> None:
             ]
             out["timings_sec"][f"bucketed_topk_r{radius}"] = round(time.time() - t0, 2)
             out["recall_at_k"][f"r{radius}"] = round(len(set(exact) & set(approx)) / k, 3)
+        # IVF-flat: persisted inverted lists (same deployment shape),
+        # swept over nprobe — the breadth/recall dial with a fixed index
+        n_lists = 64
+        cents = similarity.ivf_centroids(emb, n_lists=n_lists)
+        t0 = time.time()
+        similarity.ivf_index(emb, n_lists=n_lists, centroids=cents).write.partitionBy(
+            "list_id"
+        ).parquet(f"{tmp}/ivf")
+        out["timings_sec"]["ivf_index_build_write"] = round(time.time() - t0, 2)
+        ivf = spark.read.parquet(f"{tmp}/ivf")
+        for nprobe in (4, 8, 16):
+            t0 = time.time()
+            approx = [
+                r["vec_id"]
+                for r in similarity.ivf_topk(
+                    None, query, k=k, n_lists=n_lists, nprobe=nprobe,
+                    index=ivf, centroids=cents,
+                ).collect()
+            ]
+            out["timings_sec"][f"ivf_topk_p{nprobe}"] = round(time.time() - t0, 2)
+            out["recall_at_k"][f"ivf_p{nprobe}"] = round(
+                len(set(exact) & set(approx)) / k, 3
+            )
         sizes = sorted(
             r["n_vectors"] for r in similarity.bucket_histogram(emb).collect()
         )
