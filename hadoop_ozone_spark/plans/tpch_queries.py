@@ -661,3 +661,197 @@ ORACLES = {
     "q21_waiting_suppliers": Q21_SQL,
     "q22_idle_customers": Q22_SQL,
 }
+
+
+# --- Q2: cheapest supplier per part (group-wise min + join-back) ------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: per-part minimum + correlated join-back. No partsupp
+    table, so the part↔supplier offer relation is each supplier's
+    average discounted unit price observed in lineitem; the winner per
+    part is the min (ties → lowest suppkey), reported with supplier
+    attributes for LARGE parts of size 15.
+
+    Shape notes: the offer relation aggregates lineitem once (shuffle
+    on (partkey, suppkey)); the group-wise min is a window over that
+    aggregate (re-shuffle of the small offers frame, not the fact);
+    supplier/nation broadcast at the end.
+    """
+    part = model.load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    li = model.load(spark, sf_dir, "lineitem")
+    unit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+    offers = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")), 
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(
+            (F.sum(unit).cast("double") / F.sum(F.col("l_quantity").cast(DEC4)).cast("double"))
+            .alias("avg_unit_price")
+        )
+        .withColumn("avg_unit_price", F.round("avg_unit_price", 6))
+    )
+    w = Window.partitionBy("p_partkey")
+    best = (
+        offers.withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.asc("avg_unit_price"), F.asc("l_suppkey"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    supp = model.load(spark, sf_dir, "supplier")
+    nation = model.load(spark, sf_dir, "nation")
+    return (
+        best.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal", "s_name", F.col("n_name").alias("nation"),
+            "p_partkey", "p_brand", "avg_unit_price",
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH offers AS (
+  SELECT p_partkey, p_brand, l_suppkey,
+         round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(22,4))) AS DOUBLE), 6) AS avg_unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'LARGE' AND p_size <= 10
+  GROUP BY p_partkey, p_brand, l_suppkey
+), best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                 ORDER BY avg_unit_price ASC, l_suppkey ASC) AS rn
+    FROM offers
+  ) WHERE rn = 1
+)
+SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_brand, avg_unit_price
+FROM best
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --- Q11: important part share (HAVING vs global scalar) --------------------
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-group value vs a scalar fraction of the global
+    total. Value = discounted revenue per part from NATION_3 suppliers
+    (no partsupp: lineitem is the holding relation); keep parts above
+    0.1% of the total. The scalar is a 1-row broadcast; the per-part
+    aggregate shuffles once."""
+    nation = model.load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = (
+        model.load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = model.load(spark, sf_dir, "lineitem")
+    held = li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part = held.groupBy("l_partkey").agg(F.sum(_rev()).alias("value_dec"))
+    total = per_part.agg(
+        (F.sum("value_dec") * F.lit(0.001)).cast(DEC4).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("threshold"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH held AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM held
+WHERE value_dec > (SELECT CAST(SUM(value_dec) * 0.001 AS DECIMAL(22,4)) FROM held)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# --- Q20: suppliers with surplus stock of a part family (nested semis) ------
+
+def q20_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested semi-joins — suppliers qualified by a
+    quantity condition over a LIKE-filtered part family. No partsupp
+    availqty, so "surplus" = the supplier shipped more than half of
+    that part's 1997 total across all suppliers. Inner aggregate →
+    qualifying (part, supplier) pairs → semi-join up to suppliers →
+    nation filter."""
+    part = model.load(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = model.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    fam = li.join(F.broadcast(part.select("p_partkey")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+    per_ps = fam.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC4)).alias("qty_dec")
+    )
+    w = Window.partitionBy("l_partkey")
+    qualified = (
+        per_ps.withColumn("part_total", F.sum("qty_dec").over(w))
+        .filter(F.col("qty_dec") * 2 > F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = model.load(spark, sf_dir, "nation")
+    supp = model.load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(22,4))) AS qty_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+), qualified AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, qty_dec,
+           SUM(qty_dec) OVER (PARTITION BY l_partkey) AS part_total
+    FROM per_ps
+  ) WHERE qty_dec * 2 > part_total
+)
+SELECT s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM qualified)
+ORDER BY s_name
+"""
+
+
+QUERIES.update({
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q20_surplus_suppliers": q20_surplus_suppliers,
+})
+ORACLES.update({
+    "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q20_surplus_suppliers": Q20_SQL,
+})
