@@ -303,3 +303,54 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def connected_dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Transitive dedup groups: connected components over any near-dup
+    pair stream (exact, n-gram, MinHash, SimHash — anything emitting
+    (doc_a, doc_b)). Returns (doc_id, group_id) for every doc that
+    appears in a pair, where group_id = the smallest doc_id reachable
+    through dup edges — the canonical representative to KEEP; everything
+    else in the group is the drop set.
+
+    Min-label propagation: each round every node takes the minimum of
+    its own label and its neighbours' labels; converges in O(component
+    diameter) rounds (dup components are tiny cliques/chains, so 2-3
+    rounds in practice). Each round is one shuffle join + one
+    map-side-combinable groupBy; lineage is truncated per round with
+    localCheckpoint so plans stay flat. At extreme scale swap the loop
+    body for large-star/small-star — the per-round plan shape is the
+    same.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        und.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("group_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            und.join(labels, und["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("group_id").alias("n_min"))
+        )
+        proposed = (
+            labels.join(neigh_min, labels["doc_id"] == neigh_min["src"], "left")
+            .select(
+                "doc_id",
+                F.col("group_id").alias("old_group"),
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("n_min"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = proposed.filter(F.col("group_id") < F.col("old_group")).count()
+        labels = proposed.drop("old_group")
+        if changed == 0:
+            break
+    return labels

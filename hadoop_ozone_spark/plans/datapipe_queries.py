@@ -162,6 +162,57 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0
 ORDER BY doc_a, doc_b""",
 )
 
+def dp_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup groups (connected components by min-label
+    propagation) over the n-gram Jaccard pair graph: the canonical
+    'keep lowest doc_id per duplicate cluster' assignment. The oracle
+    replays the closure with a recursive CTE."""
+    pairs = dedup.ngram_jaccard_pairs(model.dedup_corpus(spark, sf_dir), threshold=0.5)
+    return dedup.connected_dedup_groups(pairs).orderBy("doc_id")
+
+
+_PAIRS_CTES = r"""toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM dedup_corpus
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON common.doc_a = sa.doc_id
+  JOIN sizes sb ON common.doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+)"""
+
+DP_DEDUP_GROUPS_SQL = (
+    "WITH RECURSIVE "
+    + model.DEDUP_CORPUS_CTE.strip()
+    + ",\n"
+    + _PAIRS_CTES
+    + r""",
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  WHERE e.dst <> r.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS group_id
+FROM reach GROUP BY src ORDER BY doc_id"""
+)
+
+
 # DuckDB has no xxhash64 — minhash/simhash get rows-only checks.
 
 def dp_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,6 +393,7 @@ QUERIES = {
     "dp_curation_pipeline": dp_curation_pipeline,
     "dp_exact_dedup": dp_exact_dedup,
     "dp_ngram_jaccard": dp_ngram_jaccard,
+    "dp_dedup_groups": dp_dedup_groups,
     "dp_minhash_pairs": dp_minhash_pairs,
     "dp_simhash_pairs": dp_simhash_pairs,
     "dp_ann_brute_topk": dp_ann_brute_topk,
@@ -361,6 +413,7 @@ ORACLES = {
     "dp_curation_pipeline": DP_CURATION_SQL,
     "dp_exact_dedup": DP_EXACT_DEDUP_SQL,
     "dp_ngram_jaccard": DP_NGRAM_JACCARD_SQL,
+    "dp_dedup_groups": DP_DEDUP_GROUPS_SQL,
     "dp_ann_brute_topk": DP_ANN_BRUTE_SQL,
     "dp_ann_bucket_histogram": DP_ANN_BUCKETS_SQL,
     "dp_ann_bucketed_topk": DP_ANN_BUCKETED_SQL,

@@ -145,3 +145,31 @@ def test_curation_pipeline_filters_before_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     below_exchange = plan.split("Exchange hashpartitioning", 1)[1]
     assert "Filter" in below_exchange
+
+
+def test_connected_dedup_groups_chain(spark):
+    """A chain a-b, b-c plus an isolated pair d-e: the chain collapses
+    to one group labeled by its minimum even though a and c never share
+    an edge (the transitive step LSH pair output alone cannot do)."""
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 30)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup.connected_dedup_groups(pairs).collect()
+    }
+    assert got == {1: 1, 5: 1, 9: 1, 20: 20, 30: 20}
+
+
+def test_connected_dedup_groups_on_corpus(corpus):
+    """Docs divisible by 70 have BOTH an exact copy (+2M) and a near
+    copy (+1M) — the three must land in one group keyed by the base id."""
+    pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.5)
+    labels = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup.connected_dedup_groups(pairs).collect()
+    }
+    base = next(d for d in labels if d < 1_000_000 and d % 70 == 0)
+    assert labels[base] == base
+    assert labels.get(base + 1_000_000) == base
+    assert labels.get(base + 2_000_000) == base
