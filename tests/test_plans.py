@@ -95,3 +95,27 @@ def test_q19_part_filters_pushed_to_scan(spark, sf_dir):
     # part brand/size IN-lists must reach the parquet readers
     assert "PushedFilters: [" in p
     assert "l_quantity" in p
+
+
+def test_q21_single_fact_shuffle(spark, sf_dir):
+    p = plan_of(entry.queries()["q21_waiting_suppliers"](spark, sf_dir))
+    # orders broadcasts into lineitem; the only fact-sized shuffle is the
+    # (orderkey, suppkey) aggregate — the window and final agg reshuffle
+    # already-aggregated frames
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange hashpartitioning") <= 3
+
+
+def test_q2_groupwise_min_over_aggregate(spark, sf_dir):
+    p = plan_of(entry.queries()["q2_min_cost_supplier"](spark, sf_dir))
+    # the window (row_number) must run over the offers aggregate, i.e.
+    # after a HashAggregate, never over raw lineitem
+    assert "Window" in p
+    assert "BroadcastHashJoin" in p
+    assert p.index("Window") < p.index("HashAggregate")  # window above agg in tree
+
+
+def test_q20_semi_join_stays_semi(spark, sf_dir):
+    p = plan_of(entry.queries()["q20_surplus_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in p
