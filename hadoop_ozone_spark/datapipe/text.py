@@ -154,3 +154,25 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", F.md5(norm).alias("fingerprint"), F.length(norm).alias("norm_len")
     )
+
+
+def vocabulary(docs: DataFrame, text_col: str = "text", top_k: int = 100) -> DataFrame:
+    """Corpus-wide token vocabulary with relative frequencies — the
+    tokenizer-prep step of a training pipeline (what BPE/unigram
+    training consumes). One explode + one map-side-combinable groupBy
+    on token (the only corpus-sized shuffle; token skew is the classic
+    AQE case — 'the' dwarfs the tail); the global total is a 1-row
+    broadcast and the cut is TakeOrderedAndProject."""
+    tok = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 8).alias("freq"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(top_k)
+    )

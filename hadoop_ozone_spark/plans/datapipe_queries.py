@@ -162,6 +162,24 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0
 ORDER BY doc_a, doc_b""",
 )
 
+def dp_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary with relative frequencies (the
+    tokenizer-prep aggregate)."""
+    return text.vocabulary(model.load(spark, sf_dir, "documents"), top_k=100)
+
+
+DP_VOCABULARY_SQL = r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+)
+SELECT token, cnt, round(cnt / (SELECT SUM(cnt) FROM counts), 8) AS freq
+FROM counts ORDER BY cnt DESC, token ASC LIMIT 100
+"""
+
+
 def dp_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup groups (connected components by min-label
     propagation) over the n-gram Jaccard pair graph: the canonical
@@ -393,6 +411,7 @@ QUERIES = {
     "dp_curation_pipeline": dp_curation_pipeline,
     "dp_exact_dedup": dp_exact_dedup,
     "dp_ngram_jaccard": dp_ngram_jaccard,
+    "dp_vocabulary": dp_vocabulary,
     "dp_dedup_groups": dp_dedup_groups,
     "dp_minhash_pairs": dp_minhash_pairs,
     "dp_simhash_pairs": dp_simhash_pairs,
@@ -413,6 +432,7 @@ ORACLES = {
     "dp_curation_pipeline": DP_CURATION_SQL,
     "dp_exact_dedup": DP_EXACT_DEDUP_SQL,
     "dp_ngram_jaccard": DP_NGRAM_JACCARD_SQL,
+    "dp_vocabulary": DP_VOCABULARY_SQL,
     "dp_dedup_groups": DP_DEDUP_GROUPS_SQL,
     "dp_ann_brute_topk": DP_ANN_BRUTE_SQL,
     "dp_ann_bucket_histogram": DP_ANN_BUCKETS_SQL,
