@@ -67,14 +67,27 @@ def signed_counts(events: DataFrame, *group_cols: str) -> DataFrame:
     """A2/A4 incremental maintenance as a batch-checkable aggregate:
     PUT → +1, DELETE → −1, UPDATE → 0 net count (retract+emit).
 
-    The streaming twin applies the same signed sum per micro-batch and
-    MERGEs into the mart (see streaming/maintenance.py).
+    Byte semantics follow the retract+emit law of the streaming twin
+    (streaming/maintenance.size_delta): when the feed carries an
+    ``old_size`` column, an UPDATE contributes ``data_size −
+    coalesce(old_size, 0)``; feeds without old values (e.g. the driver's
+    om_events) fall back to counting the full new size, which equals the
+    law under the assumption old_size is unknown-zero. Replaying one
+    feed through batch and streaming therefore yields identical
+    net_bytes.
     """
     delta = (
         F.when(F.col("op") == "PUT", 1).when(F.col("op") == "DELETE", -1).otherwise(0)
     )
-    size_delta = F.when(F.col("op") == "DELETE", -F.col("data_size")).otherwise(
-        F.col("data_size")
+    update_bytes = (
+        F.col("data_size") - F.coalesce(F.col("old_size"), F.lit(0))
+        if "old_size" in events.columns
+        else F.col("data_size")
+    )
+    size_delta = (
+        F.when(F.col("op") == "DELETE", -F.col("data_size"))
+        .when(F.col("op") == "UPDATE", update_bytes)
+        .otherwise(F.col("data_size"))
     )
     return (
         events.groupBy(*group_cols)

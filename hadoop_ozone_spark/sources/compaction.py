@@ -109,7 +109,6 @@ def compact(
     )
     if not picked:
         return picked
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     touched = spark.createDataFrame(
         [(s.volume, s.bucket) for s in picked], "volume string, bucket string"
     )
@@ -127,6 +126,9 @@ def compact(
         fragmented.repartitionByRange(n_out, "volume", "bucket", sort_col)
         .sortWithinPartitions("volume", "bucket", sort_col)
         .write.mode("overwrite")
+        # scoped to this write — never mutate the shared session conf
+        # (a later static full-bootstrap overwrite must not inherit it)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("volume", "bucket")
         .parquet(snapshot_dir)
     )

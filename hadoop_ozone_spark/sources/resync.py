@@ -86,11 +86,17 @@ def run_sync(
                 f"cover the truncated range (needs >= {plan.from_seqno})"
             )
         # full bootstrap: overwrite everything, then apply the retained
-        # tail ABOVE the checkpoint in the same round
+        # tail ABOVE the checkpoint in the same round. Overwrite mode is
+        # pinned static PER-WRITE: if a prior delta/compaction on this
+        # session left dynamic mode behind, a dynamic bootstrap would
+        # only replace partitions present in `authoritative`, so a
+        # partition whose keys were all deleted upstream would survive —
+        # deleted keys resurrect.
         (
             authoritative.repartition("volume", "bucket")
             .sortWithinPartitions("key")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
             .partitionBy("volume", "bucket")
             .parquet(snapshot_dir)
         )

@@ -30,13 +30,13 @@ def apply_events_to_snapshot(
     — latest-op-wins within the batch, DELETE drops the row, PUT/UPDATE
     upserts the payload.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     compacted = cdc.latest_state(events, key_col=key_col)  # PUT/UPDATE survivors
-    touched = [
-        (r["volume"], r["bucket"])
-        for r in events.select("volume", "bucket").distinct().collect()
-    ]  # micro-batches touch a handful of buckets; driver-side list is tiny
-    touched_df = spark.createDataFrame(touched, "volume string, bucket string")
+    # Touched-partition set stays a DataFrame — no driver collect of the
+    # (unbounded at 100× namespace breadth) partition list. Dynamic
+    # partition overwrite is scoped to THIS write via the writer option,
+    # never the shared session conf (a later static full-bootstrap
+    # overwrite on the same session must not inherit dynamic mode).
+    touched_df = events.select("volume", "bucket").distinct().persist()
     snap = spark.read.parquet(snapshot_dir)
     affected_old = snap.join(F.broadcast(touched_df), ["volume", "bucket"], "left_semi")
     all_batch_keys = events.select(key_col).distinct()
@@ -49,6 +49,7 @@ def apply_events_to_snapshot(
         merged.repartition("volume", "bucket")
         .sortWithinPartitions("key")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("volume", "bucket")
         .parquet(snapshot_dir)
     )
@@ -56,18 +57,21 @@ def apply_events_to_snapshot(
     # data. A touched partition whose every row was deleted produces no
     # output rows, so its old files would survive — deleted keys would
     # resurrect. Remove those partition directories explicitly (Hadoop
-    # FS API, so HDFS/S3A work the same as local).
-    still_present = {
-        (r["volume"], r["bucket"])
-        for r in merged.select("volume", "bucket").distinct().collect()
-    }
+    # FS API, so HDFS/S3A work the same as local). The collect here is
+    # bounded by the EMPTIED-partition count (normally ~0), not the
+    # touched count.
+    emptied = (
+        touched_df.join(
+            merged.select("volume", "bucket").distinct(), ["volume", "bucket"], "left_anti"
+        ).collect()
+    )
     merged.unpersist()
+    touched_df.unpersist()
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    for vol, bkt in touched:
-        if (vol, bkt) not in still_present:
-            path = jvm.org.apache.hadoop.fs.Path(
-                f"{snapshot_dir}/volume={vol}/bucket={bkt}"
-            )
-            fs = path.getFileSystem(hconf)
-            fs.delete(path, True)
+    for r in emptied:
+        path = jvm.org.apache.hadoop.fs.Path(
+            f"{snapshot_dir}/volume={r['volume']}/bucket={r['bucket']}"
+        )
+        fs = path.getFileSystem(hconf)
+        fs.delete(path, True)

@@ -95,6 +95,35 @@ def streaming_table_counts(
     )
 
 
+def _mart_versions(spark: SparkSession, mart_dir: str) -> list[int]:
+    """Batch ids of COMPLETE mart versions (subdirs ``batch-<id>`` with a
+    ``_SUCCESS`` marker), ascending. Hadoop FS API so local/HDFS/S3A
+    behave the same."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(mart_dir)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch-"):
+            ok = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            if fs.exists(ok):
+                out.append(int(name[len("batch-"):]))
+    return sorted(out)
+
+
+def read_mart(spark: SparkSession, mart_dir: str) -> DataFrame | None:
+    """Read the newest complete version of a versioned mart (None if no
+    complete version exists yet)."""
+    versions = _mart_versions(spark, mart_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(f"{mart_dir}/batch-{versions[-1]}")
+
+
 def run_foreachbatch_merge(
     events: DataFrame,
     mart_dir: str,
@@ -109,6 +138,14 @@ def run_foreachbatch_merge(
     "task failure → rerun from a consistent point" contract
     (ReconTaskControllerImpl). max(seqno) is carried as the feed
     high-watermark for observability/snapshot-resync decisions.
+
+    Crash safety: each batch's totals are written to a NEW versioned
+    subdir (``batch-<id>``, complete iff ``_SUCCESS`` exists) and old
+    versions are pruned only after the new one commits — a crash
+    mid-write leaves the previous version intact, never a half-deleted
+    mart. Readers use :func:`read_mart` (newest complete version).
+    Single-writer assumed — one streaming query owns a mart directory,
+    as one Recon task owns its table in the reference.
     """
 
     def merge(batch: DataFrame, batch_id: int) -> None:
@@ -122,16 +159,8 @@ def run_foreachbatch_merge(
                 F.max("seqno").alias("max_seqno"),
             )
         )
-        from pyspark.errors import AnalysisException
-
-        try:
-            prev = spark.read.parquet(mart_dir).first()
-        except AnalysisException as e:
-            # only a missing mart means "no previous state" — a corrupt
-            # or unreadable mart must surface, not silently reset totals
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            prev = None
+        prev_df = read_mart(spark, mart_dir)
+        prev = prev_df.first() if prev_df is not None else None
         new = deltas.first()
         if new is None or new["max_seqno"] is None:
             return
@@ -147,7 +176,14 @@ def run_foreachbatch_merge(
         ]
         spark.createDataFrame(
             merged, "net_count long, net_bytes long, last_seqno long, last_batch_id long"
-        ).write.mode("overwrite").parquet(mart_dir)
+        ).write.mode("overwrite").parquet(f"{mart_dir}/batch-{batch_id}")
+        # prune superseded versions AFTER the new one is complete
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for v in _mart_versions(spark, mart_dir):
+            if v < batch_id:
+                p = jvm.org.apache.hadoop.fs.Path(f"{mart_dir}/batch-{v}")
+                p.getFileSystem(hconf).delete(p, True)
 
     return (
         events.writeStream.foreachBatch(merge)

@@ -28,10 +28,15 @@ BOUNDARY_SIZES = [0, 1, 1000, 1023, 1024, 1025, 2048, 2049, 2**20, 2**20 + 1, 2*
 
 
 def test_pow2_bins_python():
+    # reference semantics (ReconUtils.getFileSizeUpperBound via bit
+    # count): an exact power of two lands in the NEXT bin, and
+    # size >= 2^50 (inclusive) overflows to Long.MAX_VALUE
     assert file_size_upper_bound_py(0) == 1024
-    assert file_size_upper_bound_py(1024) == 1024
+    assert file_size_upper_bound_py(1023) == 1024
+    assert file_size_upper_bound_py(1024) == 2048
     assert file_size_upper_bound_py(1025) == 2048
-    assert file_size_upper_bound_py(2**50) == 2**50
+    assert file_size_upper_bound_py(2**50 - 1) == 2**50
+    assert file_size_upper_bound_py(2**50) == LONG_MAX
     assert file_size_upper_bound_py(2**50 + 1) == LONG_MAX
     assert NUM_BINS == 42  # 41 pow2 bins + overflow
 

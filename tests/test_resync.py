@@ -84,6 +84,35 @@ def test_snapshot_fallback_bootstraps_then_applies_tail(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_bootstrap_is_static_even_with_dynamic_session_conf(spark):
+    """Regression: a session whose conf was left in dynamic
+    partition-overwrite mode (e.g. by an earlier delta sync or
+    compaction) must STILL fully replace the snapshot on bootstrap —
+    a partition absent from `authoritative` (all its keys deleted
+    upstream) must not survive and resurrect deleted keys."""
+    tmp = tempfile.mkdtemp(prefix="ozspark_resync_")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        stale = BASE + [("v9", "b9", "kz", "/v9/b9/kz", 99)]  # doomed partition
+        snapshot.write_snapshot(spark.createDataFrame(stale, SCHEMA), f"{tmp}/snap")
+        events = spark.createDataFrame(
+            [(10, "PUT", "v1", "b1", "k5", "/v1/b1/k5", 50)], EV_SCHEMA
+        )
+        # checkpoint as of 9: the v9/b9 partition no longer exists upstream
+        auth = spark.createDataFrame(BASE, SCHEMA)
+        resync.run_sync(
+            spark, f"{tmp}/snap", auth, authoritative_seqno=9,
+            events=events, last_applied=2,
+        )
+        assert _state(spark, f"{tmp}/snap") == {
+            "/v1/b1/k1": 10, "/v1/b1/k2": 20, "/v1/b1/k5": 50,
+        }
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_snapshot_fallback_rejects_stale_checkpoint(spark):
     tmp = tempfile.mkdtemp(prefix="ozspark_resync_")
     try:

@@ -53,7 +53,7 @@ def test_foreachbatch_merge_process_equals_reprocess(spark, events_df):
         stream = maintenance.read_event_stream(spark, events_dir)
         q = maintenance.run_foreachbatch_merge(stream, mart_dir, ckpt)
         q.awaitTermination(120)
-        mart = spark.read.parquet(mart_dir).first()
+        mart = maintenance.read_mart(spark, mart_dir).first()
         batch = (
             maintenance.size_delta(events_df)
             .groupBy()
@@ -94,10 +94,11 @@ def test_streaming_histogram_matches_batch(spark, events_df):
         }
         # k1 PUT 500→+bin1024, then UPDATE 500→1500 moves it: −1024 +2048
         # (FileSizeCountTask retract+emit); k2 PUT+DELETE 2000 nets 0 in
-        # 2048; k3 PUT 4096→bin4096. Final: 1024:0, 2048:1, 4096:1.
+        # 2048; k3 PUT 4096 (exact power of two → NEXT bin, per
+        # ReconUtils bit-count semantics) → bin 8192.
         assert got[1024] == 0
         assert got[2048] == 1
-        assert got[4096] == 1
+        assert got[8192] == 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
