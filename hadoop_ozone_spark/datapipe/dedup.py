@@ -11,11 +11,25 @@ Scale design (the whole point at 100 TB):
 - MinHash+LSH: the scale path. signatures = k min-hashes over shingles
   (map-only), banding → candidate pairs via groupBy on (band, hash) —
   the only shuffle — then exact-Jaccard verification on candidates only.
-- SimHash: 64-bit fingerprint via sign-aggregated token hashes; near-dup
-  = small Hamming distance within LSH buckets of fingerprint chunks.
+- SimHash: 128-bit fingerprint via sign-aggregated md5 token bits;
+  near-dup = small Hamming distance within LSH buckets of fingerprint
+  chunks (≥16-bit chunks → candidate count Θ(N²/65536) per chunk, the
+  parameterization that survives 10⁹+ docs).
+
+Two hash families share every plan:
+
+- ``fast`` (default): xxhash64 lanes over hashed token tuples — no
+  string materialization, the 100 TB path.
+- ``portable``: 60-bit lanes from md5 hex prefixes — bit-identical in
+  Spark (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
+  (`CAST('0x'||substring(md5(x),1,15) AS BIGINT)`), so the DuckDB
+  oracle replays the ENTIRE minhash pipeline (signatures, banding,
+  verification) value-for-value. Same operators, same shuffles — only
+  the lane expression differs, so a green portable check validates the
+  shared plan the fast family runs at scale.
 
 All shingle/hash computation is built-in Column expressions (xxhash64,
-transform, aggregate) — no Python in the hot path.
+md5/conv, transform, aggregate) — no Python in the hot path.
 """
 
 from __future__ import annotations
@@ -24,6 +38,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hadoop_ozone_spark.datapipe.text import tokens
+
+
+def md5_lane(col: Column) -> Column:
+    """Engine-portable 60-bit hash lane: the first 15 hex chars of md5,
+    parsed as an integer. DuckDB twin:
+    ``CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def md5_lane_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`md5_lane` (oracle SQL fragment)."""
+    return f"CAST(concat('0x', substring(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -57,14 +83,28 @@ def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
     )
 
 
-def hashed_shingle_df(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, h0: array<long>) — distinct shingle HASHES without
-    materializing shingle strings: hash each token once (projection
-    barrier — element_at over a *column* reads the materialized array;
-    inlining the token-hash expression into every position re-evaluates
-    it O(tokens²)), then hash the n-tuple of token hashes per position.
-    Equivalent blocking power to string shingles, no string building —
-    the form the 100 TB minhash pass uses."""
+def hashed_shingle_df(
+    docs: DataFrame, text_col: str = "text", n: int = 3, portable: bool = False
+) -> DataFrame:
+    """(doc_id, h0: array<long>) — distinct shingle HASHES.
+
+    fast family: no string materialization — hash each token once
+    (projection barrier — element_at over a *column* reads the
+    materialized array; inlining the token-hash expression into every
+    position re-evaluates it O(tokens²)), then hash the n-tuple of
+    token hashes per position. Equivalent blocking power to string
+    shingles, no string building — the form the 100 TB minhash pass
+    uses.
+
+    portable family: md5 lanes over the shingle STRINGS (the exact
+    form the DuckDB oracle rebuilds with list_transform)."""
+    if portable:
+        return docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), n), md5_lane)
+            ).alias("h0"),
+        )
     th = docs.select(
         "doc_id",
         F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
@@ -113,7 +153,11 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = NUM_HASHES
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_id, sig: array<long>[k]) — k-min-hash signatures.
 
@@ -123,14 +167,29 @@ def minhash_signatures(
     shingle construction into every seed branch recomputes the
     split/slice/join pipeline k times per row — 25× slower measured.
     """
-    return signatures_from_hashed(hashed_shingle_df(docs, text_col, n), num_hashes)
+    return signatures_from_hashed(
+        hashed_shingle_df(docs, text_col, n, portable=portable), num_hashes, portable=portable
+    )
 
 
-def signatures_from_hashed(hashed: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+def signatures_from_hashed(
+    hashed: DataFrame, num_hashes: int = NUM_HASHES, portable: bool = False
+) -> DataFrame:
     """(doc_id, h0) → (doc_id, sig); split out so a pipeline that also
-    needs the shingle sets for verification computes the text pass once."""
+    needs the shingle sets for verification computes the text pass once.
+
+    The k seed lanes re-hash the shingle LONGS (cheap long→long in the
+    fast family; md5 of the short decimal string in the portable one —
+    never the original shingle text again)."""
 
     def seeded_min(k: int):  # factory: transform lambdas must stay unary
+        if portable:
+            return F.array_min(
+                F.transform(
+                    F.col("h0"),
+                    lambda h: md5_lane(F.concat(h.cast("string"), F.lit(f"#{k}"))),
+                )
+            )
         return F.array_min(F.transform(F.col("h0"), lambda h: F.xxhash64(h, F.lit(k))))
 
     sig = F.array(*[seeded_min(k) for k in range(num_hashes)])
@@ -138,16 +197,26 @@ def signatures_from_hashed(hashed: DataFrame, num_hashes: int = NUM_HASHES) -> D
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, text_col: str = "text", n: int = 3, sigs: DataFrame | None = None
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    sigs: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing any band-hash become candidate pairs.
 
     Shuffle is keyed by (band_id, band_hash) — the classic MinHash-LSH
     plan; bucket skew (a degenerate shingle shared by everything) is
-    handled by AQE skew-split at scale.
+    handled by AQE skew-split at scale. The portable family joins on
+    the comma-joined band slice itself (no extra hash — DuckDB builds
+    the identical string).
     """
     if sigs is None:
-        sigs = minhash_signatures(docs, text_col, n)
+        sigs = minhash_signatures(docs, text_col, n, portable=portable)
+
+    def band_key(joined: Column) -> Column:
+        return joined if portable else F.xxhash64(joined)
+
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -155,7 +224,7 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(BANDS - 1)),
                 lambda b: F.struct(
                     b.alias("band_id"),
-                    F.xxhash64(
+                    band_key(
                         F.array_join(
                             F.transform(
                                 F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
@@ -183,7 +252,11 @@ def minhash_lsh_candidates(
 
 
 def minhash_dedup_pairs(
-    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Full MinHash pipeline: LSH candidates → exact-Jaccard verify.
 
@@ -200,8 +273,16 @@ def minhash_dedup_pairs(
     # (banding, verify side a, verify side b). Persist the tiny
     # (doc_id, hashes) frame so the branches share it instead of each
     # re-running the string pass — 2× faster measured at sf0.1.
-    hashed = hashed_shingle_df(docs, text_col, n).persist()
-    cands = minhash_lsh_candidates(docs, text_col, n, sigs=signatures_from_hashed(hashed))
+    hashed = (
+        hashed_shingle_df(docs, text_col, n, portable=portable)
+        .filter(F.size("h0") > 0)  # <n-token docs have no shingles: no
+        .persist()                  # pairs, and no null-lane band keys
+    )
+    cands = minhash_lsh_candidates(
+        docs, text_col, n,
+        sigs=signatures_from_hashed(hashed, portable=portable),
+        portable=portable,
+    )
     sets = hashed.withColumnRenamed("h0", "sh")
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -223,70 +304,122 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash_table(
-    docs: DataFrame, text_col: str = "text", num_bits: int = 64
-) -> DataFrame:
-    """64-bit SimHash fingerprints: (doc_id, fp).
+SIMHASH_BITS = 128  # md5-derived fingerprint width
 
-    bit_i(fp) = 1 iff Σ_tokens (bit_i(xxhash64(token)) ? +1 : −1) > 0.
 
-    Shape: explode distinct tokens → ONE hash per token → one groupBy
-    with 64 narrow SUM aggregates (map-side combinable), then fold the
-    64 sums into the fingerprint. (A previous array-fold formulation
-    nested 64 expressions inside an aggregate lambda — the codegen blew
-    the heap; 64 flat aggregate columns are linear and cheap.)
+def simhash_chunk_layout(max_hamming: int, num_bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """(start_bit, width) per blocking chunk.
+
+    Pigeonhole recall guarantee: with ``n_chunks > max_hamming``, two
+    fingerprints within hamming h ≤ max_hamming must agree on ≥1 chunk.
+    Chunk count is max(max_hamming+1, 8) so a chunk never exceeds 16
+    bits — the SCALE constraint: a w-bit chunk yields 2^w blocking
+    buckets, and candidate pairs grow Θ(N²/2^w); the 64-bit/7-bit-chunk
+    parameterization this replaces was Θ(N²/128), a scale-killer at
+    10⁹+ docs. 16-bit chunks give Θ(N²/65536) while KEEPING the
+    pigeonhole guarantee (more chunks than the minimum only adds
+    recall, never loses it).
     """
-    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"))
-    h = F.xxhash64("t")
+    n_chunks = max(max_hamming + 1, num_bits // 16)
+    base, rem = divmod(num_bits, n_chunks)
+    layout, start = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < rem else 0)
+        layout.append((start, w))
+        start += w
+    return layout
+
+
+def simhash_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """128-bit SimHash fingerprints as bit-sign sums: (doc_id, b0..b127).
+
+    bit_j's sum = Σ_distinct-tokens (bit_j(md5(token)) ? +1 : −1); the
+    fingerprint bit is sign(sum). Bits come from md5's 32 hex nibbles
+    (bit j = nibble j//4, position j%4) — engine-portable, so the
+    DuckDB oracle reproduces fingerprints exactly.
+
+    Shape: explode distinct tokens → ONE md5 + nibble-array per token →
+    one groupBy with 128 narrow SUM aggregates (map-side combinable,
+    flat — a nested array-fold formulation blew codegen at 64 bits).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t")
+    )
+    # materialize the nibble array once per token (projection barrier);
+    # inlining conv(substring(md5..)) into all 128 sums would recompute
+    # the digest per bit
+    nibs = tok.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: F.conv(F.substring(F.md5("t"), i, 1), 16, 10).cast("int"),
+        ).alias("nib"),
+    )
     aggs = [
-        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
-        for i in range(num_bits)
+        F.sum(
+            F.shiftright(F.element_at("nib", j // 4 + 1), j % 4).bitwiseAND(F.lit(1)) * 2
+            - 1
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
     ]
-    sums = tok.groupBy("doc_id").agg(*aggs)
-    fp = F.lit(0).cast("long")
-    for i in range(num_bits):
-        # bit 63 of a signed long is the sign bit: 1<<63 wraps negative
-        bit_val = (1 << i) if i < 63 else -(1 << 63)
-        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sums.select("doc_id", fp.alias("fp"))
+    return nibs.groupBy("doc_id").agg(*aggs)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 7
+) -> DataFrame:
+    """(doc_id, fpc: array<long>) — the fingerprint folded into blocking
+    chunks per :func:`simhash_chunk_layout` (chunk c = Σ_i bit_{s+i}<<i)."""
+    layout = simhash_chunk_layout(max_hamming)
+    sums = simhash_table(docs, text_col)
+
+    def chunk_val(start: int, width: int) -> Column:
+        v = F.lit(0).cast("long")
+        for i in range(width):
+            v = v + F.when(F.col(f"b{start + i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return v
+
+    fpc = F.array(*[chunk_val(s, w) for s, w in layout])
+    return sums.select("doc_id", fpc.alias("fpc"))
 
 
 def simhash_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 8
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 7
 ) -> DataFrame:
     """SimHash near-dup pairs: block on fingerprint chunks, verify exact
     Hamming distance on candidates.
 
-    Recall guarantee by pigeonhole: two fingerprints within hamming h
-    split into h+1 chunks must agree on at least one chunk — so the
-    chunk count is derived from ``max_hamming`` (it is NOT a free
-    parameter; 4 fixed chunks would silently miss pairs at hamming 4-8).
+    Hamming distance = Σ_chunks bit_count(chunk_a XOR chunk_b) — exact,
+    since the chunks partition the 128 bits. Blocking shuffle is keyed
+    by (chunk_id, chunk_value); with ≥16-bit chunks the bucket fan-in
+    is 65536× smaller than the fingerprint population per chunk.
     """
-    n_chunks = max_hamming + 1
-    width = 64 // n_chunks
+    layout = simhash_chunk_layout(max_hamming)
+    n_chunks = len(layout)
     # both sides of the chunk self-join consume the fingerprints; persist
-    # so the token-explode + 64-sum aggregation runs once, not twice
-    fp = simhash_table(docs, text_col).persist()
-
-    def chunk(i: int):
-        w = width if i < n_chunks - 1 else 64 - width * (n_chunks - 1)
-        return F.struct(
-            F.lit(i).alias("chunk_id"),
-            F.shiftright(F.col("fp"), i * width)
-            .bitwiseAND(F.lit((1 << w) - 1))
-            .alias("chunk"),
-        )
-
+    # so the token-explode + 128-sum aggregation runs once, not twice
+    fp = simhash_fingerprints(docs, text_col, max_hamming).persist()
     chunks = fp.select(
         "doc_id",
-        "fp",
-        F.explode(F.array(*[chunk(i) for i in range(n_chunks)])).alias("c"),
-    ).select("doc_id", "fp", "c.chunk_id", "c.chunk")
+        "fpc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+                lambda c: F.struct(
+                    c.alias("chunk_id"), F.element_at("fpc", c + 1).alias("chunk")
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "fpc", "c.chunk_id", "c.chunk")
     a = chunks.alias("a")
     b = chunks.alias("b")
-    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    hamming = F.aggregate(
+        F.zip_with("a.fpc", "b.fpc", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return (
         a.join(
             b,

@@ -231,14 +231,138 @@ FROM reach GROUP BY src ORDER BY doc_id"""
 )
 
 
-# DuckDB has no xxhash64 — minhash/simhash get rows-only checks.
-
 def dp_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_dedup_pairs(model.dedup_corpus(spark, sf_dir), threshold=0.5)
+    """MinHash+LSH with the engine-portable md5 hash family, so the
+    DuckDB oracle replays signatures, banding, and verification
+    value-for-value (the xxhash64 family shares every plan stage and is
+    pinned equal by test_minhash_portable_family_matches_fast)."""
+    return dedup.minhash_dedup_pairs(
+        model.dedup_corpus(spark, sf_dir), threshold=0.5, portable=True
+    )
 
 
 def dp_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit md5 SimHash with 16-bit blocking chunks (scale: candidate
+    pairs Θ(N²/65536) per chunk; recall: pigeonhole over > max_hamming
+    chunks). md5-derived bits → the oracle rebuilds fingerprints exactly."""
     return dedup.simhash_pairs(model.dedup_corpus(spark, sf_dir), max_hamming=4)
+
+
+def _minhash_sql() -> str:
+    """DuckDB replay of the portable minhash pipeline, generated from
+    the same constants as the Spark plan (NUM_HASHES/BANDS/ROWS_PER_BAND)."""
+    lanes = ",\n         ".join(
+        "list_min(list_transform(h0, h -> "
+        + dedup.md5_lane_sql(f"concat(CAST(h AS VARCHAR), '#{k}')")
+        + f")) AS s{k}"
+        for k in range(dedup.NUM_HASHES)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band_id, concat_ws(',', "
+        + ", ".join(
+            f"CAST(s{b * dedup.ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(dedup.ROWS_PER_BAND)
+        )
+        + ") AS band_key FROM sig"
+        for b in range(dedup.BANDS)
+    )
+    return model.with_ctes(
+        model.DEDUP_CORPUS_CTE,
+        body=rf""", toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM dedup_corpus
+), shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+  FROM toks
+), hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(sh, s -> {dedup.md5_lane_sql('s')})) AS h0
+  FROM shl WHERE len(sh) > 0
+), sig AS (
+  SELECT doc_id,
+         {lanes}
+  FROM hs
+), bands AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_common, size_a, size_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         len(list_intersect(ha.h0, hb.h0)) AS n_common,
+         len(ha.h0) AS size_a, len(hb.h0) AS size_b,
+         CAST(len(list_intersect(ha.h0, hb.h0)) AS DOUBLE)
+           / (len(ha.h0) + len(hb.h0) - len(list_intersect(ha.h0, hb.h0))) AS jaccard
+  FROM cand
+  JOIN hs ha ON cand.doc_a = ha.doc_id
+  JOIN hs hb ON cand.doc_b = hb.doc_id
+)
+WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+    )
+
+
+def _simhash_sql(max_hamming: int = 4) -> str:
+    """DuckDB replay of the 128-bit simhash pipeline, generated from the
+    same chunk layout as the Spark plan."""
+    layout = dedup.simhash_chunk_layout(max_hamming)
+    bit_sums = ",\n         ".join(
+        "SUM(CASE WHEN ((CAST(concat('0x', substring(h, "
+        f"{j // 4 + 1}, 1)) AS INTEGER) >> {j % 4}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    chunk_exprs = ",\n         ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN b{s + i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(w)
+        )
+        + f" AS BIGINT) AS c{c}"
+        for c, (s, w) in enumerate(layout)
+    )
+    chunk_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {c} AS chunk_id, c{c} AS chunk FROM fp"
+        for c in range(len(layout))
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(fa.c{c}, fb.c{c}))" for c in range(len(layout))
+    )
+    return model.with_ctes(
+        model.DEDUP_CORPUS_CTE,
+        body=rf""", toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
+  FROM dedup_corpus
+), tokhash AS (
+  SELECT doc_id, md5(t) AS h FROM toks
+), bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM tokhash GROUP BY doc_id
+), fp AS (
+  SELECT doc_id,
+         {chunk_exprs}
+  FROM bits
+), ch AS (
+  {chunk_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ch a JOIN ch b
+    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, CAST({hamming} AS BIGINT) AS hamming
+  FROM cand
+  JOIN fp fa ON cand.doc_a = fa.doc_id
+  JOIN fp fb ON cand.doc_b = fb.doc_id
+)
+WHERE hamming <= {max_hamming} ORDER BY doc_a, doc_b""",
+    )
+
+
+DP_MINHASH_SQL = _minhash_sql()
+DP_SIMHASH_SQL = _simhash_sql(max_hamming=4)
 
 
 # --- similarity search ----------------------------------------------------
@@ -441,6 +565,6 @@ ORACLES = {
     "dp_ann_ivf_topk": DP_ANN_IVF_SQL,
     "dp_media_resize_plan": DP_MEDIA_RESIZE_SQL,
     "dp_media_frame_sample": DP_FRAME_SAMPLE_SQL,
-    # dp_minhash_pairs / dp_simhash_pairs / dp_media_features:
-    # non-SQL-expressible (xxhash64 / Python batch) → rows-only.
+    "dp_minhash_pairs": DP_MINHASH_SQL,
+    "dp_simhash_pairs": DP_SIMHASH_SQL,
 }

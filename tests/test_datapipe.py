@@ -49,6 +49,34 @@ def test_simhash_near_dups(corpus):
     assert any(b - a == 1_000_000 for a, b in near)
 
 
+def test_simhash_chunk_layout_scale_guarantees():
+    """Blocking chunks must (a) partition all 128 bits, (b) outnumber
+    max_hamming (pigeonhole recall), (c) never exceed 16 bits — the
+    bucket-count floor that keeps candidates Θ(N²/65536) per chunk."""
+    for h in (1, 3, 4, 7, 10):
+        layout = dedup.simhash_chunk_layout(h)
+        assert sum(w for _, w in layout) == dedup.SIMHASH_BITS
+        assert len(layout) > h
+        assert all(1 <= w <= 16 for _, w in layout)
+        starts = [s for s, _ in layout]
+        assert starts == sorted(starts) and starts[0] == 0
+
+
+def test_minhash_portable_family_matches_fast(corpus):
+    """The md5 (oracle-replayable) and xxhash64 (scale) hash families
+    share every plan stage; after exact-Jaccard verification both must
+    emit the SAME verified pair set."""
+    fast = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_dedup_pairs(corpus, threshold=0.5).collect()
+    }
+    portable = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_dedup_pairs(corpus, threshold=0.5, portable=True).collect()
+    }
+    assert fast and fast == portable
+
+
 def test_ann_bucketed_recall(spark, sf_dir):
     emb = model.load(spark, sf_dir, "embeddings").cache()
     q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qvec"))
