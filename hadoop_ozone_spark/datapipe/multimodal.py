@@ -65,14 +65,15 @@ def synthesize_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _fake_decode(content: bytes) -> list[float]:
-    """STUB for the codec. Deterministic byte-histogram 'pixels'.
+def _fake_decode(content: bytes) -> list[int]:
+    """STUB for the codec: deterministic 'pixels' = the first 256 raw
+    byte values (0..255).
 
     Production: ``PIL.Image.open(io.BytesIO(content))`` /
-    ``librosa.load`` — raises here to make the boundary explicit when
-    someone flips REAL_CODECS on without the libs.
+    ``librosa.load`` — this stub keeps the boundary explicit while the
+    container lacks the media libs.
     """
-    return [b / 255.0 for b in content[:256]]
+    return list(content[:256])
 
 
 def extract_features(media: DataFrame, batch_size: int = 1024) -> DataFrame:
@@ -80,18 +81,24 @@ def extract_features(media: DataFrame, batch_size: int = 1024) -> DataFrame:
 
     ``mapInPandas`` so one Python worker sees a whole Arrow batch of
     blobs (amortized serialization), yields the typed feature frame.
+
+    Feature math is exact-integer sums with ONE final double division
+    (sum(px)/(255·n), max(px)/255) so the DuckDB oracle reproduces the
+    values bit-for-bit — no float-accumulation drift across engines.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["content"].map(_fake_decode)
+            px = pdf["content"].map(_fake_decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["content"].map(len).astype("int64"),
-                    "feat_mean": feats.map(lambda v: sum(v) / len(v) if v else 0.0),
-                    "feat_max": feats.map(lambda v: max(v) if v else 0.0),
+                    "feat_mean": px.map(
+                        lambda v: sum(v) / (255.0 * len(v)) if v else 0.0
+                    ),
+                    "feat_max": px.map(lambda v: max(v) / 255.0 if v else 0.0),
                     "frame_count": (pdf["doc_id"] % 30 + 1).astype("int64"),
                 }
             )

@@ -522,10 +522,35 @@ FROM documents WHERE doc_id % 3 = 2
 
 
 def dp_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction — no SQL oracle (rows-only check);
-    the Python batch path is exercised by tests/test_datapipe.py."""
+    """mapInPandas feature extraction over the binary column. The stub
+    codec is deterministic byte math, so the DuckDB oracle replays it:
+    'pixels' are the first 256 UTF-8 bytes (the corpus is ASCII, so
+    char codes == bytes), features are exact-int sums with one final
+    division."""
     media = multimodal.synthesize_media(model.load(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
+
+
+DP_MEDIA_FEATURES_SQL = """
+WITH px AS (
+  SELECT doc_id, text,
+         list_transform(generate_series(1, least(length(text), 256)),
+                        i -> unicode(substring(text, i, 1))) AS p
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CASE WHEN len(p) > 0
+            THEN CAST(list_sum(p) AS DOUBLE) / (255.0 * len(p)) ELSE 0.0
+       END AS feat_mean,
+       CASE WHEN len(p) > 0
+            THEN CAST(list_max(p) AS DOUBLE) / 255.0 ELSE 0.0
+       END AS feat_max,
+       doc_id % 30 + 1 AS frame_count
+FROM px
+"""
 
 
 QUERIES = {
@@ -567,4 +592,5 @@ ORACLES = {
     "dp_media_frame_sample": DP_FRAME_SAMPLE_SQL,
     "dp_minhash_pairs": DP_MINHASH_SQL,
     "dp_simhash_pairs": DP_SIMHASH_SQL,
+    "dp_media_features": DP_MEDIA_FEATURES_SQL,
 }
