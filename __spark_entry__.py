@@ -30,6 +30,7 @@ from hadoop_ozone_spark.plans import (
     coverage_queries,
     datapipe_queries,
     extended_queries,
+    parity_queries,
     policy_queries,
     temporal_queries,
     tpch_queries,
@@ -704,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **policy_queries.QUERIES,
         **temporal_queries.QUERIES,
         **tpch_queries.QUERIES,
+        **parity_queries.QUERIES,
     }
 
 
@@ -746,4 +748,5 @@ def oracle_sql() -> dict[str, str]:
         **policy_queries.ORACLES,
         **temporal_queries.ORACLES,
         **tpch_queries.ORACLES,
+        **parity_queries.ORACLES,
     }

@@ -89,6 +89,143 @@ def namespace_du(keys: DataFrame, key_col: str = "key") -> DataFrame:
     )
 
 
+def _leaf_dir(key_col: str) -> F.Column:
+    """Directory of a key = key minus its last path component ('' at
+    bucket root)."""
+    return (
+        F.when(F.instr(F.col(key_col), "/") == 0, F.lit(""))
+        .otherwise(F.regexp_replace(F.col(key_col), "/[^/]*$", ""))
+    )
+
+
+def namespace_histogram(keys: DataFrame, key_col: str = "key") -> DataFrame:
+    """A3 NSSummary histogram, long format: per-directory DIRECT-file
+    pow2 size distribution (volume, bucket, dir, file_size, cnt).
+
+    The reference keeps a 41-bin ``int[] fileSizeBucket`` per directory
+    (NSSummary.java:31-35, bins ReconConstants.java:61-67); pivoted long
+    format is the Spark-preferred shape (SURVEY §1.2) — one map-side
+    combinable groupBy, no wide rows, and the Recon UI's per-dir
+    distribution is a prefix-pruned slice of it.
+    """
+    return (
+        keys.groupBy(
+            "volume",
+            "bucket",
+            _leaf_dir(key_col).alias("dir"),
+            file_size_upper_bound(F.col("data_size")).alias("file_size"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("volume", "bucket", "dir", "file_size")
+    )
+
+
+def namespace_summary(keys: DataFrame, key_col: str = "key") -> DataFrame:
+    """A3 NSSummary parity, struct form: one row per directory with
+    DIRECT num_files / size_of_files, the 42-slot bin-count array
+    (41 pow2 bins + overflow, ReconUtils bit-count boundary semantics),
+    and the immediate child-directory set — the full NSSummary record
+    (NSSummary.java:31-35) including intermediate dirs with no direct
+    files and the bucket root ('').
+
+    Shape: one groupBy over the keys (42 conditional sums fold into the
+    bin array), then dir-graph derivation over the DISTINCT dir set —
+    the explode multiplies |dirs|, never |keys|.
+    """
+    from hadoop_ozone_spark.functions.binning import LONG_MAX, UPPER_BOUNDS
+
+    bins = [*UPPER_BOUNDS, LONG_MAX]
+    tagged = keys.select(
+        "volume",
+        "bucket",
+        _leaf_dir(key_col).alias("dir"),
+        "data_size",
+        file_size_upper_bound(F.col("data_size")).alias("_ub"),
+    )
+    stats = (
+        tagged.groupBy("volume", "bucket", "dir")
+        .agg(
+            F.count(F.lit(1)).alias("num_files"),
+            F.sum("data_size").alias("size_of_files"),
+            *[
+                F.sum(F.when(F.col("_ub") == b, 1).otherwise(0)).alias(f"_bin{i}")
+                for i, b in enumerate(bins)
+            ],
+        )
+        .select(
+            "volume",
+            "bucket",
+            "dir",
+            "num_files",
+            "size_of_files",
+            F.array(*[F.col(f"_bin{i}").cast("long") for i in range(len(bins))]).alias(
+                "file_size_bins"
+            ),
+        )
+    )
+    # every ancestor of every populated dir + the bucket root: the node
+    # set includes intermediate dirs that hold no direct files
+    nodes = (
+        stats.select(
+            "volume",
+            "bucket",
+            F.explode(
+                F.concat(
+                    F.array(F.lit("")),
+                    ancestors(F.concat(F.col("dir"), F.lit("/x"))),
+                )
+            ).alias("dir"),
+        )
+        .distinct()
+    )
+    parent = (
+        F.when(F.instr(F.col("dir"), "/") == 0, F.lit(""))
+        .otherwise(F.regexp_replace(F.col("dir"), "/[^/]*$", ""))
+    )
+    child_sets = (
+        nodes.filter(F.col("dir") != "")
+        .select("volume", "bucket", parent.alias("parent_dir"), F.col("dir").alias("child"))
+        .groupBy("volume", "bucket", "parent_dir")
+        .agg(F.array_sort(F.collect_set("child")).alias("child_dirs"))
+        .withColumnRenamed("parent_dir", "dir")
+    )
+    zeros = F.array(*[F.lit(0).cast("long") for _ in bins])
+    return (
+        nodes.join(stats, ["volume", "bucket", "dir"], "left")
+        .join(child_sets, ["volume", "bucket", "dir"], "left")
+        .select(
+            "volume",
+            "bucket",
+            "dir",
+            F.coalesce(F.col("num_files"), F.lit(0)).alias("num_files"),
+            F.coalesce(F.col("size_of_files"), F.lit(0)).alias("size_of_files"),
+            F.coalesce(F.col("file_size_bins"), zeros).alias("file_size_bins"),
+            F.coalesce(F.col("child_dirs"), F.array().cast("array<string>")).alias(
+                "child_dirs"
+            ),
+        )
+        .orderBy("volume", "bucket", "dir")
+    )
+
+
+def cluster_growth_daily(keys: DataFrame) -> DataFrame:
+    """A7 parity: CLUSTER_GROWTH_DAILY keyed by (timestamp, datanode_id)
+    (UtilizationSchemaDefinition.java:74-87, PK at :83-84) — per-day
+    per-datanode used bytes, container count, block count. One shuffle
+    keyed (day, datanode); countDistinct is a partial-agg pair."""
+    return (
+        keys.groupBy(
+            F.date_trunc("day", F.col("creation_time")).alias("day"), "datanode_id"
+        )
+        .agg(
+            F.sum("data_size").alias("used_size"),
+            F.countDistinct("container_id").alias("container_count"),
+            F.count(F.lit(1)).alias("block_count"),
+        )
+        .orderBy("day", "datanode_id")
+    )
+
+
 def table_counts(keys: DataFrame, events: DataFrame, containers_df: DataFrame) -> DataFrame:
     """A4: COUNT(*) per table (TableCountTask reprocess). Parquet
     count(*) is served from footer metadata via aggregate pushdown."""

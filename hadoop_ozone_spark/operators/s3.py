@@ -89,6 +89,64 @@ def continue_token(last_key: DataFrame, key_col: str = "name") -> DataFrame:
     )
 
 
+def decode_continue_token(
+    tokens_df: DataFrame,
+    payload_col: str = "token_payload",
+    digest_col: str = "token_digest",
+) -> DataFrame:
+    """X7 decode + integrity verification (ref ContinueToken.java:85-130):
+    unhex the payload back to the key, recompute the sha256 digest of
+    the decoded key, and reject tampering.
+
+    Returns (last_key, token_valid): a tampered payload or digest yields
+    token_valid=false and a null last_key — the relational analogue of
+    the reference throwing INVALID_ARGUMENT on digest mismatch.
+    """
+    decoded = F.decode(F.unhex(F.upper(F.col(payload_col))), "UTF-8")
+    valid = F.sha2(decoded, 256) == F.col(digest_col)
+    return tokens_df.select(
+        F.when(valid, decoded).alias("last_key"),
+        F.coalesce(valid, F.lit(False)).alias("token_valid"),
+    )
+
+
+def list_multipart_uploads(
+    uploads: DataFrame,
+    prefix: str = "",
+    key_marker: str | None = None,
+    upload_id_marker: str | None = None,
+    max_uploads: int = 1000,
+    key_col: str = "key",
+    upload_col: str = "upload_id",
+) -> DataFrame:
+    """listMultipartUploads (ref KeyManagerImpl.java:1364): in-progress
+    uploads in a bucket under ``prefix``, ordered by (key, uploadId),
+    resuming after the (key-marker, upload-id-marker) pair.
+
+    Marker semantics mirror the reference's seek: with an upload-id
+    marker the resume point is exclusive WITHIN the marker key
+    (key == marker AND uploadId > idMarker) and exclusive beyond it;
+    without one, strictly after the marker key. The page cut is a
+    top-k (TakeOrderedAndProject) — a 10⁹-upload table moves only
+    ``max_uploads`` rows.
+    """
+    out = uploads
+    if prefix:
+        out = out.filter(F.col(key_col).startswith(prefix))
+    if key_marker is not None:
+        if upload_id_marker is not None:
+            out = out.filter(
+                (F.col(key_col) > key_marker)
+                | (
+                    (F.col(key_col) == key_marker)
+                    & (F.col(upload_col) > upload_id_marker)
+                )
+            )
+        else:
+            out = out.filter(F.col(key_col) > key_marker)
+    return out.orderBy(key_col, upload_col).limit(max_uploads)
+
+
 def multi_delete(
     keys: DataFrame, targets: DataFrame, key_col: str = "row_key"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:

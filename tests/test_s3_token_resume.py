@@ -71,6 +71,59 @@ def test_mixed_contents_and_prefixes_resume(spark):
         assert paged == full, f"page_size={page_size}"
 
 
+def test_continue_token_roundtrip_and_tamper(spark):
+    """X7 encode→decode round-trip recovers the key; a tampered payload
+    or digest is rejected (ref ContinueToken.java:85-130: decode hex,
+    recompute sha256, throw on mismatch)."""
+    last = spark.createDataFrame([("dir1/sub2/f_42",)], "name string")
+    tok = s3.continue_token(last)
+    decoded = s3.decode_continue_token(tok).first()
+    assert decoded["token_valid"] is True
+    assert decoded["last_key"] == "dir1/sub2/f_42"
+    # tamper with the hex payload (different key, original digest)
+    tampered_payload = tok.withColumn(
+        "token_payload", F.lower(F.hex(F.encode(F.lit("dir1/sub2/f_43"), "UTF-8")))
+    )
+    bad = s3.decode_continue_token(tampered_payload).first()
+    assert bad["token_valid"] is False and bad["last_key"] is None
+    # tamper with the digest (original payload, wrong digest)
+    tampered_digest = tok.withColumn("token_digest", F.sha2(F.lit("evil"), 256))
+    bad2 = s3.decode_continue_token(tampered_digest).first()
+    assert bad2["token_valid"] is False and bad2["last_key"] is None
+
+
+def test_list_uploads_marker_resume_equals_full(spark):
+    """listMultipartUploads pagination: concatenating
+    (key-marker, upload-id-marker)-resumed pages ≡ one full listing —
+    including resume WITHIN a key that has multiple uploads."""
+    rows = [
+        ("a/k1", "u1", 1), ("a/k1", "u3", 2), ("a/k1", "u2", 3),
+        ("a/k2", "u9", 4), ("b/k3", "u4", 5), ("b/k3", "u5", 6),
+        ("c/k4", "u6", 7),
+    ]
+    uploads = spark.createDataFrame(rows, "key string, upload_id string, data_size long")
+    full = [
+        (r["key"], r["upload_id"])
+        for r in s3.list_multipart_uploads(uploads, max_uploads=100).collect()
+    ]
+    assert full[:3] == [("a/k1", "u1"), ("a/k1", "u2"), ("a/k1", "u3")]
+    for page_size in (1, 2, 3):
+        paged, km, um = [], None, None
+        while True:
+            page = [
+                (r["key"], r["upload_id"])
+                for r in s3.list_multipart_uploads(
+                    uploads, key_marker=km, upload_id_marker=um,
+                    max_uploads=page_size,
+                ).collect()
+            ]
+            if not page:
+                break
+            paged.extend(page)
+            km, um = page[-1]
+        assert paged == full, f"page_size={page_size}"
+
+
 def test_leaf_level_token_resume(bucket_keys):
     """At leaf level (no prefixes) resume must be exact, no dedup needed."""
     full = _collect_names(
