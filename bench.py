@@ -19,7 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from hadoop_ozone_spark.session import get_spark
 
+# Heavy dedup/ANN pipelines run FIRST (right after warmup) so their
+# timings reflect the query, not 20 queries' worth of accumulated
+# session state (persisted frames, broadcasts, GC debt).
 HEADLINE = [
+    "dp_exact_dedup",
+    "dp_minhash_pairs",
+    "dp_minhash_pairs_fast",
+    "dp_ann_brute_topk",
+    "dp_ann_ivf_topk",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
@@ -35,12 +43,8 @@ HEADLINE = [
     "a8_top_users",
     "m5_multipart_check",
     "j3_fso_path_resolution",
-    "dp_exact_dedup",
-    "dp_minhash_pairs",
     "dp_token_stats",
     "dp_curation_pipeline",
-    "dp_ann_brute_topk",
-    "dp_ann_ivf_topk",
     "ev_asof_join",
     "ev_range_join_binned",
     "q21_waiting_suppliers",
@@ -63,9 +67,21 @@ def main() -> None:
     model.om_events(spark, sf_dir).count()
     model.dedup_corpus(spark, sf_dir).count()
     warmup = round(time.time() - t_w, 3)
+    # The registered dp_minhash_pairs runs the engine-portable md5 hash
+    # family (DuckDB-replayable correctness twin). The xxhash64 family —
+    # identical plan, cheaper lanes, the 100 TB path — is benched
+    # alongside as dp_minhash_pairs_fast so the scale number stays
+    # visible (see BENCH_NOTES.md).
+    from hadoop_ozone_spark.datapipe import dedup as _dedup
+
+    def _minhash_fast(spark, sf_dir):
+        return _dedup.minhash_dedup_pairs(
+            model.dedup_corpus(spark, sf_dir), threshold=0.5
+        )
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qs[name]
+        fn = _minhash_fast if name == "dp_minhash_pairs_fast" else qs[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()

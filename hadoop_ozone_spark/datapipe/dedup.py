@@ -178,22 +178,68 @@ def signatures_from_hashed(
     """(doc_id, h0) → (doc_id, sig); split out so a pipeline that also
     needs the shingle sets for verification computes the text pass once.
 
-    The k seed lanes re-hash the shingle LONGS (cheap long→long in the
-    fast family; md5 of the short decimal string in the portable one —
-    never the original shingle text again)."""
+    fast family: k xxhash64(long, seed) lanes — cheap long→long.
 
-    def seeded_min(k: int):  # factory: transform lambdas must stay unary
-        if portable:
-            return F.array_min(
+    portable family: ⌈k/8⌉ md5 digests per shingle, each carved into
+    eight 16-bit lanes (hex substrings). One md5 per 8 lanes instead of
+    per lane — 8× less hashing (25s → ~7s at sf0.1 measured). Narrow
+    lanes only add min-collision TIES, which can only ADD candidate
+    pairs (never drop true ones); the exact-Jaccard verify over the
+    full 60-bit h0 sets keeps the output identical. The digest array is
+    materialized as its own projection so the 32 lane expressions read
+    it instead of re-hashing (CollapseProject keeps non-cheap
+    multi-referenced projections as a barrier)."""
+    if portable:
+        groups = (num_hashes + 7) // 8
+        # per shingle: `groups` md5 digests, flattened into num_hashes
+        # 16-bit lanes — built with NESTED transforms (loops in codegen)
+        # rather than num_hashes unrolled expressions: the unrolled form
+        # generated megabyte-scale methods that fell out of whole-stage
+        # codegen into interpreted eval (3× slower end-to-end measured)
+        lanes_per_shingle = F.transform(
+            F.col("h0"),
+            lambda h: F.flatten(
                 F.transform(
-                    F.col("h0"),
-                    lambda h: md5_lane(F.concat(h.cast("string"), F.lit(f"#{k}"))),
+                    F.array(
+                        *[
+                            F.md5(F.concat(h.cast("string"), F.lit(f"#{g}")))
+                            for g in range(groups)
+                        ]
+                    ),
+                    lambda d: F.transform(
+                        F.sequence(F.lit(0), F.lit(7)),
+                        lambda off: F.conv(
+                            F.substring(d, off * 4 + 1, F.lit(4)), 16, 10
+                        ).cast("long"),
+                    ),
                 )
-            )
-        return F.array_min(F.transform(F.col("h0"), lambda h: F.xxhash64(h, F.lit(k))))
+            ),
+        )
+        hx = hashed.select("doc_id", lanes_per_shingle.alias("_hx"))
+        # element-wise min across shingles: one aggregate + zip_with
+        sig = F.aggregate(
+            F.col("_hx"),
+            F.array_repeat(F.lit((1 << 62)).cast("long"), groups * 8),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+        )
+        return hx.select("doc_id", F.slice(sig, 1, num_hashes).alias("sig"))
 
-    sig = F.array(*[seeded_min(k) for k in range(num_hashes)])
-    return hashed.select("doc_id", sig.alias("sig"))
+    # same loop shaping for the xxhash64 family: per shingle an array of
+    # k lanes (xxhash64(h, k) — identical values to the unrolled
+    # xxhash64(h, lit(k)) form), then one aggregate of element-wise mins
+    lanes_per_shingle = F.transform(
+        F.col("h0"),
+        lambda h: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)), lambda k: F.xxhash64(h, k)
+        ),
+    )
+    hx = hashed.select("doc_id", lanes_per_shingle.alias("_hx"))
+    sig = F.aggregate(
+        F.col("_hx"),
+        F.array_repeat(F.lit(9223372036854775807).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+    )
+    return hx.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -273,11 +319,14 @@ def minhash_dedup_pairs(
     # (banding, verify side a, verify side b). Persist the tiny
     # (doc_id, hashes) frame so the branches share it instead of each
     # re-running the string pass — 2× faster measured at sf0.1.
-    hashed = (
-        hashed_shingle_df(docs, text_col, n, portable=portable)
-        .filter(F.size("h0") > 0)  # <n-token docs have no shingles: no
-        .persist()                  # pairs, and no null-lane band keys
-    )
+    # Persist BEFORE the empty-shingle filter: a filter on the raw frame
+    # gets predicate-pushed below the projection and re-evaluates the
+    # whole shingle-hash expression a second time for the condition
+    # (2× the text pass, measured); on the cached frame it is a cheap
+    # size() check. <n-token docs have no shingles → no pairs, and no
+    # null-lane band keys.
+    hashed = hashed_shingle_df(docs, text_col, n, portable=portable).persist()
+    hashed = hashed.filter(F.size("h0") > 0)
     cands = minhash_lsh_candidates(
         docs, text_col, n,
         sigs=signatures_from_hashed(hashed, portable=portable),
