@@ -383,35 +383,36 @@ def simhash_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """128-bit SimHash fingerprints as bit-sign sums: (doc_id, b0..b127).
 
     bit_j's sum = Σ_distinct-tokens (bit_j(md5(token)) ? +1 : −1); the
-    fingerprint bit is sign(sum). Bits come from md5's 32 hex nibbles
-    (bit j = nibble j//4, position j%4) — engine-portable, so the
-    DuckDB oracle reproduces fingerprints exactly.
+    fingerprint bit is sign(sum). Bits come from md5 parsed as four
+    32-bit words (word w = hex chars 8w+1..8w+8; bit j = bit j%32 of
+    word j//32) — engine-portable, so the DuckDB oracle reproduces
+    fingerprints exactly.
 
-    Shape: explode distinct tokens → ONE md5 + nibble-array per token →
-    one groupBy with 128 narrow SUM aggregates (map-side combinable,
-    flat — a nested array-fold formulation blew codegen at 64 bits).
+    Shape: explode distinct tokens → ONE md5 per token (its own
+    projection, so the 4 word-parses don't recompute the digest) →
+    4 plain long words per token (no array allocation — an earlier
+    nibble-array form was GC-bound at 10⁸ exploded tokens) → one
+    groupBy with 128 narrow SUM aggregates (map-side combinable, flat —
+    a nested array-fold formulation blew codegen at 64 bits).
     """
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t")
     )
-    # materialize the nibble array once per token (projection barrier);
-    # inlining conv(substring(md5..)) into all 128 sums would recompute
-    # the digest per bit
-    nibs = tok.select(
+    hexes = tok.select("doc_id", F.md5("t").alias("h"))
+    words = hexes.select(
         "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(32)),
-            lambda i: F.conv(F.substring(F.md5("t"), i, 1), 16, 10).cast("int"),
-        ).alias("nib"),
+        *[
+            F.conv(F.substring("h", 1 + 8 * w, 8), 16, 10).cast("long").alias(f"w{w}")
+            for w in range(SIMHASH_BITS // 32)
+        ],
     )
     aggs = [
         F.sum(
-            F.shiftright(F.element_at("nib", j // 4 + 1), j % 4).bitwiseAND(F.lit(1)) * 2
-            - 1
+            F.shiftright(F.col(f"w{j // 32}"), j % 32).bitwiseAND(F.lit(1)) * 2 - 1
         ).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
-    return nibs.groupBy("doc_id").agg(*aggs)
+    return words.groupBy("doc_id").agg(*aggs)
 
 
 def simhash_fingerprints(

@@ -319,8 +319,7 @@ def _simhash_sql(max_hamming: int = 4) -> str:
     same chunk layout as the Spark plan."""
     layout = dedup.simhash_chunk_layout(max_hamming)
     bit_sums = ",\n         ".join(
-        "SUM(CASE WHEN ((CAST(concat('0x', substring(h, "
-        f"{j // 4 + 1}, 1)) AS INTEGER) >> {j % 4}) & 1) = 1 "
+        f"SUM(CASE WHEN ((w{j // 32} >> {j % 32}) & 1) = 1 "
         f"THEN 1 ELSE -1 END) AS b{j}"
         for j in range(dedup.SIMHASH_BITS)
     )
@@ -346,10 +345,17 @@ def _simhash_sql(max_hamming: int = 4) -> str:
   FROM dedup_corpus
 ), tokhash AS (
   SELECT doc_id, md5(t) AS h FROM toks
+), words AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(h, 1, 8)) AS BIGINT) AS w0,
+         CAST(concat('0x', substring(h, 9, 8)) AS BIGINT) AS w1,
+         CAST(concat('0x', substring(h, 17, 8)) AS BIGINT) AS w2,
+         CAST(concat('0x', substring(h, 25, 8)) AS BIGINT) AS w3
+  FROM tokhash
 ), bits AS (
   SELECT doc_id,
          {bit_sums}
-  FROM tokhash GROUP BY doc_id
+  FROM words GROUP BY doc_id
 ), fp AS (
   SELECT doc_id,
          {chunk_exprs}

@@ -102,10 +102,43 @@ def docs_probe(n_docs: int) -> None:
     corpus = docs.unionByName(dups).persist()
     try:
         out = {"num_docs": corpus.count(), "timings_sec": {}, "pairs": {}}
+        def simhash_candidates() -> int:
+            # blocking-bucket candidate pairs BEFORE the hamming filter —
+            # the quantity that must grow ~linearly in N for the 16-bit
+            # chunk parameterization (round-1 verdict: 7-bit chunks grew
+            # Θ(N²/128))
+            layout = dedup.simhash_chunk_layout(4)
+            fp = dedup.simhash_fingerprints(corpus, max_hamming=4)
+            chunks = fp.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(len(layout) - 1)),
+                        lambda c: F.struct(
+                            c.alias("chunk_id"),
+                            F.element_at("fpc", c + 1).alias("chunk"),
+                        ),
+                    )
+                ).alias("c"),
+            ).select("doc_id", "c.chunk_id", "c.chunk")
+            a, b = chunks.alias("a"), chunks.alias("b")
+            return (
+                a.join(
+                    b,
+                    (F.col("a.chunk_id") == F.col("b.chunk_id"))
+                    & (F.col("a.chunk") == F.col("b.chunk"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select("a.doc_id", "b.doc_id")
+                .distinct()
+                .count()
+            )
+
         cases = {
             "exact_dedup": lambda: dedup.exact_dedup_groups(corpus).count(),
             "minhash_pairs": lambda: dedup.minhash_dedup_pairs(corpus, threshold=0.5).count(),
             "simhash_pairs": lambda: dedup.simhash_pairs(corpus, max_hamming=4).count(),
+            "simhash_candidates": simhash_candidates,
         }
         for name, fn in cases.items():
             t0 = time.time()
