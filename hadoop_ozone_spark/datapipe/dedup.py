@@ -147,9 +147,10 @@ def ngram_jaccard_pairs(
     )
 
 
-NUM_HASHES = 32  # minhash signature length
-BANDS = 8       # 8 bands × 4 rows: catches jaccard ≳ 0.6 w.h.p.
+NUM_HASHES = 64  # minhash signature length
+BANDS = 16      # 16 bands × 4 rows: S-curve midpoint (1/16)^(1/4) = 0.50
 ROWS_PER_BAND = NUM_HASHES // BANDS
+MINHASH_PRIME = 1_000_000_007  # lane modulus for the portable double-hash family
 
 
 def minhash_signatures(
@@ -180,49 +181,45 @@ def signatures_from_hashed(
 
     fast family: k xxhash64(long, seed) lanes — cheap long→long.
 
-    portable family: ⌈k/8⌉ md5 digests per shingle, each carved into
-    eight 16-bit lanes (hex substrings). One md5 per 8 lanes instead of
-    per lane — 8× less hashing (25s → ~7s at sf0.1 measured). Narrow
-    lanes only add min-collision TIES, which can only ADD candidate
-    pairs (never drop true ones); the exact-Jaccard verify over the
-    full 60-bit h0 sets keeps the output identical. The digest array is
-    materialized as its own projection so the 32 lane expressions read
-    it instead of re-hashing (CollapseProject keeps non-cheap
-    multi-referenced projections as a barrier)."""
+    portable family: double hashing (Kirsch–Mitzenmacher) — ONE md5 per
+    shingle, parsed as two longs h1 (hex 1-15, 60 bits) and h2 (hex
+    16-29, 56 bits); lane_k = (h1 + k·h2) mod p, p = 1e9+7. All k lanes
+    are then pure long arithmetic: 4× less hashing than the previous
+    one-md5-per-8-lanes carving (7s → ~1s lane pass at sf0.1 measured).
+    ANSI-safe: h1 + k·h2 < 2^60 + 32·2^56 < 2^62. The (h1,h2) parse is
+    chained through its OWN transform projection so the digest is
+    evaluated once per shingle, not once per field (lambda-internal
+    subexpressions are not CSE'd). Exact-Jaccard verify over the full
+    60-bit h0 sets keeps the final pair output identical to the fast
+    family's."""
     if portable:
-        groups = (num_hashes + 7) // 8
-        # per shingle: `groups` md5 digests, flattened into num_hashes
-        # 16-bit lanes — built with NESTED transforms (loops in codegen)
-        # rather than num_hashes unrolled expressions: the unrolled form
-        # generated megabyte-scale methods that fell out of whole-stage
-        # codegen into interpreted eval (3× slower end-to-end measured)
+        # per shingle: digest → (h1, h2) struct → k arithmetic lanes.
+        # nested transforms (loops in codegen), never k unrolled
+        # expressions: the unrolled form generated megabyte-scale
+        # methods that fell out of whole-stage codegen (3× slower)
+        digests = F.transform(F.col("h0"), lambda h: F.md5(h.cast("string")))
+        hh = F.transform(
+            digests,
+            lambda d: F.struct(
+                F.conv(F.substring(d, 1, 15), 16, 10).cast("long").alias("h1"),
+                F.conv(F.substring(d, 16, 14), 16, 10).cast("long").alias("h2"),
+            ),
+        )
         lanes_per_shingle = F.transform(
-            F.col("h0"),
-            lambda h: F.flatten(
-                F.transform(
-                    F.array(
-                        *[
-                            F.md5(F.concat(h.cast("string"), F.lit(f"#{g}")))
-                            for g in range(groups)
-                        ]
-                    ),
-                    lambda d: F.transform(
-                        F.sequence(F.lit(0), F.lit(7)),
-                        lambda off: F.conv(
-                            F.substring(d, off * 4 + 1, F.lit(4)), 16, 10
-                        ).cast("long"),
-                    ),
-                )
+            hh,
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda k: F.pmod(s["h1"] + k * s["h2"], F.lit(MINHASH_PRIME)),
             ),
         )
         hx = hashed.select("doc_id", lanes_per_shingle.alias("_hx"))
         # element-wise min across shingles: one aggregate + zip_with
         sig = F.aggregate(
             F.col("_hx"),
-            F.array_repeat(F.lit((1 << 62)).cast("long"), groups * 8),
+            F.array_repeat(F.lit((1 << 62)).cast("long"), num_hashes),
             lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
         )
-        return hx.select("doc_id", F.slice(sig, 1, num_hashes).alias("sig"))
+        return hx.select("doc_id", sig.alias("sig"))
 
     # same loop shaping for the xxhash64 family: per shingle an array of
     # k lanes (xxhash64(h, k) — identical values to the unrolled
@@ -327,11 +324,12 @@ def minhash_dedup_pairs(
     # null-lane band keys.
     hashed = hashed_shingle_df(docs, text_col, n, portable=portable).persist()
     hashed = hashed.filter(F.size("h0") > 0)
-    cands = minhash_lsh_candidates(
-        docs, text_col, n,
-        sigs=signatures_from_hashed(hashed, portable=portable),
-        portable=portable,
-    )
+    # persist the (doc_id, sig) frame too: the band self-join consumes
+    # it from BOTH sides, and when Spark picks a broadcast join for the
+    # bands there is no shuffle exchange to reuse — without the persist
+    # the whole lane pass runs twice (measured). k longs per doc: tiny.
+    sigs = signatures_from_hashed(hashed, portable=portable).persist()
+    cands = minhash_lsh_candidates(docs, text_col, n, sigs=sigs, portable=portable)
     sets = hashed.withColumnRenamed("h0", "sh")
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
