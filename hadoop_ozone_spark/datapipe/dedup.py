@@ -116,14 +116,35 @@ def hashed_shingle_df(
     return th.select("doc_id", F.array_distinct(grams).alias("h0"))
 
 
+NGRAM_PAIRS_MAX_DOCS = 100_000  # fence: quadratic-in-the-worst-case operator
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_docs: int | None = NGRAM_PAIRS_MAX_DOCS,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ t).
 
     Blocked on shared shingles (pairs with zero overlap never meet).
     jaccard = |∩| / (|A| + |B| − |∩|) computed as exact-int division.
+
+    Fence: the shingle self-join is quadratic under hot shingles, so
+    this is for oracle-scale verification only — the corpus-scale path
+    is :func:`minhash_dedup_pairs`, whose only all-pairs stage is LSH
+    banding. Corpora larger than ``max_docs`` are refused (the check is
+    a bounded ``limit(max_docs+1).count()``, never a full count); pass
+    ``max_docs=None`` to override explicitly.
     """
+    if max_docs is not None:
+        if docs.limit(max_docs + 1).count() > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs: corpus exceeds max_docs={max_docs}; "
+                "use minhash_dedup_pairs for full-corpus dedup, or pass "
+                "max_docs=None if the quadratic risk is understood"
+            )
     st = shingle_table(docs, text_col, n)
     sizes = st.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = st.alias("a")

@@ -201,3 +201,12 @@ def test_connected_dedup_groups_on_corpus(corpus):
     assert labels[base] == base
     assert labels.get(base + 1_000_000) == base
     assert labels.get(base + 2_000_000) == base
+
+
+def test_ngram_jaccard_fence_refuses_large_corpus(corpus):
+    """The quadratic exact-pairs operator must refuse a corpus larger
+    than its max_docs fence (VERDICT r1: keep it oracle-scale only)."""
+    with pytest.raises(ValueError, match="max_docs"):
+        dedup.ngram_jaccard_pairs(corpus, max_docs=2)
+    # explicit override still works
+    assert dedup.ngram_jaccard_pairs(corpus.limit(3), max_docs=None).count() >= 0
