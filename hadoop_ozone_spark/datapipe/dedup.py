@@ -171,7 +171,18 @@ def ngram_jaccard_pairs(
 NUM_HASHES = 64  # minhash signature length
 BANDS = 16      # 16 bands × 4 rows: S-curve midpoint (1/16)^(1/4) = 0.50
 ROWS_PER_BAND = NUM_HASHES // BANDS
-MINHASH_PRIME = 1_000_000_007  # lane modulus for the portable double-hash family
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne lane modulus (2-universal affine family)
+
+
+def _minhash_coefficients(
+    num_hashes: int, p: int = MINHASH_PRIME
+) -> list[tuple[int, int]]:
+    """Fixed (a_k, b_k) per lane from a seeded PRNG — identical constants
+    are baked into the Spark plan and the generated DuckDB oracle SQL."""
+    import random
+
+    rng = random.Random(0xB0B5EED)
+    return [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
 
 
 def minhash_signatures(
@@ -202,35 +213,35 @@ def signatures_from_hashed(
 
     fast family: k xxhash64(long, seed) lanes — cheap long→long.
 
-    portable family: double hashing (Kirsch–Mitzenmacher) — ONE md5 per
-    shingle, parsed as two longs h1 (hex 1-15, 60 bits) and h2 (hex
-    16-29, 56 bits); lane_k = (h1 + k·h2) mod p, p = 1e9+7. All k lanes
-    are then pure long arithmetic: 4× less hashing than the previous
-    one-md5-per-8-lanes carving (7s → ~1s lane pass at sf0.1 measured).
-    ANSI-safe: h1 + k·h2 < 2^60 + 32·2^56 < 2^62. The (h1,h2) parse is
-    chained through its OWN transform projection so the digest is
-    evaluated once per shingle, not once per field (lambda-internal
-    subexpressions are not CSE'd). Exact-Jaccard verify over the full
-    60-bit h0 sets keeps the final pair output identical to the fast
-    family's."""
+    portable family: the classic 2-universal affine family over the
+    60-bit shingle hash — lane_k = (a_k·x + b_k) mod p with
+    x = h0 mod p, p = 2^31−1 and fixed seeded (a_k, b_k) (the same
+    family Spark MLlib's MinHashLSH uses). ZERO extra hashing: the only
+    md5 in the whole pipeline is the shingle pass; all k lanes are long
+    multiply-add-mod. ANSI-safe: a·x + b < 2^31·2^31 + 2^31 < 2^63.
+    The x = h0 mod p reduction is chained through its OWN transform
+    projection so it is evaluated once per shingle, not once per lane
+    (lambda-internal subexpressions are not CSE'd). Mod-p collisions
+    between distinct shingles only create min-ties, which only ADD
+    candidates; exact-Jaccard verify over the full 60-bit h0 sets keeps
+    the final pair output identical to the fast family's."""
     if portable:
-        # per shingle: digest → (h1, h2) struct → k arithmetic lanes.
-        # nested transforms (loops in codegen), never k unrolled
-        # expressions: the unrolled form generated megabyte-scale
-        # methods that fell out of whole-stage codegen (3× slower)
-        digests = F.transform(F.col("h0"), lambda h: F.md5(h.cast("string")))
-        hh = F.transform(
-            digests,
-            lambda d: F.struct(
-                F.conv(F.substring(d, 1, 15), 16, 10).cast("long").alias("h1"),
-                F.conv(F.substring(d, 16, 14), 16, 10).cast("long").alias("h2"),
-            ),
+        # per shingle: x = h0 mod p, then k arithmetic lanes over a
+        # constant-folded (a, b) struct array. nested transforms (loops
+        # in codegen), never k unrolled expressions: the unrolled form
+        # generated megabyte-scale methods that fell out of whole-stage
+        # codegen (3× slower)
+        ab = F.array(
+            *[
+                F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                for a, b in _minhash_coefficients(num_hashes)
+            ]
         )
+        xs = F.transform(F.col("h0"), lambda h: F.pmod(h, F.lit(MINHASH_PRIME)))
         lanes_per_shingle = F.transform(
-            hh,
-            lambda s: F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda k: F.pmod(s["h1"] + k * s["h2"], F.lit(MINHASH_PRIME)),
+            xs,
+            lambda x: F.transform(
+                ab, lambda s: F.pmod(s["a"] * x + s["b"], F.lit(MINHASH_PRIME))
             ),
         )
         hx = hashed.select("doc_id", lanes_per_shingle.alias("_hx"))

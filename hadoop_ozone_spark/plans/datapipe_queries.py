@@ -251,12 +251,13 @@ def dp_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql() -> str:
     """DuckDB replay of the portable minhash pipeline, generated from
     the same constants as the Spark plan (NUM_HASHES/BANDS/ROWS_PER_BAND;
-    double-hash lanes (h1 + k·h2) mod p, mirroring
-    signatures_from_hashed)."""
+    affine lanes (a_k·x + b_k) mod p with the same seeded coefficients,
+    mirroring signatures_from_hashed)."""
     p = dedup.MINHASH_PRIME
+    coeffs = dedup._minhash_coefficients(dedup.NUM_HASHES)
     lanes = ",\n         ".join(
-        f"list_min(list_transform(hx, a -> (a[1] + {k} * a[2]) % {p})) AS s{k}"
-        for k in range(dedup.NUM_HASHES)
+        f"list_min(list_transform(hx, x -> ({a} * x + {b}) % {p})) AS s{k}"
+        for k, (a, b) in enumerate(coeffs)
     )
     band_rows = "\n  UNION ALL\n  ".join(
         f"SELECT doc_id, {b} AS band_id, concat_ws(',', "
@@ -281,12 +282,7 @@ def _minhash_sql() -> str:
          list_distinct(list_transform(sh, s -> {dedup.md5_lane_sql('s')})) AS h0
   FROM shl WHERE len(sh) > 0
 ), hxt AS (
-  SELECT doc_id,
-         list_transform(h0, h -> [
-           CAST(concat('0x', substring(md5(CAST(h AS VARCHAR)), 1, 15)) AS BIGINT),
-           CAST(concat('0x', substring(md5(CAST(h AS VARCHAR)), 16, 14)) AS BIGINT)
-         ]) AS hx
-  FROM hs
+  SELECT doc_id, list_transform(h0, h -> h % {p}) AS hx FROM hs
 ), sig AS (
   SELECT doc_id,
          {lanes}
