@@ -389,17 +389,19 @@ SIMHASH_BITS = 128  # md5-derived fingerprint width
 def simhash_chunk_layout(max_hamming: int, num_bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
     """(start_bit, width) per blocking chunk.
 
-    Pigeonhole recall guarantee: with ``n_chunks > max_hamming``, two
-    fingerprints within hamming h ≤ max_hamming must agree on ≥1 chunk.
-    Chunk count is max(max_hamming+1, 8) so a chunk never exceeds 16
-    bits — the SCALE constraint: a w-bit chunk yields 2^w blocking
-    buckets, and candidate pairs grow Θ(N²/2^w); the 64-bit/7-bit-chunk
-    parameterization this replaces was Θ(N²/128), a scale-killer at
-    10⁹+ docs. 16-bit chunks give Θ(N²/65536) while KEEPING the
-    pigeonhole guarantee (more chunks than the minimum only adds
-    recall, never loses it).
+    Pigeonhole recall guarantee: with ``n_chunks ≥ max_hamming + 2``,
+    at most max_hamming chunks differ, so ≥2 chunks agree — hence at
+    least one chunk PAIR agrees, which is what the pair-blocking join in
+    :func:`simhash_pairs` keys on (32-bit composite keys). Chunk count
+    is max(max_hamming+2, 8) so a chunk never exceeds 16 bits — the
+    SCALE constraint: blocking selectivity must survive CORRELATED
+    corpora. Real corpora share vocabulary, so fingerprint chunks are
+    far from uniform; single-16-bit-chunk blocking measured 23.5M
+    candidate pairs on a 60k shared-vocab corpus, while pair blocking's
+    ~32-bit keys keep candidates near-linear. More chunks than the
+    minimum only adds recall, never loses it.
     """
-    n_chunks = max(max_hamming + 1, num_bits // 16)
+    n_chunks = max(max_hamming + 2, num_bits // 16)
     base, rem = divmod(num_bits, n_chunks)
     layout, start = [], 0
     for i in range(n_chunks):
@@ -465,36 +467,51 @@ def simhash_fingerprints(
     return sums.select("doc_id", fpc.alias("fpc"))
 
 
+def simhash_blocks(fp: DataFrame, n_chunks: int) -> DataFrame:
+    """Fingerprints → pair-blocking table (doc_id, fpc, blk, c1, c2):
+    one row per chunk PAIR (i < j), keyed by the pair id and both chunk
+    values — a ~32-bit composite blocking key. Candidates must agree on
+    TWO chunks, which keeps bucket fan-in selective even on correlated
+    corpora where individual 16-bit chunk values concentrate."""
+    pair_structs = [
+        F.struct(
+            F.lit(pid).alias("blk"),
+            F.element_at("fpc", i + 1).alias("c1"),
+            F.element_at("fpc", j + 1).alias("c2"),
+        )
+        for pid, (i, j) in enumerate(
+            (i, j) for i in range(n_chunks) for j in range(i + 1, n_chunks)
+        )
+    ]
+    return fp.select(
+        "doc_id", "fpc", F.explode(F.array(*pair_structs)).alias("c")
+    ).select("doc_id", "fpc", "c.blk", "c.c1", "c.c2")
+
+
 def simhash_pairs(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 7
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on fingerprint chunks, verify exact
-    Hamming distance on candidates.
+    """SimHash near-dup pairs: block on fingerprint chunk PAIRS, verify
+    exact Hamming distance on candidates.
 
     Hamming distance = Σ_chunks bit_count(chunk_a XOR chunk_b) — exact,
     since the chunks partition the 128 bits. Blocking shuffle is keyed
-    by (chunk_id, chunk_value); with ≥16-bit chunks the bucket fan-in
-    is 65536× smaller than the fingerprint population per chunk.
+    by (pair_id, chunk_i, chunk_j): with ≤ max_hamming dirty chunks and
+    n_chunks ≥ max_hamming+2, some pair of chunks is untouched, so
+    recall is still guaranteed by pigeonhole — but the key is ~32 bits
+    instead of 16, which is what survives correlated real-world corpora
+    (single-chunk blocking measured Θ(N²)-ish 23.5M candidates on a 60k
+    shared-vocab probe; pair blocking stays near-linear). The exact
+    hamming filter makes the OUTPUT independent of the blocking scheme,
+    so the DuckDB oracle may block per single chunk and still match.
     """
     layout = simhash_chunk_layout(max_hamming)
-    n_chunks = len(layout)
     # both sides of the chunk self-join consume the fingerprints; persist
     # so the token-explode + 128-sum aggregation runs once, not twice
     fp = simhash_fingerprints(docs, text_col, max_hamming).persist()
-    chunks = fp.select(
-        "doc_id",
-        "fpc",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
-                lambda c: F.struct(
-                    c.alias("chunk_id"), F.element_at("fpc", c + 1).alias("chunk")
-                ),
-            )
-        ).alias("c"),
-    ).select("doc_id", "fpc", "c.chunk_id", "c.chunk")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    blocks = simhash_blocks(fp, len(layout))
+    a = blocks.alias("a")
+    b = blocks.alias("b")
     hamming = F.aggregate(
         F.zip_with("a.fpc", "b.fpc", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
         F.lit(0).cast("long"),
@@ -503,8 +520,9 @@ def simhash_pairs(
     return (
         a.join(
             b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c1") == F.col("b.c1"))
+            & (F.col("a.c2") == F.col("b.c2"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

@@ -82,14 +82,22 @@ def main() -> None:
         spark.stop()
 
 
-def docs_probe(n_docs: int) -> None:
+def docs_probe(n_docs: int, vocab: int = 20_000) -> None:
     """Datapipe scale probe: synthesize n_docs documents (deterministic
-    150-token texts over a 200-word vocab, 1% near-duplicates) and time
-    the dedup family."""
+    150-token texts, 1% near-duplicates) and time the dedup family.
+
+    ``vocab`` sets the vocabulary size. 20k models web-ish text (docs
+    share little vocabulary; LSH keys near-uniform). A degenerate value
+    like 200 makes every doc share ~50% of its vocabulary with every
+    other — the adversarial correlated-fingerprint case where any
+    hamming/jaccard blocking scheme degrades toward quadratic; keep one
+    such run in BENCH_NOTES as the documented worst case."""
     from hadoop_ozone_spark.datapipe import dedup
 
     spark = get_spark("scale-probe-docs")
-    vocab_expr = "transform(sequence(1, 150), i -> concat('w', pmod(hash(id * 1000 + i), 200)))"
+    vocab_expr = (
+        f"transform(sequence(1, 150), i -> concat('w', pmod(hash(id * 1000 + i), {vocab})))"
+    )
     docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.array_join(F.expr(vocab_expr), " ").alias("text"),
@@ -104,29 +112,19 @@ def docs_probe(n_docs: int) -> None:
         out = {"num_docs": corpus.count(), "timings_sec": {}, "pairs": {}}
         def simhash_candidates() -> int:
             # blocking-bucket candidate pairs BEFORE the hamming filter —
-            # the quantity that must grow ~linearly in N for the 16-bit
-            # chunk parameterization (round-1 verdict: 7-bit chunks grew
-            # Θ(N²/128))
+            # the quantity that must grow ~linearly in N. Uses the same
+            # chunk-PAIR blocking as simhash_pairs (single-chunk keys
+            # measured 23.5M candidates at 60k correlated docs).
             layout = dedup.simhash_chunk_layout(4)
             fp = dedup.simhash_fingerprints(corpus, max_hamming=4)
-            chunks = fp.select(
-                "doc_id",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(len(layout) - 1)),
-                        lambda c: F.struct(
-                            c.alias("chunk_id"),
-                            F.element_at("fpc", c + 1).alias("chunk"),
-                        ),
-                    )
-                ).alias("c"),
-            ).select("doc_id", "c.chunk_id", "c.chunk")
-            a, b = chunks.alias("a"), chunks.alias("b")
+            blocks = dedup.simhash_blocks(fp, len(layout))
+            a, b = blocks.alias("a"), blocks.alias("b")
             return (
                 a.join(
                     b,
-                    (F.col("a.chunk_id") == F.col("b.chunk_id"))
-                    & (F.col("a.chunk") == F.col("b.chunk"))
+                    (F.col("a.blk") == F.col("b.blk"))
+                    & (F.col("a.c1") == F.col("b.c1"))
+                    & (F.col("a.c2") == F.col("b.c2"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")),
                 )
                 .select("a.doc_id", "b.doc_id")
@@ -231,8 +229,13 @@ def vecs_probe(n_vecs: int, dims: int = 64, k: int = 50) -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         if len(sys.argv) < 3:
-            raise SystemExit("usage: scale_probe.py --docs <num_docs_thousands>")
-        docs_probe(int(float(sys.argv[2]) * 1000))
+            raise SystemExit(
+                "usage: scale_probe.py --docs <num_docs_thousands> [vocab_size]"
+            )
+        docs_probe(
+            int(float(sys.argv[2]) * 1000),
+            vocab=int(sys.argv[3]) if len(sys.argv) > 3 else 20_000,
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "--vecs":
         if len(sys.argv) < 3:
             raise SystemExit("usage: scale_probe.py --vecs <num_vecs_thousands>")
