@@ -121,8 +121,12 @@ def range_join_binned(
     binned_facts = facts.withColumn(
         "_bucket", F.floor(F.col(value_col) / bucket_width).cast("long")
     )
+    # explicit hint: the interval table is the dim side. Without it,
+    # Spark sizes a createDataFrame-born dim as unknown and can choose
+    # to broadcast the FACT side instead (observed at sf0.1) — fatal
+    # when facts are the 100 TB table.
     return (
-        binned_facts.join(binned_intervals, "_bucket")
+        binned_facts.join(F.broadcast(binned_intervals), "_bucket")
         .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
         .drop("_bucket")
     )
