@@ -271,28 +271,15 @@ def signatures_from_hashed(
     return hx.select("doc_id", sig.alias("sig"))
 
 
-def minhash_lsh_candidates(
-    docs: DataFrame,
-    text_col: str = "text",
-    n: int = 3,
-    sigs: DataFrame | None = None,
-    portable: bool = False,
-) -> DataFrame:
-    """LSH banding: docs sharing any band-hash become candidate pairs.
-
-    Shuffle is keyed by (band_id, band_hash) — the classic MinHash-LSH
-    plan; bucket skew (a degenerate shingle shared by everything) is
-    handled by AQE skew-split at scale. The portable family joins on
-    the comma-joined band slice itself (no extra hash — DuckDB builds
-    the identical string).
-    """
-    if sigs is None:
-        sigs = minhash_signatures(docs, text_col, n, portable=portable)
+def band_table(sigs: DataFrame, portable: bool = False) -> DataFrame:
+    """(doc_id, sig) → (doc_id, band_id, band_hash): the LSH banding
+    table — ALSO the persisted index artifact of the incremental path
+    (partition by band_hash at write time so delta probes prune)."""
 
     def band_key(joined: Column) -> Column:
         return joined if portable else F.xxhash64(joined)
 
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -312,6 +299,26 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    sigs: DataFrame | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """LSH banding: docs sharing any band-hash become candidate pairs.
+
+    Shuffle is keyed by (band_id, band_hash) — the classic MinHash-LSH
+    plan; bucket skew (a degenerate shingle shared by everything) is
+    handled by AQE skew-split at scale. The portable family joins on
+    the comma-joined band slice itself (no extra hash — DuckDB builds
+    the identical string).
+    """
+    if sigs is None:
+        sigs = minhash_signatures(docs, text_col, n, portable=portable)
+    bands = band_table(sigs, portable=portable)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -377,6 +384,80 @@ def minhash_dedup_pairs(
             F.size("sh_a").alias("size_a"),
             F.size("sh_b").alias("size_b"),
             jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs INVOLVING a delta doc — the
+    shape a rolling training-data ingest needs (yesterday's corpus is
+    already deduped; today's batch must be checked against it and
+    against itself, without re-pairing the corpus with itself).
+
+    Emits (doc_a, doc_b, ..., jaccard, pair_type) with doc_a < doc_b and
+    pair_type ∈ {'delta_corpus', 'delta_delta'}; corpus↔corpus pairs are
+    excluded by construction (the delta side drives the band join).
+    Requires corpus and delta doc_ids to be disjoint.
+
+    Scale shape: the corpus's band table and hashed-shingle table are
+    exactly the frames :func:`band_table` / :func:`hashed_shingle_df`
+    produce — persist them as write-time artifacts partitioned by
+    band_hash / doc_id, and the per-batch cost is
+    O(|delta| + matched buckets), never a corpus re-scan. The law
+    ``pairs(corpus ∪ delta) = pairs(corpus) ∪ incremental(corpus, delta)``
+    holds exactly for the same hash family (pinned by
+    test_minhash_incremental_matches_batch).
+    """
+    ch = hashed_shingle_df(corpus, text_col, n, portable=portable).persist()
+    ch = ch.filter(F.size("h0") > 0)
+    dh = hashed_shingle_df(delta, text_col, n, portable=portable).persist()
+    dh = dh.filter(F.size("h0") > 0)
+    cb = band_table(
+        signatures_from_hashed(ch, portable=portable), portable=portable
+    ).withColumn("is_delta", F.lit(False))
+    db = band_table(
+        signatures_from_hashed(dh, portable=portable), portable=portable
+    ).withColumn("is_delta", F.lit(True)).persist()
+    all_b = cb.unionByName(db).alias("b")
+    d = db.alias("a")
+    cand = (
+        d.join(
+            all_b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            (F.col("a.is_delta") & F.col("b.is_delta")).alias("both_delta"),
+        )
+        .distinct()
+    )
+    sets = ch.unionByName(dh).withColumnRenamed("h0", "sh")
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jac.alias("jaccard"),
+            F.when(F.col("both_delta"), F.lit("delta_delta"))
+            .otherwise(F.lit("delta_corpus"))
+            .alias("pair_type"),
         )
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")

@@ -241,6 +241,20 @@ def dp_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dp_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest dedup: the injected-copy range (doc_id ≥ 1e6)
+    arrives as today's delta; pairs are delta↔corpus and delta↔delta
+    only — corpus↔corpus never re-pairs. Same portable hash family, so
+    the DuckDB oracle replays the split pipeline value-for-value."""
+    corpus = model.dedup_corpus(spark, sf_dir)
+    return dedup.minhash_incremental_pairs(
+        corpus.filter(F.col("doc_id") < 1_000_000),
+        corpus.filter(F.col("doc_id") >= 1_000_000),
+        threshold=0.5,
+        portable=True,
+    )
+
+
 def dp_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """128-bit md5 SimHash with 16-bit blocking chunks (scale: candidate
     pairs Θ(N²/65536) per chunk; recall: pigeonhole over > max_hamming
@@ -248,19 +262,23 @@ def dp_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(model.dedup_corpus(spark, sf_dir), max_hamming=4)
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(incremental: bool = False) -> str:
     """DuckDB replay of the portable minhash pipeline, generated from
     the same constants as the Spark plan (NUM_HASHES/BANDS/ROWS_PER_BAND;
     affine lanes (a_k·x + b_k) mod p with the same seeded coefficients,
-    mirroring signatures_from_hashed)."""
+    mirroring signatures_from_hashed). With ``incremental``, splits the
+    corpus at doc_id ≥ 1e6 (the injected-copy range) into existing vs
+    delta and replays minhash_incremental_pairs: the delta side drives
+    the band join, corpus↔corpus pairs never form."""
     p = dedup.MINHASH_PRIME
     coeffs = dedup._minhash_coefficients(dedup.NUM_HASHES)
     lanes = ",\n         ".join(
         f"list_min(list_transform(hx, x -> ({a} * x + {b}) % {p})) AS s{k}"
         for k, (a, b) in enumerate(coeffs)
     )
+    extra = ", is_delta" if incremental else ""
     band_rows = "\n  UNION ALL\n  ".join(
-        f"SELECT doc_id, {b} AS band_id, concat_ws(',', "
+        f"SELECT doc_id{extra}, {b} AS band_id, concat_ws(',', "
         + ", ".join(
             f"CAST(s{b * dedup.ROWS_PER_BAND + r} AS VARCHAR)"
             for r in range(dedup.ROWS_PER_BAND)
@@ -268,33 +286,29 @@ def _minhash_sql() -> str:
         + ") AS band_key FROM sig"
         for b in range(dedup.BANDS)
     )
-    return model.with_ctes(
-        model.DEDUP_CORPUS_CTE,
-        body=rf""", toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM dedup_corpus
-), shl AS (
-  SELECT doc_id, list_distinct(list_transform(
-           generate_series(1, greatest(len(t) - 2, 0)),
-           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
-  FROM toks
-), hs AS (
-  SELECT doc_id,
-         list_distinct(list_transform(sh, s -> {dedup.md5_lane_sql('s')})) AS h0
-  FROM shl WHERE len(sh) > 0
-), hxt AS (
-  SELECT doc_id, list_transform(h0, h -> h % {p}) AS hx FROM hs
-), sig AS (
-  SELECT doc_id,
-         {lanes}
-  FROM hxt
-), bands AS (
-  {band_rows}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    if incremental:
+        cand = """  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                  greatest(a.doc_id, b.doc_id) AS doc_b,
+                  (a.is_delta AND b.is_delta) AS both_delta
   FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+  WHERE a.is_delta"""
+        out = """SELECT doc_a, doc_b, jaccard,
+       CASE WHEN both_delta THEN 'delta_delta' ELSE 'delta_corpus' END AS pair_type
+FROM (
+  SELECT doc_a, doc_b, both_delta,
+         CAST(len(list_intersect(ha.h0, hb.h0)) AS DOUBLE)
+           / (len(ha.h0) + len(hb.h0) - len(list_intersect(ha.h0, hb.h0))) AS jaccard
+  FROM cand
+  JOIN hs ha ON cand.doc_a = ha.doc_id
+  JOIN hs hb ON cand.doc_b = hb.doc_id
 )
-SELECT doc_a, doc_b, n_common, size_a, size_b, jaccard FROM (
+WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+    else:
+        cand = """  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+        out = """SELECT doc_a, doc_b, n_common, size_a, size_b, jaccard FROM (
   SELECT doc_a, doc_b,
          len(list_intersect(ha.h0, hb.h0)) AS n_common,
          len(ha.h0) AS size_a, len(hb.h0) AS size_b,
@@ -304,7 +318,34 @@ SELECT doc_a, doc_b, n_common, size_a, size_b, jaccard FROM (
   JOIN hs ha ON cand.doc_a = ha.doc_id
   JOIN hs hb ON cand.doc_b = hb.doc_id
 )
-WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+    return model.with_ctes(
+        model.DEDUP_CORPUS_CTE,
+        body=rf""", toks AS (
+  SELECT doc_id{extra and ", doc_id >= 1000000 AS is_delta"},
+         regexp_split_to_array(trim(text), '\s+') AS t
+  FROM dedup_corpus
+), shl AS (
+  SELECT doc_id{extra}, list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+  FROM toks
+), hs AS (
+  SELECT doc_id{extra},
+         list_distinct(list_transform(sh, s -> {dedup.md5_lane_sql('s')})) AS h0
+  FROM shl WHERE len(sh) > 0
+), hxt AS (
+  SELECT doc_id{extra}, list_transform(h0, h -> h % {p}) AS hx FROM hs
+), sig AS (
+  SELECT doc_id{extra},
+         {lanes}
+  FROM hxt
+), bands AS (
+  {band_rows}
+), cand AS (
+{cand}
+)
+{out}""",
     )
 
 
@@ -372,6 +413,7 @@ WHERE hamming <= {max_hamming} ORDER BY doc_a, doc_b""",
 
 
 DP_MINHASH_SQL = _minhash_sql()
+DP_MINHASH_INCR_SQL = _minhash_sql(incremental=True)
 DP_SIMHASH_SQL = _simhash_sql(max_hamming=4)
 
 
@@ -573,6 +615,7 @@ QUERIES = {
     "dp_vocabulary": dp_vocabulary,
     "dp_dedup_groups": dp_dedup_groups,
     "dp_minhash_pairs": dp_minhash_pairs,
+    "dp_minhash_incremental": dp_minhash_incremental,
     "dp_simhash_pairs": dp_simhash_pairs,
     "dp_ann_brute_topk": dp_ann_brute_topk,
     "dp_ann_bucket_histogram": dp_ann_bucket_histogram,
@@ -601,6 +644,7 @@ ORACLES = {
     "dp_media_resize_plan": DP_MEDIA_RESIZE_SQL,
     "dp_media_frame_sample": DP_FRAME_SAMPLE_SQL,
     "dp_minhash_pairs": DP_MINHASH_SQL,
+    "dp_minhash_incremental": DP_MINHASH_INCR_SQL,
     "dp_simhash_pairs": DP_SIMHASH_SQL,
     "dp_media_features": DP_MEDIA_FEATURES_SQL,
 }

@@ -210,3 +210,29 @@ def test_ngram_jaccard_fence_refuses_large_corpus(corpus):
         dedup.ngram_jaccard_pairs(corpus, max_docs=2)
     # explicit override still works
     assert dedup.ngram_jaccard_pairs(corpus.limit(3), max_docs=None).count() >= 0
+
+
+def test_minhash_incremental_matches_batch(corpus):
+    """Rolling-ingest law: pairs(corpus ∪ delta) must equal
+    pairs(corpus) ∪ incremental(corpus, delta) exactly for the same
+    hash family — the invariant that lets a daily ingest dedup against
+    a persisted index instead of re-running the full corpus."""
+    existing = corpus.filter(F.col("doc_id") < 1_000_000)
+    delta = corpus.filter(F.col("doc_id") >= 1_000_000)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_dedup_pairs(corpus, portable=True).collect()
+    }
+    base = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_dedup_pairs(existing, portable=True).collect()
+    }
+    inc_rows = dedup.minhash_incremental_pairs(existing, delta, portable=True).collect()
+    inc = {(r["doc_a"], r["doc_b"]) for r in inc_rows}
+    assert inc and full == base | inc
+    assert base.isdisjoint(inc)
+    # every incremental pair touches the delta; both_delta typed correctly
+    for r in inc_rows:
+        assert r["doc_b"] >= 1_000_000
+        expected = "delta_delta" if r["doc_a"] >= 1_000_000 else "delta_corpus"
+        assert r["pair_type"] == expected
