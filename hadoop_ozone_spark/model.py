@@ -362,3 +362,110 @@ def register_views(spark: SparkSession, sf_dir: str, derived: bool = True) -> li
             fn(spark, sf_dir).createOrReplaceTempView(name)
             names.append(name)
     return names
+
+
+# ---------------------------------------------------------------------------
+# ACL fixtures for the native-authorizer chain (operators/acl.py).
+# Rights are bitmasks over ACLType ordinals (IAccessAuthorizer.java:48-57):
+# READ=1 WRITE=2 CREATE=4 LIST=8 DELETE=16 READ_ACL=32 WRITE_ACL=64
+# ALL=128 NONE=256.
+# Volume/bucket acls are small literal tables; key acls derive one
+# USER-owner row per key (owner = data_size % 3 → alice/bob/carol,
+# rights READ|DELETE) plus a WORLD READ row for replicated keys —
+# deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+ACL_VOLUME_ROWS = [
+    ("vol_a", "USER", "alice", 2, "ACCESS"),    # WRITE
+    ("vol_n", "GROUP", "eng", 3, "ACCESS"),     # READ|WRITE
+    ("vol_r", "WORLD", "", 256, "ACCESS"),      # NONE — denies everyone
+]
+
+ACL_BUCKET_ROWS = [
+    ("vol_a", "bkt_f", "WORLD", "", 128, "ACCESS"),   # ALL
+    ("vol_a", "bkt_o", "USER", "alice", 1, "ACCESS"), # READ only
+    ("vol_n", "bkt_f", "GROUP", "eng", 2, "ACCESS"),  # WRITE
+    ("vol_n", "bkt_o", "USER", "bob", 128, "ACCESS"), # ALL, wrong user
+    ("vol_r", "bkt_f", "WORLD", "", 128, "ACCESS"),
+    ("vol_r", "bkt_o", "WORLD", "", 128, "ACCESS"),
+]
+
+ACL_PREFIX_ROWS = [
+    # dir-style acl'd prefixes: no KEY path ever equals them, so the
+    # exact-path prefix gate (PrefixManagerImpl.java:230-256) passes —
+    # the deny path is unit-tested with a synthetic exact match.
+    ("/vol_a/bkt_f/dir3/", "WORLD", "", 128, "ACCESS"),
+    ("/vol_n/bkt_f/dir5/", "USER", "alice", 256, "ACCESS"),
+]
+
+
+def volume_acls(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        ACL_VOLUME_ROWS, "volume string, type string, name string, rights long, scope string"
+    )
+
+
+def bucket_acls(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        ACL_BUCKET_ROWS,
+        "volume string, bucket string, type string, name string, rights long, scope string",
+    )
+
+
+def prefix_acls(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        ACL_PREFIX_ROWS, "prefix string, type string, name string, rights long, scope string"
+    )
+
+
+def key_acls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = om_keys(spark, sf_dir)
+    owner = F.element_at(
+        F.array(F.lit("alice"), F.lit("bob"), F.lit("carol")),
+        (F.col("data_size") % 3 + 1).cast("int"),
+    )
+    owner_rows = keys.select(
+        "row_key",
+        F.lit("USER").alias("type"),
+        owner.alias("name"),
+        F.lit(17).cast("long").alias("rights"),  # READ|DELETE
+        F.lit("ACCESS").alias("scope"),
+    )
+    world_rows = keys.filter(F.col("replication_factor") == 3).select(
+        "row_key",
+        F.lit("WORLD").alias("type"),
+        F.lit("").alias("name"),
+        F.lit(1).cast("long").alias("rights"),  # READ
+        F.lit("ACCESS").alias("scope"),
+    )
+    return owner_rows.unionByName(world_rows)
+
+
+def _acl_values(rows: list, cols: str) -> str:
+    vals = ", ".join(
+        "(" + ", ".join(f"'{v}'" if isinstance(v, str) else str(v) for v in r) + ")"
+        for r in rows
+    )
+    return f"({cols}) AS (VALUES {vals})"
+
+
+ACL_VOLUME_CTE = "volume_acls" + _acl_values(
+    ACL_VOLUME_ROWS, "volume, type, name, rights, scope"
+)
+ACL_BUCKET_CTE = "bucket_acls" + _acl_values(
+    ACL_BUCKET_ROWS, "volume, bucket, type, name, rights, scope"
+)
+ACL_PREFIX_CTE = "prefix_acls" + _acl_values(
+    ACL_PREFIX_ROWS, "prefix, type, name, rights, scope"
+)
+
+KEY_ACLS_CTE = """
+key_acls AS (
+  SELECT row_key, 'USER' AS type,
+         ['alice', 'bob', 'carol'][CAST(data_size % 3 + 1 AS INTEGER)] AS name,
+         17 AS rights, 'ACCESS' AS scope
+  FROM om_keys
+  UNION ALL
+  SELECT row_key, 'WORLD' AS type, '' AS name, 1 AS rights, 'ACCESS' AS scope
+  FROM om_keys WHERE replication_factor = 3
+)"""

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from hadoop_ozone_spark import model
 from hadoop_ozone_spark.operators import recon
+from hadoop_ozone_spark.operators import acl as acl_ops
 from hadoop_ozone_spark.operators.acl import longest_prefix_acl
 
 
@@ -398,3 +399,87 @@ QUERIES["q18_large_orders"] = q18_large_orders
 ORACLES["q4_order_priority"] = Q4_SQL
 ORACLES["q13_customer_distribution"] = Q13_SQL
 ORACLES["q18_large_orders"] = Q18_SQL
+
+
+# --- native-authorizer effective access (OzoneNativeAuthorizer chain) ------
+
+def acl_effective_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective DELETE access for principal alice (groups: eng) over
+    every key: the full authorizer chain keyAcls(DELETE) ∧
+    prefix/bucket/volumeAcls(WRITE) with first-failing-level reasons,
+    aggregated per (volume, bucket, allowed, deny_reason).
+    Ref OzoneNativeAuthorizer.java:104-166, OzoneAclUtil.java:91-154."""
+    out = acl_ops.effective_key_access(
+        model.om_keys(spark, sf_dir),
+        model.key_acls(spark, sf_dir),
+        model.bucket_acls(spark),
+        model.volume_acls(spark),
+        model.prefix_acls(spark),
+        user="alice",
+        groups=["eng"],
+        right=acl_ops.ACL_DELETE,
+    )
+    return (
+        out.groupBy("volume", "bucket", "allowed", "deny_reason")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("volume", "bucket", "allowed", "deny_reason")
+    )
+
+
+def _acl_grant_sql(right: int) -> str:
+    """DuckDB twin of principal_matches('alice', ['eng']) AND
+    bit_allows(rights, right)."""
+    return (
+        "((type = 'USER' AND name = 'alice') OR "
+        "(type = 'GROUP' AND name IN ('eng')) OR "
+        "type NOT IN ('USER', 'GROUP')) AND "
+        f"(((rights >> {right}) & 1 = 1 OR (rights >> 7) & 1 = 1) "
+        "AND (rights >> 8) & 1 = 0)"
+    )
+
+
+ACL_EFFECTIVE_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    model.ACL_VOLUME_CTE,
+    model.ACL_BUCKET_CTE,
+    model.ACL_PREFIX_CTE,
+    model.KEY_ACLS_CTE,
+    body=f""", k_allow AS (
+  SELECT row_key, max(CASE WHEN {_acl_grant_sql(4)} THEN 1 ELSE 0 END) = 1 AS ok
+  FROM key_acls GROUP BY row_key
+), b_allow AS (
+  SELECT volume, bucket, max(CASE WHEN {_acl_grant_sql(1)} THEN 1 ELSE 0 END) = 1 AS ok
+  FROM bucket_acls GROUP BY volume, bucket
+), v_allow AS (
+  SELECT volume, max(CASE WHEN {_acl_grant_sql(1)} THEN 1 ELSE 0 END) = 1 AS ok
+  FROM volume_acls GROUP BY volume
+), p_allow AS (
+  SELECT prefix, max(CASE WHEN {_acl_grant_sql(1)} THEN 1 ELSE 0 END) = 1 AS ok
+  FROM prefix_acls GROUP BY prefix
+), decided AS (
+  SELECT volume, bucket, (k_ok AND p_ok AND b_ok AND v_ok) AS allowed,
+         CASE WHEN k_ok AND p_ok AND b_ok AND v_ok THEN NULL
+              WHEN NOT k_ok THEN 'key'
+              WHEN NOT p_ok THEN 'prefix'
+              WHEN NOT b_ok THEN 'bucket'
+              ELSE 'volume' END AS deny_reason
+  FROM (
+    SELECT k.volume, k.bucket,
+           coalesce(ka.ok, false) AS k_ok,
+           coalesce(pa.ok, true) AS p_ok,
+           coalesce(ba.ok, false) AS b_ok,
+           coalesce(va.ok, false) AS v_ok
+    FROM om_keys k
+    LEFT JOIN k_allow ka ON k.row_key = ka.row_key
+    LEFT JOIN p_allow pa ON k.row_key = pa.prefix
+    LEFT JOIN b_allow ba ON k.volume = ba.volume AND k.bucket = ba.bucket
+    LEFT JOIN v_allow va ON k.volume = va.volume
+  )
+)
+SELECT volume, bucket, allowed, deny_reason, count(*) AS n_keys
+FROM decided GROUP BY volume, bucket, allowed, deny_reason
+ORDER BY volume, bucket, allowed, deny_reason""",
+)
+
+QUERIES["acl_effective_access"] = acl_effective_access
+ORACLES["acl_effective_access"] = ACL_EFFECTIVE_SQL
