@@ -82,6 +82,73 @@ def main() -> None:
         spark.stop()
 
 
+def bucketed_probe(n_m: float) -> None:
+    """Co-located join probe: the J1 container⋈keys join on BUCKETED
+    tables (bucketBy container_id) vs plain parquet.
+
+    At 100 TB the container-key index and the container table are
+    write-time artifacts; bucketing both by container_id means the
+    recurring health/report joins are exchange-free (each task reads
+    matching buckets from both sides). This probe writes both shapes,
+    counts Exchange operators in the physical plans, and times the
+    join+agg. Broadcast is disabled so the measurement compares
+    shuffle-vs-bucket join strategies, not broadcast shortcuts.
+    """
+    n = int(n_m * 1_000_000)
+    spark = get_spark("scale-probe-bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    tmp = tempfile.mkdtemp(prefix="ozspark_bucketed_")
+    out = {"num_keys": n, "timings_sec": {}, "exchanges": {}}
+    try:
+        keys = generators.generate_keys(
+            spark, num_volumes=6, num_buckets=50, num_keys=n
+        ).withColumn("container_id", F.col("object_id") % 20000)
+        index = keys.select("container_id", "key", "data_size")
+        containers = (
+            keys.groupBy("container_id")
+            .agg(F.count(F.lit(1)).alias("n_keys"))
+            .withColumn("state", F.when(F.col("container_id") % 5 == 0, "OPEN").otherwise("CLOSED"))
+        )
+        t0 = time.time()
+        index.write.mode("overwrite").parquet(f"{tmp}/index")
+        containers.write.mode("overwrite").parquet(f"{tmp}/containers")
+        out["timings_sec"]["write_plain"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        (index.write.mode("overwrite").format("parquet")
+         .option("path", f"{tmp}/idx_bucketed")
+         .bucketBy(32, "container_id").sortBy("container_id")
+         .saveAsTable("idx_bucketed"))
+        (containers.write.mode("overwrite").format("parquet")
+         .option("path", f"{tmp}/cont_bucketed")
+         .bucketBy(32, "container_id").sortBy("container_id")
+         .saveAsTable("cont_bucketed"))
+        out["timings_sec"]["write_bucketed"] = round(time.time() - t0, 2)
+
+        def join_agg(i, c):
+            return (
+                i.join(c, "container_id")
+                .filter(F.col("state") == "OPEN")
+                .groupBy("container_id")
+                .agg(F.sum("data_size").alias("bytes"), F.count(F.lit(1)).alias("nk"))
+            )
+
+        plain = join_agg(
+            spark.read.parquet(f"{tmp}/index"), spark.read.parquet(f"{tmp}/containers")
+        )
+        bucketed = join_agg(spark.table("idx_bucketed"), spark.table("cont_bucketed"))
+        for name, df in [("plain", plain), ("bucketed", bucketed)]:
+            out["exchanges"][name] = df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+            t0 = time.time()
+            df.count()
+            out["timings_sec"][f"join_{name}"] = round(time.time() - t0, 2)
+        print(json.dumps(out))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS idx_bucketed")
+        spark.sql("DROP TABLE IF EXISTS cont_bucketed")
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def docs_probe(n_docs: int, vocab: int = 20_000) -> None:
     """Datapipe scale probe: synthesize n_docs documents (deterministic
     150-token texts, 1% near-duplicates) and time the dedup family.
@@ -236,6 +303,8 @@ if __name__ == "__main__":
             int(float(sys.argv[2]) * 1000),
             vocab=int(sys.argv[3]) if len(sys.argv) > 3 else 20_000,
         )
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bucketed":
+        bucketed_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 6.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--vecs":
         if len(sys.argv) < 3:
             raise SystemExit("usage: scale_probe.py --vecs <num_vecs_thousands>")
