@@ -176,3 +176,135 @@ def vocabulary(docs: DataFrame, text_col: str = "text", top_k: int = 100) -> Dat
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(top_k)
     )
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1, public quality-filter recipe): fraction of tokens inside
+    duplicated 3-grams, distinct/total token ratio, and the top n-gram's
+    share. Map-only Column arithmetic — fused into the corpus scan.
+
+    - dup_3gram_frac: 1 − distinct(3grams)/total(3grams): the mass of
+      repeated trigrams (0 = no repetition).
+    - distinct_token_ratio: distinct/total tokens (low = loops/spam).
+    - top_token_share: occurrences of the most frequent token / total
+      tokens (aggregate over the token array, no shuffle).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_tok - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    n_grams = F.size(grams)
+    dup_frac = F.when(n_grams > 0,
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / n_grams
+    ).otherwise(F.lit(0.0))
+    # top token count = longest equal-run in the SORTED token array —
+    # O(n log n) per doc and map-only (a distinct×total nested filter
+    # would be quadratic per doc; an explode+groupBy would shuffle)
+    run = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_share = run["best"].cast("double") / n_tok
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        dup_frac.alias("dup_3gram_frac"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias(
+            "distinct_token_ratio"
+        ),
+        top_share.alias("top_token_share"),
+    )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex PII scrubbing (emails, phone-shaped numbers) with match
+    counts — the redaction pass every published training-data pipeline
+    runs before tokenization. Two regexp_replace + two regexp_count per
+    doc, one fused map stage; the redacted text keeps alignment tokens
+    (<EMAIL>/<PHONE>) so downstream token counts stay meaningful."""
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL))
+    redacted = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_phone = F.regexp_count(redacted, F.lit(PII_PHONE))
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        F.regexp_replace(redacted, PII_PHONE, "<PHONE>").alias("redacted_text"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥ min_hits
+    distinct n-gram shingles with any benchmark/eval document (the
+    published GPT-3/PaLM recipe: drop train docs that leak eval text).
+
+    Shape: explode both sides to (doc, shingle-hash) rows; the
+    benchmark side is tiny (eval sets), so the contamination join
+    BROADCASTS it — the 100 TB corpus is scanned once, map-side, no
+    shuffle of the corpus; the per-doc hit count is one
+    map-side-combinable groupBy. Returns (doc_id, contaminated,
+    n_hits, hit_benchmark_id of the worst offender)."""
+    from hadoop_ozone_spark.datapipe.dedup import md5_lane, shingles
+
+    d = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(shingles(F.col(text_col), n), md5_lane))
+        ).alias("h"),
+    )
+    b = benchmark.select(
+        F.col("bench_id"),
+        F.explode(
+            F.array_distinct(F.transform(shingles(F.col(text_col), n), md5_lane))
+        ).alias("h"),
+    )
+    hits = (
+        d.join(F.broadcast(b), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_shared").alias("n_hits"),
+            # deterministic worst-offender: ties on n_shared break to the
+            # highest bench_id (composite key keeps both engines agreeing)
+            F.max_by(
+                "bench_id",
+                F.col("n_shared") * F.lit(1_000_000_000) + F.col("bench_id"),
+            ).alias("hit_benchmark_id"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
+            "hit_benchmark_id",
+        )
+    )

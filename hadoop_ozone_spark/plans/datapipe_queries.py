@@ -648,3 +648,134 @@ ORACLES = {
     "dp_simhash_pairs": DP_SIMHASH_SQL,
     "dp_media_features": DP_MEDIA_FEATURES_SQL,
 }
+
+
+# --- round 2: repetition quality, PII redaction, decontamination ----------
+
+def dp_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals over the dedup corpus (the
+    injected copies give non-trivial distributions)."""
+    return text.repetition_features(model.dedup_corpus(spark, sf_dir)).orderBy("doc_id")
+
+
+DP_REPETITION_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    body=r""", toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM dedup_corpus
+), g AS (
+  SELECT doc_id, t, list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS grams
+  FROM toks
+), topc AS (
+  SELECT doc_id, max(c) AS top_cnt FROM (
+    SELECT doc_id, tok, count(*) AS c FROM (
+      SELECT doc_id, unnest(t) AS tok FROM toks
+    ) GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT g.doc_id, len(t) AS n_tokens,
+       CASE WHEN len(grams) > 0
+            THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+            ELSE 0.0 END AS dup_3gram_frac,
+       CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_token_ratio,
+       CAST(top_cnt AS DOUBLE) / len(t) AS top_token_share
+FROM g JOIN topc ON g.doc_id = topc.doc_id
+ORDER BY g.doc_id""",
+)
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII injections (both engines build
+    the identical corpus)."""
+    docs = model.load(spark, sf_dir, "documents")
+    t = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" contact alice.smith@example.com now")))
+        .when(F.col("doc_id") % 7 == 0,
+              F.concat(F.col("text"), F.lit(" call +1 555-123-4567 or 555.987.6543")))
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", t.alias("text"))
+
+
+def dp_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pii_redact(_pii_corpus(spark, sf_dir)).orderBy("doc_id")
+
+
+PII_CORPUS_CTE = """
+pii_corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN concat(text, ' contact alice.smith@example.com now')
+              WHEN doc_id % 7 = 0 THEN concat(text, ' call +1 555-123-4567 or 555.987.6543')
+              ELSE text END AS text
+  FROM documents
+)"""
+
+DP_PII_SQL = model.with_ctes(
+    PII_CORPUS_CTE,
+    body=f"""SELECT doc_id,
+       len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(regexp_replace(text, '{text.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{text.PII_PHONE}')) AS n_phones,
+       regexp_replace(regexp_replace(text, '{text.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{text.PII_PHONE}', '<PHONE>', 'g') AS redacted_text
+FROM pii_corpus ORDER BY doc_id""",
+)
+
+
+def dp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: eval set = the first 10 tokens of
+    every doc_id % 97 == 0 document; training docs sharing ≥2 trigram
+    shingles with any eval doc are flagged. The corpus' injected copies
+    make contaminated NON-bench docs appear (the leak case that
+    matters)."""
+    corpus = model.dedup_corpus(spark, sf_dir)
+    bench = corpus.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(text.tokens(F.col("text")), 1, 10), " ").alias("text"),
+    )
+    return text.decontaminate(corpus, bench, min_hits=2).orderBy("doc_id")
+
+
+DP_DECONTAM_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    body=rf""", bench AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(regexp_split_to_array(trim(text), '\s+')[1:10], ' ') AS text
+  FROM dedup_corpus WHERE doc_id % 97 = 0
+), dsh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2])),
+           s -> {dedup.md5_lane_sql('s')}))) AS h
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM dedup_corpus)
+), bsh AS (
+  SELECT bench_id, unnest(list_distinct(list_transform(
+           list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2])),
+           s -> {dedup.md5_lane_sql('s')}))) AS h
+  FROM (SELECT bench_id, regexp_split_to_array(trim(text), '\s+') AS t FROM bench)
+), per_bench AS (
+  SELECT doc_id, bench_id, count(*) AS n_shared
+  FROM dsh JOIN bsh USING (h) GROUP BY doc_id, bench_id
+), hits AS (
+  SELECT doc_id, CAST(sum(n_shared) AS BIGINT) AS n_hits,
+         arg_max(bench_id, n_shared * 1000000000 + bench_id) AS hit_benchmark_id
+  FROM per_bench GROUP BY doc_id
+)
+SELECT c.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) >= 2 AS contaminated,
+       h.hit_benchmark_id
+FROM (SELECT doc_id FROM dedup_corpus) c
+LEFT JOIN hits h ON c.doc_id = h.doc_id
+ORDER BY c.doc_id""",
+)
+
+QUERIES["dp_repetition"] = dp_repetition
+QUERIES["dp_pii_redact"] = dp_pii_redact
+QUERIES["dp_decontaminate"] = dp_decontaminate
+ORACLES["dp_repetition"] = DP_REPETITION_SQL
+ORACLES["dp_pii_redact"] = DP_PII_SQL
+ORACLES["dp_decontaminate"] = DP_DECONTAM_SQL

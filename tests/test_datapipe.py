@@ -236,3 +236,45 @@ def test_minhash_incremental_matches_batch(corpus):
         assert r["doc_b"] >= 1_000_000
         expected = "delta_delta" if r["doc_a"] >= 1_000_000 else "delta_corpus"
         assert r["pair_type"] == expected
+
+
+def test_repetition_features_detects_loops(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),                 # all distinct
+        (2, "spam spam spam spam spam spam"),       # degenerate loop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.repetition_features(df).collect()}
+    assert got[1]["dup_3gram_frac"] == 0.0
+    assert got[1]["distinct_token_ratio"] == 1.0
+    assert got[1]["top_token_share"] == 0.1
+    assert got[2]["dup_3gram_frac"] > 0.7           # 4 grams, 1 distinct
+    assert got[2]["distinct_token_ratio"] == 1 / 6
+    assert got[2]["top_token_share"] == 1.0
+
+
+def test_pii_redact_counts_and_text(spark):
+    rows = [(1, "mail me at bob@x.org or sue@y.io, call 555-123-4567 ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = text.pii_redact(df).collect()[0]
+    assert r["n_emails"] == 2 and r["n_phones"] == 1
+    assert "bob@x.org" not in r["redacted_text"]
+    assert "<EMAIL>" in r["redacted_text"] and "<PHONE>" in r["redacted_text"]
+
+
+def test_decontaminate_flags_leaked_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated content about spark and parquet files"),
+            (3, "the quick brown fox appears here too with more words"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "bench_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in text.decontaminate(docs, bench, min_hits=2).collect()}
+    assert got[1]["contaminated"] and got[1]["hit_benchmark_id"] == 100
+    assert not got[2]["contaminated"] and got[2]["n_hits"] == 0
+    assert got[3]["contaminated"]  # shares 'the quick brown' + 'quick brown fox'
