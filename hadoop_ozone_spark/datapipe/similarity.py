@@ -18,7 +18,7 @@ competitive and stay in codegen.)
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -263,4 +263,86 @@ def bucketed_topk(
         )
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def knn_join_brute(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact batch kNN join: for EVERY query row (query_id, qvec), the
+    k nearest corpus vectors by cosine. The answer key for the bucketed
+    variant, and the right plan when the query batch is small: broadcast
+    the queries, score corpus×queries map-side (one pass over the
+    corpus, no shuffle of it), then one shuffle keyed by query_id for
+    the per-query top-k window — partition count = |queries|, each
+    holding candidate rows only.
+    """
+    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine(as_double(F.col(vec_col)), as_double(F.col("qvec"))), round_digits
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_sim")
+    )
+
+
+def knn_join_bucketed(
+    embeddings: DataFrame | None,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    probe_radius: int = 1,
+    num_planes: int = NUM_PLANES,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate batch kNN join over the persisted LSH bucket index:
+    every query probes its Hamming ball of buckets; candidates arrive
+    via ONE equi-join on bucket_id (the index side is partition-pruned
+    to probed buckets and never reshuffles); per-query top-k is one
+    keyed window. At 10⁶+ queries the probe table stops being
+    broadcastable — the join degrades gracefully to a shuffle keyed by
+    bucket_id, still never a cross join. Recall vs :func:`knn_join_brute`
+    is pinned by test_knn_join_recall.
+    """
+    q = queries.select(
+        "query_id", "qvec", bucket_id(F.col("qvec"), num_planes).alias("q_bucket")
+    )
+    probes = (
+        q.select(
+            "query_id",
+            "qvec",
+            "q_bucket",
+            F.explode(F.sequence(F.lit(0), F.lit((1 << num_planes) - 1))).alias(
+                "bucket_id"
+            ),
+        )
+        .filter(
+            F.bit_count(F.col("bucket_id").bitwiseXOR(F.col("q_bucket"))) <= probe_radius
+        )
+        .drop("q_bucket")
+    )
+    idx = index if index is not None else bucketed_index(embeddings, vec_col)
+    scored = idx.join(F.broadcast(probes), "bucket_id").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine(as_double(F.col(vec_col)), as_double(F.col("qvec"))), round_digits
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_sim")
     )

@@ -779,3 +779,42 @@ QUERIES["dp_decontaminate"] = dp_decontaminate
 ORACLES["dp_repetition"] = DP_REPETITION_SQL
 ORACLES["dp_pii_redact"] = DP_PII_SQL
 ORACLES["dp_decontaminate"] = DP_DECONTAM_SQL
+
+
+# --- round 2: batch kNN join ----------------------------------------------
+
+def dp_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact batch kNN join (every vec_id % 50 == 7 vector queries the
+    corpus for its top-5). The oracle-checkable answer key; the
+    LSH-bucketed variant (knn_join_bucketed) shares the scoring + top-k
+    plan and is recall-pinned against this in test_knn_join_recall."""
+    emb = model.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.knn_join_brute(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+DP_KNN_JOIN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 50 = 7
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM embeddings e, q
+), ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine_sim
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+QUERIES["dp_ann_knn_join"] = dp_ann_knn_join
+ORACLES["dp_ann_knn_join"] = DP_KNN_JOIN_SQL

@@ -278,3 +278,32 @@ def test_decontaminate_flags_leaked_docs(spark):
     assert got[1]["contaminated"] and got[1]["hit_benchmark_id"] == 100
     assert not got[2]["contaminated"] and got[2]["n_hits"] == 0
     assert got[3]["contaminated"]  # shares 'the quick brown' + 'quick brown fox'
+
+
+def test_knn_join_recall(spark, sf_dir):
+    """Batch kNN join: multi-probe bucketed results must recover the
+    exact top-5 of every query at radius 1 on CLUSTERED vectors (the
+    realistic embedding regime; the driver's uniform-random embeddings
+    are LSH's documented no-structure worst case and measure nothing —
+    see BENCH_NOTES). Deterministic 50-cluster corpus."""
+    centroid = "cast(pmod(hash((id % 50) * 31 + d), 2001) - 1000 as double) / 1000.0"
+    noise = "cast(pmod(hash(id * 131 + d), 401) - 200 as double) / 2000.0"
+    emb = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(f"transform(sequence(0, 31), d -> cast({centroid} + {noise} as float))").alias("embedding"),
+    ).cache()
+    queries = emb.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    brute = similarity.knn_join_brute(emb, queries, k=5).collect()
+    approx = similarity.knn_join_bucketed(emb, queries, k=5, probe_radius=1).collect()
+    want = {(r["query_id"], r["vec_id"]) for r in brute}
+    got = {(r["query_id"], r["vec_id"]) for r in approx}
+    n_queries = queries.count()
+    assert len(want) == 5 * n_queries
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, f"recall {recall}"
+    # the query vector itself (cosine 1.0, rank 1) is always found
+    for r in approx:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"] and r["cosine_sim"] == 1.0
