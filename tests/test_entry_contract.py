@@ -1,7 +1,8 @@
 """Driver-contract invariants: the correctness window (first 50
 queries() entries) must stay complete — every entry oracle-backed, no
-duplicates, and the union of round-1's window (CORRECTNESS_r01.json)
-and the current window must cover every registered query."""
+duplicates, and the union of the frozen round-1/round-2 windows
+(CORRECTNESS_r01/r02.json) plus the current window must cover every
+registered query, so every query has at least one driver-visible row."""
 
 from __future__ import annotations
 
@@ -30,6 +31,44 @@ R1_WINDOW = [
     "j3_fso_path_resolution",
 ]
 
+# the 50 keys the driver hash-checked in round 2 (CORRECTNESS_r02.json)
+R2_WINDOW = [
+    "q2_min_cost_supplier", "q4_order_priority", "q6_selective_agg",
+    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
+    "q10_returned_items", "q11_important_parts", "q12_late_shipments",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_supplier_variety", "q17_small_qty_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q20_surplus_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customers",
+    "s5_snapshot_tail_merge", "s6_debug_scan", "s7_audit_roundtrip",
+    "s8_freon_generator", "f5_slim_projection", "w1_list_buckets",
+    "w1_list_volumes_by_user", "w4_list_parts", "w4_list_uploads",
+    "w5_topk_containers", "w6_latest_version", "a3_namespace_histogram",
+    "a5_quota_enforcement", "a7_datanode_growth", "a9_distinct_dirs",
+    "m1_open_key_commit", "m4_gc_batch", "m6_copy_object",
+    "so3_multi_delete", "x_path_functions", "x6_range_read",
+    "x9_time_format", "x10_storage_units", "acl_longest_prefix",
+    "dp_minhash_pairs", "dp_simhash_pairs", "dp_media_features",
+    "dp_embedding_neardup", "ev_sessionization", "ev_asof_join",
+    "ev_range_join_binned",
+]
+
+# registered + locally oracle-checked, never yet in a driver window;
+# round 3's DRIVER_WINDOW front-loads every one of these (VERDICT r2 #1)
+R3_FRONTLOAD = {
+    "dp_minhash_incremental",
+    "acl_effective_access",
+    "dp_repetition",
+    "dp_pii_redact",
+    "dp_decontaminate",
+    "dp_ann_knn_join",
+    "w1_list_volumes",
+    "a1_histogram_rollup",
+    "size_percentiles",
+    "nested_locations_stats",
+    "gdpr_metadata_filter",
+}
+
 
 def test_window_is_first_50_and_oracle_backed():
     q, o = entry.queries(), entry.oracle_sql()
@@ -44,33 +83,11 @@ def test_every_query_has_an_oracle():
     assert set(q) == set(o)  # no rows-only checks remain
 
 
-# registered + locally oracle-checked but deliberately outside both
-# driver windows: each one's operator family already holds a driver row
-# or it is beyond-reference breadth (see the DRIVER_WINDOW comment)
-DEMOTED = {
-    "w1_list_volumes",        # superseded by w1_list_volumes_by_user
-    "a1_histogram_rollup",    # A1 driver-green via a1_file_size_histogram
-    "size_percentiles",       # beyond-reference SQL breadth
-    "nested_locations_stats", # §1.2 representation check
-    "gdpr_metadata_filter",   # §1.2 representation check
-}
-
-# added AFTER the round-2 window was frozen: oracle-backed and locally
-# green, queued to front-load the ROUND-3 driver window
-R3_BACKLOG = {
-    "dp_minhash_incremental",
-    "acl_effective_access",
-    "dp_repetition",
-    "dp_pii_redact",
-    "dp_decontaminate",
-}
+def test_round3_window_frontloads_never_checked_queries():
+    assert R3_FRONTLOAD <= set(entry.DRIVER_WINDOW)
 
 
 def test_round_union_covers_every_registered_query():
     q = entry.queries()
-    covered = set(R1_WINDOW) | set(entry.DRIVER_WINDOW) | DEMOTED | R3_BACKLOG
+    covered = set(R1_WINDOW) | set(R2_WINDOW) | set(entry.DRIVER_WINDOW)
     assert set(q) <= covered, sorted(set(q) - covered)
-    # demoted/backlog queries must still be registered and oracle-backed
-    for group in (DEMOTED, R3_BACKLOG):
-        assert group <= set(q) and group <= set(entry.oracle_sql())
-        assert not group & set(entry.DRIVER_WINDOW)
