@@ -351,19 +351,26 @@ FROM om_keys GROUP BY volume, bucket ORDER BY volume, bucket""",
 
 def a6_cluster_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recon.cluster_state(
-        model.containers(spark, sf_dir), model.container_replicas(spark, sf_dir)
+        model.containers(spark, sf_dir),
+        model.container_replicas(spark, sf_dir),
+        model.datanodes(spark, sf_dir),
+        model.pipelines(spark, sf_dir),
     )
 
 
 A6_SQL = model.with_ctes(
     model.CONTAINERS_CTE,
-    model.CONTAINER_REPLICAS_CTE,
+    model.DATANODES_CTE,
+    model.PIPELINES_CTE,
     body="""SELECT
   (SELECT count(*) FROM containers) AS total_containers,
   (SELECT CAST(SUM(CASE WHEN state = 'OPEN' THEN 1 ELSE 0 END) AS BIGINT) FROM containers) AS open_containers,
   (SELECT CAST(SUM(CASE WHEN state = 'DELETED' THEN 1 ELSE 0 END) AS BIGINT) FROM containers) AS deleted_containers,
   (SELECT CAST(SUM(used_bytes) AS BIGINT) FROM containers) AS total_used_bytes,
-  (SELECT count(DISTINCT datanode_id) FROM container_replicas) AS total_datanodes""",
+  (SELECT count(*) FROM datanodes) AS total_datanodes,
+  (SELECT CAST(SUM(CASE WHEN node_state = 'HEALTHY' THEN 1 ELSE 0 END) AS BIGINT) FROM datanodes) AS healthy_datanodes,
+  (SELECT count(*) FROM pipelines) AS total_pipelines,
+  (SELECT CAST(SUM(CASE WHEN state = 'OPEN' THEN 1 ELSE 0 END) AS BIGINT) FROM pipelines) AS open_pipelines""",
 )
 
 
@@ -407,48 +414,75 @@ ORDER BY k.row_key LIMIT 1000""",
 
 def j2_container_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recon.container_health(
-        model.containers(spark, sf_dir), model.container_replicas(spark, sf_dir)
+        model.containers(spark, sf_dir),
+        model.container_replicas(spark, sf_dir),
+        model.datanodes(spark, sf_dir),
     ).orderBy("container_id")
 
+
+# shared classification body: replica counts + rack placement
+# (ContainerHealthStatus.java:52-113, ContainerPlacementStatusDefault.java)
+_J2_CLASSIFIED = """
+  SELECT c.container_id, c.state, c.replication_factor,
+         COALESCE(r.replica_count, 0) AS replica_count,
+         c.replication_factor - COALESCE(r.replica_count, 0) AS replica_delta,
+         COALESCE(r.distinct_racks, 0) AS actual_placement_count,
+         LEAST(c.replication_factor, t.total_racks) AS expected_placement_count,
+         (COALESCE(r.replica_count, 0) > 0 AND c.replication_factor > 1
+          AND COALESCE(r.distinct_racks, 0) < LEAST(c.replication_factor, t.total_racks))
+           AS is_mis_replicated,
+         CASE WHEN COALESCE(r.replica_count, 0) > 0 AND c.replication_factor > 1
+                   AND COALESCE(r.distinct_racks, 0) < LEAST(c.replication_factor, t.total_racks)
+              THEN LEAST(c.replication_factor, t.total_racks) - COALESCE(r.distinct_racks, 0)
+              ELSE 0 END AS mis_replicated_delta,
+         CASE WHEN COALESCE(r.replica_count, 0) > 0 AND c.replication_factor > 1
+                   AND COALESCE(r.distinct_racks, 0) < LEAST(c.replication_factor, t.total_racks)
+              THEN concat('The container is mis-replicated as it is on ',
+                          COALESCE(r.distinct_racks, 0),
+                          ' racks but should be on ',
+                          LEAST(c.replication_factor, t.total_racks), ' racks.')
+              END AS mis_replicated_reason,
+         CASE WHEN COALESCE(r.replica_count, 0) = 0 THEN 'MISSING'
+              WHEN COALESCE(r.replica_count, 0) < c.replication_factor THEN 'UNDER_REPLICATED'
+              WHEN COALESCE(r.replica_count, 0) > c.replication_factor THEN 'OVER_REPLICATED'
+              WHEN COALESCE(r.replica_count, 0) > 0 AND c.replication_factor > 1
+                   AND COALESCE(r.distinct_racks, 0) < LEAST(c.replication_factor, t.total_racks)
+              THEN 'MIS_REPLICATED'
+              ELSE 'HEALTHY' END AS health
+  FROM containers c
+  LEFT JOIN (SELECT cr.container_id, count(*) AS replica_count,
+                    count(DISTINCT d.rack) AS distinct_racks
+             FROM container_replicas cr
+             JOIN datanodes d ON cr.datanode_id = d.datanode_id
+             GROUP BY cr.container_id) r
+    ON c.container_id = r.container_id
+  CROSS JOIN (SELECT count(DISTINCT rack) AS total_racks FROM datanodes) t
+  WHERE c.state <> 'DELETED'
+"""
 
 J2_SQL = model.with_ctes(
     model.CONTAINERS_CTE,
     model.CONTAINER_REPLICAS_CTE,
-    body="""SELECT c.container_id, c.state, c.replication_factor,
-       COALESCE(r.replica_count, 0) AS replica_count,
-       CASE WHEN COALESCE(r.replica_count, 0) = 0 THEN 'MISSING'
-            WHEN COALESCE(r.replica_count, 0) < c.replication_factor THEN 'UNDER_REPLICATED'
-            WHEN COALESCE(r.replica_count, 0) > c.replication_factor THEN 'OVER_REPLICATED'
-            ELSE 'HEALTHY' END AS health
-FROM containers c
-LEFT JOIN (SELECT container_id, count(*) AS replica_count
-           FROM container_replicas GROUP BY container_id) r
-  ON c.container_id = r.container_id
-WHERE c.state <> 'DELETED'
-ORDER BY c.container_id""",
+    model.DATANODES_CTE,
+    body=f"""SELECT * FROM ({_J2_CLASSIFIED})
+ORDER BY container_id""",
 )
 
 
 def j2_health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recon.container_health_summary(
-        model.containers(spark, sf_dir), model.container_replicas(spark, sf_dir)
+        model.containers(spark, sf_dir),
+        model.container_replicas(spark, sf_dir),
+        model.datanodes(spark, sf_dir),
     )
 
 
 J2_SUMMARY_SQL = model.with_ctes(
     model.CONTAINERS_CTE,
     model.CONTAINER_REPLICAS_CTE,
-    body="""SELECT health, count(*) AS cnt FROM (
-  SELECT CASE WHEN COALESCE(r.replica_count, 0) = 0 THEN 'MISSING'
-              WHEN COALESCE(r.replica_count, 0) < c.replication_factor THEN 'UNDER_REPLICATED'
-              WHEN COALESCE(r.replica_count, 0) > c.replication_factor THEN 'OVER_REPLICATED'
-              ELSE 'HEALTHY' END AS health
-  FROM containers c
-  LEFT JOIN (SELECT container_id, count(*) AS replica_count
-             FROM container_replicas GROUP BY container_id) r
-    ON c.container_id = r.container_id
-  WHERE c.state <> 'DELETED'
-) GROUP BY health ORDER BY health""",
+    model.DATANODES_CTE,
+    body=f"""SELECT health, count(*) AS cnt FROM ({_J2_CLASSIFIED})
+GROUP BY health ORDER BY health""",
 )
 
 

@@ -28,12 +28,16 @@ class OzoneAnalytics:
         containers: DataFrame | None = None,
         replicas: DataFrame | None = None,
         events: DataFrame | None = None,
+        datanodes: DataFrame | None = None,
+        pipelines: DataFrame | None = None,
     ):
         self.spark = spark
         self.keys = keys
         self.containers = containers
         self.replicas = replicas
         self.events = events
+        self.datanodes = datanodes
+        self.pipelines = pipelines
 
     # --- OM read RPCs -----------------------------------------------------
 
@@ -98,14 +102,16 @@ class OzoneAnalytics:
     def unhealthy_containers(self) -> DataFrame:
         """/containers/unhealthy (ContainerHealthTask output)."""
         assert self.containers is not None and self.replicas is not None
-        return recon.container_health(self.containers, self.replicas).filter(
-            F.col("health") != "HEALTHY"
-        )
+        return recon.container_health(
+            self.containers, self.replicas, self.datanodes
+        ).filter(F.col("health") != "HEALTHY")
 
     def cluster_state(self) -> DataFrame:
         """/clusterState (ClusterStateEndpoint.java:79-115)."""
         assert self.containers is not None and self.replicas is not None
-        return recon.cluster_state(self.containers, self.replicas)
+        return recon.cluster_state(
+            self.containers, self.replicas, self.datanodes, self.pipelines
+        )
 
     # --- CDC --------------------------------------------------------------
 

@@ -60,13 +60,20 @@ def _memoized(
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read nanos as long and integer-divide to micros
-        # (exact — a double division would lose precision at ~1.6e18 ns;
-        # DuckDB likewise truncates ns→us, so the engines agree).
+        # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
+        # build this reads either as long nanos (legacy conf honored) or
+        # natively as TIMESTAMP_NTZ micros; normalize both to session-tz
+        # TIMESTAMP. Both routes truncate ns→us exactly as DuckDB does,
+        # so the engines agree; the long route integer-divides (a double
+        # division would lose precision at ~1.6e18 ns).
+        from pyspark.sql.types import LongType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # session tz is UTC, so NTZ→TZ cast re-labels without shifting
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -240,6 +247,77 @@ container_replicas AS (
 )"""
 
 
+# ---------------------------------------------------------------------------
+# datanodes: the SCM node plane (ref NodeManager/NetworkTopology). One row
+# per registered datanode ← supplier; rack ← nation bucket (5 racks), so
+# the J2 placement check (SCMCommonPlacementPolicy.java:288-320,
+# ContainerPlacementStatusDefault.java) has a real topology to validate
+# against; node_state feeds A6's healthy-datanode count
+# (ClusterStateEndpoint.java:83-86).
+# ---------------------------------------------------------------------------
+
+def datanodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    node_state = (
+        F.when(F.col("s_suppkey") % 19 == 0, F.lit("STALE"))
+        .when(F.col("s_suppkey") % 23 == 0, F.lit("DEAD"))
+        .otherwise(F.lit("HEALTHY"))
+    )
+    return s.select(
+        F.col("s_suppkey").alias("datanode_id"),
+        F.concat(F.lit("rack_"), F.col("s_nationkey") % 5).alias("rack"),
+        node_state.alias("node_state"),
+    )
+
+
+DATANODES_CTE = """
+datanodes AS (
+  SELECT
+    s_suppkey AS datanode_id,
+    concat('rack_', s_nationkey % 5) AS rack,
+    CASE WHEN s_suppkey % 19 = 0 THEN 'STALE'
+         WHEN s_suppkey % 23 = 0 THEN 'DEAD'
+         ELSE 'HEALTHY' END AS node_state
+  FROM supplier
+)"""
+
+
+# ---------------------------------------------------------------------------
+# pipelines: the SCM pipeline plane (ref PipelineManager; counted by
+# ClusterStateEndpoint.java:82,108). One row per pipeline ← nation;
+# state/replication deterministic.
+# ---------------------------------------------------------------------------
+
+def pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    state = (
+        F.when(F.col("n_nationkey") % 4 == 0, F.lit("CLOSED"))
+        .when(F.col("n_nationkey") % 4 == 1, F.lit("DORMANT"))
+        .otherwise(F.lit("OPEN"))
+    )
+    return n.select(
+        F.col("n_nationkey").alias("pipeline_id"),
+        state.alias("state"),
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(1)).otherwise(F.lit(3)).alias(
+            "replication_factor"
+        ),
+        (F.col("n_nationkey") % 7 + 1).alias("leader_datanode_id"),
+    )
+
+
+PIPELINES_CTE = """
+pipelines AS (
+  SELECT
+    n_nationkey AS pipeline_id,
+    CASE WHEN n_nationkey % 4 = 0 THEN 'CLOSED'
+         WHEN n_nationkey % 4 = 1 THEN 'DORMANT'
+         ELSE 'OPEN' END AS state,
+    CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 3 END AS replication_factor,
+    n_nationkey % 7 + 1 AS leader_datanode_id
+  FROM nation
+)"""
+
+
 # audit_log: orders → audit rows (ref commands.properties:18-22):
 # user ← customer id bucketized (skewed), op ← orderpriority,
 # result ← orderstatus.
@@ -355,6 +433,8 @@ def register_views(spark: SparkSession, sf_dir: str, derived: bool = True) -> li
             ("om_events", om_events),
             ("containers", containers),
             ("container_replicas", container_replicas),
+            ("datanodes", datanodes),
+            ("pipelines", pipelines),
             ("audit_log", audit_log),
             ("dedup_corpus", dedup_corpus),
             ("embedding_corpus", embedding_corpus),

@@ -287,56 +287,162 @@ def keys_for_container(
     )
 
 
-def container_health(containers_df: DataFrame, replicas: DataFrame) -> DataFrame:
-    """J2: containers ⋈ replica counts → MISSING/UNDER/OVER/HEALTHY
-    (ContainerHealthStatus.java:52-113; driver ContainerHealthTask).
+def container_health(
+    containers_df: DataFrame,
+    replicas: DataFrame,
+    datanodes_df: DataFrame | None = None,
+) -> DataFrame:
+    """J2: containers ⋈ replica counts (⋈ rack topology) →
+    MISSING/UNDER/OVER/MIS_REPLICATED/HEALTHY
+    (ContainerHealthStatus.java:52-113; ContainerHealthTask.java:324-336).
 
     Left join (containers with zero replicas must surface as MISSING),
     then a CASE classification. DELETED containers are excluded just as
     the health task skips them.
+
+    Placement (rack-scatter policy, SCMCommonPlacementPolicy.java:288-320 +
+    ContainerPlacementStatusDefault.java): a container's replicas must span
+    ``expected_racks = least(replication_factor, total_racks)`` distinct
+    racks; fewer → MIS_REPLICATED with the reference's ``misReplicatedDelta``
+    and reason string. ``replication_factor = 1`` is always satisfied
+    (SCMCommonPlacementPolicy.java:292). Replica-count states take
+    precedence in the single ``health`` column — ``is_mis_replicated`` is
+    reported alongside because the reference records the placement state
+    independently of the replication state.
+
+    Shape: one shuffle (replica groupBy container); the datanode rack dim
+    is broadcast into the replica agg; the total-rack scalar is a
+    broadcast cross join. At 100 TB the replica table shuffles once on
+    container_id and everything else stays map-side.
     """
-    counts = replicas.groupBy("container_id").agg(
-        F.count(F.lit(1)).alias("replica_count")
-    )
+    if datanodes_df is None:
+        counts = replicas.groupBy("container_id").agg(
+            F.count(F.lit(1)).alias("replica_count")
+        )
+        total_racks = None
+    else:
+        counts = (
+            replicas.join(
+                F.broadcast(datanodes_df.select("datanode_id", "rack")), "datanode_id"
+            )
+            .groupBy("container_id")
+            .agg(
+                F.count(F.lit(1)).alias("replica_count"),
+                F.countDistinct("rack").alias("distinct_racks"),
+            )
+        )
+        total_racks = datanodes_df.agg(
+            F.countDistinct("rack").alias("total_racks")
+        )
+
     rc = F.coalesce(F.col("replica_count"), F.lit(0))
-    health = (
-        F.when(rc == 0, F.lit("MISSING"))
-        .when(rc < F.col("replication_factor"), F.lit("UNDER_REPLICATED"))
-        .when(rc > F.col("replication_factor"), F.lit("OVER_REPLICATED"))
-        .otherwise(F.lit("HEALTHY"))
+    base = containers_df.filter(F.col("state") != "DELETED").join(
+        counts, "container_id", "left"
     )
-    return (
-        containers_df.filter(F.col("state") != "DELETED")
-        .join(counts, "container_id", "left")
-        .select(
+    if total_racks is None:
+        health = (
+            F.when(rc == 0, F.lit("MISSING"))
+            .when(rc < F.col("replication_factor"), F.lit("UNDER_REPLICATED"))
+            .when(rc > F.col("replication_factor"), F.lit("OVER_REPLICATED"))
+            .otherwise(F.lit("HEALTHY"))
+        )
+        return base.select(
             "container_id",
             "state",
             "replication_factor",
             rc.alias("replica_count"),
             health.alias("health"),
         )
+
+    base = base.crossJoin(F.broadcast(total_racks))
+    racks = F.coalesce(F.col("distinct_racks"), F.lit(0))
+    expected = F.least(F.col("replication_factor"), F.col("total_racks"))
+    is_mis = (rc > 0) & (F.col("replication_factor") > 1) & (racks < expected)
+    health = (
+        F.when(rc == 0, F.lit("MISSING"))
+        .when(rc < F.col("replication_factor"), F.lit("UNDER_REPLICATED"))
+        .when(rc > F.col("replication_factor"), F.lit("OVER_REPLICATED"))
+        .when(is_mis, F.lit("MIS_REPLICATED"))
+        .otherwise(F.lit("HEALTHY"))
+    )
+    reason = F.when(
+        is_mis,
+        F.concat(
+            F.lit("The container is mis-replicated as it is on "),
+            racks,
+            F.lit(" racks but should be on "),
+            expected,
+            F.lit(" racks."),
+        ),
+    )
+    return base.select(
+        "container_id",
+        "state",
+        "replication_factor",
+        rc.alias("replica_count"),
+        (F.col("replication_factor") - rc).alias("replica_delta"),
+        racks.alias("actual_placement_count"),
+        expected.alias("expected_placement_count"),
+        is_mis.alias("is_mis_replicated"),
+        F.when(is_mis, expected - racks).otherwise(F.lit(0)).alias(
+            "mis_replicated_delta"
+        ),
+        reason.alias("mis_replicated_reason"),
+        health.alias("health"),
     )
 
 
-def container_health_summary(containers_df: DataFrame, replicas: DataFrame) -> DataFrame:
+def container_health_summary(
+    containers_df: DataFrame,
+    replicas: DataFrame,
+    datanodes_df: DataFrame | None = None,
+) -> DataFrame:
     """J2 endpoint shape: count per health state (/containers/unhealthy)."""
     return (
-        container_health(containers_df, replicas)
+        container_health(containers_df, replicas, datanodes_df)
         .groupBy("health")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("health")
     )
 
 
-def cluster_state(containers_df: DataFrame, replicas: DataFrame) -> DataFrame:
-    """A6: one-row cluster summary (ClusterStateEndpoint.java:79-115)."""
+def cluster_state(
+    containers_df: DataFrame,
+    replicas: DataFrame,
+    datanodes_df: DataFrame | None = None,
+    pipelines_df: DataFrame | None = None,
+) -> DataFrame:
+    """A6: one-row cluster summary (ClusterStateEndpoint.java:79-115):
+    container totals + datanode totals (with the healthy count,
+    :83-86) + pipeline totals (:82,108). Volume/bucket/key counts are
+    served by A4 ``table_counts`` (the reference reads the same
+    GlobalStats rows). Each plane is a scalar aggregate; the cross
+    joins are single-row broadcasts.
+    """
     per_state = containers_df.groupBy().agg(
         F.count(F.lit(1)).alias("total_containers"),
         F.sum(F.when(F.col("state") == "OPEN", 1).otherwise(0)).alias("open_containers"),
         F.sum(F.when(F.col("state") == "DELETED", 1).otherwise(0)).alias("deleted_containers"),
         F.sum("used_bytes").alias("total_used_bytes"),
     )
-    dn = replicas.select("datanode_id").distinct().groupBy().agg(
-        F.count(F.lit(1)).alias("total_datanodes")
-    )
-    return per_state.crossJoin(dn)
+    if datanodes_df is None:
+        dn = replicas.select("datanode_id").distinct().groupBy().agg(
+            F.count(F.lit(1)).alias("total_datanodes")
+        )
+    else:
+        dn = datanodes_df.groupBy().agg(
+            F.count(F.lit(1)).alias("total_datanodes"),
+            F.sum(
+                F.when(F.col("node_state") == "HEALTHY", 1).otherwise(0)
+            ).alias("healthy_datanodes"),
+        )
+    out = per_state.crossJoin(F.broadcast(dn))
+    if pipelines_df is not None:
+        pl = pipelines_df.groupBy().agg(
+            F.count(F.lit(1)).alias("total_pipelines"),
+            F.sum(F.when(F.col("state") == "OPEN", 1).otherwise(0)).alias(
+                "open_pipelines"
+            ),
+        )
+        out = out.crossJoin(F.broadcast(pl))
+    return out

@@ -574,33 +574,52 @@ FROM documents WHERE doc_id % 3 = 2
 
 
 def dp_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over the binary column. The stub
-    codec is deterministic byte math, so the DuckDB oracle replays it:
-    'pixels' are the first 256 UTF-8 bytes (the corpus is ASCII, so
-    char codes == bytes), features are exact-int sums with one final
-    division."""
+    """mapInPandas feature extraction over the binary column. Image
+    payloads are REAL PPM (P6) files decoded by a real parser (magic +
+    header + raster — multimodal.decode_ppm); audio/video are u8 PCM
+    windows. The synthesis is deterministic byte math (pixels = the
+    doc's leading bytes, '='-padded; the corpus is ASCII so char codes
+    == bytes), so the DuckDB oracle replays the whole decode: header
+    size 11 = len('P6\\n') + 1 + 1 + 1 + len('\\n255\\n') since w ≤ 4
+    and h ≤ 5 are single-digit. Features are exact-int sums with one
+    final division."""
     media = multimodal.synthesize_media(model.load(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
 
 
 DP_MEDIA_FEATURES_SQL = """
-WITH px AS (
+WITH m AS (
   SELECT doc_id, text,
-         list_transform(generate_series(1, least(length(text), 256)),
-                        i -> unicode(substring(text, i, 1))) AS p
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         doc_id % 4 + 1 AS w, doc_id % 5 + 1 AS h,
+         (doc_id % 4 + 1) * (doc_id % 5 + 1) * 3 AS npx
   FROM documents
+),
+px AS (
+  SELECT doc_id, media_type, w, h,
+    CASE WHEN media_type = 'image'
+      THEN list_transform(generate_series(1, npx),
+             i -> CASE WHEN i <= length(text)
+                       THEN unicode(substring(text, i, 1)) ELSE 61 END)
+      ELSE list_transform(generate_series(1, least(length(text), 256)),
+             i -> unicode(substring(text, i, 1)))
+    END AS p,
+    CASE WHEN media_type = 'image' THEN 11 + npx
+         ELSE octet_length(encode(text)) END AS n_bytes
+  FROM m
 )
-SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image'
-            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+SELECT doc_id, media_type,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
        CASE WHEN len(p) > 0
             THEN CAST(list_sum(p) AS DOUBLE) / (255.0 * len(p)) ELSE 0.0
        END AS feat_mean,
        CASE WHEN len(p) > 0
             THEN CAST(list_max(p) AS DOUBLE) / 255.0 ELSE 0.0
        END AS feat_max,
-       doc_id % 30 + 1 AS frame_count
+       doc_id % 30 + 1 AS frame_count,
+       CAST(CASE WHEN media_type = 'image' THEN w ELSE 0 END AS BIGINT) AS decoded_width,
+       CAST(CASE WHEN media_type = 'image' THEN h ELSE 0 END AS BIGINT) AS decoded_height
 FROM px
 """
 

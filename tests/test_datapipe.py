@@ -124,8 +124,29 @@ def test_media_features_batch_path(spark, sf_dir):
     assert len(rows) == media.count()
     assert all(r["n_bytes"] > 0 and 0.0 <= r["feat_mean"] <= 1.0 for r in rows)
     assert set(feats.columns) == {
-        "doc_id", "media_type", "n_bytes", "feat_mean", "feat_max", "frame_count"
+        "doc_id", "media_type", "n_bytes", "feat_mean", "feat_max", "frame_count",
+        "decoded_width", "decoded_height",
     }
+    # the decoded header must agree with the synthesizer's dimensions
+    for r in rows:
+        if r["media_type"] == "image":
+            assert r["decoded_width"] == r["doc_id"] % 4 + 1
+            assert r["decoded_height"] == r["doc_id"] % 5 + 1
+        else:
+            assert r["decoded_width"] == 0 and r["decoded_height"] == 0
+
+
+def test_ppm_codec_is_real():
+    # round-trip a hand-built P6 file, comment-tolerant header
+    raster = bytes(range(2 * 3 * 3))
+    ppm = b"P6\n# a comment\n3 2\n255\n" + raster
+    w, h, px = multimodal.decode_ppm(ppm)
+    assert (w, h) == (3, 2) and px == list(raster)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P5\n3 2\n255\n" + raster)  # wrong magic
+    with _pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n3 2\n255\n" + raster[:-1])  # truncated
 
 
 def test_lang_id_deterministic_argmax(spark):
