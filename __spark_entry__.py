@@ -734,6 +734,8 @@ DRIVER_WINDOW = [
     "j2_health_summary",
     "a6_cluster_state",
     "dp_media_features",
+    # new in round 3
+    "m4_open_key_expiry",
     # load-bearing round-1 re-checks
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -769,7 +771,6 @@ DRIVER_WINDOW = [
     "dp_exact_dedup",
     "dp_dedup_groups",
     "dp_ann_brute_topk",
-    "dp_curation_pipeline",
 ]
 
 

@@ -109,6 +109,59 @@ ORDER BY deletion_time, seqno LIMIT 20000""",
 )
 
 
+def m4_open_key_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 open-key variant: expire abandoned openKeyTable rows whose
+    age exceeds the threshold (OpenKeyCleanupService.java:39-90 →
+    OmMetadataManagerImpl.getExpiredOpenKeys:1124-1150: age = now −
+    creationTime ≥ ozone.open.key.expire.threshold, default 1 day,
+    capped at the task batch size; iterator order = row-key order).
+
+    Open rows = the M1 open-key law (orderkey%5==1 embedded in the
+    filename); 'now' = the corpus's max creation_time. Same TTL-filter
+    + bounded-drain shape as the deletedTable GC — one broadcast scalar
+    join, filter, order, limit.
+    """
+    keys = model.om_keys(spark, sf_dir)
+    open_keys = keys.filter(
+        F.split(F.col("key"), "_")[1].cast("long") % 5 == 1
+    ).select(
+        "row_key",
+        "data_size",
+        F.unix_millis(F.col("creation_time").cast("timestamp")).alias("creation_ms"),
+    )
+    now = keys.agg(
+        F.unix_millis(F.max(F.col("creation_time").cast("timestamp"))).alias("now_ms")
+    )
+    ttl_ms = 24 * 3600 * 1000  # OZONE_OPEN_KEY_EXPIRE_THRESHOLD default
+    return (
+        open_keys.join(F.broadcast(now), F.lit(True))
+        .filter(F.col("creation_ms") <= F.col("now_ms") - ttl_ms)
+        .select(
+            "row_key",
+            "data_size",
+            "creation_ms",
+            (F.col("now_ms") - F.col("creation_ms")).alias("age_ms"),
+        )
+        .orderBy("row_key")
+        .limit(20000)
+    )
+
+
+M4_OPEN_KEY_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT row_key, data_size,
+       epoch_ms(CAST(creation_time AS TIMESTAMP)) AS creation_ms,
+       (SELECT epoch_ms(CAST(max(creation_time) AS TIMESTAMP)) FROM om_keys)
+         - epoch_ms(CAST(creation_time AS TIMESTAMP)) AS age_ms
+FROM om_keys
+WHERE CAST(split_part(key, '_', 2) AS BIGINT) % 5 = 1
+  AND epoch_ms(CAST(creation_time AS TIMESTAMP))
+      <= (SELECT epoch_ms(CAST(max(creation_time) AS TIMESTAMP)) FROM om_keys)
+         - 24 * 3600 * 1000
+ORDER BY row_key LIMIT 20000""",
+)
+
+
 def m6_copy_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6: server-side copy of dir6 into a backup prefix; result = per-
     volume counts of the post-copy namespace (ref ObjectEndpoint copy)."""
@@ -196,6 +249,7 @@ QUERIES = {
     "s5_snapshot_tail_merge": s5_snapshot_tail_merge,
     "so3_multi_delete": so3_multi_delete,
     "m4_gc_batch": m4_gc_batch,
+    "m4_open_key_expiry": m4_open_key_expiry,
     "m6_copy_object": m6_copy_object,
     "x_path_functions": x_path_functions,
     "x6_range_read": x6_range_read,
@@ -205,6 +259,7 @@ ORACLES = {
     "s5_snapshot_tail_merge": S5_SQL,
     "so3_multi_delete": SO3_SQL,
     "m4_gc_batch": M4_SQL,
+    "m4_open_key_expiry": M4_OPEN_KEY_SQL,
     "m6_copy_object": M6_SQL,
     "x_path_functions": X_PATH_SQL,
     "x6_range_read": X6_SQL,
