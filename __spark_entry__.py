@@ -736,6 +736,8 @@ DRIVER_WINDOW = [
     "dp_media_features",
     # new in round 3
     "m4_open_key_expiry",
+    "dp_mixture_sample",
+    "dp_pack_plan",
     # load-bearing round-1 re-checks
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -766,8 +768,6 @@ DRIVER_WINDOW = [
     "m2_rename_prefix",
     "m3_delete_prefix",
     "m5_multipart_check",
-    "dp_token_stats",
-    "dp_lang_id",
     "dp_exact_dedup",
     "dp_dedup_groups",
     "dp_ann_brute_topk",

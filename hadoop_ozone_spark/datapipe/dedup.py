@@ -397,6 +397,8 @@ def minhash_incremental_pairs(
     n: int = 3,
     threshold: float = 0.5,
     portable: bool = False,
+    corpus_hashed: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: near-dup pairs INVOLVING a delta doc — the
     shape a rolling training-data ingest needs (yesterday's corpus is
@@ -410,20 +412,31 @@ def minhash_incremental_pairs(
 
     Scale shape: the corpus's band table and hashed-shingle table are
     exactly the frames :func:`band_table` / :func:`hashed_shingle_df`
-    produce — persist them as write-time artifacts partitioned by
-    band_hash / doc_id, and the per-batch cost is
-    O(|delta| + matched buckets), never a corpus re-scan. The law
+    produce — pass them in as ``corpus_bands`` / ``corpus_hashed``
+    (write-time artifacts, persisted partitioned by band_hash / doc_id
+    respectively) and the per-batch cost is O(|delta| + matched
+    buckets), never a corpus text re-scan: the delta drives the band
+    join against the band index, and the corpus shingle table is only
+    probed on the matched doc ids. Without them this falls back to
+    recomputing both from ``corpus`` (fine for one-shot use). The law
     ``pairs(corpus ∪ delta) = pairs(corpus) ∪ incremental(corpus, delta)``
     holds exactly for the same hash family (pinned by
     test_minhash_incremental_matches_batch).
     """
-    ch = hashed_shingle_df(corpus, text_col, n, portable=portable).persist()
-    ch = ch.filter(F.size("h0") > 0)
+    if corpus_hashed is None:
+        ch = hashed_shingle_df(corpus, text_col, n, portable=portable).persist()
+        ch = ch.filter(F.size("h0") > 0)
+    else:
+        ch = corpus_hashed.filter(F.size("h0") > 0)
     dh = hashed_shingle_df(delta, text_col, n, portable=portable).persist()
     dh = dh.filter(F.size("h0") > 0)
-    cb = band_table(
-        signatures_from_hashed(ch, portable=portable), portable=portable
-    ).withColumn("is_delta", F.lit(False))
+    if corpus_bands is None:
+        cb = band_table(
+            signatures_from_hashed(ch, portable=portable), portable=portable
+        )
+    else:
+        cb = corpus_bands
+    cb = cb.withColumn("is_delta", F.lit(False))
     db = band_table(
         signatures_from_hashed(dh, portable=portable), portable=portable
     ).withColumn("is_delta", F.lit(True)).persist()

@@ -1,0 +1,108 @@
+"""Training-mixture sampling and sequence-packing planning — the two
+ops that sit between a curated corpus and a training run.
+
+Both are deliberately deterministic (hash-based sampling, in-order
+packing) so runs are reproducible and a DuckDB oracle can replay them
+value-for-value.
+
+Scale design:
+- mixture_sample is map-only — the keep/drop decision is a pure
+  function of (doc_id, source); no shuffle, no state, survives any
+  corpus size.
+- pack_plan needs a running token total, which is a window cumsum. A
+  GLOBAL window is a single-partition bottleneck at 100 TB, so packing
+  is computed per SHARD (a deterministic doc_id range); shards pack
+  independently in parallel and each shard's bins are addressed
+  (shard, bin). The only waste is one partially-filled final bin per
+  shard — amortized to nothing when shards hold thousands of docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 1e6-grain deterministic uniform in [0, 1): the md5-lane trick the
+# dedup family uses (engine-portable; dedup.md5_lane docstring)
+_GRAIN = 1_000_000
+
+
+def _uniform01(col: Column) -> Column:
+    lane = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+    return (lane % _GRAIN) / F.lit(float(_GRAIN))
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic mixture sampling: keep each doc with its source's
+    sampling rate, decided by a hash of the doc id — the standard way a
+    training mixture ('20% of source A, 80% of source B') is drawn
+    reproducibly over an arbitrarily large corpus.
+
+    Unknown sources default to rate 0.0 (explicit opt-in only).
+    Returns the per-source sample accounting: docs/tokens kept and the
+    realized rate, which converges on the target by the law of large
+    numbers (exactly reproducible, engine-portable hash).
+    """
+    rate = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in weights.items() for x in kv]
+            ),
+            F.col(source_col),
+        ),
+        F.lit(0.0),
+    )
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    kept = docs.filter(_uniform01(F.col("doc_id")) < rate)
+    return (
+        kept.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tokens).alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def pack_plan(
+    docs: DataFrame,
+    context_len: int = 2048,
+    shard_size: int = 10_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-packing plan: assign docs, in doc_id order, to
+    fixed-size context windows by running token count — the
+    concatenate-and-chunk packing GPT-style pretraining uses. A doc
+    starting in bin b at offset o is (cum_before % context_len = o,
+    floor(cum_before / context_len) = b); docs spanning a boundary
+    continue into the next bin (no padding waste inside a shard).
+
+    Packing is per shard = floor(doc_id / shard_size): shards pack
+    independently (parallel window, no global sort), each bin addressed
+    (shard, bin). Emits one row per bin with its doc span and fill.
+    """
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    shard = F.floor(F.col("doc_id") / shard_size)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    toks = docs.select(
+        "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens")
+    ).withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
+    )
+    binned = toks.withColumn("bin", F.floor(F.col("cum_before") / context_len))
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "bin")
+    )

@@ -837,3 +837,69 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 
 QUERIES["dp_ann_knn_join"] = dp_ann_knn_join
 ORACLES["dp_ann_knn_join"] = DP_KNN_JOIN_SQL
+
+
+# --- round 3: mixture sampling + sequence packing -------------------------
+
+MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.8, "src2": 0.5, "src3": 0.25, "src5": 0.1}
+
+
+def dp_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture draw over documents: per-source
+    sampling rates applied by an engine-portable doc_id hash (map-only;
+    datapipe/packing.py scale note)."""
+    from hadoop_ozone_spark.datapipe import packing
+
+    return packing.mixture_sample(
+        model.load(spark, sf_dir, "documents"), MIXTURE_WEIGHTS
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in MIXTURE_WEIGHTS.items()
+)
+
+DP_MIXTURE_SQL = rf"""
+SELECT source, count(*) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+FROM documents
+WHERE (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       % 1000000) / 1000000.0
+      < (CASE source {_MIX_CASE} ELSE 0.0 END)
+GROUP BY source ORDER BY source
+"""
+
+
+def dp_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: concatenate-and-chunk docs into 2048-token
+    context windows, packed per 10k-doc shard (parallel windows, no
+    global sort; datapipe/packing.py scale note)."""
+    from hadoop_ozone_spark.datapipe import packing
+
+    return packing.pack_plan(
+        model.load(spark, sf_dir, "documents"), context_len=2048, shard_size=10_000
+    )
+
+
+DP_PACK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id // 10000 AS shard,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks
+)
+SELECT shard, CAST(cum_before // 2048 AS BIGINT) AS bin,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cum GROUP BY shard, bin ORDER BY shard, bin
+"""
+
+QUERIES["dp_mixture_sample"] = dp_mixture_sample
+QUERIES["dp_pack_plan"] = dp_pack_plan
+ORACLES["dp_mixture_sample"] = DP_MIXTURE_SQL
+ORACLES["dp_pack_plan"] = DP_PACK_SQL

@@ -259,6 +259,30 @@ def test_minhash_incremental_matches_batch(corpus):
         assert r["pair_type"] == expected
 
 
+def test_minhash_incremental_prebuilt_artifacts_match(corpus):
+    """The O(|delta|) contract: passing the write-time corpus artifacts
+    (hashed-shingle table + band index) must yield exactly the pairs the
+    recompute fallback yields — so a rolling ingest can keep the corpus
+    text out of the per-batch plan entirely."""
+    existing = corpus.filter(F.col("doc_id") < 1_000_000)
+    delta = corpus.filter(F.col("doc_id") >= 1_000_000)
+    ch = dedup.hashed_shingle_df(existing, portable=True).filter(F.size("h0") > 0)
+    cb = dedup.band_table(
+        dedup.signatures_from_hashed(ch, portable=True), portable=True
+    )
+    recomputed = {
+        (r["doc_a"], r["doc_b"], r["pair_type"])
+        for r in dedup.minhash_incremental_pairs(existing, delta, portable=True).collect()
+    }
+    prebuilt = {
+        (r["doc_a"], r["doc_b"], r["pair_type"])
+        for r in dedup.minhash_incremental_pairs(
+            existing, delta, portable=True, corpus_hashed=ch, corpus_bands=cb
+        ).collect()
+    }
+    assert prebuilt == recomputed and prebuilt
+
+
 def test_repetition_features_detects_loops(spark):
     rows = [
         (1, "a b c d e f g h i j"),                 # all distinct

@@ -119,3 +119,76 @@ def test_q2_groupwise_min_over_aggregate(spark, sf_dir):
 def test_q20_semi_join_stays_semi(spark, sf_dir):
     p = plan_of(entry.queries()["q20_surplus_suppliers"](spark, sf_dir))
     assert "LeftSemi" in p
+
+
+# --- dedup / ANN pipelines (VERDICT r2 #7): the plans the 100 TB story
+# rests on. The temporal-broadcast bug (commit 6720fae) is exactly the
+# class these catch.
+
+
+def test_minhash_fast_no_allpairs_and_one_text_pass(spark, sf_dir):
+    # the xxhash64 family benched as dp_minhash_pairs_fast (bench.py:77)
+    from hadoop_ozone_spark.datapipe import dedup
+
+    p = plan_of(
+        dedup.minhash_dedup_pairs(model.dedup_corpus(spark, sf_dir), threshold=0.5)
+    )
+    # banding is an equi-join: any nested-loop/cartesian here is the
+    # all-pairs catastrophe at scale
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the single persisted text pass feeds banding + both verify sides
+    assert "InMemoryTableScan" in p
+
+
+def test_ann_ivf_broadcasts_probes_and_cuts_topk(spark, sf_dir):
+    p = plan_of(entry.queries()["dp_ann_ivf_topk"](spark, sf_dir))
+    # codebook + probe list are broadcast; the fact (inverted lists) is
+    # never on the build side of a shuffle join
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # top-k is a cut, not a global sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_incremental_dedup_prebuilt_never_rescans_corpus_text(spark, tmp_path):
+    """The rolling-ingest batch plan (same join program as the streaming
+    twin, streaming/dedup_stream.py:67-96): with the persisted artifacts
+    passed in, the corpus TEXT source must not appear in the plan — the
+    batch reads only the slim band index + shingle table."""
+    from hadoop_ozone_spark.datapipe import dedup
+
+    corpus_path = str(tmp_path / "corpus_text")
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "array_join(transform(sequence(1, 30), i -> concat('w', pmod(hash(id * 7 + i), 50))), ' ') AS text",
+    )
+    docs.write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    ch = dedup.hashed_shingle_df(corpus, portable=True).filter(F.size("h0") > 0)
+    cb = dedup.band_table(
+        dedup.signatures_from_hashed(ch, portable=True), portable=True
+    )
+    hashed_path, bands_path = str(tmp_path / "hashed"), str(tmp_path / "bands")
+    ch.write.parquet(hashed_path)
+    cb.write.parquet(bands_path)
+    # delta built independently of the corpus reader (same deterministic
+    # text law over overlapping ids → guaranteed near-dups) so the only
+    # possible corpus_path scan in the plan is from the operator itself
+    delta = spark.range(20).selectExpr(
+        "id + 10000 AS doc_id",
+        "concat(array_join(transform(sequence(1, 30), i -> concat('w', pmod(hash(id * 7 + i), 50))), ' '), ' tail') AS text",
+    )
+    pairs = dedup.minhash_incremental_pairs(
+        corpus,
+        delta,
+        portable=True,
+        corpus_hashed=spark.read.parquet(hashed_path),
+        corpus_bands=spark.read.parquet(bands_path),
+    )
+    p = plan_of(pairs)
+    assert hashed_path in p and bands_path in p
+    assert corpus_path not in p  # the corpus text is out of the batch plan
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -214,6 +214,74 @@ def docs_probe(n_docs: int, vocab: int = 20_000) -> None:
         spark.stop()
 
 
+def incremental_probe(corpus_k: float = 6000.0, delta_k: float = 60.0) -> None:
+    """Rolling-ingest probe: per-batch cost of
+    ``minhash_incremental_pairs`` with PRE-BUILT corpus artifacts (the
+    persisted band index + hashed-shingle table) at two corpus sizes a
+    decade apart, fixed delta. The batch plan never touches the corpus
+    TEXT — only the two slim artifacts — so batch time should be nearly
+    flat across corpus sizes (the residual growth is the column-pruned
+    artifact scan, not re-shingling); ``recompute`` shows the fallback
+    path's full-corpus cost for contrast.
+    """
+    from hadoop_ozone_spark.datapipe import dedup
+
+    spark = get_spark("scale-probe-incremental")
+    vocab = 20_000
+    vocab_expr = (
+        f"transform(sequence(1, 150), i -> concat('w', pmod(hash(id * 1000 + i), {vocab})))"
+    )
+
+    def mkdocs(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(F.expr(vocab_expr), " ").alias("text"),
+        )
+
+    n_big = int(corpus_k * 1000)
+    n_delta = int(delta_k * 1000)
+    out = {"delta_docs": n_delta, "corpora": {}}
+    tmp = tempfile.mkdtemp(prefix="ozspark_incr_")
+    try:
+        for label, n in (("small", n_big // 10), ("large", n_big)):
+            corpus = mkdocs(n)
+            # delta: fresh ids above every corpus range + near-dups of
+            # every 100th corpus doc so matches exist at both sizes
+            delta = corpus.filter(F.col("doc_id") % 100 == 0).limit(n_delta).select(
+                (F.col("doc_id") + F.lit(n_big * 10)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+            )
+            res = {"corpus_docs": n}
+            t0 = time.time()
+            # persist BEFORE the empty filter — the filter pushed below
+            # the projection re-evaluates the whole shingle pass
+            # (BENCH_NOTES round-2 plan note, 2× measured)
+            ch_raw = dedup.hashed_shingle_df(corpus, portable=False).persist()
+            ch = ch_raw.filter(F.size("h0") > 0)
+            cb = dedup.band_table(
+                dedup.signatures_from_hashed(ch, portable=False), portable=False
+            )
+            ch.write.mode("overwrite").parquet(f"{tmp}/{label}/hashed")
+            cb.write.mode("overwrite").parquet(f"{tmp}/{label}/bands")
+            ch_raw.unpersist()
+            res["artifact_build_write_sec"] = round(time.time() - t0, 2)
+            ch_r = spark.read.parquet(f"{tmp}/{label}/hashed")
+            cb_r = spark.read.parquet(f"{tmp}/{label}/bands")
+            t0 = time.time()
+            res["pairs"] = dedup.minhash_incremental_pairs(
+                corpus, delta, corpus_hashed=ch_r, corpus_bands=cb_r
+            ).count()
+            res["batch_prebuilt_sec"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            dedup.minhash_incremental_pairs(corpus, delta).count()
+            res["batch_recompute_sec"] = round(time.time() - t0, 2)
+            out["corpora"][label] = res
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def vecs_probe(n_vecs: int, dims: int = 64, k: int = 50) -> None:
     """ANN scale probe, deployment shape: CLUSTERED deterministic
     vectors (1000 hash-derived centroids + small noise — realistic
@@ -305,6 +373,11 @@ if __name__ == "__main__":
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "--bucketed":
         bucketed_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 6.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--incremental":
+        incremental_probe(
+            float(sys.argv[2]) if len(sys.argv) > 2 else 6000.0,
+            float(sys.argv[3]) if len(sys.argv) > 3 else 60.0,
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "--vecs":
         if len(sys.argv) < 3:
             raise SystemExit("usage: scale_probe.py --vecs <num_vecs_thousands>")
