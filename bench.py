@@ -48,6 +48,9 @@ HEADLINE = [
     "ev_asof_join",
     "ev_range_join_binned",
     "q21_waiting_suppliers",
+    # round 3 additions
+    "dp_mixture_sample",
+    "dp_pack_plan",
 ]
 
 

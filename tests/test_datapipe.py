@@ -352,3 +352,46 @@ def test_knn_join_recall(spark, sf_dir):
     for r in approx:
         if r["rank"] == 1:
             assert r["vec_id"] == r["query_id"] and r["cosine_sim"] == 1.0
+
+
+def test_mixture_sample_deterministic_and_gated(spark):
+    from hadoop_ozone_spark.datapipe import packing
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 5 + "end", "a" if i % 2 == 0 else "b") for i in range(200)],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in packing.mixture_sample(
+        docs, {"a": 1.0, "b": 0.0}).collect()}
+    # rate 1.0 keeps every doc, rate 0.0 (and unknown sources) keep none
+    assert out["a"]["n_docs"] == 100 and "b" not in out
+    assert out["a"]["n_tokens"] == 100 * 6
+    # hash-draw is reproducible
+    half = {r["source"]: r["n_docs"] for r in packing.mixture_sample(
+        docs, {"a": 0.5, "b": 0.5}).collect()}
+    again = {r["source"]: r["n_docs"] for r in packing.mixture_sample(
+        docs, {"a": 0.5, "b": 0.5}).collect()}
+    assert half == again
+    assert 0 < half["a"] < 100 and 0 < half["b"] < 100
+
+
+def test_pack_plan_fills_windows_in_order(spark):
+    from hadoop_ozone_spark.datapipe import packing
+
+    # 10 docs x 4 tokens, context 10 → bins at cum 0,4,8|12,16|20,...:
+    # a doc spanning a boundary belongs to the bin where it STARTS
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(10)], "doc_id long, text string"
+    )
+    rows = packing.pack_plan(docs, context_len=10, shard_size=100).collect()
+    assert [(r["bin"], r["n_docs"], r["first_doc"], r["last_doc"]) for r in rows] == [
+        (0, 3, 0, 2),   # cum_before 0,4,8
+        (1, 2, 3, 4),   # 12,16
+        (2, 3, 5, 7),   # 20,24,28
+        (3, 2, 8, 9),   # 32,36
+    ]
+    # shards pack independently: same docs split across 2 shards
+    rows2 = packing.pack_plan(docs, context_len=10, shard_size=5).collect()
+    shards = {r["shard"] for r in rows2}
+    assert shards == {0, 1}
+    assert sum(r["n_docs"] for r in rows2) == 10
