@@ -245,9 +245,12 @@ def incremental_probe(corpus_k: float = 6000.0, delta_k: float = 60.0) -> None:
     try:
         for label, n in (("small", n_big // 10), ("large", n_big)):
             corpus = mkdocs(n)
-            # delta: fresh ids above every corpus range + near-dups of
-            # every 100th corpus doc so matches exist at both sizes
-            delta = corpus.filter(F.col("doc_id") % 100 == 0).limit(n_delta).select(
+            # delta: SAME SIZE at every corpus scale (near-dups of an
+            # evenly-spread corpus sample, ids above every corpus range)
+            # — otherwise the batch-time comparison confounds corpus
+            # growth with delta growth
+            stride = max(1, n // n_delta)
+            delta = corpus.filter(F.col("doc_id") % stride == 0).limit(n_delta).select(
                 (F.col("doc_id") + F.lit(n_big * 10)).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" tail")).alias("text"),
             )
