@@ -99,12 +99,16 @@ class OzoneAnalytics:
         assert self.containers is not None
         return recon.keys_for_container(self.keys, self.containers, container_id, max_keys)
 
-    def unhealthy_containers(self) -> DataFrame:
-        """/containers/unhealthy (ContainerHealthTask output)."""
+    def unhealthy_containers(self, state: str | None = None) -> DataFrame:
+        """/containers/unhealthy[/{state}] (ContainerEndpoint.java —
+        state ∈ MISSING/UNDER_REPLICATED/OVER_REPLICATED/MIS_REPLICATED)."""
         assert self.containers is not None and self.replicas is not None
-        return recon.container_health(
+        out = recon.container_health(
             self.containers, self.replicas, self.datanodes
         ).filter(F.col("health") != "HEALTHY")
+        if state is not None:
+            out = out.filter(F.col("health") == state)
+        return out
 
     def cluster_state(self) -> DataFrame:
         """/clusterState (ClusterStateEndpoint.java:79-115)."""

@@ -17,6 +17,8 @@ def api(spark, sf_dir):
         keys=model.om_keys(spark, sf_dir),
         containers=model.containers(spark, sf_dir),
         replicas=model.container_replicas(spark, sf_dir),
+        datanodes=model.datanodes(spark, sf_dir),
+        pipelines=model.pipelines(spark, sf_dir),
     )
 
 
@@ -41,6 +43,14 @@ def test_s3_and_utilization(api):
 
 
 def test_cluster_endpoints(api):
-    assert api.cluster_state().count() == 1
+    state = api.cluster_state().collect()
+    assert len(state) == 1
+    assert state[0]["total_pipelines"] > 0 and state[0]["healthy_datanodes"] > 0
     unhealthy = api.unhealthy_containers()
     assert unhealthy.filter(F.col("health") == "HEALTHY").count() == 0
+    # per-state endpoint filter (MIS_REPLICATED itself is exercised on
+    # synthetic fixtures in test_container_health — at sf0.001 the
+    # sparse replica sample may not produce a placement violation)
+    some_state = unhealthy.first()["health"]
+    scoped = api.unhealthy_containers(state=some_state).collect()
+    assert scoped and {r["health"] for r in scoped} == {some_state}
