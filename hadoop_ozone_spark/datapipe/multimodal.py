@@ -151,10 +151,13 @@ def extract_features(media: DataFrame, batch_size: int = 1024) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # route on the typed media_type column, not content sniffing
+            # — a PCM payload that happens to start with 'P6' must not
+            # reach the image parser
             decoded = [
-                (*decode_ppm(c), True) if bytes(c[:2]) == b"P6"
-                else (0, 0, decode_pcm_u8(bytes(c)), False)
-                for c in pdf["content"]
+                decode_ppm(bytes(c)) if mt == "image"
+                else (0, 0, decode_pcm_u8(bytes(c)))
+                for mt, c in zip(pdf["media_type"], pdf["content"])
             ]
             samples = [d[2] for d in decoded]
             yield pd.DataFrame(
