@@ -453,7 +453,7 @@ _J2_CLASSIFIED = """
   LEFT JOIN (SELECT cr.container_id, count(*) AS replica_count,
                     count(DISTINCT d.rack) AS distinct_racks
              FROM container_replicas cr
-             JOIN datanodes d ON cr.datanode_id = d.datanode_id
+             LEFT JOIN datanodes d ON cr.datanode_id = d.datanode_id
              GROUP BY cr.container_id) r
     ON c.container_id = r.container_id
   CROSS JOIN (SELECT count(DISTINCT rack) AS total_racks FROM datanodes) t

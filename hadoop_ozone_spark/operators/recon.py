@@ -322,8 +322,13 @@ def container_health(
         total_racks = None
     else:
         counts = (
+            # LEFT join: a replica on an unregistered datanode still
+            # counts toward replica_count (countDistinct skips its null
+            # rack — unknown topology can't satisfy placement)
             replicas.join(
-                F.broadcast(datanodes_df.select("datanode_id", "rack")), "datanode_id"
+                F.broadcast(datanodes_df.select("datanode_id", "rack")),
+                "datanode_id",
+                "left",
             )
             .groupBy("container_id")
             .agg(

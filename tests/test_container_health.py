@@ -127,3 +127,20 @@ def test_cluster_state_with_pipelines(spark):
     assert row["healthy_datanodes"] == 4
     assert row["total_pipelines"] == 3
     assert row["open_pipelines"] == 2
+
+
+def test_unregistered_datanode_counts_replica_not_rack(spark):
+    # replica on an unknown datanode: still replicated, but its rack
+    # can't satisfy placement
+    containers = spark.createDataFrame(
+        [(1, "CLOSED", 3, 100)],
+        "container_id long, state string, replication_factor int, used_bytes long",
+    )
+    replicas = spark.createDataFrame(
+        [(1, 1), (1, 3), (1, 99)], "container_id long, datanode_id long"
+    )
+    dns = spark.createDataFrame(DATANODES, "datanode_id long, rack string, node_state string")
+    r = recon.container_health(containers, replicas, dns).collect()[0]
+    assert r["replica_count"] == 3          # not under-replicated
+    assert r["actual_placement_count"] == 2  # unknown rack excluded
+    assert r["health"] == "MIS_REPLICATED"
