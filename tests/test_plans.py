@@ -192,3 +192,15 @@ def test_incremental_dedup_prebuilt_never_rescans_corpus_text(spark, tmp_path):
     assert corpus_path not in p  # the corpus text is out of the batch plan
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pack_plan_windows_are_sharded_not_global(spark, sf_dir):
+    """The packing cumsum must run per shard (hashpartitioning on
+    shard), never as one global single-partition window — the
+    difference between parallel packing and a 100 TB sort bottleneck."""
+    from hadoop_ozone_spark.datapipe import packing
+
+    docs = model.load(spark, sf_dir, "documents")
+    p = plan_of(packing.pack_plan(docs, context_len=2048, shard_size=10_000))
+    assert "Exchange SinglePartition" not in p
+    assert "Window" in p
