@@ -709,11 +709,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r01/r02.json. Round 3 front-loads the 11 queries neither
 # window ever hash-checked (the R3 backlog + the five previously
 # demoted), then the queries whose SEMANTICS change this round (J2 gains
-# MIS_REPLICATED placement classification, A6 gains pipeline counts,
-# dp_media_features swaps the fake codec for a real PPM decode), then
-# round-3 additions, back-filled with re-checks of the most load-bearing
-# round-1 rows. Union(r1, r2, r3) keeps every registered query
-# driver-verified at least once.
+# MIS_REPLICATED placement classification, A6 gains datanode/pipeline
+# parity, dp_media_features swaps the fake codec for a real PPM
+# decode), then the round-3 additions (m4_open_key_expiry,
+# dp_mixture_sample, dp_pack_plan), back-filled with re-checks of the
+# most load-bearing round-1 rows. Union(r1, r2, r3) keeps every
+# registered query driver-verified at least once.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
