@@ -49,3 +49,42 @@ def test_pack_plan_matches_sequential_law(spark, corpus, context_len, shard_size
         for r in rows
     }
     assert got == reference_pack(corpus, context_len, shard_size)
+
+
+mixtures = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]),
+    min_size=1,
+    max_size=3,
+)
+
+
+def reference_mixture(corpus, weights):
+    """Sequential statement of the hash-draw law (md5-lane uniform)."""
+    import hashlib
+
+    out = defaultdict(lambda: [0, 0])
+    for doc_id, n_tokens, source in corpus:
+        lane = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        if (lane % 1_000_000) / 1_000_000.0 < weights.get(source, 0.0):
+            out[source][0] += 1
+            out[source][1] += n_tokens
+    return {k: tuple(v) for k, v in out.items()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=20), min_size=1, max_size=60),
+    mixtures,
+)
+def test_mixture_sample_matches_md5_law(spark, counts, weights):
+    corpus = [(i, n, ["a", "b", "c"][i % 3]) for i, n in enumerate(counts)]
+    docs = spark.createDataFrame(
+        [(i, "t " * n, s) for i, n, s in corpus],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in packing.mixture_sample(docs, weights).collect()
+    }
+    assert got == reference_mixture(corpus, weights)
