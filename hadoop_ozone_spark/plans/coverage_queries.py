@@ -61,8 +61,8 @@ def so3_multi_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_state, deleted, errors = s3.multi_delete(keys, targets)
     return (
         new_state.groupBy().agg(F.count(F.lit(1)).alias("remaining"))
-        .crossJoin(deleted.groupBy().agg(F.count(F.lit(1)).alias("deleted")))
-        .crossJoin(errors.groupBy().agg(F.count(F.lit(1)).alias("errors")))
+        .crossJoin(F.broadcast(deleted.groupBy().agg(F.count(F.lit(1)).alias("deleted"))))
+        .crossJoin(F.broadcast(errors.groupBy().agg(F.count(F.lit(1)).alias("errors"))))
     )
 
 

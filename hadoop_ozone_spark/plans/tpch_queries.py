@@ -352,17 +352,21 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 shape: quarterly revenue per supplier, keep the max.
     The max-filter compares exact DECIMAL totals (no double-equality
-    hazard); the window runs over the ≤|suppliers| aggregate, not the
-    fact table."""
+    hazard); the global max is a 1-row scalar aggregate broadcast back
+    into the per-supplier frame — no single-partition WindowExec (a
+    ``Window.partitionBy()`` here would force every aggregate row
+    through one partition and emit Spark's "No Partition Defined"
+    warning; the broadcast join is shuffle-free on the probe side)."""
     supp = model.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     li = model.load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     per_supp = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("rev_dec"))
-    w = Window.partitionBy()
+    max_rev = per_supp.agg(F.max("rev_dec").alias("max_rev"))
     return (
-        per_supp.withColumn("max_rev", F.max("rev_dec").over(w))
-        .filter(F.col("rev_dec") == F.col("max_rev"))
+        per_supp.join(
+            F.broadcast(max_rev), F.col("rev_dec") == F.col("max_rev")
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue")
