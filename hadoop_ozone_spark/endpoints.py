@@ -30,6 +30,8 @@ class OzoneAnalytics:
         events: DataFrame | None = None,
         datanodes: DataFrame | None = None,
         pipelines: DataFrame | None = None,
+        pipeline_members: DataFrame | None = None,
+        replica_observations: DataFrame | None = None,
     ):
         self.spark = spark
         self.keys = keys
@@ -38,6 +40,8 @@ class OzoneAnalytics:
         self.events = events
         self.datanodes = datanodes
         self.pipelines = pipelines
+        self.pipeline_members = pipeline_members
+        self.replica_observations = replica_observations
 
     # --- OM read RPCs -----------------------------------------------------
 
@@ -115,6 +119,41 @@ class OzoneAnalytics:
         assert self.containers is not None and self.replicas is not None
         return recon.cluster_state(
             self.containers, self.replicas, self.datanodes, self.pipelines
+        )
+
+    def container_replica_history(self, container_id: int) -> DataFrame:
+        """/containers/{id}/replicaHistory (ContainerEndpoint.java:225-238)."""
+        assert self.replica_observations is not None
+        return recon.replica_history(
+            self.replica_observations.filter(F.col("container_id") == container_id),
+            self.datanodes,
+        )
+
+    def latest_container_history(self, container_id: int, limit: int) -> DataFrame:
+        """Most-recently-seen replica locations, capped at the
+        replication factor (ReconContainerManager.java:399-405; feeds
+        /containers/missing)."""
+        assert self.replica_observations is not None
+        return recon.latest_replica_history(
+            self.replica_observations, container_id, limit, self.datanodes
+        )
+
+    def list_datanodes(self) -> DataFrame:
+        """/datanodes (NodeEndpoint.java:83-160)."""
+        assert self.datanodes is not None and self.replicas is not None
+        assert self.containers is not None and self.pipelines is not None
+        assert self.pipeline_members is not None
+        return recon.datanode_listing(
+            self.datanodes, self.replicas, self.containers,
+            self.pipelines, self.pipeline_members,
+        )
+
+    def list_pipelines(self) -> DataFrame:
+        """/pipelines (PipelineEndpoint.java:73-135)."""
+        assert self.pipelines is not None and self.datanodes is not None
+        assert self.pipeline_members is not None and self.containers is not None
+        return recon.pipeline_listing(
+            self.pipelines, self.pipeline_members, self.datanodes, self.containers
         )
 
     # --- CDC --------------------------------------------------------------

@@ -209,6 +209,7 @@ def containers(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.alias("state"),
         F.lit(3).alias("replication_factor"),
         F.floor(F.col("p_retailprice") * 1000).alias("used_bytes"),
+        (F.col("p_partkey") % 25).alias("pipeline_id"),
     )
 
 
@@ -221,7 +222,8 @@ containers AS (
          WHEN p_size % 3 = 1 THEN 'CLOSING'
          ELSE 'CLOSED' END AS state,
     3 AS replication_factor,
-    CAST(floor(p_retailprice * 1000) AS BIGINT) AS used_bytes
+    CAST(floor(p_retailprice * 1000) AS BIGINT) AS used_bytes,
+    p_partkey % 25 AS pipeline_id
   FROM part
 )"""
 
@@ -247,6 +249,29 @@ container_replicas AS (
 )"""
 
 
+def replica_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica sightings feed for the Recon replica-history CF
+    (ReconContainerManager.java:289-336 — every ICR/FCR report upserts
+    (container, datanode, seen-time)). Observations = the replica
+    subset of lineitem (same deterministic filter as
+    ``container_replicas``) with ``l_shipdate`` as the report time, so
+    history is the temporal extension of the replica plane."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_partkey") + F.col("l_suppkey")) % 11 < 2).select(
+        F.col("l_partkey").alias("container_id"),
+        F.col("l_suppkey").alias("datanode_id"),
+        F.col("l_shipdate").alias("seen_time"),
+    )
+
+
+REPLICA_OBSERVATIONS_CTE = """
+replica_observations AS (
+  SELECT l_partkey AS container_id, l_suppkey AS datanode_id,
+         l_shipdate AS seen_time
+  FROM lineitem WHERE (l_partkey + l_suppkey) % 11 < 2
+)"""
+
+
 # ---------------------------------------------------------------------------
 # datanodes: the SCM node plane (ref NodeManager/NetworkTopology). One row
 # per registered datanode ← supplier; rack ← nation bucket (5 racks), so
@@ -265,8 +290,11 @@ def datanodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("s_suppkey").alias("datanode_id"),
+        F.col("s_name").alias("hostname"),
         F.concat(F.lit("rack_"), F.col("s_nationkey") % 5).alias("rack"),
         node_state.alias("node_state"),
+        # node-report capacity (SCMNodeStat): deterministic 4–19 GB tiers
+        ((F.col("s_suppkey") % 16 + 4) * F.lit(1_000_000_000)).alias("capacity_bytes"),
     )
 
 
@@ -274,11 +302,43 @@ DATANODES_CTE = """
 datanodes AS (
   SELECT
     s_suppkey AS datanode_id,
+    s_name AS hostname,
     concat('rack_', s_nationkey % 5) AS rack,
     CASE WHEN s_suppkey % 19 = 0 THEN 'STALE'
          WHEN s_suppkey % 23 = 0 THEN 'DEAD'
-         ELSE 'HEALTHY' END AS node_state
+         ELSE 'HEALTHY' END AS node_state,
+    (s_suppkey % 16 + 4) * 1000000000 AS capacity_bytes
   FROM supplier
+)"""
+
+
+# ---------------------------------------------------------------------------
+# pipeline_members: datanode ↔ pipeline membership (NodeManager.getPipelines /
+# Pipeline.getNodes). Each datanode serves its nation's pipeline plus a
+# deterministic secondary assignment — multi-pipeline membership, as on a
+# real cluster.
+# ---------------------------------------------------------------------------
+
+def pipeline_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    primary = s.select(
+        F.col("s_nationkey").alias("pipeline_id"),
+        F.col("s_suppkey").alias("datanode_id"),
+    )
+    secondary = s.select(
+        (F.col("s_suppkey") % 25).alias("pipeline_id"),
+        F.col("s_suppkey").alias("datanode_id"),
+    )
+    return primary.unionByName(secondary).distinct()
+
+
+PIPELINE_MEMBERS_CTE = """
+pipeline_members AS (
+  SELECT DISTINCT pipeline_id, datanode_id FROM (
+    SELECT s_nationkey AS pipeline_id, s_suppkey AS datanode_id FROM supplier
+    UNION ALL
+    SELECT s_suppkey % 25 AS pipeline_id, s_suppkey AS datanode_id FROM supplier
+  )
 )"""
 
 
@@ -433,8 +493,10 @@ def register_views(spark: SparkSession, sf_dir: str, derived: bool = True) -> li
             ("om_events", om_events),
             ("containers", containers),
             ("container_replicas", container_replicas),
+            ("replica_observations", replica_observations),
             ("datanodes", datanodes),
             ("pipelines", pipelines),
+            ("pipeline_members", pipeline_members),
             ("audit_log", audit_log),
             ("dedup_corpus", dedup_corpus),
             ("embedding_corpus", embedding_corpus),

@@ -104,3 +104,74 @@ def multipart_complete_check(
         )
         .orderBy(upload_col)
     )
+
+
+def multipart_complete_etag_check(
+    declared: DataFrame,
+    stored: DataFrame,
+    upload_col: str = "upload_id",
+    part_col: str = "part_number",
+    etag_col: str = "etag",
+) -> DataFrame:
+    """M5 full law: the client's declared part list must (a) be strictly
+    ascending and gap-free from 1 AND (b) name parts that exist in the
+    multipart-info table with MATCHING ETags
+    (S3MultipartUploadCompleteRequest.java:399-450 — a missing part key
+    or a partName/ETag mismatch fails the complete with INVALID_PART).
+
+    ``declared``: (upload, part_number, etag) from the CompleteMultipart
+    request body; ``stored``: (upload, part_number, etag, data_size)
+    from the part-key table. One join on the (upload, part) pair, then
+    one upload-keyed aggregate — both map-side combinable; at scale the
+    pair join shuffles each side once on the same key.
+
+    Returns per-upload: part/gap stats, missing_parts, etag_mismatches,
+    total_size (stored bytes of matched parts), and is_valid covering
+    the whole law.
+    """
+    w = Window.partitionBy(upload_col).orderBy(part_col)
+    st = stored.select(
+        F.col(upload_col).alias("_s_upload"),
+        F.col(part_col).alias("_s_part"),
+        F.col(etag_col).alias("_s_etag"),
+        F.col("data_size").alias("_s_size"),
+    )
+    joined = (
+        declared.withColumn("_rn", F.row_number().over(w))
+        .join(
+            st,
+            (F.col(upload_col) == F.col("_s_upload"))
+            & (F.col(part_col) == F.col("_s_part")),
+            "left",
+        )
+    )
+    missing = F.col("_s_etag").isNull()
+    mismatch = (~missing) & (F.col("_s_etag") != F.col(etag_col))
+    return (
+        joined.groupBy(upload_col)
+        .agg(
+            F.count(F.lit(1)).alias("num_parts"),
+            F.max(part_col).alias("max_part"),
+            F.min(part_col).alias("min_part"),
+            F.sum(F.coalesce(F.col("_s_size"), F.lit(0))).alias("total_size"),
+            F.max(F.when(F.col(part_col) != F.col("_rn"), 1).otherwise(0)).alias("_gap"),
+            F.sum(F.when(missing, 1).otherwise(0)).alias("missing_parts"),
+            F.sum(F.when(mismatch, 1).otherwise(0)).alias("etag_mismatches"),
+        )
+        .select(
+            upload_col,
+            "num_parts",
+            "max_part",
+            "min_part",
+            "total_size",
+            "missing_parts",
+            "etag_mismatches",
+            (
+                (F.col("_gap") == 0)
+                & (F.col("min_part") == 1)
+                & (F.col("missing_parts") == 0)
+                & (F.col("etag_mismatches") == 0)
+            ).alias("is_valid"),
+        )
+        .orderBy(upload_col)
+    )

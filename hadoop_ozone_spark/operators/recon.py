@@ -411,6 +411,171 @@ def container_health_summary(
     )
 
 
+def replica_history(
+    observations: DataFrame, datanodes_df: DataFrame | None = None
+) -> DataFrame:
+    """Container replica history (ContainerHistory.java:26-80 fields;
+    upsert law ReconContainerManager.java:289-336,428-450): per
+    (container, datanode) the first and last time a replica was
+    reported — first_seen is fixed at the first sighting, last_seen
+    advances with every report, i.e. min/max over the sighting feed.
+    Hostname resolves from the node table with the reference's 'N/A'
+    fallback (ReconContainerManager.java:380-390).
+
+    Shape: one map-side-combinable groupBy on (container, datanode);
+    the node dim is broadcast. At 100 TB the sightings feed shuffles
+    once on the pair key — the same key the history CF is stored under.
+    """
+    hist = observations.groupBy("container_id", "datanode_id").agg(
+        F.min("seen_time").alias("first_seen"),
+        F.max("seen_time").alias("last_seen"),
+    )
+    if datanodes_df is not None:
+        hist = hist.join(
+            F.broadcast(datanodes_df.select("datanode_id", "hostname")),
+            "datanode_id",
+            "left",
+        ).withColumn("datanode_host", F.coalesce(F.col("hostname"), F.lit("N/A")))
+    else:
+        hist = hist.withColumn("datanode_host", F.lit("N/A"))
+    return hist.select(
+        "container_id", "datanode_id", "datanode_host", "first_seen", "last_seen"
+    ).orderBy("container_id", "datanode_id")
+
+
+def latest_replica_history(
+    observations: DataFrame,
+    container_id: int,
+    limit: int,
+    datanodes_df: DataFrame | None = None,
+) -> DataFrame:
+    """getLatestContainerHistory (ReconContainerManager.java:399-405):
+    one container's history, most-recently-seen datanodes first, capped
+    at the replication factor."""
+    return (
+        replica_history(
+            observations.filter(F.col("container_id") == container_id), datanodes_df
+        )
+        .orderBy(F.desc("last_seen"), "datanode_id")
+        .limit(limit)
+    )
+
+
+def datanode_listing(
+    datanodes_df: DataFrame,
+    replicas: DataFrame,
+    containers_df: DataFrame,
+    pipelines_df: DataFrame,
+    members: DataFrame,
+) -> DataFrame:
+    """/datanodes (NodeEndpoint.java:83-160): one row per registered
+    datanode — state, storage report, pipeline membership count, leader
+    count, container counts.
+
+    The reference walks per-node in-memory maps; relationally each
+    facet is a groupBy over its plane, left-joined back onto the node
+    dim. used_bytes aggregates the bytes of containers replicated on
+    the node (the node-report analogue derivable from the planes);
+    remaining = capacity - used. Every facet aggregate is
+    datanode-keyed and small — all joins broadcast; the only fact-sized
+    shuffle is the replicas groupBy.
+    """
+    per_node_containers = (
+        replicas.join(
+            F.broadcast(containers_df.select("container_id", "state", "used_bytes")),
+            "container_id",
+            "left",
+        )
+        .groupBy("datanode_id")
+        .agg(
+            F.count(F.lit(1)).alias("container_count"),
+            F.sum(F.when(F.col("state") == "OPEN", 1).otherwise(0)).alias(
+                "open_container_count"
+            ),
+            F.sum(F.coalesce(F.col("used_bytes"), F.lit(0))).alias("used_bytes"),
+        )
+    )
+    per_node_pipelines = members.groupBy("datanode_id").agg(
+        F.count(F.lit(1)).alias("pipeline_count")
+    )
+    leader_counts = pipelines_df.groupBy(
+        F.col("leader_datanode_id").alias("datanode_id")
+    ).agg(F.count(F.lit(1)).alias("leader_count"))
+    return (
+        datanodes_df.join(F.broadcast(per_node_containers), "datanode_id", "left")
+        .join(F.broadcast(per_node_pipelines), "datanode_id", "left")
+        .join(F.broadcast(leader_counts), "datanode_id", "left")
+        .select(
+            "datanode_id",
+            "hostname",
+            "rack",
+            "node_state",
+            "capacity_bytes",
+            F.coalesce(F.col("used_bytes"), F.lit(0)).alias("used_bytes"),
+            (
+                F.col("capacity_bytes") - F.coalesce(F.col("used_bytes"), F.lit(0))
+            ).alias("remaining_bytes"),
+            F.coalesce(F.col("pipeline_count"), F.lit(0)).alias("pipeline_count"),
+            F.coalesce(F.col("leader_count"), F.lit(0)).alias("leader_count"),
+            F.coalesce(F.col("container_count"), F.lit(0)).alias("container_count"),
+            F.coalesce(F.col("open_container_count"), F.lit(0)).alias(
+                "open_container_count"
+            ),
+        )
+        .orderBy("datanode_id")
+    )
+
+
+def pipeline_listing(
+    pipelines_df: DataFrame,
+    members: DataFrame,
+    datanodes_df: DataFrame,
+    containers_df: DataFrame,
+) -> DataFrame:
+    """/pipelines (PipelineEndpoint.java:73-135): one row per pipeline —
+    state, replication factor, member datanodes (sorted id list),
+    leader hostname, container count.
+
+    member_ids is the deterministic comma-joined sorted id list (the
+    reference returns the hostname array; ids keep the column
+    hash-stable across engines). All sides are dim-sized; the member
+    rollup is the only groupBy.
+    """
+    member_agg = members.groupBy("pipeline_id").agg(
+        F.count(F.lit(1)).alias("datanode_count"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("datanode_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("member_ids"),
+    )
+    container_counts = containers_df.groupBy("pipeline_id").agg(
+        F.count(F.lit(1)).alias("container_count")
+    )
+    leader = datanodes_df.select(
+        F.col("datanode_id").alias("leader_datanode_id"),
+        F.col("hostname").alias("leader_host"),
+    )
+    return (
+        pipelines_df.join(F.broadcast(member_agg), "pipeline_id", "left")
+        .join(F.broadcast(container_counts), "pipeline_id", "left")
+        .join(F.broadcast(leader), "leader_datanode_id", "left")
+        .select(
+            "pipeline_id",
+            "state",
+            "replication_factor",
+            "leader_datanode_id",
+            F.coalesce(F.col("leader_host"), F.lit("N/A")).alias("leader_host"),
+            F.coalesce(F.col("datanode_count"), F.lit(0)).alias("datanode_count"),
+            F.coalesce(F.col("member_ids"), F.lit("")).alias("member_ids"),
+            F.coalesce(F.col("container_count"), F.lit(0)).alias("container_count"),
+        )
+        .orderBy("pipeline_id")
+    )
+
+
 def cluster_state(
     containers_df: DataFrame,
     replicas: DataFrame,

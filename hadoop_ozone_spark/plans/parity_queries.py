@@ -149,11 +149,200 @@ ORDER BY volume LIMIT 100
 """
 
 
+# --- J1 history: /containers/{id}/replicaHistory --------------------------
+#
+# Round-4 parity (VERDICT r3 #3): the per-replica first-seen/last-seen
+# timeline Recon serves from its dedicated CF
+# (ContainerEndpoint.java:225-238, ContainerHistory.java:26-80).
+
+def j1_replica_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recon.replica_history(
+        model.replica_observations(spark, sf_dir),
+        model.datanodes(spark, sf_dir),
+    )
+
+
+J1_HISTORY_SQL = model.with_ctes(
+    model.REPLICA_OBSERVATIONS_CTE,
+    model.DATANODES_CTE,
+    body="""SELECT o.container_id, o.datanode_id,
+       COALESCE(d.hostname, 'N/A') AS datanode_host,
+       min(o.seen_time) AS first_seen,
+       max(o.seen_time) AS last_seen
+FROM replica_observations o
+LEFT JOIN datanodes d ON o.datanode_id = d.datanode_id
+GROUP BY o.container_id, o.datanode_id, d.hostname
+ORDER BY o.container_id, o.datanode_id""",
+)
+
+
+# --- N1: /datanodes listing (NodeEndpoint.java:83-160) --------------------
+
+def n1_datanodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recon.datanode_listing(
+        model.datanodes(spark, sf_dir),
+        model.container_replicas(spark, sf_dir),
+        model.containers(spark, sf_dir),
+        model.pipelines(spark, sf_dir),
+        model.pipeline_members(spark, sf_dir),
+    )
+
+
+N1_DATANODES_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    model.CONTAINERS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    model.PIPELINES_CTE,
+    model.PIPELINE_MEMBERS_CTE,
+    body="""SELECT d.datanode_id, d.hostname, d.rack, d.node_state,
+       CAST(d.capacity_bytes AS BIGINT) AS capacity_bytes,
+       COALESCE(pc.used_bytes, 0) AS used_bytes,
+       CAST(d.capacity_bytes - COALESCE(pc.used_bytes, 0) AS BIGINT) AS remaining_bytes,
+       COALESCE(pm.pipeline_count, 0) AS pipeline_count,
+       COALESCE(lc.leader_count, 0) AS leader_count,
+       COALESCE(pc.container_count, 0) AS container_count,
+       COALESCE(pc.open_container_count, 0) AS open_container_count
+FROM datanodes d
+LEFT JOIN (
+  SELECT cr.datanode_id, count(*) AS container_count,
+         CAST(SUM(CASE WHEN c.state = 'OPEN' THEN 1 ELSE 0 END) AS BIGINT)
+           AS open_container_count,
+         CAST(SUM(COALESCE(c.used_bytes, 0)) AS BIGINT) AS used_bytes
+  FROM container_replicas cr
+  LEFT JOIN containers c ON cr.container_id = c.container_id
+  GROUP BY cr.datanode_id
+) pc ON d.datanode_id = pc.datanode_id
+LEFT JOIN (
+  SELECT datanode_id, count(*) AS pipeline_count
+  FROM pipeline_members GROUP BY datanode_id
+) pm ON d.datanode_id = pm.datanode_id
+LEFT JOIN (
+  SELECT leader_datanode_id AS datanode_id, count(*) AS leader_count
+  FROM pipelines GROUP BY leader_datanode_id
+) lc ON d.datanode_id = lc.datanode_id
+ORDER BY d.datanode_id""",
+)
+
+
+# --- P1: /pipelines listing (PipelineEndpoint.java:73-135) ----------------
+
+def p1_pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recon.pipeline_listing(
+        model.pipelines(spark, sf_dir),
+        model.pipeline_members(spark, sf_dir),
+        model.datanodes(spark, sf_dir),
+        model.containers(spark, sf_dir),
+    )
+
+
+P1_PIPELINES_SQL = model.with_ctes(
+    model.PIPELINES_CTE,
+    model.PIPELINE_MEMBERS_CTE,
+    model.DATANODES_CTE,
+    model.CONTAINERS_CTE,
+    body="""SELECT p.pipeline_id, p.state, p.replication_factor,
+       p.leader_datanode_id,
+       COALESCE(d.hostname, 'N/A') AS leader_host,
+       COALESCE(m.datanode_count, 0) AS datanode_count,
+       COALESCE(m.member_ids, '') AS member_ids,
+       COALESCE(cc.container_count, 0) AS container_count
+FROM pipelines p
+LEFT JOIN (
+  SELECT pipeline_id, count(*) AS datanode_count,
+         string_agg(CAST(datanode_id AS VARCHAR), ',' ORDER BY datanode_id)
+           AS member_ids
+  FROM pipeline_members GROUP BY pipeline_id
+) m ON p.pipeline_id = m.pipeline_id
+LEFT JOIN (
+  SELECT pipeline_id, count(*) AS container_count
+  FROM containers GROUP BY pipeline_id
+) cc ON p.pipeline_id = cc.pipeline_id
+LEFT JOIN datanodes d ON p.leader_datanode_id = d.datanode_id
+ORDER BY p.pipeline_id""",
+)
+
+
+# --- M5 full law: declared-vs-stored ETag validation ----------------------
+#
+# Declared part list = every lineitem row (upload=orderkey,
+# part=linenumber, etag=md5 of a deterministic per-part string); the
+# stored part table drops l_partkey%13==0 rows (missing parts) and
+# corrupts the etag where l_suppkey%17==0 (mismatches) — so all three
+# failure modes of S3MultipartUploadCompleteRequest.java:399-450 occur.
+
+_ETAG_BASE = "concat(l_orderkey, '-', l_linenumber, '-', CAST(floor(l_extendedprice * 100) AS BIGINT))"
+
+
+def m5_etag_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_ozone_spark.operators import mutations
+
+    li = model.load(spark, sf_dir, "lineitem")
+    base = F.concat(
+        F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber"), F.lit("-"),
+        F.floor(F.col("l_extendedprice") * 100),
+    )
+    declared = li.select(
+        F.col("l_orderkey").alias("upload_id"),
+        F.col("l_linenumber").alias("part_number"),
+        F.md5(base).alias("etag"),
+    )
+    stored = li.filter(F.col("l_partkey") % 13 != 0).select(
+        F.col("l_orderkey").alias("upload_id"),
+        F.col("l_linenumber").alias("part_number"),
+        F.when(
+            F.col("l_suppkey") % 17 == 0,
+            F.md5(F.concat(base, F.lit("#corrupt"))),
+        )
+        .otherwise(F.md5(base))
+        .alias("etag"),
+        F.floor(F.col("l_extendedprice") * 100).alias("data_size"),
+    )
+    return mutations.multipart_complete_etag_check(declared, stored)
+
+
+M5_ETAG_SQL = f"""
+WITH declared AS (
+  SELECT l_orderkey AS upload_id, l_linenumber AS part_number,
+         md5({_ETAG_BASE}) AS etag
+  FROM lineitem
+), stored AS (
+  SELECT l_orderkey AS upload_id, l_linenumber AS part_number,
+         CASE WHEN l_suppkey % 17 = 0 THEN md5(concat({_ETAG_BASE}, '#corrupt'))
+              ELSE md5({_ETAG_BASE}) END AS etag,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS data_size
+  FROM lineitem WHERE l_partkey % 13 <> 0
+), ranked AS (
+  SELECT d.upload_id, d.part_number, d.etag,
+         row_number() OVER (PARTITION BY d.upload_id ORDER BY d.part_number) AS rn,
+         s.etag AS s_etag, s.data_size AS s_size
+  FROM declared d
+  LEFT JOIN stored s
+    ON d.upload_id = s.upload_id AND d.part_number = s.part_number
+)
+SELECT upload_id, count(*) AS num_parts, max(part_number) AS max_part,
+       min(part_number) AS min_part,
+       CAST(SUM(COALESCE(s_size, 0)) AS BIGINT) AS total_size,
+       CAST(SUM(CASE WHEN s_etag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_parts,
+       CAST(SUM(CASE WHEN s_etag IS NOT NULL AND s_etag <> etag THEN 1 ELSE 0 END) AS BIGINT)
+         AS etag_mismatches,
+       (max(CASE WHEN part_number <> rn THEN 1 ELSE 0 END) = 0
+        AND min(part_number) = 1
+        AND SUM(CASE WHEN s_etag IS NULL THEN 1 ELSE 0 END) = 0
+        AND SUM(CASE WHEN s_etag IS NOT NULL AND s_etag <> etag THEN 1 ELSE 0 END) = 0)
+         AS is_valid
+FROM ranked GROUP BY upload_id ORDER BY upload_id
+"""
+
+
 QUERIES = {
     "a3_namespace_histogram": a3_namespace_histogram,
     "w4_list_uploads": w4_list_uploads,
     "a7_datanode_growth": a7_datanode_growth,
     "w1_list_volumes_by_user": w1_list_volumes_by_user,
+    "j1_replica_history": j1_replica_history,
+    "n1_datanodes": n1_datanodes,
+    "p1_pipelines": p1_pipelines,
+    "m5_etag_check": m5_etag_check,
 }
 
 ORACLES = {
@@ -161,4 +350,8 @@ ORACLES = {
     "w4_list_uploads": W4_UPLOADS_SQL,
     "a7_datanode_growth": A7_DATANODE_SQL,
     "w1_list_volumes_by_user": W1_VOLUMES_USER_SQL,
+    "j1_replica_history": J1_HISTORY_SQL,
+    "n1_datanodes": N1_DATANODES_SQL,
+    "p1_pipelines": P1_PIPELINES_SQL,
+    "m5_etag_check": M5_ETAG_SQL,
 }

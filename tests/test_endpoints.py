@@ -19,6 +19,8 @@ def api(spark, sf_dir):
         replicas=model.container_replicas(spark, sf_dir),
         datanodes=model.datanodes(spark, sf_dir),
         pipelines=model.pipelines(spark, sf_dir),
+        pipeline_members=model.pipeline_members(spark, sf_dir),
+        replica_observations=model.replica_observations(spark, sf_dir),
     )
 
 
