@@ -703,75 +703,78 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registration order. The driver's correctness artifact covers the FIRST
 # 50 entries of queries() each round. Round 1's window covered the 31
-# inline queries + 18 datapipe + j3; round 2 covered the 50-query
-# complement (TPC-H q2–q22, remaining §2 families, temporal + policy,
-# the no_oracle→oracle flips) — all 100 rows green across
-# CORRECTNESS_r01/r02.json. Round 3 front-loads the 11 queries neither
-# window ever hash-checked (the R3 backlog + the five previously
-# demoted), then the queries whose SEMANTICS change this round (J2 gains
-# MIS_REPLICATED placement classification, A6 gains datanode/pipeline
-# parity, dp_media_features swaps the fake codec for a real PPM
-# decode), then the round-3 additions (m4_open_key_expiry,
-# dp_mixture_sample, dp_pack_plan), back-filled with re-checks of the
-# most load-bearing round-1 rows. Union(r1, r2, r3) keeps every
-# registered query driver-verified at least once.
+# inline queries + 18 datapipe + j3; round 2 the 50-query complement;
+# round 3 front-loaded the 11 never-checked queries, the three
+# semantics changes, and the round-3 additions, back-filled with
+# round-1 re-checks — so by round 3 every registered query had a green
+# driver row (union of CORRECTNESS_r01/r02/r03.json). Round 4 rotates
+# for evidence freshness (VERDICT r3 #8): first the four queries NEW
+# this round (replica history, datanode/pipeline listings, M5 ETag),
+# then the two whose semantics changed (the video PPM-stream codec —
+# frame_sample now decodes real frame pixels, extract_features counts
+# frames by parsing) plus q15 whose PLAN changed (global window →
+# broadcast max join), then re-checks ordered oldest-evidence-first:
+# the 11 round-1-only rows (three rounds stale — never re-checked in
+# r2/r3), then 32 round-2 rows. The 16 r2 TPC-H/parity queries that
+# don't fit rotate first in round 5 (their evidence is the oldest
+# remaining) — tracked in tests/test_entry_contract.py.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
-    # never driver-checked before round 3 (r2 backlog + demoted)
-    "dp_minhash_incremental",
-    "acl_effective_access",
-    "dp_repetition",
-    "dp_pii_redact",
-    "dp_decontaminate",
-    "dp_ann_knn_join",
-    "w1_list_volumes",
-    "a1_histogram_rollup",
-    "size_percentiles",
-    "nested_locations_stats",
-    "gdpr_metadata_filter",
-    # semantics change in round 3 — re-verify under the new law
-    "j2_container_health",
-    "j2_health_summary",
-    "a6_cluster_state",
+    # new in round 4 — first driver check
+    "j1_replica_history",
+    "n1_datanodes",
+    "p1_pipelines",
+    "m5_etag_check",
+    # semantics/plan change in round 4 — re-verify under the new law
     "dp_media_features",
-    # new in round 3
-    "m4_open_key_expiry",
-    "dp_mixture_sample",
-    "dp_pack_plan",
-    # load-bearing round-1 re-checks
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "s1_prefix_scan",
-    "s2_point_lookup",
-    "f2_range_scan",
-    "f4_tombstone_anti_join",
-    "w1_list_keys_page",
-    "w2_s3_common_prefixes",
-    "w2_s3_leaf_listing",
-    "w3_list_status",
-    "a1_file_size_histogram",
-    "a2_signed_counts",
-    "a3_namespace_du",
-    "a4_table_counts",
-    "a5_quota_usage",
-    "a7_daily_growth",
-    "a8_top_users",
-    "a8_top_ops",
-    "a8_failure_rate",
-    "j1_keys_for_container",
-    "j3_fso_path_resolution",
-    "j4_container_key_index",
-    "j5_keys_in_open_containers",
-    "so1_latest_state",
-    "x11_busiest_seconds",
-    "m2_rename_prefix",
-    "m3_delete_prefix",
-    "m5_multipart_check",
-    "dp_exact_dedup",
-    "dp_dedup_groups",
-    "dp_ann_brute_topk",
+    "dp_media_frame_sample",
+    "q15_top_supplier",
+    # round-1-only evidence (three rounds stale)
+    "dp_token_stats",
+    "dp_lang_id",
+    "dp_fingerprint",
+    "dp_curation_pipeline",
+    "dp_ngram_jaccard",
+    "dp_vocabulary",
+    "dp_ann_bucket_histogram",
+    "dp_ann_bucketed_topk",
+    "dp_ann_multiprobe_topk",
+    "dp_ann_ivf_topk",
+    "dp_media_resize_plan",
+    # round-2 evidence (two rounds stale)
+    "dp_minhash_pairs",
+    "dp_simhash_pairs",
+    "w6_latest_version",
+    "w4_list_parts",
+    "w5_topk_containers",
+    "f5_slim_projection",
+    "a9_distinct_dirs",
+    "m1_open_key_commit",
+    "s7_audit_roundtrip",
+    "s8_freon_generator",
+    "s6_debug_scan",
+    "x9_time_format",
+    "w1_list_buckets",
+    "s5_snapshot_tail_merge",
+    "so3_multi_delete",
+    "m4_gc_batch",
+    "m6_copy_object",
+    "x_path_functions",
+    "x6_range_read",
+    "a5_quota_enforcement",
+    "acl_longest_prefix",
+    "q6_selective_agg",
+    "dp_embedding_neardup",
+    "ev_sessionization",
+    "x10_storage_units",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "ev_asof_join",
+    "ev_range_join_binned",
+    "q7_volume_shipping",
+    "q8_market_share",
 ]
 
 

@@ -561,28 +561,58 @@ FROM documents
 
 
 def dp_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 10th frame of each video clip, located by walking the
+    PPM-stream headers and DECODED to pixel features (the synthesis is
+    deterministic byte math — frame f's raster is the text window
+    starting at byte f, '='-padded — so the DuckDB oracle replays the
+    decode: the sampled frame's pixels, their exact-int sum/max, one
+    final division)."""
     media = multimodal.synthesize_media(model.load(spark, sf_dir, "documents"))
     return multimodal.frame_sample(media)
 
 
 DP_FRAME_SAMPLE_SQL = """
-SELECT doc_id, unnest(generate_series(0, CAST(doc_id % 30 AS BIGINT), 10)) AS frame_idx,
-       doc_id % 640 + 32 AS width,
-       doc_id % 480 + 32 AS height
-FROM documents WHERE doc_id % 3 = 2
+WITH m AS (
+  SELECT doc_id, text,
+         doc_id % 4 + 1 AS w, doc_id % 5 + 1 AS h,
+         (doc_id % 4 + 1) * (doc_id % 5 + 1) * 3 AS npx,
+         text || repeat('=', 89) AS padded
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT doc_id, w, h, npx, padded,
+         unnest(generate_series(0, CAST(doc_id % 30 AS BIGINT), 10)) AS frame_idx
+  FROM m
+),
+px AS (
+  SELECT doc_id, frame_idx, w, h,
+         list_transform(generate_series(1, npx),
+           i -> unicode(substring(padded, CAST(frame_idx + i AS INTEGER), 1))) AS p
+  FROM f
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h,
+       CAST(list_sum(p) AS DOUBLE) / (255.0 * len(p)) AS frame_mean,
+       CAST(list_max(p) AS DOUBLE) / 255.0 AS frame_max
+FROM px
 """
 
 
 def dp_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over the binary column. Image
     payloads are REAL PPM (P6) files decoded by a real parser (magic +
-    header + raster — multimodal.decode_ppm); audio/video are u8 PCM
-    windows. The synthesis is deterministic byte math (pixels = the
-    doc's leading bytes, '='-padded; the corpus is ASCII so char codes
-    == bytes), so the DuckDB oracle replays the whole decode: header
-    size 11 = len('P6\\n') + 1 + 1 + 1 + len('\\n255\\n') since w ≤ 4
-    and h ≤ 5 are single-digit. Features are exact-int sums with one
-    final division."""
+    header + raster — multimodal.decode_ppm); video payloads are PPM
+    STREAMS whose frame count is counted by walking every frame header
+    and whose features come from the first frame's decoded raster
+    (multimodal.decode_ppm_stream); audio is a u8 PCM window. The
+    synthesis is deterministic byte math (pixels = the doc's leading
+    bytes, '='-padded; the corpus is ASCII so char codes == bytes), so
+    the DuckDB oracle replays the whole decode: per-frame size is
+    11 + npx since header 11 = len('P6\\n') + 1 + 1 + 1 +
+    len('\\n255\\n') with single-digit w ≤ 4, h ≤ 5; a video's
+    n_bytes is (doc_id%30+1)·(11+npx); a video's first frame equals
+    the image raster law. Features are exact-int sums with one final
+    division."""
     media = multimodal.synthesize_media(model.load(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
 
@@ -598,14 +628,15 @@ WITH m AS (
 ),
 px AS (
   SELECT doc_id, media_type, w, h,
-    CASE WHEN media_type = 'image'
-      THEN list_transform(generate_series(1, npx),
+    CASE WHEN media_type = 'audio'
+      THEN list_transform(generate_series(1, least(length(text), 256)),
+             i -> unicode(substring(text, i, 1)))
+      ELSE list_transform(generate_series(1, npx),
              i -> CASE WHEN i <= length(text)
                        THEN unicode(substring(text, i, 1)) ELSE 61 END)
-      ELSE list_transform(generate_series(1, least(length(text), 256)),
-             i -> unicode(substring(text, i, 1)))
     END AS p,
     CASE WHEN media_type = 'image' THEN 11 + npx
+         WHEN media_type = 'video' THEN (doc_id % 30 + 1) * (11 + npx)
          ELSE octet_length(encode(text)) END AS n_bytes
   FROM m
 )
@@ -618,8 +649,8 @@ SELECT doc_id, media_type,
             THEN CAST(list_max(p) AS DOUBLE) / 255.0 ELSE 0.0
        END AS feat_max,
        doc_id % 30 + 1 AS frame_count,
-       CAST(CASE WHEN media_type = 'image' THEN w ELSE 0 END AS BIGINT) AS decoded_width,
-       CAST(CASE WHEN media_type = 'image' THEN h ELSE 0 END AS BIGINT) AS decoded_height
+       CAST(CASE WHEN media_type = 'audio' THEN 0 ELSE w END AS BIGINT) AS decoded_width,
+       CAST(CASE WHEN media_type = 'audio' THEN 0 ELSE h END AS BIGINT) AS decoded_height
 FROM px
 """
 

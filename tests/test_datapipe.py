@@ -127,13 +127,16 @@ def test_media_features_batch_path(spark, sf_dir):
         "doc_id", "media_type", "n_bytes", "feat_mean", "feat_max", "frame_count",
         "decoded_width", "decoded_height",
     }
-    # the decoded header must agree with the synthesizer's dimensions
+    # the decoded header must agree with the synthesizer's dimensions;
+    # video frame counts are COUNTED by the stream parser, not claimed
     for r in rows:
-        if r["media_type"] == "image":
+        if r["media_type"] == "audio":
+            assert r["decoded_width"] == 0 and r["decoded_height"] == 0
+        else:
             assert r["decoded_width"] == r["doc_id"] % 4 + 1
             assert r["decoded_height"] == r["doc_id"] % 5 + 1
-        else:
-            assert r["decoded_width"] == 0 and r["decoded_height"] == 0
+        if r["media_type"] == "video":
+            assert r["frame_count"] == r["doc_id"] % 30 + 1
 
 
 def test_ppm_codec_is_real():
@@ -147,6 +150,50 @@ def test_ppm_codec_is_real():
         multimodal.decode_ppm(b"P5\n3 2\n255\n" + raster)  # wrong magic
     with _pytest.raises(ValueError):
         multimodal.decode_ppm(b"P6\n3 2\n255\n" + raster[:-1])  # truncated
+
+
+def test_ppm_stream_codec_seeks_frames():
+    # 3-frame clip with distinct rasters and per-frame geometry
+    def frame(w, h, fill):
+        return b"P6\n%d %d\n255\n" % (w, h) + bytes([fill]) * (w * h * 3)
+
+    clip = frame(2, 1, 10) + frame(1, 1, 20) + frame(2, 2, 30)
+    n, frames = multimodal.decode_ppm_stream(clip)
+    assert n == 3 and set(frames) == {0, 1, 2}
+    assert frames[1] == (1, 1, [20, 20, 20])
+    # stride selection decodes only every Nth frame in one pass
+    n, sampled = multimodal.decode_ppm_stream(clip, stride=2)
+    assert n == 3 and set(sampled) == {0, 2}
+    assert sampled[2] == (2, 2, [30] * 12)
+    # header-only walk (empty wanted set) still counts every frame
+    n, none_decoded = multimodal.decode_ppm_stream(clip, wanted=set())
+    assert n == 3 and none_decoded == {}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal.decode_ppm_stream(clip[:-1])  # truncated final frame
+
+
+def test_frame_sample_decodes_pixels(spark, sf_dir):
+    media = multimodal.synthesize_media(model.load(spark, sf_dir, "documents"))
+    out = multimodal.frame_sample(media, every_nth=10)
+    rows = out.collect()
+    docs = {r["doc_id"]: r for r in model.load(spark, sf_dir, "documents").collect()}
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc  # video docs exist at sf0.001
+    for did, frames in list(by_doc.items())[:20]:
+        fc = did % 30 + 1
+        assert sorted(r["frame_idx"] for r in frames) == list(range(0, fc, 10))
+        text = docs[did]["text"]
+        padded = text + "=" * 89
+        for r in frames:
+            w, h = did % 4 + 1, did % 5 + 1
+            assert (r["frame_w"], r["frame_h"]) == (w, h)
+            npx = w * h * 3
+            px = [ord(c) for c in padded[r["frame_idx"] : r["frame_idx"] + npx]]
+            assert r["frame_mean"] == sum(px) / (255.0 * npx)
+            assert r["frame_max"] == max(px) / 255.0
 
 
 def test_lang_id_deterministic_argmax(spark):

@@ -1,8 +1,9 @@
 """Driver-contract invariants: the correctness window (first 50
 queries() entries) must stay complete — every entry oracle-backed, no
-duplicates, and the union of the frozen round-1/round-2 windows
-(CORRECTNESS_r01/r02.json) plus the current window must cover every
-registered query, so every query has at least one driver-visible row."""
+duplicates, and the union of the frozen round-1/2/3 windows
+(CORRECTNESS_r01/r02/r03.json) plus the current window must cover
+every registered query, so every query has at least one
+driver-visible row — with no green row older than two rounds."""
 
 from __future__ import annotations
 
@@ -53,20 +54,33 @@ R2_WINDOW = [
     "ev_range_join_binned",
 ]
 
-# registered + locally oracle-checked, never yet in a driver window;
-# round 3's DRIVER_WINDOW front-loads every one of these (VERDICT r2 #1)
-R3_FRONTLOAD = {
-    "dp_minhash_incremental",
-    "acl_effective_access",
-    "dp_repetition",
-    "dp_pii_redact",
-    "dp_decontaminate",
-    "dp_ann_knn_join",
-    "w1_list_volumes",
-    "a1_histogram_rollup",
-    "size_percentiles",
-    "nested_locations_stats",
-    "gdpr_metadata_filter",
+# the 50 keys the driver hash-checked in round 3 (CORRECTNESS_r03.json)
+R3_WINDOW = [
+    "dp_minhash_incremental", "acl_effective_access", "dp_repetition",
+    "dp_pii_redact", "dp_decontaminate", "dp_ann_knn_join",
+    "w1_list_volumes", "a1_histogram_rollup", "size_percentiles",
+    "nested_locations_stats", "gdpr_metadata_filter",
+    "j2_container_health", "j2_health_summary", "a6_cluster_state",
+    "dp_media_features", "m4_open_key_expiry", "dp_mixture_sample",
+    "dp_pack_plan", "q1_pricing_summary", "q3_top_revenue_orders",
+    "q5_nation_revenue", "s1_prefix_scan", "s2_point_lookup",
+    "f2_range_scan", "f4_tombstone_anti_join", "w1_list_keys_page",
+    "w2_s3_common_prefixes", "w2_s3_leaf_listing", "w3_list_status",
+    "a1_file_size_histogram", "a2_signed_counts", "a3_namespace_du",
+    "a4_table_counts", "a5_quota_usage", "a7_daily_growth",
+    "a8_top_users", "a8_top_ops", "a8_failure_rate",
+    "j1_keys_for_container", "j3_fso_path_resolution",
+    "j4_container_key_index", "j5_keys_in_open_containers",
+    "so1_latest_state", "x11_busiest_seconds", "m2_rename_prefix",
+    "m3_delete_prefix", "m5_multipart_check", "dp_exact_dedup",
+    "dp_dedup_groups", "dp_ann_brute_topk",
+]
+
+# new or semantics/plan-changed in round 4 — must lead the round-4 window
+R4_FRONTLOAD = {
+    "j1_replica_history", "n1_datanodes", "p1_pipelines",
+    "m5_etag_check", "dp_media_features", "dp_media_frame_sample",
+    "q15_top_supplier",
 }
 
 
@@ -83,11 +97,33 @@ def test_every_query_has_an_oracle():
     assert set(q) == set(o)  # no rows-only checks remain
 
 
-def test_round3_window_frontloads_never_checked_queries():
-    assert R3_FRONTLOAD <= set(entry.DRIVER_WINDOW)
+def test_round4_window_frontloads_new_and_changed_queries():
+    assert set(entry.DRIVER_WINDOW[:7]) == R4_FRONTLOAD
 
 
 def test_round_union_covers_every_registered_query():
     q = entry.queries()
-    covered = set(R1_WINDOW) | set(R2_WINDOW) | set(entry.DRIVER_WINDOW)
+    covered = (
+        set(R1_WINDOW) | set(R2_WINDOW) | set(R3_WINDOW)
+        | set(entry.DRIVER_WINDOW)
+    )
     assert set(q) <= covered, sorted(set(q) - covered)
+
+
+def test_rotation_is_oldest_evidence_first():
+    # staleness invariant: nothing outside the round-4 window may have
+    # OLDER evidence than something inside it (the rotation spends its
+    # 43 re-check slots on the oldest rows; the 16 r2 rows that do not
+    # fit are the freshest deferrals and rotate first in round 5)
+    last_checked = {}
+    for rnd, window in ((1, R1_WINDOW), (2, R2_WINDOW), (3, R3_WINDOW)):
+        for name in window:
+            last_checked[name] = rnd
+    in_window = set(entry.DRIVER_WINDOW)
+    oldest_in = min(last_checked.get(n, 4) for n in in_window)
+    deferred = set(entry.queries()) - in_window
+    assert deferred  # sanity: more queries than window slots
+    worst_deferred = min(last_checked.get(n, 0) for n in deferred)
+    # every deferred query has evidence at least as fresh as the oldest
+    # row the window re-checks
+    assert worst_deferred >= oldest_in
