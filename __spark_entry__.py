@@ -375,7 +375,8 @@ A6_SQL = model.with_ctes(
 
 
 def j4_container_key_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return recon.container_key_index(model.om_keys(spark, sf_dir))
+    # container-bucketed layout in deployment → groupBy without Exchange
+    return recon.container_key_index(model.om_keys_by_container(spark, sf_dir))
 
 
 J4_SQL = model.with_ctes(
@@ -388,7 +389,7 @@ FROM om_keys GROUP BY container_id ORDER BY container_id""",
 
 def j1_keys_for_container(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: keys of the lowest OPEN container (self-contained probe)."""
-    keys = model.om_keys(spark, sf_dir)
+    keys = model.om_keys_by_container(spark, sf_dir)
     cont = model.containers(spark, sf_dir)
     probe = cont.filter(F.col("state") == "OPEN").agg(
         F.min("container_id").alias("container_id")
@@ -413,9 +414,11 @@ ORDER BY k.row_key LIMIT 1000""",
 
 
 def j2_container_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bucketed planes in deployment → replica rollup + container join
+    # co-locate on container_id, zero shuffle Exchanges
     return recon.container_health(
-        model.containers(spark, sf_dir),
-        model.container_replicas(spark, sf_dir),
+        model.containers_bucketed(spark, sf_dir),
+        model.container_replicas_bucketed(spark, sf_dir),
         model.datanodes(spark, sf_dir),
     ).orderBy("container_id")
 
@@ -471,8 +474,8 @@ ORDER BY container_id""",
 
 def j2_health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recon.container_health_summary(
-        model.containers(spark, sf_dir),
-        model.container_replicas(spark, sf_dir),
+        model.containers_bucketed(spark, sf_dir),
+        model.container_replicas_bucketed(spark, sf_dir),
         model.datanodes(spark, sf_dir),
     )
 

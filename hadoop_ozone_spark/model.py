@@ -37,9 +37,14 @@ TABLES = (
 
 # Derived-table memo: the driver runs dozens of queries sequentially in
 # one session; each namespace query re-deriving om_keys from lineitem
-# would repay the string-building cost every time. Cache the derived
-# DataFrame (persisted MEMORY_AND_DISK — sf0.1 keys ≈ 120 MB) keyed by
-# (session, sf_dir). In deployment this memo IS the snapshot table.
+# would repay the string-building cost every time. Cache the DataFrame
+# keyed by (session, sf_dir). Two backing modes:
+#  - shim mode (default): derive from the TPC-H files, persisted
+#    MEMORY_AND_DISK (sf0.1 keys ≈ 120 MB);
+#  - snapshot mode (SPARK_GRAFT_SNAPSHOT_DIR set + built, see
+#    sources/deployment.py): read the materialized parquet plane — the
+#    deployment read path; NOT persisted, because measuring the real
+#    columnar scan (partition pruning, row-group skipping) is the point.
 _DERIVED_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -53,9 +58,27 @@ def _memoized(
     key = (session_id, sf_dir, name)
     df = _DERIVED_CACHE.get(key)
     if df is None:
-        df = build().persist()
+        from hadoop_ozone_spark.sources import deployment
+
+        df = deployment.read_plane(spark, sf_dir, name)
+        if df is None:
+            df = build().persist()
         _DERIVED_CACHE[key] = df
     return df
+
+
+def clear_derived_cache() -> None:
+    """Drop the memo (and its persisted blocks) — required when the
+    snapshot flag flips mid-session, e.g. right after
+    ``deployment.ensure_snapshot`` builds the planes the memo should
+    now read instead of the shim derivations it cached during the
+    build."""
+    for df in _DERIVED_CACHE.values():
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass
+    _DERIVED_CACHE.clear()
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -197,6 +220,10 @@ om_events AS (
 # ---------------------------------------------------------------------------
 
 def containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized("containers", spark, sf_dir, lambda: _build_containers(spark, sf_dir))
+
+
+def _build_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     state = (
         F.when(F.col("p_partkey") % 11 == 0, F.lit("DELETED"))
@@ -229,6 +256,10 @@ containers AS (
 
 
 def container_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized("container_replicas", spark, sf_dir, lambda: _build_container_replicas(spark, sf_dir))
+
+
+def _build_container_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sparse deterministic subset so the J2 classifier sees all four
     # health classes (unfiltered, every container is OVER-replicated)
     li = load(spark, sf_dir, "lineitem")
@@ -249,7 +280,43 @@ container_replicas AS (
 )"""
 
 
+# ---------------------------------------------------------------------------
+# Container-co-located layouts (deployment only): the same logical
+# tables served from bucketBy(container_id) catalog tables, so the
+# J1/J2/J4 container joins and aggregations run without a shuffle
+# Exchange (sources/deployment.py builds them; the probe measured the
+# 2-Exchange → 0 drop at 6M/60M keys, BENCH_NOTES.md). In shim mode
+# each accessor falls back to its logical twin — identical rows either
+# way, so oracle correctness is layout-independent.
+# ---------------------------------------------------------------------------
+
+def _bucketed_or(name: str, fallback, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_ozone_spark.sources import deployment
+
+    snap = deployment.read_plane(spark, sf_dir, name)
+    return snap if snap is not None else fallback(spark, sf_dir)
+
+
+def om_keys_by_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bucketed_or("om_keys_by_container", om_keys, spark, sf_dir)
+
+
+def containers_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bucketed_or("containers_bucketed", containers, spark, sf_dir)
+
+
+def container_replicas_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bucketed_or("container_replicas_bucketed", container_replicas, spark, sf_dir)
+
+
 def replica_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(
+        "replica_observations", spark, sf_dir,
+        lambda: _build_replica_observations(spark, sf_dir),
+    )
+
+
+def _build_replica_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replica sightings feed for the Recon replica-history CF
     (ReconContainerManager.java:289-336 — every ICR/FCR report upserts
     (container, datanode, seen-time)). Observations = the replica
@@ -282,6 +349,10 @@ replica_observations AS (
 # ---------------------------------------------------------------------------
 
 def datanodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized("datanodes", spark, sf_dir, lambda: _build_datanodes(spark, sf_dir))
+
+
+def _build_datanodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     node_state = (
         F.when(F.col("s_suppkey") % 19 == 0, F.lit("STALE"))
@@ -320,6 +391,10 @@ datanodes AS (
 # ---------------------------------------------------------------------------
 
 def pipeline_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized("pipeline_members", spark, sf_dir, lambda: _build_pipeline_members(spark, sf_dir))
+
+
+def _build_pipeline_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     primary = s.select(
         F.col("s_nationkey").alias("pipeline_id"),
@@ -349,6 +424,10 @@ pipeline_members AS (
 # ---------------------------------------------------------------------------
 
 def pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized("pipelines", spark, sf_dir, lambda: _build_pipelines(spark, sf_dir))
+
+
+def _build_pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     state = (
         F.when(F.col("n_nationkey") % 4 == 0, F.lit("CLOSED"))
@@ -382,6 +461,10 @@ pipelines AS (
 # user ← customer id bucketized (skewed), op ← orderpriority,
 # result ← orderstatus.
 def audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized("audit_log", spark, sf_dir, lambda: _build_audit_log(spark, sf_dir))
+
+
+def _build_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.select(
         F.col("o_orderdate").alias("datetime"),
@@ -455,6 +538,13 @@ dedup_corpus AS (
 # ---------------------------------------------------------------------------
 
 def embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(
+        "embedding_corpus", spark, sf_dir,
+        lambda: _build_embedding_corpus(spark, sf_dir),
+    )
+
+
+def _build_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),

@@ -336,8 +336,12 @@ def container_health(
                 F.countDistinct("rack").alias("distinct_racks"),
             )
         )
+        # size(collect_set) not countDistinct: the dim is dozens of rows,
+        # so one partial-merge pass (Exchange SinglePartition) beats the
+        # two-phase distinct's hashpartitioning(rack) shuffle — keeps the
+        # whole J2 plan free of hash Exchanges under the bucketed layout
         total_racks = datanodes_df.agg(
-            F.countDistinct("rack").alias("total_racks")
+            F.size(F.collect_set("rack")).cast("long").alias("total_racks")
         )
 
     rc = F.coalesce(F.col("replica_count"), F.lit(0))

@@ -35,6 +35,9 @@ def get_spark(app_name: str = "hadoop-ozone-spark", cpus: int | None = None) -> 
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # full scan paths in plan strings (default truncates Location at
+        # 100 chars, which silently defeats plan-string path asserts)
+        .config("spark.sql.maxMetadataStringLength", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -188,8 +188,12 @@ def test_incremental_dedup_prebuilt_never_rescans_corpus_text(spark, tmp_path):
         corpus_bands=spark.read.parquet(bands_path),
     )
     p = plan_of(pairs)
-    assert hashed_path in p and bands_path in p
-    assert corpus_path not in p  # the corpus text is out of the batch plan
+    # source check via inputFiles(), not the plan string — Spark
+    # truncates scan Location strings at maxMetadataStringLength, so a
+    # long-enough tmp dir would silently break a substring assert
+    files = "\n".join(pairs.inputFiles())
+    assert "/hashed/" in files and "/bands/" in files
+    assert "/corpus_text/" not in files  # corpus text is out of the batch plan
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
