@@ -718,7 +718,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # frames by parsing) plus q15 whose PLAN changed (global window →
 # broadcast max join), then re-checks ordered oldest-evidence-first:
 # the 11 round-1-only rows (three rounds stale — never re-checked in
-# r2/r3), then 32 round-2 rows. The 16 r2 TPC-H/parity queries that
+# r2/r3), then 31 round-2 rows. The 17 r2 TPC-H/parity queries that
 # don't fit rotate first in round 5 (their evidence is the oldest
 # remaining) — tracked in tests/test_entry_contract.py.
 # ---------------------------------------------------------------------------
@@ -729,6 +729,7 @@ DRIVER_WINDOW = [
     "n1_datanodes",
     "p1_pipelines",
     "m5_etag_check",
+    "j2_missing_containers",
     # semantics/plan change in round 4 — re-verify under the new law
     "dp_media_features",
     "dp_media_frame_sample",
@@ -777,7 +778,6 @@ DRIVER_WINDOW = [
     "ev_asof_join",
     "ev_range_join_binned",
     "q7_volume_shipping",
-    "q8_market_share",
 ]
 
 

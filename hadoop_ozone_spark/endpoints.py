@@ -138,6 +138,17 @@ class OzoneAnalytics:
             self.replica_observations, container_id, limit, self.datanodes
         )
 
+    def missing_containers(self) -> DataFrame:
+        """/containers/missing (ContainerEndpoint.java:239-270):
+        MissingContainerMetadata rows — key count, pipeline, last-known
+        replica locations from the history CF."""
+        assert self.containers is not None and self.replicas is not None
+        assert self.replica_observations is not None
+        return recon.missing_containers(
+            self.containers, self.replicas, self.keys,
+            self.replica_observations, self.datanodes,
+        )
+
     def list_datanodes(self) -> DataFrame:
         """/datanodes (NodeEndpoint.java:83-160)."""
         assert self.datanodes is not None and self.replicas is not None

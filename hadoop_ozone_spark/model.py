@@ -319,12 +319,18 @@ def replica_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _build_replica_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replica sightings feed for the Recon replica-history CF
     (ReconContainerManager.java:289-336 — every ICR/FCR report upserts
-    (container, datanode, seen-time)). Observations = the replica
-    subset of lineitem (same deterministic filter as
-    ``container_replicas``) with ``l_shipdate`` as the report time, so
-    history is the temporal extension of the replica plane."""
+    (container, datanode, seen-time)). Observations = lineitem lanes
+    0-2 of the deterministic hash, with ``l_shipdate`` as the report
+    time. Lanes 0-1 are the LIVE replica set (``container_replicas``);
+    lane 2 is sightings whose replica has since been removed — history
+    strictly contains the live plane, exactly as the reference's
+    history CF outlives removeContainerReplica (the removal flushes
+    last_seen instead of deleting the row,
+    ReconContainerManager.java:319-336), which is what lets
+    /containers/missing report last-known locations for containers
+    with ZERO live replicas."""
     li = load(spark, sf_dir, "lineitem")
-    return li.filter((F.col("l_partkey") + F.col("l_suppkey")) % 11 < 2).select(
+    return li.filter((F.col("l_partkey") + F.col("l_suppkey")) % 11 < 3).select(
         F.col("l_partkey").alias("container_id"),
         F.col("l_suppkey").alias("datanode_id"),
         F.col("l_shipdate").alias("seen_time"),
@@ -335,7 +341,7 @@ REPLICA_OBSERVATIONS_CTE = """
 replica_observations AS (
   SELECT l_partkey AS container_id, l_suppkey AS datanode_id,
          l_shipdate AS seen_time
-  FROM lineitem WHERE (l_partkey + l_suppkey) % 11 < 2
+  FROM lineitem WHERE (l_partkey + l_suppkey) % 11 < 3
 )"""
 
 

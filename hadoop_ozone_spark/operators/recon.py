@@ -15,7 +15,7 @@ and relies on AQE skew handling otherwise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoop_ozone_spark.functions.binning import file_size_upper_bound
@@ -462,6 +462,89 @@ def latest_replica_history(
         )
         .orderBy(F.desc("last_seen"), "datanode_id")
         .limit(limit)
+    )
+
+
+def missing_containers(
+    containers_df: DataFrame,
+    replicas: DataFrame,
+    keys: DataFrame,
+    observations: DataFrame,
+    datanodes_df: DataFrame | None = None,
+) -> DataFrame:
+    """/containers/missing (ContainerEndpoint.java:239-270,
+    MissingContainerMetadata.java:32-57): for every non-deleted
+    container with ZERO live replicas — its key count and bytes (the
+    J4 index), its pipeline, the most recent time any replica was seen
+    (missing-since analogue), and the last-known datanode locations
+    from the history CF capped at the replication factor
+    (getLatestContainerHistory, ReconContainerManager.java:399-405).
+
+    Shape: the missing set is containers ANTI-JOIN live replicas (dim
+    sized — broadcast everywhere below); the key rollup is the one
+    fact-sized aggregation (bucketed/co-located in deployment); the
+    history window partitions by container over the history of missing
+    containers only (semi-join prunes it first).
+    """
+    missing = containers_df.filter(F.col("state") != "DELETED").join(
+        replicas.select("container_id"), "container_id", "left_anti"
+    )
+    # prune the fact rollup to missing ids BEFORE aggregating — the J4
+    # index over ALL containers would be too big to broadcast at scale;
+    # the missing subset is dim-sized by definition
+    key_counts = (
+        keys.join(F.broadcast(missing.select("container_id")), "container_id", "left_semi")
+        .groupBy("container_id")
+        .agg(
+            F.count(F.lit(1)).alias("key_count"),
+            F.sum("data_size").alias("total_bytes"),
+        )
+    )
+    hist = replica_history(
+        observations.join(
+            F.broadcast(missing.select("container_id")), "container_id", "left_semi"
+        ),
+        datanodes_df,
+    )
+    w = Window.partitionBy("container_id").orderBy(
+        F.desc("last_seen"), F.asc("datanode_id")
+    )
+    latest = (
+        hist.withColumn("_rn", F.row_number().over(w))
+        .join(
+            F.broadcast(
+                missing.select("container_id", "replication_factor")
+            ),
+            "container_id",
+        )
+        .filter(F.col("_rn") <= F.col("replication_factor"))
+        .groupBy("container_id")
+        .agg(
+            F.max("last_seen").alias("last_seen_max"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("datanode_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("last_known_datanodes"),
+        )
+    )
+    return (
+        missing.join(F.broadcast(key_counts), "container_id", "left")
+        .join(F.broadcast(latest), "container_id", "left")
+        .select(
+            "container_id",
+            "pipeline_id",
+            "replication_factor",
+            F.coalesce(F.col("key_count"), F.lit(0)).alias("key_count"),
+            F.coalesce(F.col("total_bytes"), F.lit(0)).alias("total_bytes"),
+            "last_seen_max",
+            F.coalesce(F.col("last_known_datanodes"), F.lit("")).alias(
+                "last_known_datanodes"
+            ),
+        )
+        .orderBy("container_id")
     )
 
 

@@ -262,6 +262,66 @@ ORDER BY p.pipeline_id""",
 )
 
 
+# --- /containers/missing: MissingContainerMetadata ------------------------
+#
+# Key count + bytes, pipeline, and last-known replica locations (from
+# the history CF, capped at the replication factor) for every
+# non-deleted container with zero live replicas
+# (ContainerEndpoint.java:239-270, MissingContainerMetadata.java:32-57).
+
+def j2_missing_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recon.missing_containers(
+        model.containers(spark, sf_dir),
+        model.container_replicas(spark, sf_dir),
+        model.om_keys(spark, sf_dir),
+        model.replica_observations(spark, sf_dir),
+        model.datanodes(spark, sf_dir),
+    )
+
+
+J2_MISSING_SQL = model.with_ctes(
+    model.CONTAINERS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    model.REPLICA_OBSERVATIONS_CTE,
+    model.OM_KEYS_CTE,
+    body="""SELECT m.container_id, m.pipeline_id, m.replication_factor,
+       COALESCE(kc.key_count, 0) AS key_count,
+       COALESCE(kc.total_bytes, 0) AS total_bytes,
+       l.last_seen_max,
+       COALESCE(l.last_known_datanodes, '') AS last_known_datanodes
+FROM (
+  SELECT container_id, pipeline_id, replication_factor FROM containers
+  WHERE state <> 'DELETED'
+    AND container_id NOT IN (SELECT container_id FROM container_replicas)
+) m
+LEFT JOIN (
+  SELECT container_id, count(*) AS key_count,
+         CAST(SUM(data_size) AS BIGINT) AS total_bytes
+  FROM om_keys GROUP BY container_id
+) kc ON m.container_id = kc.container_id
+LEFT JOIN (
+  SELECT container_id, max(last_seen) AS last_seen_max,
+         string_agg(CAST(datanode_id AS VARCHAR), ',' ORDER BY datanode_id)
+           AS last_known_datanodes
+  FROM (
+    SELECT h.container_id, h.datanode_id, h.last_seen,
+           row_number() OVER (PARTITION BY h.container_id
+                              ORDER BY h.last_seen DESC, h.datanode_id ASC) AS rn,
+           h.replication_factor
+    FROM (
+      SELECT o.container_id, o.datanode_id, max(o.seen_time) AS last_seen,
+             any_value(c.replication_factor) AS replication_factor
+      FROM replica_observations o
+      JOIN containers c ON o.container_id = c.container_id
+      GROUP BY o.container_id, o.datanode_id
+    ) h
+  ) WHERE rn <= replication_factor
+  GROUP BY container_id
+) l ON m.container_id = l.container_id
+ORDER BY m.container_id""",
+)
+
+
 # --- M5 full law: declared-vs-stored ETag validation ----------------------
 #
 # Declared part list = every lineitem row (upload=orderkey,
@@ -340,6 +400,7 @@ QUERIES = {
     "a7_datanode_growth": a7_datanode_growth,
     "w1_list_volumes_by_user": w1_list_volumes_by_user,
     "j1_replica_history": j1_replica_history,
+    "j2_missing_containers": j2_missing_containers,
     "n1_datanodes": n1_datanodes,
     "p1_pipelines": p1_pipelines,
     "m5_etag_check": m5_etag_check,
@@ -351,6 +412,7 @@ ORACLES = {
     "a7_datanode_growth": A7_DATANODE_SQL,
     "w1_list_volumes_by_user": W1_VOLUMES_USER_SQL,
     "j1_replica_history": J1_HISTORY_SQL,
+    "j2_missing_containers": J2_MISSING_SQL,
     "n1_datanodes": N1_DATANODES_SQL,
     "p1_pipelines": P1_PIPELINES_SQL,
     "m5_etag_check": M5_ETAG_SQL,

@@ -78,9 +78,9 @@ R3_WINDOW = [
 
 # new or semantics/plan-changed in round 4 — must lead the round-4 window
 R4_FRONTLOAD = {
-    "j1_replica_history", "n1_datanodes", "p1_pipelines",
-    "m5_etag_check", "dp_media_features", "dp_media_frame_sample",
-    "q15_top_supplier",
+    "j1_replica_history", "j2_missing_containers", "n1_datanodes",
+    "p1_pipelines", "m5_etag_check", "dp_media_features",
+    "dp_media_frame_sample", "q15_top_supplier",
 }
 
 
@@ -98,7 +98,7 @@ def test_every_query_has_an_oracle():
 
 
 def test_round4_window_frontloads_new_and_changed_queries():
-    assert set(entry.DRIVER_WINDOW[:7]) == R4_FRONTLOAD
+    assert set(entry.DRIVER_WINDOW[:8]) == R4_FRONTLOAD
 
 
 def test_round_union_covers_every_registered_query():

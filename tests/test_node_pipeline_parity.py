@@ -160,6 +160,47 @@ def test_multipart_etag_check_laws(spark):
     assert not out[4]["is_valid"] and out[4]["etag_mismatches"] == 1
 
 
+def test_missing_containers_law(spark):
+    # containers: 1 MISSING with history, 2 healthy, 3 MISSING without
+    # history, 4 DELETED (excluded even with zero replicas)
+    containers = spark.createDataFrame(
+        [
+            (1, "CLOSED", 2, 7),
+            (2, "CLOSED", 3, 7),
+            (3, "OPEN", 3, 8),
+            (4, "DELETED", 3, 9),
+        ],
+        "container_id long, state string, replication_factor int, pipeline_id long",
+    )
+    replicas = spark.createDataFrame([(2, 10)], "container_id long, datanode_id long")
+    keys = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 50)], "container_id long, data_size long"
+    )
+    obs = spark.createDataFrame(
+        # container 1 was seen on nodes 10 (latest), 20, 30 — rf=2 caps
+        # the last-known list to the two most recent
+        [
+            (1, 10, _ts(9)),
+            (1, 20, _ts(5)),
+            (1, 30, _ts(2)),
+            (2, 10, _ts(1)),
+        ],
+        "container_id long, datanode_id long, seen_time timestamp",
+    )
+    out = {
+        r["container_id"]: r
+        for r in recon.missing_containers(containers, replicas, keys, obs).collect()
+    }
+    assert set(out) == {1, 3}  # healthy and DELETED excluded
+    r = out[1]
+    assert r["key_count"] == 2 and r["total_bytes"] == 300
+    assert r["pipeline_id"] == 7
+    assert r["last_seen_max"] == _ts(9)
+    assert r["last_known_datanodes"] == "10,20"  # rf=2 cap, latest first
+    assert out[3]["key_count"] == 0 and out[3]["last_known_datanodes"] == ""
+    assert out[3]["last_seen_max"] is None
+
+
 def test_new_endpoints(spark, sf_dir):
     api = OzoneAnalytics(
         spark,
@@ -178,3 +219,5 @@ def test_new_endpoints(spark, sf_dir):
     assert hist and all(r["container_id"] == probe["container_id"] for r in hist)
     latest = api.latest_container_history(probe["container_id"], limit=3)
     assert latest.count() <= 3
+    missing = api.missing_containers()
+    assert "last_known_datanodes" in missing.columns
