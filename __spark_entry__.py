@@ -32,6 +32,7 @@ from hadoop_ozone_spark.plans import (
     extended_queries,
     parity_queries,
     policy_queries,
+    scm_queries,
     temporal_queries,
     tpch_queries,
 )
@@ -718,7 +719,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # frames by parsing) plus q15 whose PLAN changed (global window →
 # broadcast max join), then re-checks ordered oldest-evidence-first:
 # the 11 round-1-only rows (three rounds stale — never re-checked in
-# r2/r3), then 31 round-2 rows. The 17 r2 TPC-H/parity queries that
+# r2/r3), then 27 round-2 rows. The 21 r2 TPC-H/parity queries that
 # don't fit rotate first in round 5 (their evidence is the oldest
 # remaining) — tracked in tests/test_entry_contract.py.
 # ---------------------------------------------------------------------------
@@ -730,6 +731,10 @@ DRIVER_WINDOW = [
     "p1_pipelines",
     "m5_etag_check",
     "j2_missing_containers",
+    "b1_balancer_utilization",
+    "d1_decommission_status",
+    "d2_pending_deletion",
+    "d2_failed_txns",
     # semantics/plan change in round 4 — re-verify under the new law
     "dp_media_features",
     "dp_media_frame_sample",
@@ -774,10 +779,6 @@ DRIVER_WINDOW = [
     "x10_storage_units",
     "q4_order_priority",
     "q13_customer_distribution",
-    "q18_large_orders",
-    "ev_asof_join",
-    "ev_range_join_binned",
-    "q7_volume_shipping",
 ]
 
 
@@ -821,6 +822,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **temporal_queries.QUERIES,
         **tpch_queries.QUERIES,
         **parity_queries.QUERIES,
+        **scm_queries.QUERIES,
     }
 
 
@@ -880,4 +882,5 @@ def _all_oracles() -> dict[str, str]:
         **temporal_queries.ORACLES,
         **tpch_queries.ORACLES,
         **parity_queries.ORACLES,
+        **scm_queries.ORACLES,
     }

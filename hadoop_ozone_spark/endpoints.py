@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_ozone_spark.operators import cdc, listing, recon, s3
+from hadoop_ozone_spark.operators import cdc, listing, recon, s3, scm
 
 
 class OzoneAnalytics:
@@ -32,6 +32,7 @@ class OzoneAnalytics:
         pipelines: DataFrame | None = None,
         pipeline_members: DataFrame | None = None,
         replica_observations: DataFrame | None = None,
+        deleted_block_txns: DataFrame | None = None,
     ):
         self.spark = spark
         self.keys = keys
@@ -42,6 +43,7 @@ class OzoneAnalytics:
         self.pipelines = pipelines
         self.pipeline_members = pipeline_members
         self.replica_observations = replica_observations
+        self.deleted_block_txns = deleted_block_txns
 
     # --- OM read RPCs -----------------------------------------------------
 
@@ -165,6 +167,45 @@ class OzoneAnalytics:
         assert self.pipeline_members is not None and self.containers is not None
         return recon.pipeline_listing(
             self.pipelines, self.pipeline_members, self.datanodes, self.containers
+        )
+
+    # --- SCM admin services ----------------------------------------------
+
+    def balancer_utilization(self, threshold: float = 0.1) -> DataFrame:
+        """Container balancer node classification
+        (ContainerBalancer.java:169-233; surfaced by the
+        ContainerBalancerStatusSubcommand CLI)."""
+        assert self.datanodes is not None and self.replicas is not None
+        assert self.containers is not None
+        return scm.balancer_utilization(
+            self.datanodes, self.replicas, self.containers, threshold=threshold
+        )
+
+    def decommission_status(self, min_healthy_for_maintenance: int = 2) -> DataFrame:
+        """Per-node admin-workflow readiness
+        (DatanodeAdminMonitorImpl.java:273-300)."""
+        assert self.datanodes is not None and self.replicas is not None
+        assert self.containers is not None
+        return scm.decommission_status(
+            self.containers, self.replicas, self.datanodes,
+            min_healthy_for_maintenance=min_healthy_for_maintenance,
+        )
+
+    def pending_block_deletions(self) -> DataFrame:
+        """Per-datanode deleted-block backlog
+        (DeletedBlockLogImpl.getTransactions, :405-445)."""
+        assert self.deleted_block_txns is not None
+        assert self.replicas is not None and self.containers is not None
+        return scm.pending_deletion_by_datanode(
+            self.deleted_block_txns, self.replicas, self.containers
+        )
+
+    def failed_block_deletions(self, limit: int = 100) -> DataFrame:
+        """Retry-exhausted deletion txns
+        (DeletedBlockLogImpl.getFailedTransactions, :148-163)."""
+        assert self.deleted_block_txns is not None and self.containers is not None
+        return scm.failed_deletion_txns(
+            self.deleted_block_txns, self.containers, limit=limit
         )
 
     # --- CDC --------------------------------------------------------------

@@ -346,6 +346,49 @@ replica_observations AS (
 
 
 # ---------------------------------------------------------------------------
+# deleted_block_txns: the SCM deletedBlocksTable (DeletedBlocksTransaction
+# proto; DeletedBlockLogImpl.java:77-201). One txn per deleted-key batch:
+# txid strictly ordered (RocksDB key), container it targets, number of
+# local block ids, and the retry count — -1 marks retries exhausted
+# (DeletedBlockLogImpl.java:194-201 sets count to -1 past maxRetry so
+# admins can inspect via getFailedTransactions). Shim: one txn per
+# lineitem row on lane (l_orderkey + l_partkey) % 7 == 0; ~1/50 of txns
+# land on the exhausted lane.
+# ---------------------------------------------------------------------------
+
+def deleted_block_txns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(
+        "deleted_block_txns", spark, sf_dir,
+        lambda: _build_deleted_block_txns(spark, sf_dir),
+    )
+
+
+def _build_deleted_block_txns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_orderkey") + F.col("l_partkey")) % 7 == 0).select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("txid"),
+        F.col("l_partkey").alias("container_id"),
+        F.col("l_quantity").cast("bigint").alias("block_count"),
+        F.when((F.col("l_orderkey") + F.col("l_suppkey")) % 53 == 0, F.lit(-1))
+        .otherwise(F.col("l_suppkey") % 5)
+        .alias("retry_count"),
+    )
+
+
+DELETED_BLOCK_TXNS_CTE = """
+deleted_block_txns AS (
+  SELECT
+    l_orderkey * 8 + l_linenumber AS txid,
+    l_partkey AS container_id,
+    CAST(l_quantity AS BIGINT) AS block_count,
+    CASE WHEN (l_orderkey + l_suppkey) % 53 = 0 THEN -1
+         ELSE l_suppkey % 5 END AS retry_count
+  FROM lineitem
+  WHERE (l_orderkey + l_partkey) % 7 = 0
+)"""
+
+
+# ---------------------------------------------------------------------------
 # datanodes: the SCM node plane (ref NodeManager/NetworkTopology). One row
 # per registered datanode ← supplier; rack ← nation bucket (5 racks), so
 # the J2 placement check (SCMCommonPlacementPolicy.java:288-320,
@@ -365,11 +408,21 @@ def _build_datanodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s_suppkey") % 23 == 0, F.lit("DEAD"))
         .otherwise(F.lit("HEALTHY"))
     )
+    # NodeOperationalState (HddsProtos): the admin plane driving the
+    # decommission workflow (DatanodeAdminMonitorImpl.java:183-209) and
+    # the balancer's IN_SERVICE scope (SCMNodeManager.java:676-688)
+    op_state = (
+        F.when(F.col("s_suppkey") % 17 == 0, F.lit("DECOMMISSIONING"))
+        .when(F.col("s_suppkey") % 29 == 0, F.lit("IN_MAINTENANCE"))
+        .when(F.col("s_suppkey") % 41 == 0, F.lit("ENTERING_MAINTENANCE"))
+        .otherwise(F.lit("IN_SERVICE"))
+    )
     return s.select(
         F.col("s_suppkey").alias("datanode_id"),
         F.col("s_name").alias("hostname"),
         F.concat(F.lit("rack_"), F.col("s_nationkey") % 5).alias("rack"),
         node_state.alias("node_state"),
+        op_state.alias("op_state"),
         # node-report capacity (SCMNodeStat): deterministic 4–19 GB tiers
         ((F.col("s_suppkey") % 16 + 4) * F.lit(1_000_000_000)).alias("capacity_bytes"),
     )
@@ -384,6 +437,10 @@ datanodes AS (
     CASE WHEN s_suppkey % 19 = 0 THEN 'STALE'
          WHEN s_suppkey % 23 = 0 THEN 'DEAD'
          ELSE 'HEALTHY' END AS node_state,
+    CASE WHEN s_suppkey % 17 = 0 THEN 'DECOMMISSIONING'
+         WHEN s_suppkey % 29 = 0 THEN 'IN_MAINTENANCE'
+         WHEN s_suppkey % 41 = 0 THEN 'ENTERING_MAINTENANCE'
+         ELSE 'IN_SERVICE' END AS op_state,
     (s_suppkey % 16 + 4) * 1000000000 AS capacity_bytes
   FROM supplier
 )"""
@@ -590,6 +647,7 @@ def register_views(spark: SparkSession, sf_dir: str, derived: bool = True) -> li
             ("containers", containers),
             ("container_replicas", container_replicas),
             ("replica_observations", replica_observations),
+            ("deleted_block_txns", deleted_block_txns),
             ("datanodes", datanodes),
             ("pipelines", pipelines),
             ("pipeline_members", pipeline_members),

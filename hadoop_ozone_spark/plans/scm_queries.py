@@ -1,0 +1,197 @@
+"""Round-4 SCM service-plane queries: container balancer utilization,
+datanode decommission/maintenance readiness, and the deleted-block
+log — each a relational re-expression of an SCM background service's
+per-iteration scan (see operators/scm.py for the cited laws).
+
+Oracles follow model.py's cross-engine determinism rules; the only
+floats (utilization ratios, ratio-to-bytes products) are single IEEE
+ops over exactly-represented BIGINT sums, so they are bit-identical
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_ozone_spark import model
+from hadoop_ozone_spark.operators import scm
+
+
+# --- B1: balancer utilization classification ------------------------------
+
+def b1_balancer_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scm.balancer_utilization(
+        model.datanodes(spark, sf_dir),
+        model.container_replicas(spark, sf_dir),
+        model.containers(spark, sf_dir),
+        threshold=0.1,
+    )
+
+
+B1_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    model.CONTAINERS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    """nodes AS (
+  SELECT d.datanode_id, d.hostname, d.capacity_bytes,
+         COALESCE(u.used_bytes, 0) AS used_bytes
+  FROM datanodes d
+  LEFT JOIN (
+    SELECT r.datanode_id, CAST(SUM(c.used_bytes) AS BIGINT) AS used_bytes
+    FROM container_replicas r JOIN containers c USING (container_id)
+    GROUP BY r.datanode_id
+  ) u USING (datanode_id)
+  WHERE d.node_state = 'HEALTHY' AND d.op_state = 'IN_SERVICE'
+)""",
+    """totals AS (
+  SELECT SUM(used_bytes) AS cluster_used,
+         SUM(capacity_bytes) AS cluster_capacity
+  FROM nodes
+)""",
+    body="""SELECT datanode_id, hostname, capacity_bytes, used_bytes,
+  CAST(used_bytes AS DOUBLE) / capacity_bytes AS utilization,
+  CAST(cluster_used AS DOUBLE) / cluster_capacity AS cluster_avg_utilization,
+  CASE
+    WHEN CAST(used_bytes AS DOUBLE) / capacity_bytes
+         > CAST(cluster_used AS DOUBLE) / cluster_capacity + 0.1
+      THEN 'OVER_UTILIZED'
+    WHEN CAST(used_bytes AS DOUBLE) / capacity_bytes
+         < CAST(cluster_used AS DOUBLE) / cluster_capacity - 0.1
+      THEN 'UNDER_UTILIZED'
+    ELSE 'WITHIN_THRESHOLD' END AS classification,
+  CASE
+    WHEN CAST(used_bytes AS DOUBLE) / capacity_bytes
+         > CAST(cluster_used AS DOUBLE) / cluster_capacity + 0.1
+      THEN capacity_bytes * (CAST(used_bytes AS DOUBLE) / capacity_bytes)
+           - capacity_bytes * (CAST(cluster_used AS DOUBLE) / cluster_capacity + 0.1)
+    ELSE 0.0 END AS bytes_over_upper,
+  CASE
+    WHEN CAST(used_bytes AS DOUBLE) / capacity_bytes
+         < CAST(cluster_used AS DOUBLE) / cluster_capacity - 0.1
+      THEN capacity_bytes * (CAST(cluster_used AS DOUBLE) / cluster_capacity - 0.1)
+           - capacity_bytes * (CAST(used_bytes AS DOUBLE) / capacity_bytes)
+    ELSE 0.0 END AS bytes_under_lower
+FROM nodes CROSS JOIN totals
+ORDER BY datanode_id""",
+)
+
+
+# --- D1: decommission / maintenance-entry readiness -----------------------
+
+def d1_decommission_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scm.decommission_status(
+        model.containers(spark, sf_dir),
+        model.container_replicas(spark, sf_dir),
+        model.datanodes(spark, sf_dir),
+    )
+
+
+D1_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    model.CONTAINERS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    """counts AS (
+  SELECT r.container_id,
+    SUM(CASE WHEN d.op_state IN ('DECOMMISSIONING','DECOMMISSIONED',
+                                 'IN_MAINTENANCE','ENTERING_MAINTENANCE')
+             THEN 0 ELSE 1 END) AS healthy_count,
+    SUM(CASE WHEN d.op_state IN ('IN_MAINTENANCE','ENTERING_MAINTENANCE')
+             THEN 1 ELSE 0 END) AS maintenance_count
+  FROM container_replicas r
+  LEFT JOIN datanodes d USING (datanode_id)
+  GROUP BY r.container_id
+)""",
+    """suff AS (
+  SELECT c.container_id,
+    (CASE
+       WHEN c.replication_factor - COALESCE(ct.healthy_count, 0) < 0
+         THEN c.replication_factor - COALESCE(ct.healthy_count, 0)
+       WHEN c.replication_factor - COALESCE(ct.healthy_count, 0) > 0
+         THEN GREATEST(
+           GREATEST(0, LEAST(c.replication_factor, 2) - COALESCE(ct.healthy_count, 0)),
+           GREATEST(0, c.replication_factor - COALESCE(ct.healthy_count, 0)
+                       - COALESCE(ct.maintenance_count, 0)))
+       ELSE 0 END) <= 0 AS sufficiently_replicated,
+    c.state IN ('CLOSED', 'QUASI_CLOSED') AS healthy_state
+  FROM containers c
+  LEFT JOIN counts ct USING (container_id)
+)""",
+    body="""SELECT r.datanode_id, d.hostname, d.op_state,
+  COUNT(*) AS container_count,
+  CAST(SUM(CASE WHEN s.sufficiently_replicated THEN 1 ELSE 0 END) AS BIGINT) AS sufficiently_replicated,
+  CAST(SUM(CASE WHEN s.sufficiently_replicated THEN 0 ELSE 1 END) AS BIGINT) AS under_replicated,
+  CAST(SUM(CASE WHEN s.healthy_state THEN 0 ELSE 1 END) AS BIGINT) AS unhealthy,
+  (SUM(CASE WHEN s.sufficiently_replicated THEN 0 ELSE 1 END) = 0
+   AND SUM(CASE WHEN s.healthy_state THEN 0 ELSE 1 END) = 0) AS can_complete
+FROM container_replicas r
+JOIN datanodes d USING (datanode_id)
+JOIN suff s USING (container_id)
+WHERE d.op_state IN ('DECOMMISSIONING', 'ENTERING_MAINTENANCE')
+GROUP BY r.datanode_id, d.hostname, d.op_state
+ORDER BY r.datanode_id""",
+)
+
+
+# --- D2: deleted-block log ------------------------------------------------
+
+def d2_pending_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scm.pending_deletion_by_datanode(
+        model.deleted_block_txns(spark, sf_dir),
+        model.container_replicas_bucketed(spark, sf_dir),
+        model.containers_bucketed(spark, sf_dir),
+    )
+
+
+D2_PENDING_SQL = model.with_ctes(
+    model.CONTAINERS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    model.DELETED_BLOCK_TXNS_CTE,
+    body="""SELECT r.datanode_id,
+  COUNT(*) AS txn_count,
+  CAST(SUM(t.block_count) AS BIGINT) AS block_count,
+  COUNT(DISTINCT t.container_id) AS container_count
+FROM deleted_block_txns t
+JOIN containers c USING (container_id)
+JOIN container_replicas r USING (container_id)
+WHERE t.retry_count >= 0 AND t.retry_count <= 4096
+  AND c.state NOT IN ('OPEN', 'CLOSING')
+GROUP BY r.datanode_id
+ORDER BY r.datanode_id""",
+)
+
+
+def d2_failed_txns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scm.failed_deletion_txns(
+        model.deleted_block_txns(spark, sf_dir),
+        model.containers(spark, sf_dir),
+        limit=100,
+    )
+
+
+D2_FAILED_SQL = model.with_ctes(
+    model.CONTAINERS_CTE,
+    model.DELETED_BLOCK_TXNS_CTE,
+    body="""SELECT t.txid, t.container_id,
+  COALESCE(c.state, 'NOT_FOUND') AS container_state,
+  t.block_count
+FROM deleted_block_txns t
+LEFT JOIN containers c USING (container_id)
+WHERE t.retry_count = -1
+ORDER BY t.txid
+LIMIT 100""",
+)
+
+
+QUERIES = {
+    "b1_balancer_utilization": b1_balancer_utilization,
+    "d1_decommission_status": d1_decommission_status,
+    "d2_pending_deletion": d2_pending_deletion,
+    "d2_failed_txns": d2_failed_txns,
+}
+
+ORACLES = {
+    "b1_balancer_utilization": B1_SQL,
+    "d1_decommission_status": D1_SQL,
+    "d2_pending_deletion": D2_PENDING_SQL,
+    "d2_failed_txns": D2_FAILED_SQL,
+}

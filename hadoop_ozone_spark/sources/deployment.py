@@ -41,6 +41,12 @@ from pyspark.sql import DataFrame, SparkSession
 SNAPSHOT_ENV = "SPARK_GRAFT_SNAPSHOT_DIR"
 BUCKETS = 32
 
+# Bump when any plane's schema/derivation changes: the marker embeds it,
+# so a snapshot written by an older layout reads as not-built and is
+# rebuilt instead of serving stale columns (e.g. datanodes.op_state,
+# added in round 4).
+LAYOUT_VERSION = 2
+
 # plane name → model builder attribute; every derived table the query
 # layer can route to the snapshot
 PLANES = (
@@ -49,6 +55,7 @@ PLANES = (
     "containers",
     "container_replicas",
     "replica_observations",
+    "deleted_block_txns",
     "datanodes",
     "pipelines",
     "pipeline_members",
@@ -77,7 +84,7 @@ def is_built(base: str, sf_dir: str) -> bool:
     being queried — a snapshot of sf0.1 must never serve sf0.01."""
     try:
         with open(_marker_path(base)) as fh:
-            return fh.read().strip() == os.path.normpath(sf_dir)
+            return fh.read().strip() == f"{os.path.normpath(sf_dir)}@v{LAYOUT_VERSION}"
     except OSError:
         return False
 
@@ -127,7 +134,7 @@ def build_snapshot(spark: SparkSession, sf_dir: str, base: str) -> dict[str, flo
             df.write.mode("overwrite").option("compression", "zstd").parquet(path)
         timings[name] = round(time.time() - t0, 3)
     with open(_marker_path(base), "w") as fh:
-        fh.write(os.path.normpath(sf_dir))
+        fh.write(f"{os.path.normpath(sf_dir)}@v{LAYOUT_VERSION}")
     return timings
 
 

@@ -21,6 +21,7 @@ def api(spark, sf_dir):
         pipelines=model.pipelines(spark, sf_dir),
         pipeline_members=model.pipeline_members(spark, sf_dir),
         replica_observations=model.replica_observations(spark, sf_dir),
+        deleted_block_txns=model.deleted_block_txns(spark, sf_dir),
     )
 
 
@@ -56,3 +57,17 @@ def test_cluster_endpoints(api):
     some_state = unhealthy.first()["health"]
     scoped = api.unhealthy_containers(state=some_state).collect()
     assert scoped and {r["health"] for r in scoped} == {some_state}
+
+
+def test_scm_admin_endpoints(api):
+    bal = api.balancer_utilization().collect()
+    assert bal and all(
+        r["classification"] in ("OVER_UTILIZED", "UNDER_UTILIZED", "WITHIN_THRESHOLD")
+        for r in bal
+    )
+    decom = api.decommission_status().collect()
+    assert all(r["op_state"] in ("DECOMMISSIONING", "ENTERING_MAINTENANCE") for r in decom)
+    pending = api.pending_block_deletions().collect()
+    assert pending and all(r["txn_count"] > 0 for r in pending)
+    failed = api.failed_block_deletions(limit=5).collect()
+    assert len(failed) <= 5
