@@ -106,3 +106,40 @@ def pack_plan(
         )
         .orderBy("shard", "bin")
     )
+
+
+def train_order(
+    docs: DataFrame, n_shards: int = 8, seed: str = "42"
+) -> DataFrame:
+    """Deterministic training-order shuffle: assign each doc a shard
+    and a position within it by an engine-portable hash of
+    (seed, doc_id) — the reproducible global shuffle a training run
+    needs between curation and packing. Re-running with the same seed
+    reproduces the exact order; changing the seed is a fresh epoch
+    permutation.
+
+    Scale: a global ORDER BY would range-partition the whole corpus;
+    sharding first makes the sort a per-shard window (same shape as
+    pack_plan), so the order is materialized with ordinary parallel
+    writes — shard files are the unit a data loader streams.
+    """
+    lane = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.lit("#"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("lane", "doc_id")
+    return (
+        docs.select("doc_id", lane.alias("lane"))
+        .withColumn("shard", F.col("lane") % n_shards)
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )

@@ -308,3 +308,118 @@ def decontaminate(
             "hit_benchmark_id",
         )
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-level boilerplate detection: split each doc into
+    non-overlapping ``chunk_tokens``-token windows, hash each, and flag
+    chunks appearing in ≥ ``min_docs`` distinct docs — the
+    repeated-paragraph removal pass of web-corpus curation (RefinedWeb
+    §3.2 / Dolma line-dedup, adapted to fixed windows since the corpus
+    has no newline structure). Emits per-doc totals so a downstream
+    filter can drop docs dominated by boilerplate.
+
+    Unlike whole-doc dedup this also catches partial copies: a doc
+    that prepends/appends tokens to a copied body still shares every
+    aligned full window with the original.
+
+    Scale: one explode pass over the corpus, one groupBy(chunk_hash)
+    (map-side combinable — the only fact shuffle), and a semi-join back.
+    The trailing partial window (< chunk_tokens tokens) is excluded on
+    both engines.
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        F.floor(F.size(toks) / chunk_tokens).cast("long").alias("n_chunks"),
+    )
+    # sequence(0, n-1) DESCENDS when n == 0 (Spark generates backwards
+    # for stop < start) — short docs must produce an empty chunk list
+    idxs = F.when(
+        F.col("n_chunks") > 0, F.sequence(F.lit(0), F.col("n_chunks") - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idxs,
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice(F.col("t"), i * chunk_tokens + 1, chunk_tokens), " "
+                    )
+                ),
+            )
+        ).alias("chunk_idx", "chunk_hash"),
+    )
+    boiler = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("chunk_hash")
+    )
+    per_doc_bp = (
+        chunks.join(boiler, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("boilerplate_chunks"))
+    )
+    return (
+        base.select("doc_id", "n_chunks")
+        .join(per_doc_bp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("boilerplate_chunks"), F.lit(0)).alias(
+                "boilerplate_chunks"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def unigram_freq_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-frequency quality signal: the mean corpus frequency of a
+    doc's tokens, in parts-per-million of the corpus token count — the
+    unigram-LM quality proxy (CCNet-style) kept in exact integer
+    arithmetic so the oracle replays bit-for-bit (a float log-prob
+    would differ across engines' libm). High score = common-token
+    prose; low score = rare-token noise.
+
+        score_ppm = (1e6 · Σ_t cnt(t)) div (n_tokens · N)
+
+    where cnt(t) is the token's corpus occurrence count and N the total
+    corpus occurrences (so a doc of only the most-common token scores
+    cnt_max/N · 1e6).
+
+    Scale: one explode pass builds the vocab counts (map-side
+    combinable groupBy); the per-doc pass joins the (small) vocab
+    broadcast and aggregates by doc — two fact shuffles total, both on
+    pre-combined keys.
+    """
+    exploded = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    vocab = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    per_doc = (
+        exploded.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_cnt"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("(1000000 * sum_cnt) div (n_tokens * n_total)").alias(
+                "mean_token_freq_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -934,3 +934,104 @@ QUERIES["dp_mixture_sample"] = dp_mixture_sample
 QUERIES["dp_pack_plan"] = dp_pack_plan
 ORACLES["dp_mixture_sample"] = DP_MIXTURE_SQL
 ORACLES["dp_pack_plan"] = DP_PACK_SQL
+
+
+def dp_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate detection over the dedup corpus:
+    20-token windows hashed and flagged when shared by ≥2 docs — the
+    repeated-paragraph pass; catches the injected exact AND near
+    duplicates (a copy with appended tokens still shares every aligned
+    window)."""
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    return text_ops.chunk_dedup(
+        model.dedup_corpus(spark, sf_dir), chunk_tokens=20, min_docs=2
+    )
+
+
+DP_CHUNK_DEDUP_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    r"""toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM dedup_corpus
+)""",
+    """base AS (
+  SELECT doc_id, t, CAST(len(t) // 20 AS BIGINT) AS n_chunks FROM toks
+)""",
+    """chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(n_chunks),
+           i -> md5(array_to_string(list_slice(t, i*20+1, i*20+20), ' ')))) AS chunk_hash
+  FROM base WHERE n_chunks > 0
+)""",
+    """boiler AS (
+  SELECT chunk_hash FROM chunks
+  GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+)""",
+    """perdoc AS (
+  SELECT c.doc_id, count(*) AS bp
+  FROM chunks c JOIN boiler b USING (chunk_hash)
+  GROUP BY c.doc_id
+)""",
+    body="""SELECT base.doc_id, base.n_chunks,
+  CAST(COALESCE(p.bp, 0) AS BIGINT) AS boilerplate_chunks
+FROM base LEFT JOIN perdoc p USING (doc_id)
+ORDER BY doc_id""",
+)
+
+
+def dp_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram corpus-frequency quality score per document — mean token
+    frequency in ppm of corpus occurrences, exact-integer (the
+    engine-portable unigram-LM proxy; datapipe/text.py law)."""
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    return text_ops.unigram_freq_score(model.load(spark, sf_dir, "documents"))
+
+
+DP_UNIGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), total AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab
+), perdoc AS (
+  SELECT t.doc_id, count(*) AS n_tokens, CAST(SUM(v.cnt) AS BIGINT) AS sum_cnt
+  FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+  CAST((1000000 * sum_cnt) // (n_tokens * n_total) AS BIGINT) AS mean_token_freq_ppm
+FROM perdoc CROSS JOIN total ORDER BY doc_id
+"""
+
+
+def dp_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: seeded hash shard + within-
+    shard position (per-shard window, no global sort —
+    datapipe/packing.py scale note)."""
+    from hadoop_ozone_spark.datapipe import packing
+
+    return packing.train_order(
+        model.load(spark, sf_dir, "documents"), n_shards=8, seed="42"
+    )
+
+
+DP_TRAIN_ORDER_SQL = """
+WITH lanes AS (
+  SELECT doc_id,
+    CAST(concat('0x', substring(md5(concat('42#', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS lane
+  FROM documents
+)
+SELECT doc_id, lane % 8 AS shard,
+  CAST(row_number() OVER (PARTITION BY lane % 8 ORDER BY lane, doc_id) AS BIGINT) AS pos
+FROM lanes ORDER BY shard, pos
+"""
+
+QUERIES["dp_chunk_dedup"] = dp_chunk_dedup
+QUERIES["dp_unigram_quality"] = dp_unigram_quality
+QUERIES["dp_train_order"] = dp_train_order
+ORACLES["dp_chunk_dedup"] = DP_CHUNK_DEDUP_SQL
+ORACLES["dp_unigram_quality"] = DP_UNIGRAM_SQL
+ORACLES["dp_train_order"] = DP_TRAIN_ORDER_SQL

@@ -442,3 +442,53 @@ def test_pack_plan_fills_windows_in_order(spark):
     shards = {r["shard"] for r in rows2}
     assert shards == {0, 1}
     assert sum(r["n_docs"] for r in rows2) == 10
+
+
+# --- round-4 curation ops: chunk dedup, unigram quality, train order ------
+
+def test_chunk_dedup_flags_partial_copies(spark):
+    a_body = " ".join(f"w{i}" for i in range(40))           # 2 full chunks
+    docs = spark.createDataFrame(
+        [
+            (1, a_body),
+            (2, a_body + " tail1 tail2 tail3"),             # partial copy
+            (3, " ".join(f"u{i}" for i in range(45))),      # unrelated
+            (4, "short doc under twenty tokens"),           # 0 chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.chunk_dedup(docs, chunk_tokens=20).collect()}
+    assert out[1].n_chunks == 2 and out[1].boilerplate_chunks == 2
+    assert out[2].n_chunks == 2 and out[2].boilerplate_chunks == 2
+    assert out[3].boilerplate_chunks == 0
+    assert out[4].n_chunks == 0 and out[4].boilerplate_chunks == 0
+
+
+def test_unigram_freq_score_exact_law(spark):
+    # corpus: 'a' ×3, 'b' ×2, 'c' ×1 → N=6
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.unigram_freq_score(docs).collect()}
+    # doc1: sum_cnt = 3+3+2 = 8; ppm = 8e6 div (3·6) = 444444
+    assert out[1].mean_token_freq_ppm == 8_000_000 // 18
+    # doc2: sum_cnt = 3+2+1 = 6; ppm = 6e6 div 18 = 333333
+    assert out[2].mean_token_freq_ppm == 6_000_000 // 18
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 3
+
+
+def test_train_order_is_a_reproducible_permutation(spark):
+    from hadoop_ozone_spark.datapipe import packing
+
+    docs = spark.createDataFrame([(i, "x") for i in range(200)], "doc_id long, text string")
+    a = packing.train_order(docs, n_shards=4, seed="s1").collect()
+    b = packing.train_order(docs, n_shards=4, seed="s1").collect()
+    assert a == b  # reproducible
+    assert sorted(r.doc_id for r in a) == list(range(200))  # a permutation
+    per_shard = {}
+    for r in a:
+        per_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in per_shard.items():
+        assert poss == list(range(1, len(poss) + 1))  # dense in-shard order
+    c = packing.train_order(docs, n_shards=4, seed="s2").collect()
+    assert [r.doc_id for r in c] != [r.doc_id for r in a]  # new epoch order
