@@ -175,3 +175,54 @@ def multipart_complete_etag_check(
         )
         .orderBy(upload_col)
     )
+
+
+def trash_checkpoint_status(
+    trash_keys: DataFrame, expired_before_ckpt: str
+) -> DataFrame:
+    """Trash-emptier checkpoint classification (TrashPolicyOzone.java:
+    188-247 Emptier loop; 285-331 deleteCheckpoint). Trash keys live at
+    ``.Trash/<user>/<checkpoint>/<orig-path>`` where checkpoint is
+    ``Current`` (still accumulating) or a ``yyMMddHHmmss`` stamp. Per
+    emptier pass: checkpoints older than now − deletionInterval are
+    deleted; ``Current`` is rolled into a new checkpoint
+    (createCheckpoint, :255-283).
+
+    The reference parses each checkpoint name back to a Date; since the
+    compact format is lexicographically chronological (within a
+    century), the age test here is a string compare against the
+    pre-formatted threshold ``expired_before_ckpt`` — keeps the oracle
+    engine-portable (two-digit-year parse pivots differ across
+    engines). One groupBy over the trash subtree; the path splits are
+    codegen'd Column ops.
+    """
+    parts = F.split(F.col("key"), "/")
+    classified = trash_keys.select(
+        "volume",
+        "bucket",
+        parts.getItem(1).alias("trash_user"),
+        parts.getItem(2).alias("checkpoint"),
+        "data_size",
+    )
+    action = (
+        F.when(F.col("checkpoint") == "Current", F.lit("TO_CHECKPOINT"))
+        .when(F.col("checkpoint") < expired_before_ckpt, F.lit("DELETE"))
+        .otherwise(F.lit("RETAIN"))
+    )
+    return (
+        classified.groupBy("volume", "bucket", "trash_user", "checkpoint")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("data_size").alias("total_bytes"),
+        )
+        .select(
+            "volume",
+            "bucket",
+            "trash_user",
+            "checkpoint",
+            "n_keys",
+            "total_bytes",
+            action.alias("action"),
+        )
+        .orderBy("volume", "bucket", "trash_user", "checkpoint")
+    )

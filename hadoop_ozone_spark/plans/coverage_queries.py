@@ -347,3 +347,71 @@ QUERIES["nested_locations_stats"] = nested_locations_stats
 QUERIES["gdpr_metadata_filter"] = gdpr_metadata_filter
 ORACLES["nested_locations_stats"] = NESTED_SQL
 ORACLES["gdpr_metadata_filter"] = GDPR_SQL
+
+
+# --- T1: trash emptier checkpoint pass (TrashPolicyOzone.java) ------------
+#
+# Trash subtree synthesized from the namespace: keys on the
+# data_size%13 lane live under .Trash/user_<datanode%3>/<checkpoint>/,
+# where checkpoint is 'Current' (data_size%3==0) or the creation
+# date's compact yyMMddHHmmss stamp — the layout TrashOzoneFileSystem
+# serves. Emptier 'now' is fixed at 1998-06-01 with the 180-day
+# deletion interval → threshold stamp 971203000000.
+
+_TRASH_EXPIRY_CKPT = "971203000000"
+
+
+def _trash_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = model.om_keys(spark, sf_dir).filter(F.col("data_size") % 13 == 0)
+    ckpt = F.when(F.col("data_size") % 3 == 0, F.lit("Current")).otherwise(
+        F.date_format(F.col("creation_time"), "yyMMddHHmmss")
+    )
+    return keys.select(
+        "volume",
+        "bucket",
+        F.concat(
+            F.lit(".Trash/user_"),
+            F.col("datanode_id") % 3,
+            F.lit("/"),
+            ckpt,
+            F.lit("/"),
+            F.col("key"),
+        ).alias("key"),
+        "data_size",
+    )
+
+
+def t1_trash_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trash-emptier checkpoint classification over the .Trash subtree
+    (operators/mutations.py trash_checkpoint_status law)."""
+    return mutations.trash_checkpoint_status(
+        _trash_keys(spark, sf_dir), _TRASH_EXPIRY_CKPT
+    )
+
+
+T1_TRASH_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    """trash_keys AS (
+  SELECT volume, bucket,
+    concat('.Trash/user_', datanode_id % 3, '/',
+      CASE WHEN data_size % 3 = 0 THEN 'Current'
+           ELSE strftime(creation_time, '%y%m%d%H%M%S') END,
+      '/', key) AS key,
+    data_size
+  FROM om_keys WHERE data_size % 13 = 0
+)""",
+    body="""SELECT volume, bucket,
+  split_part(key, '/', 2) AS trash_user,
+  split_part(key, '/', 3) AS checkpoint,
+  count(*) AS n_keys,
+  CAST(SUM(data_size) AS BIGINT) AS total_bytes,
+  CASE WHEN split_part(key, '/', 3) = 'Current' THEN 'TO_CHECKPOINT'
+       WHEN split_part(key, '/', 3) < '971203000000' THEN 'DELETE'
+       ELSE 'RETAIN' END AS action
+FROM trash_keys
+GROUP BY 1, 2, 3, 4
+ORDER BY 1, 2, 3, 4""",
+)
+
+QUERIES["t1_trash_status"] = t1_trash_status
+ORACLES["t1_trash_status"] = T1_TRASH_SQL

@@ -52,3 +52,25 @@ def test_gc_expired_batch(spark):
     got = mutations.gc_expired(deleted, now_epoch_ms=10_000, ttl_ms=4000, batch=3).collect()
     # expired = deletion_time < 6000 → k0..k5; oldest-first batch of 3
     assert [r["row_key"] for r in got] == ["/v/b/k0", "/v/b/k1", "/v/b/k2"]
+
+
+def test_trash_checkpoint_classification(spark):
+    from hadoop_ozone_spark.operators import mutations
+
+    trash = spark.createDataFrame(
+        [
+            ("v", "b", ".Trash/user_0/Current/dir/f1", 10),
+            ("v", "b", ".Trash/user_0/Current/dir/f2", 20),
+            ("v", "b", ".Trash/user_0/970101000000/dir/f3", 5),   # expired
+            ("v", "b", ".Trash/user_1/980101000000/dir/f4", 7),   # retained
+        ],
+        "volume string, bucket string, key string, data_size long",
+    )
+    out = {
+        (r.trash_user, r.checkpoint): r
+        for r in mutations.trash_checkpoint_status(trash, "971203000000").collect()
+    }
+    cur = out[("user_0", "Current")]
+    assert cur.action == "TO_CHECKPOINT" and cur.n_keys == 2 and cur.total_bytes == 30
+    assert out[("user_0", "970101000000")].action == "DELETE"
+    assert out[("user_1", "980101000000")].action == "RETAIN"
