@@ -191,18 +191,33 @@ def decommission_status(
 
     Replicas whose container is absent from the container plane are
     skipped (the monitor's ContainerNotFoundException branch — the
-    inner join). Plan: the sufficiency subquery's groupBy plus one
-    replicas groupBy(datanode); dims broadcast.
+    inner join). Plan: the monitored-container id set is broadcast to
+    semi-prune the replica and container planes BEFORE the sufficiency
+    groupBy, so every stage costs O(containers on draining nodes) —
+    scan-side fact work is the one pruned replicas pass.
     """
     monitored = datanodes_df.filter(
         F.col("op_state").isin("DECOMMISSIONING", "ENTERING_MAINTENANCE")
     ).select("datanode_id", "hostname", "op_state")
-    suff = container_sufficiency(
-        containers_df, replicas, datanodes_df, min_healthy_for_maintenance
-    ).select("container_id", "sufficiently_replicated", "healthy_state")
-    on_node = replicas.join(F.broadcast(monitored), "datanode_id").join(
-        suff, "container_id"
+    on_node_replicas = replicas.join(F.broadcast(monitored), "datanode_id")
+    # prune before the expensive sufficiency aggregation: only the
+    # containers replicated on a monitored node matter, and that set is
+    # bounded by the few draining nodes' container counts — so the
+    # per-container counts and the containers join cost O(|containers
+    # on draining nodes|), not O(|cluster|), at any scale. The pruned
+    # replica set still holds EVERY replica of each such container, so
+    # the sufficiency law sees full counts.
+    monitored_containers = on_node_replicas.select("container_id").distinct()
+    pruned_replicas = replicas.join(
+        F.broadcast(monitored_containers), "container_id", "leftsemi"
     )
+    pruned_containers = containers_df.join(
+        F.broadcast(monitored_containers), "container_id", "leftsemi"
+    )
+    suff = container_sufficiency(
+        pruned_containers, pruned_replicas, datanodes_df, min_healthy_for_maintenance
+    ).select("container_id", "sufficiently_replicated", "healthy_state")
+    on_node = on_node_replicas.join(F.broadcast(suff), "container_id")
     return (
         on_node.groupBy("datanode_id", "hostname", "op_state")
         .agg(

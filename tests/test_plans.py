@@ -208,3 +208,32 @@ def test_pack_plan_windows_are_sharded_not_global(spark, sf_dir):
     p = plan_of(packing.pack_plan(docs, context_len=2048, shard_size=10_000))
     assert "Exchange SinglePartition" not in p
     assert "Window" in p
+
+
+def test_balancer_no_sort_merge_join(spark, sf_dir):
+    # the replicas groupBy is the only fact shuffle; containers dim and
+    # the 1-row cluster totals ride broadcasts
+    p = plan_of(entry.queries()["b1_balancer_utilization"](spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_decommission_prunes_before_sufficiency(spark, sf_dir):
+    # the monitored-container semi-join must reach BOTH fact inputs of
+    # the sufficiency aggregation (cost bounded by draining nodes'
+    # containers, not cluster size)
+    p = plan_of(entry.queries()["d1_decommission_status"](spark, sf_dir))
+    assert p.count("LeftSemi") >= 2
+
+
+def test_train_order_windows_are_sharded_not_global(spark, sf_dir):
+    p = plan_of(entry.queries()["dp_train_order"](spark, sf_dir))
+    assert "SinglePartition" not in p  # no global-window exchange
+
+
+def test_chunk_dedup_partial_agg_on_chunk_hash(spark, sf_dir):
+    # boilerplate df-count must partial-aggregate map-side (combinable
+    # groupBy on chunk_hash) — the only all-corpus shuffle
+    p = plan_of(entry.queries()["dp_chunk_dedup"](spark, sf_dir))
+    assert p.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in p
