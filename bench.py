@@ -68,6 +68,10 @@ HEADLINE = [
     "j1_replica_history",
     "n1_datanodes",
     "dp_media_frame_sample",
+    "b1_balancer_utilization",
+    "d1_decommission_status",
+    "dp_chunk_dedup",
+    "dp_train_order",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

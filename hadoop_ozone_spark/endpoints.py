@@ -208,6 +208,16 @@ class OzoneAnalytics:
             self.deleted_block_txns, self.containers, limit=limit
         )
 
+    def safe_mode_status(self) -> DataFrame:
+        """Safe-mode exit-rule statuses (SCMSafeModeManager rules)."""
+        assert self.containers is not None and self.replicas is not None
+        assert self.datanodes is not None and self.pipelines is not None
+        assert self.pipeline_members is not None
+        return scm.safe_mode_status(
+            self.containers, self.replicas, self.datanodes,
+            self.pipelines, self.pipeline_members,
+        )
+
     # --- CDC --------------------------------------------------------------
 
     def current_state(self) -> DataFrame:

@@ -307,3 +307,102 @@ def failed_deletion_txns(
         .orderBy("txid")
         .limit(limit)
     )
+
+
+def safe_mode_status(
+    containers_df: DataFrame,
+    replicas: DataFrame,
+    datanodes_df: DataFrame,
+    pipelines_df: DataFrame,
+    members: DataFrame,
+) -> DataFrame:
+    """SCM safe-mode exit rules (SCMSafeModeManager.java), one row per
+    rule with exact-integer threshold arithmetic:
+
+    - CONTAINER (ContainerSafeModeRule.java:75-119): of the
+      CLOSED/QUASI_CLOSED containers, the fraction with ≥1 reported
+      replica must reach 99% (HDDS_SCM_SAFEMODE_THRESHOLD_PCT 0.99).
+    - DATANODE (DataNodeSafeModeRule.java:60-68): registered datanodes
+      ≥ 1 (HDDS_SCM_SAFEMODE_MIN_DATANODE).
+    - HEALTHY_PIPELINE (HealthyPipelineSafeModeRule.java:93-148): open
+      RATIS-THREE pipelines ≥ 10% of the factor-THREE pipeline count.
+    - ONE_REPLICA_PIPELINE (OneReplicaPipelineSafeModeRule.java:90-124):
+      factor-THREE open pipelines with ≥1 healthy member reported ≥ 90%
+      of the factor-THREE count.
+
+    required_count = ceil(pct·total) computed as (p·total + q−1) div q
+    in integers, and satisfied compares counts — no float thresholds,
+    so the oracle replays exactly. 'Reported' maps to the model's
+    heartbeat signal: a replica row (container rule) / a HEALTHY member
+    (pipeline rule). Plan: each rule is a tiny aggregate; the only
+    fact-sized pass is the replica distinct for the container rule.
+    """
+    reported = replicas.select("container_id").distinct()
+    scope = containers_df.filter(F.col("state").isin("CLOSED", "QUASI_CLOSED"))
+    container_rule = (
+        scope.select("container_id")
+        .join(reported.withColumn("seen", F.lit(1)), "container_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("total_count"),
+            F.sum(F.coalesce(F.col("seen"), F.lit(0))).alias("current_count"),
+        )
+        .select(
+            F.lit("CONTAINER").alias("rule"),
+            "current_count",
+            F.expr("(total_count * 99 + 99) div 100").alias("required_count"),
+            "total_count",
+        )
+    )
+    dn_rule = datanodes_df.agg(
+        F.count(F.lit(1)).alias("current_count")
+    ).select(
+        F.lit("DATANODE").alias("rule"),
+        "current_count",
+        F.lit(1).cast("long").alias("required_count"),
+        F.col("current_count").alias("total_count"),
+    )
+    f3 = pipelines_df.filter(F.col("replication_factor") == 3)
+    hp_rule = f3.agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.sum(F.when(F.col("state") == "OPEN", 1).otherwise(0)).alias(
+            "current_count"
+        ),
+    ).select(
+        F.lit("HEALTHY_PIPELINE").alias("rule"),
+        "current_count",
+        F.expr("(total_count * 10 + 99) div 100").alias("required_count"),
+        "total_count",
+    )
+    healthy_members = members.join(
+        F.broadcast(
+            datanodes_df.filter(F.col("node_state") == "HEALTHY").select(
+                "datanode_id"
+            )
+        ),
+        "datanode_id",
+    ).select("pipeline_id").distinct()
+    or_rule = (
+        f3.join(healthy_members.withColumn("seen", F.lit(1)), "pipeline_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("total_count"),
+            F.sum(
+                F.when(
+                    (F.col("state") == "OPEN") & (F.col("seen") == 1), 1
+                ).otherwise(0)
+            ).alias("current_count"),
+        )
+        .select(
+            F.lit("ONE_REPLICA_PIPELINE").alias("rule"),
+            "current_count",
+            F.expr("(total_count * 90 + 99) div 100").alias("required_count"),
+            "total_count",
+        )
+    )
+    out = container_rule.unionByName(dn_rule).unionByName(hp_rule).unionByName(or_rule)
+    return out.select(
+        "rule",
+        "current_count",
+        "required_count",
+        "total_count",
+        (F.col("current_count") >= F.col("required_count")).alias("satisfied"),
+    ).orderBy("rule")

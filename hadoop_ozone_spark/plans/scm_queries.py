@@ -195,3 +195,58 @@ ORACLES = {
     "d2_pending_deletion": D2_PENDING_SQL,
     "d2_failed_txns": D2_FAILED_SQL,
 }
+
+
+# --- SM1: safe-mode exit rules --------------------------------------------
+
+def sm1_safemode_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scm.safe_mode_status(
+        model.containers(spark, sf_dir),
+        model.container_replicas(spark, sf_dir),
+        model.datanodes(spark, sf_dir),
+        model.pipelines(spark, sf_dir),
+        model.pipeline_members(spark, sf_dir),
+    )
+
+
+SM1_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    model.CONTAINERS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    model.PIPELINES_CTE,
+    model.PIPELINE_MEMBERS_CTE,
+    """rules AS (
+  SELECT 'CONTAINER' AS rule,
+    CAST(SUM(COALESCE(r.seen, 0)) AS BIGINT) AS current_count,
+    (count(*) * 99 + 99) // 100 AS required_count,
+    count(*) AS total_count
+  FROM (SELECT container_id FROM containers
+        WHERE state IN ('CLOSED', 'QUASI_CLOSED')) c
+  LEFT JOIN (SELECT DISTINCT container_id, 1 AS seen
+             FROM container_replicas) r USING (container_id)
+  UNION ALL
+  SELECT 'DATANODE', count(*), CAST(1 AS BIGINT), count(*) FROM datanodes
+  UNION ALL
+  SELECT 'HEALTHY_PIPELINE',
+    CAST(SUM(CASE WHEN state = 'OPEN' THEN 1 ELSE 0 END) AS BIGINT),
+    (count(*) * 10 + 99) // 100,
+    count(*)
+  FROM pipelines WHERE replication_factor = 3
+  UNION ALL
+  SELECT 'ONE_REPLICA_PIPELINE',
+    CAST(SUM(CASE WHEN p.state = 'OPEN' AND m.seen = 1 THEN 1 ELSE 0 END) AS BIGINT),
+    (count(*) * 90 + 99) // 100,
+    count(*)
+  FROM (SELECT pipeline_id, state FROM pipelines WHERE replication_factor = 3) p
+  LEFT JOIN (SELECT DISTINCT pm.pipeline_id, 1 AS seen
+             FROM pipeline_members pm
+             JOIN datanodes d USING (datanode_id)
+             WHERE d.node_state = 'HEALTHY') m USING (pipeline_id)
+)""",
+    body="""SELECT rule, current_count, required_count, total_count,
+  current_count >= required_count AS satisfied
+FROM rules ORDER BY rule""",
+)
+
+QUERIES["sm1_safemode_status"] = sm1_safemode_status
+ORACLES["sm1_safemode_status"] = SM1_SQL

@@ -71,3 +71,10 @@ def test_scm_admin_endpoints(api):
     assert pending and all(r["txn_count"] > 0 for r in pending)
     failed = api.failed_block_deletions(limit=5).collect()
     assert len(failed) <= 5
+
+
+def test_safemode_endpoint(api):
+    rules = {r["rule"] for r in api.safe_mode_status().collect()}
+    assert rules == {
+        "CONTAINER", "DATANODE", "HEALTHY_PIPELINE", "ONE_REPLICA_PIPELINE"
+    }

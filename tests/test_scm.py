@@ -234,3 +234,63 @@ def test_balancer_plan_broadcasts_dims(spark):
     plan = scm.balancer_utilization(dns, reps, cts)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- safe mode ------------------------------------------------------------
+
+def _pipelines(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "pipeline_id long, state string, replication_factor int, "
+        "leader_datanode_id long",
+    )
+
+
+def _members(spark, rows):
+    return spark.createDataFrame(rows, "pipeline_id long, datanode_id long")
+
+
+def test_safemode_rules(spark):
+    dns = _datanodes(
+        spark,
+        [
+            (1, "n1", "r0", "HEALTHY", "IN_SERVICE", 100),
+            (2, "n2", "r0", "DEAD", "IN_SERVICE", 100),
+        ],
+    )
+    # container rule scope: only CLOSED/QUASI_CLOSED; 1 of 2 reported → 50% < 99%
+    cts = _containers(
+        spark,
+        [
+            (10, "CLOSED", 3, 1, 0),
+            (20, "QUASI_CLOSED", 3, 1, 0),
+            (30, "OPEN", 3, 1, 0),  # out of scope
+        ],
+    )
+    reps = _replicas(spark, [(10, 1), (30, 1)])
+    # factor-3 pipelines: 3 total (p5 is factor-1, ignored); 1 open →
+    # healthy rule needs ceil(0.10·3)=1 ✓; one-replica rule needs
+    # ceil(0.90·3)=3, only p100 is open+reported → 1 < 3 ✗
+    pls = _pipelines(
+        spark,
+        [
+            (100, "OPEN", 3, 1),
+            (101, "CLOSED", 3, 1),
+            (102, "DORMANT", 3, 1),
+            (5, "OPEN", 1, 1),
+        ],
+    )
+    mem = _members(spark, [(100, 1), (101, 2), (102, 1), (5, 1)])
+    out = {r.rule: r for r in scm.safe_mode_status(cts, reps, dns, pls, mem).collect()}
+    c = out["CONTAINER"]
+    assert (c.total_count, c.current_count, c.required_count) == (2, 1, 2)
+    assert not c.satisfied
+    d = out["DATANODE"]
+    assert d.current_count == 2 and d.satisfied
+    h = out["HEALTHY_PIPELINE"]
+    assert (h.total_count, h.current_count, h.required_count) == (3, 1, 1)
+    assert h.satisfied
+    o = out["ONE_REPLICA_PIPELINE"]
+    # p101's member n2 is DEAD (not reported) and p101/p102 aren't open
+    assert (o.total_count, o.current_count, o.required_count) == (3, 1, 3)
+    assert not o.satisfied
