@@ -719,7 +719,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # frames by parsing) plus q15 whose PLAN changed (global window →
 # broadcast max join), then re-checks ordered oldest-evidence-first:
 # the 11 round-1-only rows (three rounds stale — never re-checked in
-# r2/r3), then 22 round-2 rows. The 26 r2 TPC-H/parity queries that
+# r2/r3), then 20 round-2 rows. The 28 r2 TPC-H/parity queries that
 # don't fit rotate first in round 5 (their evidence is the oldest
 # remaining) — tracked in tests/test_entry_contract.py.
 # ---------------------------------------------------------------------------
@@ -740,6 +740,8 @@ DRIVER_WINDOW = [
     "dp_train_order",
     "t1_trash_status",
     "sm1_safemode_status",
+    "c1_list_containers",
+    "p2_pipeline_rack_spread",
     # semantics/plan change in round 4 — re-verify under the new law
     "dp_media_features",
     "dp_media_frame_sample",
@@ -777,8 +779,6 @@ DRIVER_WINDOW = [
     "x_path_functions",
     "x6_range_read",
     "a5_quota_enforcement",
-    "acl_longest_prefix",
-    "dp_embedding_neardup",
 ]
 
 

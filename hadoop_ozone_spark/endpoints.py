@@ -208,6 +208,19 @@ class OzoneAnalytics:
             self.deleted_block_txns, self.containers, limit=limit
         )
 
+    def list_containers(self, prev_key: int = 0, limit: int = 100) -> DataFrame:
+        """/containers page (ContainerEndpoint.java:101-129)."""
+        return recon.container_listing(self.keys, prev_key=prev_key, limit=limit)
+
+    def pipeline_rack_spread(self) -> DataFrame:
+        """Pipeline rack-placement validation (PipelinePlacementPolicy
+        rack scatter, ContainerPlacementStatusDefault law)."""
+        assert self.pipelines is not None and self.pipeline_members is not None
+        assert self.datanodes is not None
+        return recon.pipeline_rack_spread(
+            self.pipelines, self.pipeline_members, self.datanodes
+        )
+
     def safe_mode_status(self) -> DataFrame:
         """Safe-mode exit-rule statuses (SCMSafeModeManager rules)."""
         assert self.containers is not None and self.replicas is not None

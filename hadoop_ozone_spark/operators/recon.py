@@ -703,3 +703,70 @@ def cluster_state(
         )
         out = out.crossJoin(F.broadcast(pl))
     return out
+
+
+def container_listing(
+    keys: DataFrame, prev_key: int = 0, limit: int = 100
+) -> DataFrame:
+    """/containers (ContainerEndpoint.java:101-129): ContainerMetadata
+    page — container id + key count, id-ordered, resuming after
+    ``prev_key`` (which is excluded), capped at ``limit``.
+
+    The reference iterates Recon's container→keyCount map, which is
+    itself built from the OM key table (ContainerKeyMapperTask), so the
+    listing derives straight from the key plane: one map-side-combinable
+    groupBy, then a TakeOrdered cut — no global sort materialization.
+    """
+    return (
+        keys.groupBy("container_id")
+        .agg(F.count(F.lit(1)).alias("number_of_keys"))
+        .filter(F.col("container_id") > prev_key)
+        .orderBy("container_id")
+        .limit(limit)
+    )
+
+
+def pipeline_rack_spread(
+    pipelines_df: DataFrame, members: DataFrame, datanodes_df: DataFrame
+) -> DataFrame:
+    """Per-pipeline rack-placement validation — the pipeline analogue of
+    the J2 container placement check (SCMCommonPlacementPolicy.java:
+    288-320 via ContainerPlacementStatusDefault: expected rack count =
+    min(replication, total racks); PipelinePlacementPolicy seeks
+    rack-scattered nodes for RATIS factor-3 pipelines).
+
+    Emits actual vs expected distinct member racks and the violation
+    flag. Members and racks are dim-sized: broadcast join + one small
+    groupBy; the rack total is a 1-row broadcast.
+    """
+    racks = datanodes_df.select("datanode_id", "rack")
+    total_racks = datanodes_df.agg(
+        F.countDistinct("rack").alias("total_racks")
+    )
+    spread = (
+        members.join(F.broadcast(racks), "datanode_id")
+        .groupBy("pipeline_id")
+        .agg(
+            F.count(F.lit(1)).alias("member_count"),
+            F.countDistinct("rack").alias("actual_racks"),
+        )
+    )
+    return (
+        pipelines_df.join(F.broadcast(spread), "pipeline_id", "left")
+        .crossJoin(F.broadcast(total_racks))
+        .select(
+            "pipeline_id",
+            "state",
+            "replication_factor",
+            F.coalesce(F.col("member_count"), F.lit(0)).alias("member_count"),
+            F.coalesce(F.col("actual_racks"), F.lit(0)).alias("actual_racks"),
+            F.least(F.col("replication_factor").cast("long"), F.col("total_racks")).alias(
+                "expected_racks"
+            ),
+            (
+                F.coalesce(F.col("actual_racks"), F.lit(0))
+                < F.least(F.col("replication_factor").cast("long"), F.col("total_racks"))
+            ).alias("mis_replicated"),
+        )
+        .orderBy("pipeline_id")
+    )

@@ -250,3 +250,71 @@ FROM rules ORDER BY rule""",
 
 QUERIES["sm1_safemode_status"] = sm1_safemode_status
 ORACLES["sm1_safemode_status"] = SM1_SQL
+
+
+# --- C1 / P2: container page + pipeline rack spread ------------------------
+
+def c1_list_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/containers page (ContainerEndpoint.java:101-129): id-ordered
+    ContainerMetadata resuming after prev_key=50."""
+    from hadoop_ozone_spark.operators import recon
+
+    return recon.container_listing(
+        model.om_keys_by_container(spark, sf_dir), prev_key=50, limit=100
+    )
+
+
+C1_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT container_id, count(*) AS number_of_keys
+FROM om_keys
+WHERE container_id > 50
+GROUP BY container_id
+ORDER BY container_id
+LIMIT 100""",
+)
+
+
+def p2_pipeline_rack_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline rack-placement validation (operators/recon.py
+    pipeline_rack_spread law)."""
+    from hadoop_ozone_spark.operators import recon
+
+    return recon.pipeline_rack_spread(
+        model.pipelines(spark, sf_dir),
+        model.pipeline_members(spark, sf_dir),
+        model.datanodes(spark, sf_dir),
+    )
+
+
+P2_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    model.PIPELINES_CTE,
+    model.PIPELINE_MEMBERS_CTE,
+    """spread AS (
+  SELECT m.pipeline_id,
+    count(*) AS member_count,
+    count(DISTINCT d.rack) AS actual_racks
+  FROM pipeline_members m
+  JOIN datanodes d USING (datanode_id)
+  GROUP BY m.pipeline_id
+)""",
+    """rack_total AS (
+  SELECT count(DISTINCT rack) AS total_racks FROM datanodes
+)""",
+    body="""SELECT p.pipeline_id, p.state, p.replication_factor,
+  COALESCE(s.member_count, 0) AS member_count,
+  COALESCE(s.actual_racks, 0) AS actual_racks,
+  LEAST(CAST(p.replication_factor AS BIGINT), t.total_racks) AS expected_racks,
+  COALESCE(s.actual_racks, 0)
+    < LEAST(CAST(p.replication_factor AS BIGINT), t.total_racks) AS mis_replicated
+FROM pipelines p
+LEFT JOIN spread s USING (pipeline_id)
+CROSS JOIN rack_total t
+ORDER BY p.pipeline_id""",
+)
+
+QUERIES["c1_list_containers"] = c1_list_containers
+QUERIES["p2_pipeline_rack_spread"] = p2_pipeline_rack_spread
+ORACLES["c1_list_containers"] = C1_SQL
+ORACLES["p2_pipeline_rack_spread"] = P2_SQL

@@ -78,3 +78,13 @@ def test_safemode_endpoint(api):
     assert rules == {
         "CONTAINER", "DATANODE", "HEALTHY_PIPELINE", "ONE_REPLICA_PIPELINE"
     }
+
+
+def test_container_page_and_rack_spread(api):
+    page = api.list_containers(prev_key=10, limit=5).collect()
+    assert len(page) == 5
+    assert all(r["container_id"] > 10 for r in page)
+    ids = [r["container_id"] for r in page]
+    assert ids == sorted(ids)
+    spread = api.pipeline_rack_spread().collect()
+    assert spread and all(r["actual_racks"] <= r["member_count"] for r in spread)
