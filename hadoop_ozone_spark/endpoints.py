@@ -33,6 +33,7 @@ class OzoneAnalytics:
         pipeline_members: DataFrame | None = None,
         replica_observations: DataFrame | None = None,
         deleted_block_txns: DataFrame | None = None,
+        audit: DataFrame | None = None,
     ):
         self.spark = spark
         self.keys = keys
@@ -44,6 +45,7 @@ class OzoneAnalytics:
         self.pipeline_members = pipeline_members
         self.replica_observations = replica_observations
         self.deleted_block_txns = deleted_block_txns
+        self.audit = audit
 
     # --- OM read RPCs -----------------------------------------------------
 
@@ -220,6 +222,14 @@ class OzoneAnalytics:
         return recon.pipeline_rack_spread(
             self.pipelines, self.pipeline_members, self.datanodes
         )
+
+    def access_heatmap(self) -> DataFrame:
+        """Hierarchical namespace access counts from the audit log
+        (operators/audit.access_heatmap ROLLUP)."""
+        assert self.audit is not None
+        from hadoop_ozone_spark.operators import audit as audit_ops
+
+        return audit_ops.access_heatmap(self.audit)
 
     def safe_mode_status(self) -> DataFrame:
         """Safe-mode exit-rule statuses (SCMSafeModeManager rules)."""

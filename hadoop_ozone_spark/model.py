@@ -522,13 +522,22 @@ pipelines AS (
 
 # audit_log: orders → audit rows (ref commands.properties:18-22):
 # user ← customer id bucketized (skewed), op ← orderpriority,
-# result ← orderstatus.
+# result ← orderstatus, accessed resource path (real OM audit entries
+# carry volume/bucket/key params, AuditMessage) ← deterministic
+# namespace coordinates so prefix rollups have real work.
 def audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memoized("audit_log", spark, sf_dir, lambda: _build_audit_log(spark, sf_dir))
 
 
 def _build_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    vol = F.element_at(
+        F.array(F.lit("vol_a"), F.lit("vol_n"), F.lit("vol_r")),
+        (F.col("o_orderkey") % 3 + 1).cast("int"),
+    )
+    bkt = F.when(F.col("o_custkey") % 2 == 0, F.lit("bkt_f")).otherwise(
+        F.lit("bkt_o")
+    )
     return o.select(
         F.col("o_orderdate").alias("datetime"),
         F.concat(F.lit("user_"), F.col("o_custkey") % 37).alias("user"),
@@ -537,6 +546,9 @@ def _build_audit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("FAILURE"))
         .alias("result"),
         F.col("o_totalprice"),
+        vol.alias("volume"),
+        bkt.alias("bucket"),
+        F.concat(F.lit("dir"), F.col("o_orderkey") % 7).alias("key_dir"),
     )
 
 
@@ -547,7 +559,11 @@ audit_log AS (
     concat('user_', o_custkey % 37) AS "user",
     o_orderpriority AS op,
     CASE WHEN o_orderstatus = 'F' THEN 'SUCCESS' ELSE 'FAILURE' END AS result,
-    o_totalprice
+    o_totalprice,
+    CASE o_orderkey % 3 WHEN 0 THEN 'vol_a' WHEN 1 THEN 'vol_n'
+         ELSE 'vol_r' END AS volume,
+    CASE WHEN o_custkey % 2 = 0 THEN 'bkt_f' ELSE 'bkt_o' END AS bucket,
+    concat('dir', o_orderkey % 7) AS key_dir
   FROM orders
 )"""
 

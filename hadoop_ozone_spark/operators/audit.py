@@ -53,3 +53,30 @@ def failure_rate(audit: DataFrame) -> DataFrame:
         )
         .orderBy("op")
     )
+
+
+def access_heatmap(audit: DataFrame) -> DataFrame:
+    """Namespace access heatmap: hierarchical access counts per
+    volume → bucket → top-level dir, from the audit log's resource
+    params — the tree the Recon read-access heatmap renders (a
+    later-Ozone endpoint; beyond this reference version, included for
+    the operations surface). One ROLLUP pass gives every tree level:
+    NULL components mark the subtotal rows (volume-level, bucket-level,
+    grand total).
+
+    Scale: rollup compiles to a single Expand + partial/final
+    HashAggregate — one shuffle over (volume, bucket, dir), map-side
+    combinable; no per-level re-scan.
+    """
+    return (
+        audit.rollup("volume", "bucket", "key_dir")
+        .agg(
+            F.count(F.lit(1)).alias("access_count"),
+            F.countDistinct("user").alias("distinct_users"),
+        )
+        .orderBy(
+            F.col("volume").asc_nulls_first(),
+            F.col("bucket").asc_nulls_first(),
+            F.col("key_dir").asc_nulls_first(),
+        )
+    )

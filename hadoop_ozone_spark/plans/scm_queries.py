@@ -318,3 +318,27 @@ QUERIES["c1_list_containers"] = c1_list_containers
 QUERIES["p2_pipeline_rack_spread"] = p2_pipeline_rack_spread
 ORACLES["c1_list_containers"] = C1_SQL
 ORACLES["p2_pipeline_rack_spread"] = P2_SQL
+
+
+# --- H1: access heatmap rollup --------------------------------------------
+
+def h1_access_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical namespace access counts (operators/audit.py
+    access_heatmap — ROLLUP volume→bucket→dir)."""
+    from hadoop_ozone_spark.operators import audit as audit_ops
+
+    return audit_ops.access_heatmap(model.audit_log(spark, sf_dir))
+
+
+H1_SQL = model.with_ctes(
+    model.AUDIT_LOG_CTE,
+    body="""SELECT volume, bucket, key_dir,
+  count(*) AS access_count,
+  count(DISTINCT "user") AS distinct_users
+FROM audit_log
+GROUP BY ROLLUP (volume, bucket, key_dir)
+ORDER BY volume NULLS FIRST, bucket NULLS FIRST, key_dir NULLS FIRST""",
+)
+
+QUERIES["h1_access_heatmap"] = h1_access_heatmap
+ORACLES["h1_access_heatmap"] = H1_SQL

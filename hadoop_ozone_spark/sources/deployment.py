@@ -43,9 +43,9 @@ BUCKETS = 32
 
 # Bump when any plane's schema/derivation changes: the marker embeds it,
 # so a snapshot written by an older layout reads as not-built and is
-# rebuilt instead of serving stale columns (e.g. datanodes.op_state,
-# added in round 4).
-LAYOUT_VERSION = 2
+# rebuilt instead of serving stale columns (e.g. datanodes.op_state and
+# audit_log resource paths, both added in round 4).
+LAYOUT_VERSION = 3
 
 # plane name → model builder attribute; every derived table the query
 # layer can route to the snapshot

@@ -22,6 +22,7 @@ def api(spark, sf_dir):
         pipeline_members=model.pipeline_members(spark, sf_dir),
         replica_observations=model.replica_observations(spark, sf_dir),
         deleted_block_txns=model.deleted_block_txns(spark, sf_dir),
+        audit=model.audit_log(spark, sf_dir),
     )
 
 
@@ -88,3 +89,12 @@ def test_container_page_and_rack_spread(api):
     assert ids == sorted(ids)
     spread = api.pipeline_rack_spread().collect()
     assert spread and all(r["actual_racks"] <= r["member_count"] for r in spread)
+
+
+def test_heatmap_endpoint(api):
+    hm = api.access_heatmap().collect()
+    grand = [r for r in hm if r["volume"] is None]
+    assert len(grand) == 1
+    assert grand[0]["access_count"] == sum(
+        r["access_count"] for r in hm if r["volume"] is not None and r["bucket"] is None
+    )

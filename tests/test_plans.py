@@ -237,3 +237,11 @@ def test_chunk_dedup_partial_agg_on_chunk_hash(spark, sf_dir):
     p = plan_of(entry.queries()["dp_chunk_dedup"](spark, sf_dir))
     assert p.count("HashAggregate") >= 2
     assert "SortMergeJoin" not in p
+
+
+def test_heatmap_rollup_is_one_expand_pass(spark, sf_dir):
+    # ROLLUP must compile to one Expand + two-phase aggregate, not
+    # per-level re-scans
+    p = plan_of(entry.queries()["h1_access_heatmap"](spark, sf_dir))
+    assert "Expand" in p
+    assert p.count("HashAggregate") >= 2
