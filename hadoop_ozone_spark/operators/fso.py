@@ -77,3 +77,46 @@ def resolve_files(files: DataFrame, dir_paths: DataFrame) -> DataFrame:
         )
         .withColumn("path", F.concat(F.col("dir_path"), F.lit("/"), F.col("name")))
     )
+
+
+def list_children(
+    dirs: DataFrame,
+    files: DataFrame,
+    parent_object_id: int,
+    start_name: str = "",
+    limit: int = 1000,
+) -> DataFrame:
+    """FSO-native listStatus: immediate children of one directory by
+    parentObjectID seek — the layout's point: children live under the
+    ``parentId/name`` key prefix, so listing is a single bounded range
+    scan of dirTable + fileTable (OzoneListStatusHelper; DFS walk
+    KeyManagerImpl.java:2450-2700 only for recursive listing), no fake-
+    dir synthesis needed (contrast W3 on the flat layout).
+
+    Resume after ``start_name`` (exclusive), name-ordered, capped at
+    ``limit`` — a TakeOrdered cut over the parent-pruned scan; the
+    parent_object_id filter is a pushed parquet predicate on the
+    (bucketed-by-parent at scale) tables.
+    """
+    child_dirs = dirs.filter(
+        F.col("parent_object_id") == parent_object_id
+    ).select(
+        "name",
+        F.lit(True).alias("is_dir"),
+        F.lit(0).cast("long").alias("data_size"),
+        "object_id",
+    )
+    child_files = files.filter(
+        F.col("parent_object_id") == parent_object_id
+    ).select(
+        "name",
+        F.lit(False).alias("is_dir"),
+        F.col("data_size").cast("long").alias("data_size"),
+        "object_id",
+    )
+    return (
+        child_dirs.unionByName(child_files)
+        .filter(F.col("name") > start_name)
+        .orderBy("name")
+        .limit(limit)
+    )

@@ -425,3 +425,73 @@ QUERIES["w1_list_buckets"] = w1_list_buckets
 QUERIES["w1_list_volumes"] = w1_list_volumes
 ORACLES["w1_list_buckets"] = W1_BUCKETS_SQL
 ORACLES["w1_list_volumes"] = W1_VOLUMES_SQL
+
+
+# --- J3b: FSO-native listStatus (parentObjectID seek) ---------------------
+#
+# fileTable rows: each lineitem row is a file under its level-2 dir
+# (sub<S> of dir<D> in its volume/bucket); object ids offset to 1e7 to
+# stay disjoint from dir ids.
+
+def _fso_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = model.load(spark, sf_dir, "lineitem")
+    vol_idx = (
+        F.when(F.lower("l_returnflag") == "a", 0)
+        .when(F.lower("l_returnflag") == "n", 1)
+        .otherwise(2)
+    )
+    bkt_idx = F.when(F.lower("l_linestatus") == "f", 0).otherwise(1)
+    l1_id = (vol_idx * 2 + bkt_idx + 1) * 1000 + F.col("l_orderkey") % 7
+    return li.select(
+        (F.lit(10_000_000) + F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("object_id"),
+        (l1_id * 100 + F.col("l_partkey") % 5).cast("long").alias("parent_object_id"),
+        F.concat(
+            F.lit("f_"), F.col("l_orderkey"), F.lit("_"), F.col("l_linenumber"),
+            F.lit("_"), F.col("l_partkey"), F.lit("_"), F.col("l_suppkey"),
+        ).alias("name"),
+        F.floor(F.col("l_extendedprice") * 100).alias("data_size"),
+    )
+
+
+FSO_FILES_CTE = """
+fso_files AS (
+  SELECT
+    10000000 + l_orderkey * 8 + l_linenumber AS object_id,
+    ((CASE lower(l_returnflag) WHEN 'a' THEN 0 WHEN 'n' THEN 1 ELSE 2 END * 2
+      + CASE lower(l_linestatus) WHEN 'f' THEN 0 ELSE 1 END + 1) * 1000
+      + l_orderkey % 7) * 100 + l_partkey % 5 AS parent_object_id,
+    concat('f_', l_orderkey, '_', l_linenumber, '_', l_partkey, '_', l_suppkey) AS name,
+    CAST(floor(l_extendedprice * 100) AS BIGINT) AS data_size
+  FROM lineitem
+)"""
+
+
+def j3_fso_list_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSO listStatus page: immediate children of /vol_n/bkt_o/dir3/sub2
+    (parent object id 400302) by parent-id seek (operators/fso.py
+    list_children)."""
+    return fso.list_children(
+        _fso_dirs(spark, sf_dir), _fso_files(spark, sf_dir),
+        parent_object_id=400302, limit=100,
+    )
+
+
+J3_LIST_SQL = model.with_ctes(
+    FSO_DIRS_CTE,
+    FSO_FILES_CTE,
+    body="""SELECT name, is_dir, data_size, object_id FROM (
+  SELECT name, TRUE AS is_dir, CAST(0 AS BIGINT) AS data_size, object_id
+  FROM fso_dirs WHERE parent_object_id = 400302
+  UNION ALL
+  SELECT name, FALSE, data_size, object_id
+  FROM fso_files WHERE parent_object_id = 400302
+)
+WHERE name > ''
+ORDER BY name
+LIMIT 100""",
+)
+
+QUERIES["j3_fso_list_status"] = j3_fso_list_status
+ORACLES["j3_fso_list_status"] = J3_LIST_SQL

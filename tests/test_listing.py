@@ -87,3 +87,23 @@ def test_list_status_fake_dirs(keys):
     total = sum(r["num_files"] for r in rows)
     direct = scoped.filter(F.col("key").startswith("dir4/")).count()
     assert total == direct
+
+
+def test_fso_list_children_mixed_and_resume(spark):
+    from hadoop_ozone_spark.operators import fso
+
+    dirs = spark.createDataFrame(
+        [(10, 1, "alpha"), (11, 1, "gamma"), (12, 2, "other")],
+        "object_id long, parent_object_id long, name string",
+    )
+    files = spark.createDataFrame(
+        [(100, 1, "beta.txt", 7), (101, 2, "x", 9)],
+        "object_id long, parent_object_id long, name string, data_size long",
+    )
+    out = fso.list_children(dirs, files, parent_object_id=1).collect()
+    assert [(r.name, r.is_dir, r.data_size) for r in out] == [
+        ("alpha", True, 0), ("beta.txt", False, 7), ("gamma", True, 0),
+    ]
+    page2 = fso.list_children(dirs, files, 1, start_name="beta.txt").collect()
+    assert [r.name for r in page2] == ["gamma"]
+    assert fso.list_children(dirs, files, 1, limit=2).count() == 2
