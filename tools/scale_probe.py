@@ -364,6 +364,78 @@ def vecs_probe(n_vecs: int, dims: int = 64, k: int = 50) -> None:
         spark.stop()
 
 
+def scm_probe(n_replicas_m: float = 6.0, n_nodes: int = 1000) -> None:
+    """SCM service-plane shapes at synthetic cluster scale: balancer
+    classification, decommission readiness, and deleted-block backlog
+    over n replicas across n_nodes datanodes. The claim under test:
+    every stage is a map-side-combinable groupBy or a broadcast join,
+    so rows/sec holds as the replica plane grows 10×."""
+    from hadoop_ozone_spark.operators import scm
+
+    spark = get_spark("scm-probe")
+    n = int(n_replicas_m * 1_000_000)
+    n_containers = n // 3
+    out = {"num_replicas": n, "num_nodes": n_nodes,
+           "timings_sec": {}, "rows_per_sec": {}}
+    datanodes = spark.range(1, n_nodes + 1).select(
+        F.col("id").alias("datanode_id"),
+        F.concat(F.lit("node-"), F.col("id")).alias("hostname"),
+        F.concat(F.lit("rack_"), F.col("id") % 20).alias("rack"),
+        F.lit("HEALTHY").alias("node_state"),
+        F.when(F.col("id") % 17 == 0, F.lit("DECOMMISSIONING"))
+        .when(F.col("id") % 29 == 0, F.lit("IN_MAINTENANCE"))
+        .otherwise(F.lit("IN_SERVICE"))
+        .alias("op_state"),
+        ((F.col("id") % 16 + 4) * F.lit(1_000_000_000)).alias("capacity_bytes"),
+    ).persist()
+    containers = spark.range(1, n_containers + 1).select(
+        F.col("id").alias("container_id"),
+        F.when(F.col("id") % 11 == 0, F.lit("DELETED"))
+        .when(F.col("id") % 3 == 0, F.lit("OPEN"))
+        .otherwise(F.lit("CLOSED"))
+        .alias("state"),
+        F.lit(3).alias("replication_factor"),
+        (F.col("id") % 997 * 5_000_000).alias("used_bytes"),
+    ).persist()
+    replicas = (
+        spark.range(n)
+        .select(
+            (F.col("id") % n_containers + 1).alias("container_id"),
+            (F.xxhash64("id") % n_nodes + n_nodes + 1) % n_nodes + 1,
+        )
+        .toDF("container_id", "datanode_id")
+        .persist()
+    )
+    txns = spark.range(1, n_containers + 1).filter(F.col("id") % 7 == 0).select(
+        F.col("id").alias("txid"),
+        F.col("id").alias("container_id"),
+        (F.col("id") % 50 + 1).alias("block_count"),
+        F.when(F.col("id") % 53 == 0, F.lit(-1)).otherwise(F.col("id") % 5)
+        .cast("int")
+        .alias("retry_count"),
+    ).persist()
+    datanodes.count(); containers.count(); replicas.count(); txns.count()
+    cases = {
+        "b1_balancer": lambda: scm.balancer_utilization(
+            datanodes, replicas, containers
+        ).count(),
+        "d1_decommission": lambda: scm.decommission_status(
+            containers, replicas, datanodes
+        ).count(),
+        "d2_pending_deletion": lambda: scm.pending_deletion_by_datanode(
+            txns, replicas, containers
+        ).count(),
+    }
+    for name, fn in cases.items():
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        out["timings_sec"][name] = round(dt, 2)
+        out["rows_per_sec"][name] = int(n / dt)
+    print(json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         if len(sys.argv) < 3:
@@ -381,6 +453,8 @@ if __name__ == "__main__":
             float(sys.argv[2]) if len(sys.argv) > 2 else 6000.0,
             float(sys.argv[3]) if len(sys.argv) > 3 else 60.0,
         )
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scm":
+        scm_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 6.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--vecs":
         if len(sys.argv) < 3:
             raise SystemExit("usage: scale_probe.py --vecs <num_vecs_thousands>")
