@@ -143,3 +143,39 @@ def train_order(
         )
         .orderBy("shard", "pos")
     )
+
+
+def split_assign(
+    docs: DataFrame,
+    train: float = 0.8,
+    val: float = 0.1,
+    seed: str = "split42",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each doc lands in one
+    split by the hash lane of (seed, doc_id) — disjoint ranges of the
+    same engine-portable uniform used by mixture_sample, so membership
+    is reproducible, leakage-free (a doc can never be in two splits),
+    and independent of row order or partitioning. Returns the per
+    (source, split) accounting a dataset card needs.
+
+    Scale: map-only decision + one combinable groupBy.
+    """
+    u = _uniform01(F.concat(F.lit(seed), F.lit("#"), F.col("doc_id").cast("string")))
+    split = (
+        F.when(u < train, F.lit("train"))
+        .when(u < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    return (
+        docs.select(
+            F.col("source"), split.alias("split"), n_tokens.alias("n_tokens")
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )

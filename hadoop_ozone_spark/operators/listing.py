@@ -142,3 +142,54 @@ def list_status(
         )
         .orderBy("name")
     )
+
+
+def sorted_read_locations(
+    keys_page: DataFrame,
+    replicas: DataFrame,
+    datanodes: DataFrame,
+    client_datanode_id: int,
+) -> DataFrame:
+    """Topology-sorted block locations for a key page — the OM read
+    path's locality sort (KeyManagerImpl.java:692 sortDatanodes →
+    NetworkTopologyImpl.sortByDistanceCost:658-672). On the standard
+    /rack/node tree with unit level costs the distance law
+    (getDistanceCost:602-641) collapses to: same node 0, same rack 2,
+    different rack 4; replicas on unregistered nodes sort last
+    (Integer.MAX_VALUE branch). Stable order: cost, then datanode id.
+
+    One broadcast of the node dim; the client's rack is a 1-row
+    broadcast; ranking is a per-key window over ≤RF rows.
+    """
+    from pyspark.sql import Window
+
+    client = datanodes.filter(
+        F.col("datanode_id") == client_datanode_id
+    ).select(F.col("rack").alias("client_rack"))
+    located = (
+        keys_page.select("row_key", "container_id")
+        .join(replicas, "container_id")
+        .join(
+            F.broadcast(datanodes.select("datanode_id", "hostname", "rack")),
+            "datanode_id",
+            "left",
+        )
+        .crossJoin(F.broadcast(client))
+    )
+    cost = (
+        F.when(F.col("datanode_id") == client_datanode_id, F.lit(0))
+        .when(F.col("rack").isNull(), F.lit(2147483647))
+        .when(F.col("rack") == F.col("client_rack"), F.lit(2))
+        .otherwise(F.lit(4))
+    )
+    w = Window.partitionBy("row_key").orderBy("distance_cost", "datanode_id")
+    return (
+        located.select(
+            "row_key",
+            "datanode_id",
+            F.coalesce(F.col("hostname"), F.lit("UNKNOWN")).alias("hostname"),
+            cost.alias("distance_cost"),
+        )
+        .withColumn("read_rank", F.row_number().over(w).cast("long"))
+        .orderBy("row_key", "read_rank")
+    )

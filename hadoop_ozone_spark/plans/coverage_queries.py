@@ -415,3 +415,58 @@ ORDER BY 1, 2, 3, 4""",
 
 QUERIES["t1_trash_status"] = t1_trash_status
 ORACLES["t1_trash_status"] = T1_TRASH_SQL
+
+
+# --- X12: topology-sorted read locations ----------------------------------
+
+def x12_sorted_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locality-sorted block locations for a key page, client at
+    datanode 7 (operators/listing.py sorted_read_locations law)."""
+    from hadoop_ozone_spark.operators import listing as listing_ops
+
+    page = (
+        model.om_keys(spark, sf_dir)
+        .filter(F.col("row_key").startswith("/vol_n/bkt_o/dir2/sub3/"))
+        .orderBy("row_key")
+        .limit(30)
+    )
+    return listing_ops.sorted_read_locations(
+        page,
+        model.container_replicas(spark, sf_dir),
+        model.datanodes(spark, sf_dir),
+        client_datanode_id=7,
+    )
+
+
+X12_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    model.DATANODES_CTE,
+    """page AS (
+  SELECT row_key, container_id FROM om_keys
+  WHERE row_key LIKE '/vol_n/bkt_o/dir2/sub3/%'
+  ORDER BY row_key LIMIT 30
+)""",
+    """located AS (
+  SELECT p.row_key, r.datanode_id, d.hostname, d.rack,
+         (SELECT rack FROM datanodes WHERE datanode_id = 7) AS client_rack
+  FROM page p
+  JOIN container_replicas r USING (container_id)
+  LEFT JOIN datanodes d USING (datanode_id)
+)""",
+    body="""SELECT row_key, datanode_id,
+  COALESCE(hostname, 'UNKNOWN') AS hostname,
+  CASE WHEN datanode_id = 7 THEN 0
+       WHEN rack IS NULL THEN 2147483647
+       WHEN rack = client_rack THEN 2 ELSE 4 END AS distance_cost,
+  CAST(row_number() OVER (PARTITION BY row_key ORDER BY
+    CASE WHEN datanode_id = 7 THEN 0
+         WHEN rack IS NULL THEN 2147483647
+         WHEN rack = client_rack THEN 2 ELSE 4 END, datanode_id) AS BIGINT)
+    AS read_rank
+FROM located
+ORDER BY row_key, read_rank""",
+)
+
+QUERIES["x12_sorted_locations"] = x12_sorted_locations
+ORACLES["x12_sorted_locations"] = X12_SQL

@@ -1035,3 +1035,32 @@ QUERIES["dp_train_order"] = dp_train_order
 ORACLES["dp_chunk_dedup"] = DP_CHUNK_DEDUP_SQL
 ORACLES["dp_unigram_quality"] = DP_UNIGRAM_SQL
 ORACLES["dp_train_order"] = DP_TRAIN_ORDER_SQL
+
+
+def dp_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split accounting per source
+    (datapipe/packing.py split_assign — disjoint hash-lane ranges)."""
+    from hadoop_ozone_spark.datapipe import packing
+
+    return packing.split_assign(model.load(spark, sf_dir, "documents"))
+
+
+DP_SPLIT_SQL = r"""
+WITH lanes AS (
+  SELECT source,
+    (CAST(concat('0x', substring(md5(concat('split42#', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+     % 1000000) / 1000000.0 AS u,
+    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT source,
+  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+  count(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM lanes
+GROUP BY 1, 2
+ORDER BY source, split
+"""
+
+QUERIES["dp_split_assign"] = dp_split_assign
+ORACLES["dp_split_assign"] = DP_SPLIT_SQL

@@ -492,3 +492,20 @@ def test_train_order_is_a_reproducible_permutation(spark):
         assert poss == list(range(1, len(poss) + 1))  # dense in-shard order
     c = packing.train_order(docs, n_shards=4, seed="s2").collect()
     assert [r.doc_id for r in c] != [r.doc_id for r in a]  # new epoch order
+
+
+def test_split_assign_is_disjoint_and_stratified(spark):
+    from hadoop_ozone_spark.datapipe import packing
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), "tok tok tok") for i in range(400)],
+        "doc_id long, source string, text string",
+    )
+    out = packing.split_assign(docs, train=0.8, val=0.1)
+    rows = out.collect()
+    assert sum(r.n_docs for r in rows) == 400  # every doc in exactly one split
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert by_split["train"] > by_split.get("val", 0)
+    assert rows == packing.split_assign(docs, train=0.8, val=0.1).collect()

@@ -107,3 +107,32 @@ def test_fso_list_children_mixed_and_resume(spark):
     page2 = fso.list_children(dirs, files, 1, start_name="beta.txt").collect()
     assert [r.name for r in page2] == ["gamma"]
     assert fso.list_children(dirs, files, 1, limit=2).count() == 2
+
+
+def test_sorted_read_locations_topology_order(spark):
+    from hadoop_ozone_spark.operators import listing as listing_ops
+
+    page = spark.createDataFrame(
+        [("/v/b/k1", 10)], "row_key string, container_id long"
+    )
+    replicas = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (10, 99)],
+        "container_id long, datanode_id long",
+    )
+    dns = spark.createDataFrame(
+        [
+            (1, "h1", "rack_a", "HEALTHY", "IN_SERVICE", 1),
+            (2, "h2", "rack_a", "HEALTHY", "IN_SERVICE", 1),
+            (3, "h3", "rack_b", "HEALTHY", "IN_SERVICE", 1),
+            # 99 unregistered
+        ],
+        "datanode_id long, hostname string, rack string, node_state string, "
+        "op_state string, capacity_bytes long",
+    )
+    out = listing_ops.sorted_read_locations(page, replicas, dns, client_datanode_id=1).collect()
+    # same node (0) < same rack (2) < other rack (4) < unregistered (MAX)
+    assert [(r.datanode_id, r.distance_cost) for r in out] == [
+        (1, 0), (2, 2), (3, 4), (99, 2147483647),
+    ]
+    assert [r.read_rank for r in out] == [1, 2, 3, 4]
+    assert out[3].hostname == "UNKNOWN"
