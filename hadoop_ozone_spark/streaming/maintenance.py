@@ -280,3 +280,82 @@ def streaming_container_key_index(
             F.sum("bytes_delta").alias("total_bytes"),
         )
     )
+
+
+# S4 replica-report schema (ICR/FCR stream, ReconContainerManager.java:
+# 289-336: every incremental container report upserts/removes a replica
+# row). op ∈ ADD | REMOVE.
+REPLICA_REPORT_SCHEMA = StructType(
+    [
+        StructField("seqno", LongType()),
+        StructField("op", StringType()),
+        StructField("container_id", LongType()),
+        StructField("datanode_id", LongType()),
+        StructField("event_time", TimestampType()),
+    ]
+)
+
+
+def read_replica_report_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    return (
+        spark.readStream.schema(REPLICA_REPORT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_replica_counts(
+    reports: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """J2's input maintained incrementally: running live-replica count
+    per container from the ADD/REMOVE report stream (the
+    ContainerHealthTask re-reads the full replica table each run,
+    ContainerHealthTask.java; the streaming shape pays O(|batch|) per
+    trigger instead). Update-mode stateful groupBy keyed by
+    container_id — state is |containers| rows.
+    """
+    signed = (
+        F.when(F.col("op") == "ADD", F.lit(1))
+        .when(F.col("op") == "REMOVE", F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        reports.withWatermark("event_time", watermark)
+        .select("container_id", signed.alias("delta"))
+        .groupBy("container_id")
+        .agg(F.sum("delta").alias("replica_count"))
+    )
+
+
+def classify_health_batch(
+    replica_counts: DataFrame, containers_df: DataFrame
+) -> DataFrame:
+    """The per-batch health classification for a foreachBatch sink over
+    ``streaming_replica_counts``: join the (broadcast) container dim and
+    apply the count-vs-rf law (ContainerHealthStatus.java:85-113 —
+    MISSING / UNDER / OVER / HEALTHY; rack placement needs the full
+    topology join and stays a batch/J2 concern). Suitable for MERGE
+    into the unhealthy-containers mart each trigger.
+    """
+    dim = containers_df.select("container_id", "state", "replication_factor")
+    cnt = F.coalesce(F.col("replica_count"), F.lit(0))
+    # containers on the left (every live container classifies even with
+    # zero reports — the MISSING case); both sides are container-keyed,
+    # co-located under the bucketed layout, so no broadcast hint needed
+    return (
+        dim.join(replica_counts, "container_id", "left")
+        .filter(F.col("state") != "DELETED")
+        .select(
+            "container_id",
+            "state",
+            "replication_factor",
+            cnt.alias("replica_count"),
+            F.when(cnt == 0, F.lit("MISSING"))
+            .when(cnt < F.col("replication_factor"), F.lit("UNDER_REPLICATED"))
+            .when(cnt > F.col("replication_factor"), F.lit("OVER_REPLICATED"))
+            .otherwise(F.lit("HEALTHY"))
+            .alias("health"),
+        )
+    )

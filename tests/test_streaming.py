@@ -193,3 +193,71 @@ def test_streaming_container_index_matches_batch(spark, events_df):
         assert sum(n for n, _ in got.values()) == 2  # k1 (updated) + k3
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_replica_health_matches_batch(spark):
+    # stream ADD/REMOVE replica reports in micro-batches; the final
+    # per-container counts + health classes must equal the one-shot
+    # batch law over the same reports (process ≡ reprocess)
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    rows = []
+    seq = 0
+    for c in range(1, 9):
+        for d in range(c % 4 + 1):          # containers get 1-4 adds
+            seq += 1
+            rows.append((seq, "ADD", c, d, dt.datetime(2024, 1, 1, 0, seq)))
+    seq += 1
+    rows.append((seq, "REMOVE", 4, 0, dt.datetime(2024, 1, 1, 2, 0)))
+    reports = spark.createDataFrame(rows, maintenance.REPLICA_REPORT_SCHEMA)
+    containers = spark.createDataFrame(
+        [(c, "CLOSED" if c % 2 else "OPEN", 3, 0, 0) for c in range(1, 10)],
+        "container_id long, state string, replication_factor int, "
+        "used_bytes long, pipeline_id long",
+    )
+    tmp = tempfile.mkdtemp(prefix="ozspark_health_stream_")
+    try:
+        reports.repartition(6).write.parquet(f"{tmp}/reports")
+        stream = maintenance.read_replica_report_stream(
+            spark, f"{tmp}/reports", max_files_per_trigger=1
+        )
+        q = (
+            maintenance.streaming_replica_counts(stream)
+            .writeStream.format("memory")
+            .queryName("replica_counts")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # memory sink in update mode appends every updated row; the
+        # mart MERGE keeps the latest per key — reproduce that here
+        latest = (
+            spark.table("replica_counts")
+            .groupBy("container_id")
+            .agg(F.last("replica_count").alias("replica_count"))
+        )
+        streamed = {
+            r.container_id: (r.replica_count, r.health)
+            for r in maintenance.classify_health_batch(latest, containers).collect()
+        }
+        batch_counts = reports.groupBy("container_id").agg(
+            F.sum(
+                F.when(F.col("op") == "ADD", 1).otherwise(-1)
+            ).alias("replica_count")
+        )
+        expected = {
+            r.container_id: (r.replica_count, r.health)
+            for r in maintenance.classify_health_batch(batch_counts, containers).collect()
+        }
+        assert streamed == expected
+        assert expected[9] == (0, "MISSING")       # never-reported container
+        assert expected[4][1] == "MISSING"         # 1 add − 1 remove → 0
+        assert expected[5][1] == "UNDER_REPLICATED"  # 2 of rf 3
+        assert expected[7][1] == "OVER_REPLICATED"   # 4 of rf 3
+        assert expected[6][1] == "HEALTHY"           # exactly 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
