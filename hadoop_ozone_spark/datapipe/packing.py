@@ -27,9 +27,15 @@ from pyspark.sql import functions as F
 _GRAIN = 1_000_000
 
 
+def _lane(col: Column) -> Column:
+    """Engine-portable 60-bit hash lane: first 15 hex chars of md5 as a
+    long — the ONE construction every hash-derived draw here shares, so
+    the DuckDB-oracle equivalence is maintained in a single place."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
 def _uniform01(col: Column) -> Column:
-    lane = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
-    return (lane % _GRAIN) / F.lit(float(_GRAIN))
+    return (_lane(col) % _GRAIN) / F.lit(float(_GRAIN))
 
 
 def mixture_sample(
@@ -123,15 +129,7 @@ def train_order(
     pack_plan), so the order is materialized with ordinary parallel
     writes — shard files are the unit a data loader streams.
     """
-    lane = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(seed), F.lit("#"), F.col("doc_id").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    lane = _lane(F.concat(F.lit(seed), F.lit("#"), F.col("doc_id").cast("string")))
     w = Window.partitionBy("shard").orderBy("lane", "doc_id")
     return (
         docs.select("doc_id", lane.alias("lane"))

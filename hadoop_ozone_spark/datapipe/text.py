@@ -397,15 +397,19 @@ def unigram_freq_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     cnt_max/N · 1e6).
 
     Scale: one explode pass builds the vocab counts (map-side
-    combinable groupBy); the per-doc pass joins the (small) vocab
-    broadcast and aggregates by doc — two fact shuffles total, both on
-    pre-combined keys.
+    combinable groupBy); the per-doc pass joins the vocab (planner's
+    choice of strategy — vocabulary grows with the corpus) and
+    aggregates by doc — two fact shuffles total, both on pre-combined
+    keys.
     """
     exploded = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
     vocab = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n_total"))
+    # no broadcast hint on vocab: vocabulary grows with the corpus
+    # (Heap's law), so the planner/AQE must stay free to pick a shuffle
+    # join when it outgrows the broadcast threshold
     per_doc = (
-        exploded.join(F.broadcast(vocab), "tok")
+        exploded.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -163,9 +163,14 @@ def sorted_read_locations(
     """
     from pyspark.sql import Window
 
-    client = datanodes.filter(
-        F.col("datanode_id") == client_datanode_id
-    ).select(F.col("rack").alias("client_rack"))
+    # aggregate to exactly one row even when the client id is not a
+    # registered datanode (client_rack NULL → every replica costs 4,
+    # matching the oracle's scalar-subquery semantics; an empty frame
+    # here would annihilate the cross join and return no locations)
+    client = (
+        datanodes.filter(F.col("datanode_id") == client_datanode_id)
+        .agg(F.max("rack").alias("client_rack"))
+    )
     located = (
         keys_page.select("row_key", "container_id")
         .join(replicas, "container_id")

@@ -218,29 +218,36 @@ def decommission_status(
         pruned_containers, pruned_replicas, datanodes_df, min_healthy_for_maintenance
     ).select("container_id", "sufficiently_replicated", "healthy_state")
     on_node = on_node_replicas.join(F.broadcast(suff), "container_id")
+    per_node = on_node.groupBy("datanode_id").agg(
+        F.count(F.lit(1)).alias("container_count"),
+        F.sum(F.when(F.col("sufficiently_replicated"), 1).otherwise(0)).alias(
+            "sufficiently_replicated"
+        ),
+        F.sum(F.when(F.col("sufficiently_replicated"), 0).otherwise(1)).alias(
+            "under_replicated"
+        ),
+        F.sum(F.when(F.col("healthy_state"), 0).otherwise(1)).alias("unhealthy"),
+    )
+    # left join from the monitored node set: a draining node holding
+    # ZERO containers must still report (0, 0, 0, 0, can_complete=true)
+    # — the monitor declares exactly those nodes complete immediately
+    # (DatanodeAdminMonitorImpl.java:300 with an empty container set)
     return (
-        on_node.groupBy("datanode_id", "hostname", "op_state")
-        .agg(
-            F.count(F.lit(1)).alias("container_count"),
-            F.sum(F.when(F.col("sufficiently_replicated"), 1).otherwise(0)).alias(
-                "sufficiently_replicated"
-            ),
-            F.sum(F.when(F.col("sufficiently_replicated"), 0).otherwise(1)).alias(
-                "under_replicated"
-            ),
-            F.sum(F.when(F.col("healthy_state"), 0).otherwise(1)).alias("unhealthy"),
-        )
+        monitored.join(F.broadcast(per_node), "datanode_id", "left")
         .select(
             "datanode_id",
             "hostname",
             "op_state",
-            "container_count",
-            "sufficiently_replicated",
-            "under_replicated",
-            "unhealthy",
-            ((F.col("under_replicated") == 0) & (F.col("unhealthy") == 0)).alias(
-                "can_complete"
+            F.coalesce(F.col("container_count"), F.lit(0)).alias("container_count"),
+            F.coalesce(F.col("sufficiently_replicated"), F.lit(0)).alias(
+                "sufficiently_replicated"
             ),
+            F.coalesce(F.col("under_replicated"), F.lit(0)).alias("under_replicated"),
+            F.coalesce(F.col("unhealthy"), F.lit(0)).alias("unhealthy"),
+            (
+                (F.coalesce(F.col("under_replicated"), F.lit(0)) == 0)
+                & (F.coalesce(F.col("unhealthy"), F.lit(0)) == 0)
+            ).alias("can_complete"),
         )
         .orderBy("datanode_id")
     )

@@ -116,19 +116,29 @@ D1_SQL = model.with_ctes(
   FROM containers c
   LEFT JOIN counts ct USING (container_id)
 )""",
-    body="""SELECT r.datanode_id, d.hostname, d.op_state,
-  COUNT(*) AS container_count,
-  CAST(SUM(CASE WHEN s.sufficiently_replicated THEN 1 ELSE 0 END) AS BIGINT) AS sufficiently_replicated,
-  CAST(SUM(CASE WHEN s.sufficiently_replicated THEN 0 ELSE 1 END) AS BIGINT) AS under_replicated,
-  CAST(SUM(CASE WHEN s.healthy_state THEN 0 ELSE 1 END) AS BIGINT) AS unhealthy,
-  (SUM(CASE WHEN s.sufficiently_replicated THEN 0 ELSE 1 END) = 0
-   AND SUM(CASE WHEN s.healthy_state THEN 0 ELSE 1 END) = 0) AS can_complete
-FROM container_replicas r
-JOIN datanodes d USING (datanode_id)
-JOIN suff s USING (container_id)
+    """per_node AS (
+  SELECT r.datanode_id,
+    COUNT(*) AS container_count,
+    CAST(SUM(CASE WHEN s.sufficiently_replicated THEN 1 ELSE 0 END) AS BIGINT) AS sufficiently_replicated,
+    CAST(SUM(CASE WHEN s.sufficiently_replicated THEN 0 ELSE 1 END) AS BIGINT) AS under_replicated,
+    CAST(SUM(CASE WHEN s.healthy_state THEN 0 ELSE 1 END) AS BIGINT) AS unhealthy
+  FROM container_replicas r
+  JOIN datanodes d USING (datanode_id)
+  JOIN suff s USING (container_id)
+  WHERE d.op_state IN ('DECOMMISSIONING', 'ENTERING_MAINTENANCE')
+  GROUP BY r.datanode_id
+)""",
+    body="""SELECT d.datanode_id, d.hostname, d.op_state,
+  COALESCE(p.container_count, 0) AS container_count,
+  COALESCE(p.sufficiently_replicated, 0) AS sufficiently_replicated,
+  COALESCE(p.under_replicated, 0) AS under_replicated,
+  COALESCE(p.unhealthy, 0) AS unhealthy,
+  (COALESCE(p.under_replicated, 0) = 0
+   AND COALESCE(p.unhealthy, 0) = 0) AS can_complete
+FROM datanodes d
+LEFT JOIN per_node p USING (datanode_id)
 WHERE d.op_state IN ('DECOMMISSIONING', 'ENTERING_MAINTENANCE')
-GROUP BY r.datanode_id, d.hostname, d.op_state
-ORDER BY r.datanode_id""",
+ORDER BY d.datanode_id""",
 )
 
 

@@ -323,9 +323,14 @@ def streaming_replica_counts(
     )
     return (
         reports.withWatermark("event_time", watermark)
-        .select("container_id", signed.alias("delta"))
+        .select("container_id", signed.alias("delta"), "seqno")
         .groupBy("container_id")
-        .agg(F.sum("delta").alias("replica_count"))
+        .agg(
+            F.sum("delta").alias("replica_count"),
+            # high-water mark: lets a sink pick the newest update row
+            # deterministically (max_by) and dedup replayed batches
+            F.max("seqno").alias("last_seqno"),
+        )
     )
 
 

@@ -294,3 +294,21 @@ def test_safemode_rules(spark):
     # p101's member n2 is DEAD (not reported) and p101/p102 aren't open
     assert (o.total_count, o.current_count, o.required_count) == (3, 1, 3)
     assert not o.satisfied
+
+
+def test_decommission_zero_container_node_reports_complete(spark):
+    # a draining node holding no containers must still report, as
+    # immediately complete (the monitor's empty-set fast path)
+    dns = _datanodes(
+        spark,
+        [
+            (1, "n1", "r0", "HEALTHY", "DECOMMISSIONING", 100),
+            (2, "n2", "r0", "HEALTHY", "IN_SERVICE", 100),
+        ],
+    )
+    cts = _containers(spark, [(10, "CLOSED", 1, 1, 0)])
+    reps = _replicas(spark, [(10, 2)])
+    out = scm.decommission_status(cts, reps, dns).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.datanode_id, r.container_count, r.can_complete) == (1, 0, True)

@@ -234,11 +234,12 @@ def test_streaming_replica_health_matches_batch(spark):
         )
         q.awaitTermination(120)
         # memory sink in update mode appends every updated row; the
-        # mart MERGE keeps the latest per key — reproduce that here
+        # mart MERGE keeps the newest per key — deterministically the
+        # row with the highest seqno high-water mark
         latest = (
             spark.table("replica_counts")
             .groupBy("container_id")
-            .agg(F.last("replica_count").alias("replica_count"))
+            .agg(F.max_by("replica_count", "last_seqno").alias("replica_count"))
         )
         streamed = {
             r.container_id: (r.replica_count, r.health)

@@ -404,6 +404,7 @@ def scm_probe(n_replicas_m: float = 6.0, n_nodes: int = 1000) -> None:
             (F.xxhash64("id") % n_nodes + n_nodes + 1) % n_nodes + 1,
         )
         .toDF("container_id", "datanode_id")
+        .distinct()  # the modeled replica plane is distinct pairs
         .persist()
     )
     txns = spark.range(1, n_containers + 1).filter(F.col("id") % 7 == 0).select(
