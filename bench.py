@@ -72,6 +72,9 @@ HEADLINE = [
     "d1_decommission_status",
     "dp_chunk_dedup",
     "dp_train_order",
+    "t1_trash_status",
+    "sm1_safemode_status",
+    "h1_access_heatmap",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state
