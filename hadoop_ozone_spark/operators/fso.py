@@ -120,3 +120,28 @@ def list_children(
         .orderBy("name")
         .limit(limit)
     )
+
+
+def rename_dir(
+    dirs: DataFrame, object_id: int, new_parent_object_id: int, new_name: str
+) -> DataFrame:
+    """FSO directory rename: the layout's headline property — moving a
+    whole subtree is ONE dirTable row update (parent pointer + name
+    swap, OMKeyRenameRequestWithFSO / OMDirectoryCreateRequestWithFSO
+    key shape ``parentId/name``), while the flat layout must rewrite
+    every descendant key (operators/mutations.rename_prefix). Every
+    descendant's new path then falls out of the next
+    ``materialize_paths`` read — no per-key writes.
+
+    Relationally: a single-row conditional projection over the dir
+    plane (map-only, no shuffle).
+    """
+    hit = F.col("object_id") == object_id
+    return dirs.select(
+        "object_id",
+        F.when(hit, F.lit(new_parent_object_id))
+        .otherwise(F.col("parent_object_id"))
+        .cast("long")
+        .alias("parent_object_id"),
+        F.when(hit, F.lit(new_name)).otherwise(F.col("name")).alias("name"),
+    )

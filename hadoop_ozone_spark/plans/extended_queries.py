@@ -495,3 +495,56 @@ LIMIT 100""",
 
 QUERIES["j3_fso_list_status"] = j3_fso_list_status
 ORACLES["j3_fso_list_status"] = J3_LIST_SQL
+
+
+def m2_fso_rename_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSO subtree move as a one-row parent-pointer swap: dir 400302
+    (/vol_n/bkt_o/dir3/sub2) becomes child 'moved' of dir 1001
+    (/vol_a/bkt_f/dir1); every file below it resolves to its new path
+    at read time (operators/fso.py rename_dir + resolve_files).
+    Contrast m2_rename_prefix, which rewrites every key on the flat
+    layout."""
+    moved = fso.rename_dir(
+        _fso_dirs(spark, sf_dir), object_id=400302,
+        new_parent_object_id=1001, new_name="moved",
+    )
+    paths = fso.materialize_paths(moved)
+    files = _fso_files(spark, sf_dir).filter(
+        F.col("parent_object_id") == 400302
+    )
+    return (
+        fso.resolve_files(files, paths)
+        .select("object_id", "name", "path", "data_size")
+        .orderBy("name")
+        .limit(100)
+    )
+
+
+M2_FSO_SQL = model.with_ctes(
+    FSO_DIRS_CTE,
+    FSO_FILES_CTE,
+    """moved AS (
+  SELECT object_id,
+    CASE WHEN object_id = 400302 THEN 1001 ELSE parent_object_id END AS parent_object_id,
+    CASE WHEN object_id = 400302 THEN 'moved' ELSE name END AS name
+  FROM fso_dirs
+)""",
+    body="""SELECT f.object_id, f.name, concat(w.path, '/', f.name) AS path,
+  f.data_size
+FROM fso_files f
+JOIN (
+  WITH RECURSIVE walk(object_id, path) AS (
+    SELECT object_id, name AS path FROM moved WHERE parent_object_id = 0
+    UNION ALL
+    SELECT d.object_id, concat(w.path, '/', d.name)
+    FROM moved d JOIN walk w ON d.parent_object_id = w.object_id
+  )
+  SELECT * FROM walk
+) w ON f.parent_object_id = w.object_id
+WHERE f.parent_object_id = 400302
+ORDER BY f.name
+LIMIT 100""",
+)
+
+QUERIES["m2_fso_rename_dir"] = m2_fso_rename_dir
+ORACLES["m2_fso_rename_dir"] = M2_FSO_SQL

@@ -136,3 +136,22 @@ def test_sorted_read_locations_topology_order(spark):
     ]
     assert [r.read_rank for r in out] == [1, 2, 3, 4]
     assert out[3].hostname == "UNKNOWN"
+
+
+def test_fso_rename_dir_moves_subtree_with_one_row(spark):
+    from hadoop_ozone_spark.operators import fso
+
+    dirs = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "b"), (3, 1, "sub")],
+        "object_id long, parent_object_id long, name string",
+    )
+    moved = fso.rename_dir(dirs, object_id=3, new_parent_object_id=2, new_name="m")
+    paths = {r.object_id: r.path for r in fso.materialize_paths(moved).collect()}
+    assert paths[3] == "b/m"          # subtree re-roots via one row
+    assert paths[1] == "a" and paths[2] == "b"  # everything else untouched
+    files = spark.createDataFrame(
+        [(9, 3, "f.txt", 1)],
+        "object_id long, parent_object_id long, name string, data_size long",
+    )
+    resolved = fso.resolve_files(files, fso.materialize_paths(moved)).collect()
+    assert resolved[0].path == "b/m/f.txt"
