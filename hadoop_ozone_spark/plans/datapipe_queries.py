@@ -1064,3 +1064,78 @@ ORDER BY source, split
 
 QUERIES["dp_split_assign"] = dp_split_assign
 ORACLES["dp_split_assign"] = DP_SPLIT_SQL
+
+
+def dp_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each transitive
+    duplicate group, keep the member with the highest unigram
+    corpus-frequency quality score (tie → lowest doc_id) — what a
+    production pipeline does instead of blind keep-first (the best
+    duplicate often differs from the oldest). Composes the connected
+    groups with the exact-integer quality signal; the keep flag is a
+    per-group window over ≤|group| rows."""
+    from hadoop_ozone_spark.datapipe import text as text_ops
+    from pyspark.sql import Window
+
+    corpus = model.dedup_corpus(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.5)
+    groups = dedup.connected_dedup_groups(pairs)
+    scores = text_ops.unigram_freq_score(corpus).select(
+        "doc_id", "mean_token_freq_ppm"
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("mean_token_freq_ppm"), F.asc("doc_id")
+    )
+    return (
+        groups.join(scores, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "group_id", "mean_token_freq_ppm", "keep")
+        .orderBy("doc_id")
+    )
+
+
+DP_KEEP_BEST_SQL = (
+    "WITH RECURSIVE "
+    + model.DEDUP_CORPUS_CTE.strip()
+    + ",\n"
+    + _PAIRS_CTES
+    + r""",
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  WHERE e.dst <> r.src
+),
+groups AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS group_id
+  FROM reach GROUP BY src
+),
+utoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM dedup_corpus
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM utoks GROUP BY tok),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+perdoc AS (
+  SELECT t.doc_id, count(*) AS n_tokens, CAST(SUM(v.cnt) AS BIGINT) AS sum_cnt
+  FROM utoks t JOIN vocab v USING (tok) GROUP BY t.doc_id
+),
+scores AS (
+  SELECT doc_id,
+    CAST((1000000 * sum_cnt) // (n_tokens * n_total) AS BIGINT) AS mean_token_freq_ppm
+  FROM perdoc CROSS JOIN total
+)
+SELECT g.doc_id, g.group_id, s.mean_token_freq_ppm,
+  row_number() OVER (PARTITION BY g.group_id
+                     ORDER BY s.mean_token_freq_ppm DESC, g.doc_id) = 1 AS keep
+FROM groups g JOIN scores s USING (doc_id)
+ORDER BY g.doc_id"""
+)
+
+QUERIES["dp_dedup_keep_best"] = dp_dedup_keep_best
+ORACLES["dp_dedup_keep_best"] = DP_KEEP_BEST_SQL

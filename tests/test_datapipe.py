@@ -509,3 +509,22 @@ def test_split_assign_is_disjoint_and_stratified(spark):
         by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
     assert by_split["train"] > by_split.get("val", 0)
     assert rows == packing.split_assign(docs, train=0.8, val=0.1).collect()
+
+
+def test_dedup_keep_best_one_winner_per_group(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["dp_dedup_keep_best"](spark, sf_dir).collect()
+    assert out
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_id, []).append(r)
+    for rows in by_group.values():
+        keeps = [r for r in rows if r.keep]
+        assert len(keeps) == 1
+        best = keeps[0]
+        # the winner has the max score; ties break to lowest doc_id
+        for r in rows:
+            assert (r.mean_token_freq_ppm, -r.doc_id) <= (
+                best.mean_token_freq_ppm, -best.doc_id
+            )
