@@ -199,11 +199,19 @@ def docs_probe(n_docs: int, vocab: int = 20_000) -> None:
                 .count()
             )
 
+        from hadoop_ozone_spark.datapipe import packing, text as text_ops
+
         cases = {
             "exact_dedup": lambda: dedup.exact_dedup_groups(corpus).count(),
             "minhash_pairs": lambda: dedup.minhash_dedup_pairs(corpus, threshold=0.5).count(),
             "simhash_pairs": lambda: dedup.simhash_pairs(corpus, max_hamming=4).count(),
             "simhash_candidates": simhash_candidates,
+            # round-4 curation ops: chunk boilerplate (explode + one
+            # combinable groupBy), unigram quality (two shuffles on
+            # pre-combined keys), train order (per-shard windows)
+            "chunk_dedup": lambda: text_ops.chunk_dedup(corpus).count(),
+            "unigram_quality": lambda: text_ops.unigram_freq_score(corpus).count(),
+            "train_order": lambda: packing.train_order(corpus, n_shards=64).count(),
         }
         for name, fn in cases.items():
             t0 = time.time()
