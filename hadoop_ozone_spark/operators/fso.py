@@ -145,3 +145,38 @@ def rename_dir(
         .alias("parent_object_id"),
         F.when(hit, F.lit(new_name)).otherwise(F.col("name")).alias("name"),
     )
+
+
+def namespace_du_fso(dirs: DataFrame, files: DataFrame) -> DataFrame:
+    """FSO-native du rollup — NSSummaryTask.java:82-230 walks
+    parentObjectID chains to maintain per-directory (numOfFiles,
+    sizeOfFiles) including subtrees. Relationally: per-dir DIRECT file
+    stats (one combinable groupBy over the file plane), then each dir's
+    stats explode onto its ancestor prefixes (O(depth) rows per DIR,
+    not per file — the same |dirs|-scaled explode as the flat A3) and
+    re-aggregate.
+    """
+    paths = materialize_paths(dirs)
+    direct = files.groupBy(
+        F.col("parent_object_id").alias("object_id")
+    ).agg(
+        F.count(F.lit(1)).alias("num_files"),
+        F.sum("data_size").alias("size_of_files"),
+    )
+    withpath = paths.join(direct, "object_id")
+    parts = F.split(F.col("path"), "/")
+    ancestors = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, 1, i), "/"),
+    )
+    return (
+        withpath.select(
+            F.explode(ancestors).alias("path"), "num_files", "size_of_files"
+        )
+        .groupBy("path")
+        .agg(
+            F.sum("num_files").alias("num_files"),
+            F.sum("size_of_files").alias("size_of_files"),
+        )
+        .orderBy("path")
+    )

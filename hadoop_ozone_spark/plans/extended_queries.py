@@ -548,3 +548,47 @@ LIMIT 100""",
 
 QUERIES["m2_fso_rename_dir"] = m2_fso_rename_dir
 ORACLES["m2_fso_rename_dir"] = M2_FSO_SQL
+
+
+def a3_fso_namespace_du(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSO-native du: per-directory subtree totals from the
+    parentObjectID planes (operators/fso.py namespace_du_fso —
+    NSSummaryTask parity on the FSO layout; a3_namespace_du is the
+    flat-layout twin)."""
+    return fso.namespace_du_fso(
+        _fso_dirs(spark, sf_dir), _fso_files(spark, sf_dir)
+    )
+
+
+A3_FSO_SQL = (
+    "WITH RECURSIVE "
+    + FSO_DIRS_CTE.strip()
+    + ",\n"
+    + FSO_FILES_CTE.strip()
+    + r""",
+walk(object_id, path) AS (
+  SELECT object_id, name AS path FROM fso_dirs WHERE parent_object_id = 0
+  UNION ALL
+  SELECT d.object_id, concat(w.path, '/', d.name)
+  FROM fso_dirs d JOIN walk w ON d.parent_object_id = w.object_id
+),
+direct AS (
+  SELECT parent_object_id AS object_id, count(*) AS num_files,
+         CAST(SUM(data_size) AS BIGINT) AS size_of_files
+  FROM fso_files GROUP BY parent_object_id
+),
+anc AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(string_split(w.path, '/'))),
+           i -> array_to_string(list_slice(string_split(w.path, '/'), 1, i), '/')))
+         AS path,
+         d.num_files, d.size_of_files
+  FROM walk w JOIN direct d USING (object_id)
+)
+SELECT path, CAST(SUM(num_files) AS BIGINT) AS num_files,
+  CAST(SUM(size_of_files) AS BIGINT) AS size_of_files
+FROM anc GROUP BY path ORDER BY path"""
+)
+
+QUERIES["a3_fso_namespace_du"] = a3_fso_namespace_du
+ORACLES["a3_fso_namespace_du"] = A3_FSO_SQL

@@ -85,3 +85,21 @@ def test_histogram_long_format_consistent_with_summary(spark, summary):
     assert long_rows[("c/d/e", LONG_MAX)] == 1
     assert long_rows[("", 1024)] == 1
     assert sum(long_rows.values()) == len(KEYS)
+
+
+def test_fso_du_subtree_totals(spark):
+    from hadoop_ozone_spark.operators import fso
+
+    dirs = spark.createDataFrame(
+        [(1, 0, "a"), (2, 1, "b"), (3, 0, "c")],
+        "object_id long, parent_object_id long, name string",
+    )
+    files = spark.createDataFrame(
+        [(10, 1, "f1", 5), (11, 2, "f2", 7), (12, 3, "f3", 11)],
+        "object_id long, parent_object_id long, name string, data_size long",
+    )
+    out = {r.path: (r.num_files, r.size_of_files)
+           for r in fso.namespace_du_fso(dirs, files).collect()}
+    assert out["a"] == (2, 12)      # own file + subtree b
+    assert out["a/b"] == (1, 7)
+    assert out["c"] == (1, 11)
