@@ -568,6 +568,34 @@ audit_log AS (
 )"""
 
 
+# ---------------------------------------------------------------------------
+# FSO planes: directoryTable / fileTable (OmDirectoryInfo; OMDBDefinition
+# .java:147-172). Derivation law + CTE twins live in
+# plans/extended_queries.py (FSO_DIRS_CTE/FSO_FILES_CTE); these wrappers
+# add the per-session memo and the snapshot routing so J3-family queries
+# read a materialized plane instead of re-deriving per run.
+# ---------------------------------------------------------------------------
+
+def fso_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized("fso_dirs", spark, sf_dir, lambda: _build_fso_dirs(spark, sf_dir))
+
+
+def _build_fso_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_ozone_spark.plans.extended_queries import _fso_dirs
+
+    return _fso_dirs(spark, sf_dir)
+
+
+def fso_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized("fso_files", spark, sf_dir, lambda: _build_fso_files(spark, sf_dir))
+
+
+def _build_fso_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_ozone_spark.plans.extended_queries import _fso_files
+
+    return _fso_files(spark, sf_dir)
+
+
 def with_ctes(*ctes: str, body: str) -> str:
     """Assemble a DuckDB oracle query from shared CTE fragments."""
     joined = ",\n".join(c.strip() for c in ctes)
@@ -670,6 +698,8 @@ def register_views(spark: SparkSession, sf_dir: str, derived: bool = True) -> li
             ("audit_log", audit_log),
             ("dedup_corpus", dedup_corpus),
             ("embedding_corpus", embedding_corpus),
+            ("fso_dirs", fso_dirs),
+            ("fso_files", fso_files),
         ):
             fn(spark, sf_dir).createOrReplaceTempView(name)
             names.append(name)

@@ -78,7 +78,7 @@ fso_dirs AS (
 
 
 def j3_fso_path_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fso.materialize_paths(_fso_dirs(spark, sf_dir)).orderBy("object_id")
+    return fso.materialize_paths(model.fso_dirs(spark, sf_dir)).orderBy("object_id")
 
 
 J3_SQL = model.with_ctes(
@@ -473,7 +473,7 @@ def j3_fso_list_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parent object id 400302) by parent-id seek (operators/fso.py
     list_children)."""
     return fso.list_children(
-        _fso_dirs(spark, sf_dir), _fso_files(spark, sf_dir),
+        model.fso_dirs(spark, sf_dir), model.fso_files(spark, sf_dir),
         parent_object_id=400302, limit=100,
     )
 
@@ -505,11 +505,11 @@ def m2_fso_rename_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contrast m2_rename_prefix, which rewrites every key on the flat
     layout."""
     moved = fso.rename_dir(
-        _fso_dirs(spark, sf_dir), object_id=400302,
+        model.fso_dirs(spark, sf_dir), object_id=400302,
         new_parent_object_id=1001, new_name="moved",
     )
     paths = fso.materialize_paths(moved)
-    files = _fso_files(spark, sf_dir).filter(
+    files = model.fso_files(spark, sf_dir).filter(
         F.col("parent_object_id") == 400302
     )
     return (
@@ -556,7 +556,7 @@ def a3_fso_namespace_du(spark: SparkSession, sf_dir: str) -> DataFrame:
     NSSummaryTask parity on the FSO layout; a3_namespace_du is the
     flat-layout twin)."""
     return fso.namespace_du_fso(
-        _fso_dirs(spark, sf_dir), _fso_files(spark, sf_dir)
+        model.fso_dirs(spark, sf_dir), model.fso_files(spark, sf_dir)
     )
 
 

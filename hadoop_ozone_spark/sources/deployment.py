@@ -45,7 +45,7 @@ BUCKETS = 32
 # so a snapshot written by an older layout reads as not-built and is
 # rebuilt instead of serving stale columns (e.g. datanodes.op_state and
 # audit_log resource paths, both added in round 4).
-LAYOUT_VERSION = 3
+LAYOUT_VERSION = 4
 
 # plane name → model builder attribute; every derived table the query
 # layer can route to the snapshot
@@ -62,6 +62,8 @@ PLANES = (
     "audit_log",
     "dedup_corpus",
     "embedding_corpus",
+    "fso_dirs",
+    "fso_files",
 )
 
 BUCKETED = {
