@@ -528,3 +528,43 @@ def test_dedup_keep_best_one_winner_per_group(spark, sf_dir):
             assert (r.mean_token_freq_ppm, -r.doc_id) <= (
                 best.mean_token_freq_ppm, -best.doc_id
             )
+
+
+def test_chunk_dedup_matches_python_reference(spark):
+    # equivalence vs a sequential statement of the windowing law on a
+    # hand-mixed corpus (full windows only; df>=2 marks boilerplate)
+    import hashlib
+    from collections import Counter, defaultdict
+
+    texts = {
+        1: " ".join(f"w{i}" for i in range(47)),
+        2: " ".join(f"w{i}" for i in range(40)) + " x y z",
+        3: " ".join(f"u{i}" for i in range(25)),
+        4: "tiny doc",
+        5: " ".join(f"w{i}" for i in range(20)),   # equals doc1/doc2 chunk 0
+    }
+    k = 20
+
+    def ref():
+        chunks = defaultdict(list)     # doc -> [hash]
+        for d, t in texts.items():
+            toks = t.split()
+            for i in range(len(toks) // k):
+                blob = " ".join(toks[i * k:(i + 1) * k])
+                chunks[d].append(hashlib.md5(blob.encode()).hexdigest())
+        df = Counter()
+        for d, hs in chunks.items():
+            for h in set(hs):
+                df[h] += 1
+        out = {}
+        for d, t in texts.items():
+            hs = chunks.get(d, [])
+            out[d] = (len(t.split()) // k, sum(1 for h in hs if df[h] >= 2))
+        return out
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.boilerplate_chunks)
+        for r in text.chunk_dedup(docs, chunk_tokens=k, min_docs=2).collect()
+    }
+    assert got == ref()
