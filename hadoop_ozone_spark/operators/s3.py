@@ -185,3 +185,48 @@ def copy_object(
             if col in keys.columns:
                 copied = copied.withColumn(col, fn(F.col(key_col)))
     return keys.unionByName(copied)
+
+
+def upload_part_copy(
+    keys: DataFrame,
+    requests: DataFrame,
+) -> DataFrame:
+    """S3 UploadPartCopy: register a multipart part whose bytes come
+    from an existing object, optionally a byte range
+    (ObjectEndpoint.createMultipartKey copy path, :573-650;
+    CopyPartResult carries the part's ETag). ``requests`` rows:
+    (upload_id, part_number, source_row_key, range_start, range_end) —
+    range columns NULL for whole-object copies.
+
+    Part size follows the range parser's clamp (RangeHeaderParserUtil:
+    bytes=a-b inclusive, end clamped to size−1; the reference copies
+    end−start+1 bytes after skipping start). ETag is the deterministic
+    part name md5 — both engines replay it. Source lookup is a join on
+    row_key (the reference's getKey) — requests are tiny, so broadcast.
+    """
+    src = keys.select(
+        F.col("row_key").alias("source_row_key"),
+        F.col("data_size").alias("source_size"),
+    )
+    start = F.coalesce(F.col("range_start"), F.lit(0))
+    end_clamped = F.least(
+        F.coalesce(F.col("range_end"), F.col("source_size") - 1),
+        F.col("source_size") - 1,
+    )
+    return (
+        src.join(F.broadcast(requests), "source_row_key")
+        .select(
+            "upload_id",
+            "part_number",
+            "source_row_key",
+            (end_clamped - start + 1).alias("data_size"),
+            F.md5(
+                F.concat(
+                    F.col("source_row_key"), F.lit("#"),
+                    F.col("upload_id"), F.lit("#"),
+                    F.col("part_number").cast("string"),
+                )
+            ).alias("etag"),
+        )
+        .orderBy("upload_id", "part_number")
+    )

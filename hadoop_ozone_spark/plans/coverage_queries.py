@@ -470,3 +470,74 @@ ORDER BY row_key, read_rank""",
 
 QUERIES["x12_sorted_locations"] = x12_sorted_locations
 ORACLES["x12_sorted_locations"] = X12_SQL
+
+
+# --- M6b: S3 UploadPartCopy ------------------------------------------------
+#
+# Copy-part requests synthesized from the namespace: each source key on
+# the data_size%17 lane gets part 1 = bytes 100..(100+size div 3) (end
+# clamped by the range law when it overruns) and part 2 = whole object
+# (NULL range). upload_id = first 16 md5 hex of the source row_key.
+
+def _copy_part_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = model.om_keys(spark, sf_dir).filter(
+        (F.col("volume") == "vol_a")
+        & (F.col("bucket") == "bkt_f")
+        & (F.col("data_size") % 17 == 0)
+    )
+    base = src.select(
+        F.col("row_key").alias("source_row_key"),
+        F.substring(F.md5(F.col("row_key")), 1, 16).alias("upload_id"),
+        F.col("data_size"),
+    )
+    p1 = base.select(
+        "source_row_key", "upload_id",
+        F.lit(1).alias("part_number"),
+        F.lit(100).cast("long").alias("range_start"),
+        (F.lit(100) + F.expr("data_size div 3")).alias("range_end"),
+    )
+    p2 = base.select(
+        "source_row_key", "upload_id",
+        F.lit(2).alias("part_number"),
+        F.lit(None).cast("long").alias("range_start"),
+        F.lit(None).cast("long").alias("range_end"),
+    )
+    return p1.unionByName(p2)
+
+
+def m6_copy_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UploadPartCopy: parts registered from existing objects with
+    range clamping (operators/s3.py upload_part_copy law)."""
+    return s3.upload_part_copy(
+        model.om_keys(spark, sf_dir), _copy_part_requests(spark, sf_dir)
+    )
+
+
+M6_COPY_PART_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    """requests AS (
+  SELECT row_key AS source_row_key,
+    substring(md5(row_key), 1, 16) AS upload_id,
+    1 AS part_number,
+    CAST(100 AS BIGINT) AS range_start,
+    100 + data_size // 3 AS range_end
+  FROM om_keys
+  WHERE volume = 'vol_a' AND bucket = 'bkt_f' AND data_size % 17 = 0
+  UNION ALL
+  SELECT row_key, substring(md5(row_key), 1, 16), 2,
+    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM om_keys
+  WHERE volume = 'vol_a' AND bucket = 'bkt_f' AND data_size % 17 = 0
+)""",
+    body="""SELECT r.upload_id, r.part_number, r.source_row_key,
+  LEAST(COALESCE(r.range_end, k.data_size - 1), k.data_size - 1)
+    - COALESCE(r.range_start, 0) + 1 AS data_size,
+  md5(concat(r.source_row_key, '#', r.upload_id, '#',
+             CAST(r.part_number AS VARCHAR))) AS etag
+FROM om_keys k
+JOIN requests r ON k.row_key = r.source_row_key
+ORDER BY r.upload_id, r.part_number""",
+)
+
+QUERIES["m6_copy_part"] = m6_copy_part
+ORACLES["m6_copy_part"] = M6_COPY_PART_SQL

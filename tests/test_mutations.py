@@ -74,3 +74,25 @@ def test_trash_checkpoint_classification(spark):
     assert cur.action == "TO_CHECKPOINT" and cur.n_keys == 2 and cur.total_bytes == 30
     assert out[("user_0", "970101000000")].action == "DELETE"
     assert out[("user_1", "980101000000")].action == "RETAIN"
+
+
+def test_upload_part_copy_range_clamp(spark):
+    from hadoop_ozone_spark.operators import s3
+
+    keys = spark.createDataFrame(
+        [("/v/b/k1", 50), ("/v/b/k2", 500)], "row_key string, data_size long"
+    )
+    reqs = spark.createDataFrame(
+        [
+            ("u1", 1, "/v/b/k1", 10, 200),   # end overruns → clamp to 49
+            ("u1", 2, "/v/b/k1", None, None),  # whole object
+            ("u2", 1, "/v/b/k2", 0, 99),
+        ],
+        "upload_id string, part_number int, source_row_key string, "
+        "range_start long, range_end long",
+    )
+    out = {(r.upload_id, r.part_number): r.data_size
+           for r in s3.upload_part_copy(keys, reqs).collect()}
+    assert out[("u1", 1)] == 40    # bytes 10..49 inclusive
+    assert out[("u1", 2)] == 50
+    assert out[("u2", 1)] == 100
