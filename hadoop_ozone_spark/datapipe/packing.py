@@ -177,3 +177,70 @@ def split_assign(
         )
         .orderBy("source", "split")
     )
+
+
+def budget_sample(
+    docs: DataFrame,
+    token_budgets: dict[str, int],
+    source_col: str = "source",
+    text_col: str = "text",
+    seed: str = "budget42",
+) -> DataFrame:
+    """Token-budget-aware mixture sampling: where mixture_sample takes
+    RATES, real mixture specs are usually token BUDGETS ('30M tokens of
+    source A'). The sampling rate per source is derived from the
+    corpus itself — rate = min(1, budget / total_tokens(source)) — and
+    the draw is the same reproducible hash lane, so the realized token
+    count converges on the budget without a shuffle of the corpus.
+
+    Two passes: a combinable per-source token-total aggregate (tiny
+    result, broadcast back), then the map-only draw + accounting.
+    Unknown sources get budget 0. Returns per-source accounting with
+    the derived rate_ppm (exact integer: floor(1e6·budget/total)).
+    """
+    budget = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for k, v in token_budgets.items()
+                    for x in (F.lit(k), F.lit(int(v)))
+                ]
+            ),
+            F.col(source_col),
+        ),
+        F.lit(0),
+    ).cast("long")
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        n_tokens.alias("n_tokens"),
+        F.col("doc_id"),
+    )
+    totals = toks.groupBy("source").agg(
+        F.sum("n_tokens").alias("total_tokens")
+    )
+    # rate in ppm grains: floor(GRAIN·budget/total), capped at GRAIN
+    rate_ppm = F.least(
+        F.lit(_GRAIN).cast("long"),
+        F.expr(f"({_GRAIN} * budget_tokens) div total_tokens"),
+    )
+    staged = (
+        toks.join(F.broadcast(totals), "source")
+        .withColumn("budget_tokens", budget)
+        .withColumn("rate_ppm", rate_ppm)
+    )
+    kept = staged.filter(
+        (_lane(F.concat(F.lit(seed), F.lit("#"), F.col("doc_id").cast("string")))
+         % _GRAIN) < F.col("rate_ppm")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.max("rate_ppm").alias("rate_ppm"),
+            F.max("budget_tokens").alias("budget_tokens"),
+        )
+        .orderBy("source")
+    )

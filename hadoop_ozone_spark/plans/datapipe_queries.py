@@ -1139,3 +1139,50 @@ ORDER BY g.doc_id"""
 
 QUERIES["dp_dedup_keep_best"] = dp_dedup_keep_best
 ORACLES["dp_dedup_keep_best"] = DP_KEEP_BEST_SQL
+
+
+TOKEN_BUDGETS = {"src0": 100_000, "src1": 800, "src2": 400, "src3": 1_000_000}
+
+
+def dp_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture draw: per-source sampling rates DERIVED from
+    the corpus token totals against absolute token budgets
+    (datapipe/packing.py budget_sample law)."""
+    from hadoop_ozone_spark.datapipe import packing
+
+    return packing.budget_sample(
+        model.load(spark, sf_dir, "documents"), TOKEN_BUDGETS
+    )
+
+
+_BUDGET_CASE = " ".join(
+    f"WHEN '{s}' THEN {b}" for s, b in TOKEN_BUDGETS.items()
+)
+
+DP_BUDGET_SQL = rf"""
+WITH toks AS (
+  SELECT source, doc_id,
+    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+    CAST(COALESCE(CASE source {_BUDGET_CASE} END, 0) AS BIGINT) AS budget_tokens
+  FROM documents
+), totals AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM toks GROUP BY source
+), staged AS (
+  SELECT t.source, t.doc_id, t.n_tokens, t.budget_tokens,
+    LEAST(CAST(1000000 AS BIGINT),
+          (1000000 * t.budget_tokens) // x.total_tokens) AS rate_ppm
+  FROM toks t JOIN totals x USING (source)
+)
+SELECT source, count(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(max(rate_ppm) AS BIGINT) AS rate_ppm,
+  max(budget_tokens) AS budget_tokens
+FROM staged
+WHERE (CAST(concat('0x', substring(md5(concat('budget42#', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+       % 1000000) < rate_ppm
+GROUP BY source ORDER BY source
+"""
+
+QUERIES["dp_budget_sample"] = dp_budget_sample
+ORACLES["dp_budget_sample"] = DP_BUDGET_SQL

@@ -568,3 +568,23 @@ def test_chunk_dedup_matches_python_reference(spark):
         for r in text.chunk_dedup(docs, chunk_tokens=k, min_docs=2).collect()
     }
     assert got == ref()
+
+
+def test_budget_sample_rate_regimes(spark):
+    from hadoop_ozone_spark.datapipe import packing
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b", "t " * 10) for i in range(200)],
+        "doc_id long, source string, text string",
+    )
+    # a: total 1000 tokens, budget 2000 → rate capped at 1.0 (all kept)
+    # b: total 1000 tokens, budget 100 → rate 0.1
+    out = {r.source: r for r in packing.budget_sample(
+        docs, {"a": 2000, "b": 100}).collect()}
+    assert out["a"].n_docs == 100 and out["a"].rate_ppm == 1_000_000
+    assert out["b"].rate_ppm == 100_000
+    assert 0 < out["b"].n_docs < 100        # ~10% drawn
+    # reproducible
+    again = {r.source: r.n_docs for r in packing.budget_sample(
+        docs, {"a": 2000, "b": 100}).collect()}
+    assert again == {s: r.n_docs for s, r in out.items()}
