@@ -55,3 +55,23 @@ def file_count_endpoint(
     if file_size is not None:
         df = df.filter(df.file_size == file_size)
     return df
+
+
+def task_status(spark: SparkSession, mart_dirs: dict[str, str]) -> DataFrame:
+    """/task/status (TaskStatusService.java:35-55): one row per Recon
+    maintenance task with its last successful run marker. Our tasks are
+    the versioned streaming marts (streaming/maintenance.py
+    run_foreachbatch_merge): the marker is the newest complete version
+    directory — -1 when the task has never completed a run.
+    """
+    from hadoop_ozone_spark.streaming.maintenance import _mart_versions
+
+    rows = []
+    for task, d in sorted(mart_dirs.items()):
+        versions = _mart_versions(spark, d)
+        rows.append(
+            (task, versions[-1] if versions else -1, len(versions))
+        )
+    return spark.createDataFrame(
+        rows, "task_name string, last_version long, versions_retained long"
+    )

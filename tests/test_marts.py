@@ -75,3 +75,20 @@ def test_windowed_streaming_agg_with_watermark(spark):
         assert got["2024-01-01 00:30:00"] == 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_task_status_reports_mart_versions(spark, tmp_path):
+    from hadoop_ozone_spark.sources import marts
+
+    # one mart with two complete versions, one never-run task
+    d = str(tmp_path / "file_counts")
+    for v in (0, 1):
+        spark.range(3).write.mode("overwrite").parquet(f"{d}/batch-{v}")
+    out = {
+        r.task_name: (r.last_version, r.versions_retained)
+        for r in marts.task_status(
+            spark, {"file_counts": d, "never_ran": str(tmp_path / "nope")}
+        ).collect()
+    }
+    assert out["file_counts"] == (1, 2)
+    assert out["never_ran"] == (-1, 0)
