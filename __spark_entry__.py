@@ -719,7 +719,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # frames by parsing) plus q15 whose PLAN changed (global window →
 # broadcast max join), then re-checks ordered oldest-evidence-first:
 # the 11 round-1-only rows (three rounds stale — never re-checked in
-# r2/r3), then 11 round-2 rows. The 37 r2 TPC-H/parity queries that
+# r2/r3), then 10 round-2 rows. The 38 r2 TPC-H/parity queries that
 # don't fit rotate first in round 5 (their evidence is the oldest
 # remaining) — tracked in tests/test_entry_contract.py.
 # ---------------------------------------------------------------------------
@@ -751,6 +751,7 @@ DRIVER_WINDOW = [
     "a3_fso_namespace_du",
     "m6_copy_part",
     "dp_budget_sample",
+    "x13_get_file_status",
     # semantics/plan change in round 4 — re-verify under the new law
     "dp_media_features",
     "dp_media_frame_sample",
@@ -778,7 +779,6 @@ DRIVER_WINDOW = [
     "m1_open_key_commit",
     "s7_audit_roundtrip",
     "s8_freon_generator",
-    "s6_debug_scan",
 ]
 
 

@@ -198,3 +198,47 @@ def sorted_read_locations(
         .withColumn("read_rank", F.row_number().over(w).cast("long"))
         .orderBy("row_key", "read_rank")
     )
+
+
+def get_file_status(
+    keys: DataFrame, probes: DataFrame, key_col: str = "row_key"
+) -> DataFrame:
+    """OM getFileStatus (KeyManagerImpl.getOzoneFileStatus — the ofs/o3fs
+    stat call): a path is a FILE when an exact key matches, a DIRECTORY
+    when any key lives under ``path + '/'`` (fake-dir detection, same
+    subtree probe listStatus uses), else NOT_FOUND.
+
+    One pass over the key plane against the broadcast probe set: each
+    key row votes (exact / child) per probe, one small groupBy
+    aggregates the votes. data_size is returned for FILE hits.
+    """
+    cond = (F.col(key_col) == F.col("probe_path")) | F.col(key_col).startswith(
+        F.concat(F.col("probe_path"), F.lit("/"))
+    )
+    votes = (
+        keys.join(F.broadcast(probes), cond)
+        .groupBy("probe_path")
+        .agg(
+            F.max(
+                F.when(F.col(key_col) == F.col("probe_path"), 1).otherwise(0)
+            ).alias("has_exact"),
+            F.max(
+                F.when(F.col(key_col) != F.col("probe_path"), 1).otherwise(0)
+            ).alias("has_child"),
+            F.max(
+                F.when(F.col(key_col) == F.col("probe_path"), F.col("data_size"))
+            ).alias("file_size"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(votes), "probe_path", "left")
+        .select(
+            "probe_path",
+            F.when(F.col("has_exact") == 1, F.lit("FILE"))
+            .when(F.col("has_child") == 1, F.lit("DIRECTORY"))
+            .otherwise(F.lit("NOT_FOUND"))
+            .alias("status"),
+            F.when(F.col("has_exact") == 1, F.col("file_size")).alias("data_size"),
+        )
+        .orderBy("probe_path")
+    )

@@ -541,3 +541,52 @@ ORDER BY r.upload_id, r.part_number""",
 
 QUERIES["m6_copy_part"] = m6_copy_part
 ORACLES["m6_copy_part"] = M6_COPY_PART_SQL
+
+
+# --- X13: getFileStatus --------------------------------------------------
+
+def x13_get_file_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ofs stat over three probe paths — an existing directory, the
+    namespace-minimum key (FILE), and a missing path
+    (operators/listing.py get_file_status law)."""
+    from hadoop_ozone_spark.operators import listing as listing_ops
+
+    keys = model.om_keys(spark, sf_dir)
+    literal = spark.createDataFrame(
+        [("/vol_n/bkt_o/dir2",), ("/vol_x/bkt_y/nope",)], "probe_path string"
+    )
+    probes = literal.unionByName(
+        keys.agg(F.min("row_key").alias("probe_path"))
+    )
+    return listing_ops.get_file_status(keys, probes)
+
+
+X13_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    """probes AS (
+  SELECT '/vol_n/bkt_o/dir2' AS probe_path
+  UNION ALL SELECT '/vol_x/bkt_y/nope'
+  UNION ALL SELECT min(row_key) FROM om_keys
+)""",
+    """votes AS (
+  SELECT p.probe_path,
+    max(CASE WHEN k.row_key = p.probe_path THEN 1 ELSE 0 END) AS has_exact,
+    max(CASE WHEN k.row_key <> p.probe_path THEN 1 ELSE 0 END) AS has_child,
+    max(CASE WHEN k.row_key = p.probe_path THEN k.data_size END) AS file_size
+  FROM om_keys k
+  JOIN probes p
+    ON k.row_key = p.probe_path
+    OR starts_with(k.row_key, concat(p.probe_path, '/'))
+  GROUP BY p.probe_path
+)""",
+    body="""SELECT p.probe_path,
+  CASE WHEN v.has_exact = 1 THEN 'FILE'
+       WHEN v.has_child = 1 THEN 'DIRECTORY'
+       ELSE 'NOT_FOUND' END AS status,
+  CASE WHEN v.has_exact = 1 THEN v.file_size END AS data_size
+FROM probes p LEFT JOIN votes v USING (probe_path)
+ORDER BY p.probe_path""",
+)
+
+QUERIES["x13_get_file_status"] = x13_get_file_status
+ORACLES["x13_get_file_status"] = X13_SQL

@@ -84,7 +84,7 @@ R4_FRONTLOAD = {
     "dp_chunk_dedup", "dp_unigram_quality", "dp_train_order",
     "t1_trash_status", "sm1_safemode_status", "c1_list_containers",
     "p2_pipeline_rack_spread", "h1_access_heatmap", "j3_fso_list_status",
-    "dp_split_assign", "x12_sorted_locations", "m2_fso_rename_dir", "dp_dedup_keep_best", "a3_fso_namespace_du", "m6_copy_part", "dp_budget_sample",
+    "dp_split_assign", "x12_sorted_locations", "m2_fso_rename_dir", "dp_dedup_keep_best", "a3_fso_namespace_du", "m6_copy_part", "dp_budget_sample", "x13_get_file_status",
     "dp_media_features", "dp_media_frame_sample", "q15_top_supplier",
 }
 
@@ -103,7 +103,7 @@ def test_every_query_has_an_oracle():
 
 
 def test_round4_window_frontloads_new_and_changed_queries():
-    assert set(entry.DRIVER_WINDOW[:28]) == R4_FRONTLOAD
+    assert set(entry.DRIVER_WINDOW[:29]) == R4_FRONTLOAD
 
 
 def test_round_union_covers_every_registered_query():
@@ -118,7 +118,7 @@ def test_round_union_covers_every_registered_query():
 def test_rotation_is_oldest_evidence_first():
     # staleness invariant: nothing outside the round-4 window may have
     # OLDER evidence than something inside it (the rotation spends its
-    # 22 re-check slots on the oldest rows; the 37 r2 rows that do not
+    # 21 re-check slots on the oldest rows; the 38 r2 rows that do not
     # fit are the freshest deferrals and rotate first in round 5)
     last_checked = {}
     for rnd, window in ((1, R1_WINDOW), (2, R2_WINDOW), (3, R3_WINDOW)):

@@ -155,3 +155,22 @@ def test_fso_rename_dir_moves_subtree_with_one_row(spark):
     )
     resolved = fso.resolve_files(files, fso.materialize_paths(moved)).collect()
     assert resolved[0].path == "b/m/f.txt"
+
+
+def test_get_file_status_classification(spark):
+    from hadoop_ozone_spark.operators import listing as listing_ops
+
+    keys = spark.createDataFrame(
+        [("/v/b/d/f1", 10), ("/v/b/d/sub/f2", 20), ("/v/b/top", 5)],
+        "row_key string, data_size long",
+    )
+    probes = spark.createDataFrame(
+        [("/v/b/d",), ("/v/b/top",), ("/v/b/nope",), ("/v/b/d/sub",)],
+        "probe_path string",
+    )
+    out = {r.probe_path: (r.status, r.data_size)
+           for r in listing_ops.get_file_status(keys, probes).collect()}
+    assert out["/v/b/d"] == ("DIRECTORY", None)
+    assert out["/v/b/d/sub"] == ("DIRECTORY", None)
+    assert out["/v/b/top"] == ("FILE", 5)
+    assert out["/v/b/nope"] == ("NOT_FOUND", None)
