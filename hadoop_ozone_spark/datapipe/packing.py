@@ -195,9 +195,18 @@ def budget_sample(
 
     Two passes: a combinable per-source token-total aggregate (tiny
     result, broadcast back), then the map-only draw + accounting.
-    Unknown sources get budget 0. Returns per-source accounting with
-    the derived rate_ppm (exact integer: floor(1e6·budget/total)).
+    Sources without a budget get 0. Every source PRESENT IN THE CORPUS
+    reports a row — n_docs 0 when the draw kept nothing (budget 0 or a
+    rate that floors to 0 ppm) — so the output reconciles against the
+    spec; sources absent from the corpus have no totals to report.
+    rate_ppm is exact-integer: floor(1e6·budget/total), capped at 1e6.
     """
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        n_tokens.alias("n_tokens"),
+        F.col("doc_id"),
+    )
     budget = F.coalesce(
         F.element_at(
             F.create_map(
@@ -207,16 +216,10 @@ def budget_sample(
                     for x in (F.lit(k), F.lit(int(v)))
                 ]
             ),
-            F.col(source_col),
+            F.col("source"),
         ),
         F.lit(0),
     ).cast("long")
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    toks = docs.select(
-        F.col(source_col).alias("source"),
-        n_tokens.alias("n_tokens"),
-        F.col("doc_id"),
-    )
     totals = toks.groupBy("source").agg(
         F.sum("n_tokens").alias("total_tokens")
     )
@@ -225,22 +228,26 @@ def budget_sample(
         F.lit(_GRAIN).cast("long"),
         F.expr(f"({_GRAIN} * budget_tokens) div total_tokens"),
     )
-    staged = (
-        toks.join(F.broadcast(totals), "source")
-        .withColumn("budget_tokens", budget)
-        .withColumn("rate_ppm", rate_ppm)
+    per_source = totals.withColumn("budget_tokens", budget).withColumn(
+        "rate_ppm", rate_ppm
     )
+    staged = toks.join(F.broadcast(per_source), "source")
     kept = staged.filter(
         (_lane(F.concat(F.lit(seed), F.lit("#"), F.col("doc_id").cast("string")))
          % _GRAIN) < F.col("rate_ppm")
     )
+    drawn = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
     return (
-        kept.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.max("rate_ppm").alias("rate_ppm"),
-            F.max("budget_tokens").alias("budget_tokens"),
+        per_source.join(F.broadcast(drawn), "source", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "rate_ppm",
+            "budget_tokens",
         )
         .orderBy("source")
     )

@@ -123,7 +123,11 @@ def list_children(
 
 
 def rename_dir(
-    dirs: DataFrame, object_id: int, new_parent_object_id: int, new_name: str
+    dirs: DataFrame,
+    object_id: int,
+    new_parent_object_id: int,
+    new_name: str,
+    validate: bool = True,
 ) -> DataFrame:
     """FSO directory rename: the layout's headline property — moving a
     whole subtree is ONE dirTable row update (parent pointer + name
@@ -133,9 +137,42 @@ def rename_dir(
     descendant's new path then falls out of the next
     ``materialize_paths`` read — no per-key writes.
 
+    ``validate`` enforces the OM's request checks (the reference
+    rejects both at request time): the destination parent must not lie
+    inside the moved subtree (a cycle would silently orphan the whole
+    subtree from path materialization), and ``(parent, name)`` must
+    stay unique. Validation materializes paths of the DIM-sized dir
+    plane — cheap relative to the rename's purpose.
+
     Relationally: a single-row conditional projection over the dir
     plane (map-only, no shuffle).
     """
+    if validate and new_parent_object_id != ROOT_PARENT:
+        paths = {
+            r["object_id"]: r["path"]
+            for r in materialize_paths(dirs).collect()
+        }
+        if new_parent_object_id not in paths:
+            raise ValueError(f"rename_dir: unknown parent {new_parent_object_id}")
+        moved_path = paths.get(object_id)
+        parent_path = paths[new_parent_object_id]
+        if moved_path is not None and (
+            parent_path == moved_path or parent_path.startswith(moved_path + "/")
+        ):
+            raise ValueError(
+                "rename_dir: destination parent is inside the moved subtree"
+            )
+    if validate:
+        clash = dirs.filter(
+            (F.col("parent_object_id") == new_parent_object_id)
+            & (F.col("name") == new_name)
+            & (F.col("object_id") != object_id)
+        ).count()
+        if clash:
+            raise ValueError(
+                f"rename_dir: child named {new_name!r} already exists under "
+                f"{new_parent_object_id}"
+            )
     hit = F.col("object_id") == object_id
     return dirs.select(
         "object_id",

@@ -215,6 +215,11 @@ def upload_part_copy(
     )
     return (
         src.join(F.broadcast(requests), "source_row_key")
+        # a start beyond the (clamped) end is an unsatisfiable range —
+        # the gateway answers 416 InvalidRange and registers no part
+        # (S3 semantics via RangeHeaderParserUtil); relationally the
+        # request row is excluded rather than yielding a negative size
+        .filter(start <= end_clamped)
         .select(
             "upload_id",
             "part_number",

@@ -536,6 +536,8 @@ M6_COPY_PART_SQL = model.with_ctes(
              CAST(r.part_number AS VARCHAR))) AS etag
 FROM om_keys k
 JOIN requests r ON k.row_key = r.source_row_key
+WHERE COALESCE(r.range_start, 0)
+      <= LEAST(COALESCE(r.range_end, k.data_size - 1), k.data_size - 1)
 ORDER BY r.upload_id, r.part_number""",
 )
 

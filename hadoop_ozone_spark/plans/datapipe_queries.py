@@ -1162,26 +1162,27 @@ _BUDGET_CASE = " ".join(
 DP_BUDGET_SQL = rf"""
 WITH toks AS (
   SELECT source, doc_id,
-    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-    CAST(COALESCE(CASE source {_BUDGET_CASE} END, 0) AS BIGINT) AS budget_tokens
+    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
   FROM documents
-), totals AS (
-  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-  FROM toks GROUP BY source
-), staged AS (
-  SELECT t.source, t.doc_id, t.n_tokens, t.budget_tokens,
+), per_source AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(COALESCE(CASE source {_BUDGET_CASE} END, 0) AS BIGINT) AS budget_tokens,
     LEAST(CAST(1000000 AS BIGINT),
-          (1000000 * t.budget_tokens) // x.total_tokens) AS rate_ppm
-  FROM toks t JOIN totals x USING (source)
+          (1000000 * CAST(COALESCE(CASE source {_BUDGET_CASE} END, 0) AS BIGINT))
+            // CAST(SUM(n_tokens) AS BIGINT)) AS rate_ppm
+  FROM toks GROUP BY source
+), drawn AS (
+  SELECT t.source, count(*) AS n_docs, CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
+  FROM toks t JOIN per_source p USING (source)
+  WHERE (CAST(concat('0x', substring(md5(concat('budget42#', CAST(t.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+         % 1000000) < p.rate_ppm
+  GROUP BY t.source
 )
-SELECT source, count(*) AS n_docs,
-  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-  CAST(max(rate_ppm) AS BIGINT) AS rate_ppm,
-  max(budget_tokens) AS budget_tokens
-FROM staged
-WHERE (CAST(concat('0x', substring(md5(concat('budget42#', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
-       % 1000000) < rate_ppm
-GROUP BY source ORDER BY source
+SELECT p.source, COALESCE(d.n_docs, 0) AS n_docs,
+  COALESCE(d.n_tokens, 0) AS n_tokens,
+  p.rate_ppm, p.budget_tokens
+FROM per_source p LEFT JOIN drawn d USING (source)
+ORDER BY p.source
 """
 
 QUERIES["dp_budget_sample"] = dp_budget_sample

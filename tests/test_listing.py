@@ -174,3 +174,20 @@ def test_get_file_status_classification(spark):
     assert out["/v/b/d/sub"] == ("DIRECTORY", None)
     assert out["/v/b/top"] == ("FILE", 5)
     assert out["/v/b/nope"] == ("NOT_FOUND", None)
+
+
+def test_fso_rename_rejects_cycles_and_name_clash(spark):
+    import pytest as _pytest
+    from hadoop_ozone_spark.operators import fso
+
+    dirs = spark.createDataFrame(
+        [(1, 0, "a"), (2, 1, "b"), (3, 0, "c")],
+        "object_id long, parent_object_id long, name string",
+    )
+    with _pytest.raises(ValueError, match="inside the moved subtree"):
+        fso.rename_dir(dirs, object_id=1, new_parent_object_id=2, new_name="x")
+    with _pytest.raises(ValueError, match="already exists"):
+        fso.rename_dir(dirs, object_id=3, new_parent_object_id=1, new_name="b")
+    # a legal move still works (and validate=False skips the checks)
+    assert fso.rename_dir(dirs, 3, 1, "d").count() == 3
+    assert fso.rename_dir(dirs, 1, 2, "x", validate=False).count() == 3
