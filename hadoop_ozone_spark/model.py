@@ -389,6 +389,46 @@ deleted_block_txns AS (
 
 
 # ---------------------------------------------------------------------------
+# rm_replicas: the ReplicationManager's replica view. Same (container,
+# datanode) pair space as container_replicas but on a PER-CONTAINER
+# VARIABLE-DENSITY lane ((p+s) % 23 < p % 6): the admission width
+# cycles 0..5 with the container id, so the driver data exercises every
+# action class the planner emits (ReplicationManager.java:692-805
+# under-replication, :807-860 over-replication) — measured at sf0.01:
+# 455 missing / 531 under / 273 exact / 741 over. The uniform sparse
+# lane of container_replicas never exceeds factor 3, which would leave
+# the DELETE branch dead code under test.
+# ---------------------------------------------------------------------------
+
+def rm_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(
+        "rm_replicas", spark, sf_dir, lambda: _build_rm_replicas(spark, sf_dir)
+    )
+
+
+def _build_rm_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_partkey") + F.col("l_suppkey")) % 23
+            < F.col("l_partkey") % 6
+        )
+        .select(
+            F.col("l_partkey").alias("container_id"),
+            F.col("l_suppkey").alias("datanode_id"),
+        )
+        .distinct()
+    )
+
+
+RM_REPLICAS_CTE = """
+rm_replicas AS (
+  SELECT DISTINCT l_partkey AS container_id, l_suppkey AS datanode_id
+  FROM lineitem WHERE (l_partkey + l_suppkey) % 23 < l_partkey % 6
+)"""
+
+
+# ---------------------------------------------------------------------------
 # datanodes: the SCM node plane (ref NodeManager/NetworkTopology). One row
 # per registered datanode ← supplier; rack ← nation bucket (5 racks), so
 # the J2 placement check (SCMCommonPlacementPolicy.java:288-320,
@@ -690,6 +730,7 @@ def register_views(spark: SparkSession, sf_dir: str, derived: bool = True) -> li
             ("om_events", om_events),
             ("containers", containers),
             ("container_replicas", container_replicas),
+            ("rm_replicas", rm_replicas),
             ("replica_observations", replica_observations),
             ("deleted_block_txns", deleted_block_txns),
             ("datanodes", datanodes),

@@ -22,7 +22,7 @@ groupBy on its keyed plane); node/container dims ride broadcast joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _DECOM_STATES = ("DECOMMISSIONING", "DECOMMISSIONED")
@@ -313,6 +313,358 @@ def failed_deletion_txns(
         )
         .orderBy("txid")
         .limit(limit)
+    )
+
+
+def node_free_space(
+    replicas: DataFrame, containers_df: DataFrame, datanodes_df: DataFrame
+) -> DataFrame:
+    """Per-datanode (capacity, used, free) from the replica plane — the
+    SCMNodeStat view the placement policy consults
+    (SCMCommonPlacementPolicy.hasEnoughSpace; usage feed
+    SCMNodeManager.java:676-688). used aggregates the bytes of
+    containers replicated on the node, same law as the balancer scope.
+
+    Plan: one fact shuffle (replicas groupBy datanode) with the
+    container sizes riding a broadcast.
+    """
+    used = (
+        replicas.join(
+            F.broadcast(containers_df.select("container_id", "used_bytes")),
+            "container_id",
+        )
+        .groupBy("datanode_id")
+        .agg(F.sum("used_bytes").alias("node_used"))
+    )
+    return datanodes_df.join(F.broadcast(used), "datanode_id", "left").select(
+        "datanode_id",
+        "hostname",
+        "rack",
+        "node_state",
+        "op_state",
+        "capacity_bytes",
+        F.coalesce(F.col("node_used"), F.lit(0)).alias("used_bytes"),
+        (F.col("capacity_bytes") - F.coalesce(F.col("node_used"), F.lit(0))).alias(
+            "free_bytes"
+        ),
+    )
+
+
+def datanode_usage(
+    replicas: DataFrame,
+    containers_df: DataFrame,
+    datanodes_df: DataFrame,
+    count: int = 10,
+    most_used: bool = True,
+) -> DataFrame:
+    """`ozone admin datanode usageinfo` — getMostOrLeastUsedDatanodes
+    (SCMNodeManager.java:676-688 sorts the IN_SERVICE+HEALTHY scope by
+    scmUsed descending for mostUsed, remaining descending otherwise).
+
+    Top-k over the node dim after the one fact rollup of
+    :func:`node_free_space` — a TakeOrderedAndProject cut, never a full
+    sort. percent_used is a single IEEE division over exact BIGINTs
+    (engine-stable).
+    """
+    nodes = node_free_space(replicas, containers_df, datanodes_df).filter(
+        (F.col("node_state") == "HEALTHY") & (F.col("op_state") == "IN_SERVICE")
+    )
+    order = (
+        [F.desc("used_bytes"), F.asc("datanode_id")]
+        if most_used
+        else [F.desc("free_bytes"), F.asc("datanode_id")]
+    )
+    return (
+        nodes.select(
+            "datanode_id",
+            "hostname",
+            "capacity_bytes",
+            "used_bytes",
+            F.col("free_bytes").alias("remaining_bytes"),
+            (F.col("used_bytes") / F.col("capacity_bytes")).alias("percent_used"),
+        )
+        .orderBy(*order)
+        .limit(count)
+    )
+
+
+def placement_candidates(
+    under: DataFrame, replicas: DataFrame, candidates: DataFrame
+) -> DataFrame:
+    """Rack-aware target ranking — the relational closed form of
+    SCMContainerPlacementRackAware.chooseDatanodes
+    (SCMContainerPlacementRackAware.java:120-200): exclude nodes that
+    already hold a replica (ReplicationManager.java:757-763 builds the
+    excludeList from current replicas), spread onto racks the container
+    does not cover yet, and among equally-spread choices prefer the
+    node with the most free space (hasEnoughSpace/usage ordering),
+    datanode_id as the final deterministic tie-break.
+
+    ``under``: (container_id, ...) the containers needing targets;
+    ``replicas``: the live (container_id, datanode_id [, rack]) plane;
+    ``candidates``: node_free_space rows pre-filtered to
+    HEALTHY+IN_SERVICE. Returns one row per (container, candidate)
+    with ``rank`` 1..n per container.
+
+    Plan shape: |under| × |cand| candidate pairs (the reference scores
+    every node per container too) built from a broadcast of the node
+    dim; the holder/rack exclusions are joins against the fact-sized
+    replica plane keyed on container_id — one shuffle each.
+    """
+    cand = F.broadcast(
+        candidates.select("datanode_id", "rack", "free_bytes")
+    )
+    holders = replicas.select("container_id", "datanode_id").distinct()
+    covered = replicas.select("container_id", "rack").distinct().withColumn(
+        "rack_covered", F.lit(True)
+    )
+    pairs = (
+        under.select("container_id")
+        .join(cand)
+        .join(holders, ["container_id", "datanode_id"], "left_anti")
+        .join(covered, ["container_id", "rack"], "left")
+        .withColumn("rack_covered", F.coalesce(F.col("rack_covered"), F.lit(False)))
+    )
+    w = Window.partitionBy("container_id").orderBy(
+        F.asc("rack_covered"), F.desc("free_bytes"), F.asc("datanode_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w))
+
+
+def placement_probe(
+    containers_df: DataFrame,
+    replicas: DataFrame,
+    datanodes_df: DataFrame,
+    limit: int = 10,
+) -> DataFrame:
+    """The placement chooser as its own admin surface: for the LOWEST
+    under-replicated container (with a healthy source), the full
+    ranked candidate list with its ranking features — "which datanode
+    gets the new replica, and why" (SCMContainerPlacementRackAware
+    chooseDatanodes exposed as a query instead of a side effect).
+
+    Self-contained probe (scalar-subquery ≡ broadcast 1-row join, same
+    pattern as s2_point_lookup); the candidate window then runs over
+    one container only.
+    """
+    dn = datanodes_df.select("datanode_id", "rack", "node_state", "op_state")
+    rep = replicas.select("container_id", "datanode_id").join(
+        F.broadcast(dn), "datanode_id"
+    )
+    counts = rep.groupBy("container_id").agg(
+        F.count(F.lit(1)).alias("replica_count"),
+        F.sum(F.when(F.col("node_state") == "HEALTHY", 1).otherwise(0)).alias(
+            "healthy_source_count"
+        ),
+    )
+    under = (
+        containers_df.filter(F.col("state") != "DELETED")
+        .select("container_id", "replication_factor")
+        .join(counts, "container_id")
+        .filter(
+            (F.col("replica_count") < F.col("replication_factor"))
+            & (F.col("healthy_source_count") > 0)
+        )
+    )
+    probe = under.agg(F.min("container_id").alias("container_id"))
+    target = under.join(F.broadcast(probe), "container_id")
+    candidates = node_free_space(replicas, containers_df, datanodes_df).filter(
+        (F.col("node_state") == "HEALTHY") & (F.col("op_state") == "IN_SERVICE")
+    )
+    return (
+        placement_candidates(
+            target, rep.select("container_id", "datanode_id", "rack"), candidates
+        )
+        .filter(F.col("rank") <= limit)
+        .select(
+            "container_id", "rank", "datanode_id", "rack", "rack_covered",
+            "free_bytes",
+        )
+        .orderBy("rank")
+    )
+
+
+def replication_actions(
+    containers_df: DataFrame,
+    replicas: DataFrame,
+    datanodes_df: DataFrame,
+) -> DataFrame:
+    """The ReplicationManager's action set — what the cluster should DO
+    next, not just how it is classified (the J2 classifier stops at
+    health states; this emits the commands).
+
+    Laws re-expressed (deterministic closed forms of the reference's
+    per-container greedy walks, no in-flight ops in the model):
+
+    - Under-replicated (ReplicationManager.java:692-805): containers
+      with 0 < replicas < factor get one ADD_REPLICA per missing
+      replica, targeted by :func:`placement_candidates` (rack-aware,
+      free-space ordered). Re-replication needs a healthy source
+      (:724-731 filters stale/dead sources; :790 warns and skips when
+      none) → NO_HEALTHY_SOURCE marker row instead of ADDs.
+    - Zero replicas: the reference cannot re-replicate from nothing —
+      one MISSING marker row (the fsck surface picks it up).
+    - Over-replicated (:807-860): delete excess replicas without
+      breaking placement. Only IN_SERVICE replicas are eligible
+      (:843-847 removeIf op_state != IN_SERVICE); the walk is
+      deterministic (:828-831 sorts replicas first). Closed form of
+      "delete only if placement stays satisfied" under the
+      distinct-racks validator (ContainerPlacementStatusDefault):
+      rack-duplicate replicas (2nd+ on their rack) never reduce rack
+      coverage → delete them first, most-duplicated first; rack
+      singletons reduce coverage 1:1 → deletable only down to
+      expected = min(factor, total_racks), i.e. at most
+      (eligible_racks − expected) of them. Any remaining excess is
+      blocked (the reference logs :897 and leaves it) — no row.
+
+    Output: (container_id, action, datanode_id, rack, detail);
+    datanode_id/rack are NULL on marker rows. One fact-sized shuffle
+    per branch (the per-container windows); dims ride broadcasts.
+    """
+    dn = datanodes_df.select(
+        "datanode_id", "rack", "node_state", "op_state"
+    )
+    # rep and scope anchor all four action branches (missing / no-source
+    # / add / delete); persist so the replica⋈dim join and the count
+    # rollup run once, not once per branch. Both are bounded by the
+    # replica plane / container dim, not the key fact table.
+    rep = (
+        replicas.select("container_id", "datanode_id")
+        .join(F.broadcast(dn), "datanode_id")
+        .persist()
+    )
+    counts = rep.groupBy("container_id").agg(
+        F.count(F.lit(1)).alias("replica_count"),
+        F.sum(F.when(F.col("node_state") == "HEALTHY", 1).otherwise(0)).alias(
+            "healthy_source_count"
+        ),
+    )
+    scope = (
+        containers_df.filter(F.col("state") != "DELETED")
+        .select("container_id", "replication_factor")
+        .join(counts, "container_id", "left")
+        .select(
+            "container_id",
+            "replication_factor",
+            F.coalesce(F.col("replica_count"), F.lit(0)).alias("replica_count"),
+            F.coalesce(F.col("healthy_source_count"), F.lit(0)).alias(
+                "healthy_source_count"
+            ),
+        )
+        .persist()
+    )
+    rf, cnt = F.col("replication_factor"), F.col("replica_count")
+
+    missing = scope.filter(cnt == 0).select(
+        "container_id",
+        F.lit("MISSING").alias("action"),
+        F.lit(None).cast("long").alias("datanode_id"),
+        F.lit(None).cast("string").alias("rack"),
+        F.lit("no replicas found").alias("detail"),
+    )
+
+    under = scope.filter((cnt > 0) & (cnt < rf))
+    no_source = under.filter(F.col("healthy_source_count") == 0).select(
+        "container_id",
+        F.lit("NO_HEALTHY_SOURCE").alias("action"),
+        F.lit(None).cast("long").alias("datanode_id"),
+        F.lit(None).cast("string").alias("rack"),
+        F.lit("no healthy source replica").alias("detail"),
+    )
+    sourced = under.filter(F.col("healthy_source_count") > 0)
+    candidates = node_free_space(replicas, containers_df, datanodes_df).filter(
+        (F.col("node_state") == "HEALTHY") & (F.col("op_state") == "IN_SERVICE")
+    )
+    adds = (
+        placement_candidates(
+            sourced,
+            rep.select("container_id", "datanode_id", "rack"),
+            candidates,
+        )
+        .join(
+            F.broadcast(
+                sourced.select("container_id", "replication_factor", "replica_count")
+            ),
+            "container_id",
+        )
+        .filter(F.col("rank") <= rf - cnt)
+        .select(
+            "container_id",
+            F.lit("ADD_REPLICA").alias("action"),
+            F.col("datanode_id").cast("long").alias("datanode_id"),
+            "rack",
+            F.concat(
+                F.lit("add "), (rf - cnt).cast("string"),
+                F.lit(" replica(s): have "), cnt.cast("string"),
+                F.lit(" of "), rf.cast("string"),
+            ).alias("detail"),
+        )
+    )
+
+    over = scope.filter(cnt > rf)
+    total_racks = dn.agg(F.countDistinct("rack").alias("total_racks"))
+    elig = (
+        rep.filter(F.col("op_state") == "IN_SERVICE")
+        .join(F.broadcast(over), "container_id")
+        .withColumn(
+            "rir",
+            F.row_number().over(
+                Window.partitionBy("container_id", "rack").orderBy("datanode_id")
+            ),
+        )
+    )
+    elig_racks = elig.groupBy("container_id").agg(
+        F.countDistinct("rack").alias("elig_racks")
+    )
+    is_dup = F.col("rir") > 1
+    ranked = (
+        elig.join(F.broadcast(elig_racks), "container_id")
+        .crossJoin(F.broadcast(total_racks))
+        .withColumn(
+            "drnk",
+            F.row_number().over(
+                Window.partitionBy("container_id").orderBy(
+                    F.when(is_dup, 0).otherwise(1),
+                    F.desc("rir"),
+                    F.desc("datanode_id"),
+                )
+            ),
+        )
+        .withColumn(
+            "single_rank",
+            F.row_number().over(
+                Window.partitionBy("container_id", is_dup).orderBy(
+                    F.desc("datanode_id")
+                )
+            ),
+        )
+    )
+    excess = cnt - rf
+    singles_quota = F.greatest(
+        F.lit(0), F.col("elig_racks") - F.least(rf, F.col("total_racks"))
+    )
+    deletes = ranked.filter(
+        (F.col("drnk") <= excess)
+        & (is_dup | (F.col("single_rank") <= singles_quota))
+    ).select(
+        "container_id",
+        F.lit("DELETE_REPLICA").alias("action"),
+        F.col("datanode_id").cast("long").alias("datanode_id"),
+        "rack",
+        F.concat(
+            F.lit("delete "), excess.cast("string"),
+            F.lit(" excess replica(s): have "), cnt.cast("string"),
+            F.lit(" of "), rf.cast("string"),
+        ).alias("detail"),
+    )
+
+    return (
+        missing.unionByName(no_source)
+        .unionByName(adds)
+        .unionByName(deletes)
+        .orderBy(
+            "container_id", "action", F.coalesce(F.col("datanode_id"), F.lit(-1))
+        )
     )
 
 

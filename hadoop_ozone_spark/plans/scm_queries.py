@@ -330,6 +330,207 @@ ORACLES["c1_list_containers"] = C1_SQL
 ORACLES["p2_pipeline_rack_spread"] = P2_SQL
 
 
+# --- RM1/RM2: ReplicationManager action planner ----------------------------
+#
+# The shared oracle derivation for the action planner: replica view ⋈
+# node dim, per-container counts, candidate free space, the rack-aware
+# ADD ranking, and the placement-preserving DELETE ranking — the same
+# CTE stack feeds both rm1 (the action set) and rm2 (the chooser
+# surface), mirroring how the Spark side shares placement_candidates.
+
+_RM_STACK = (
+    """rep AS (
+  SELECT r.container_id, r.datanode_id, d.rack, d.node_state, d.op_state
+  FROM rm_replicas r JOIN datanodes d USING (datanode_id)
+)""",
+    """rm_counts AS (
+  SELECT container_id, count(*) AS replica_count,
+         CAST(SUM(CASE WHEN node_state = 'HEALTHY' THEN 1 ELSE 0 END)
+              AS BIGINT) AS healthy_source_count
+  FROM rep GROUP BY container_id
+)""",
+    """rm_scope AS (
+  SELECT c.container_id, c.replication_factor,
+         COALESCE(t.replica_count, 0) AS replica_count,
+         COALESCE(t.healthy_source_count, 0) AS healthy_source_count
+  FROM containers c LEFT JOIN rm_counts t USING (container_id)
+  WHERE c.state <> 'DELETED'
+)""",
+    """node_used AS (
+  SELECT r.datanode_id, CAST(SUM(c.used_bytes) AS BIGINT) AS node_used
+  FROM rm_replicas r JOIN containers c USING (container_id)
+  GROUP BY r.datanode_id
+)""",
+    """cand AS (
+  SELECT d.datanode_id, d.rack,
+         d.capacity_bytes - COALESCE(u.node_used, 0) AS free_bytes
+  FROM datanodes d LEFT JOIN node_used u USING (datanode_id)
+  WHERE d.node_state = 'HEALTHY' AND d.op_state = 'IN_SERVICE'
+)""",
+    """rm_under AS (
+  SELECT * FROM rm_scope
+  WHERE replica_count > 0 AND replica_count < replication_factor
+)""",
+    """add_ranked AS (
+  SELECT u.container_id, u.replication_factor, u.replica_count,
+         c.datanode_id, c.rack,
+         cr.rack IS NOT NULL AS rack_covered,
+         c.free_bytes,
+         row_number() OVER (PARTITION BY u.container_id
+           ORDER BY CASE WHEN cr.rack IS NULL THEN 0 ELSE 1 END,
+                    c.free_bytes DESC, c.datanode_id) AS rnk
+  FROM (SELECT * FROM rm_under WHERE healthy_source_count > 0) u
+  CROSS JOIN cand c
+  LEFT JOIN (SELECT DISTINCT container_id, datanode_id FROM rm_replicas) h
+    ON u.container_id = h.container_id AND c.datanode_id = h.datanode_id
+  LEFT JOIN (SELECT DISTINCT container_id, rack FROM rep) cr
+    ON u.container_id = cr.container_id AND c.rack = cr.rack
+  WHERE h.datanode_id IS NULL
+)""",
+)
+
+_RM_DELETE_STACK = (
+    """rack_total AS (SELECT count(DISTINCT rack) AS total_racks FROM datanodes)""",
+    """elig AS (
+  SELECT r.container_id, r.datanode_id, r.rack,
+         o.replication_factor, o.replica_count,
+         row_number() OVER (PARTITION BY r.container_id, r.rack
+                            ORDER BY r.datanode_id) AS rir
+  FROM rep r
+  JOIN (SELECT * FROM rm_scope WHERE replica_count > replication_factor) o
+    USING (container_id)
+  WHERE r.op_state = 'IN_SERVICE'
+)""",
+    """elig_stats AS (
+  SELECT container_id, count(DISTINCT rack) AS elig_racks
+  FROM elig GROUP BY container_id
+)""",
+    """del_ranked AS (
+  SELECT e.*, s.elig_racks, t.total_racks,
+         e.rir > 1 AS is_dup,
+         row_number() OVER (PARTITION BY e.container_id
+           ORDER BY CASE WHEN e.rir > 1 THEN 0 ELSE 1 END,
+                    e.rir DESC, e.datanode_id DESC) AS drnk,
+         row_number() OVER (PARTITION BY e.container_id, e.rir > 1
+           ORDER BY e.datanode_id DESC) AS single_rank
+  FROM elig e
+  JOIN elig_stats s USING (container_id)
+  CROSS JOIN rack_total t
+)""",
+)
+
+
+def rm1_replication_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplicationManager action set: ADD/DELETE replica commands with
+    rack-aware targets (operators/scm.py replication_actions law)."""
+    return scm.replication_actions(
+        model.containers(spark, sf_dir),
+        model.rm_replicas(spark, sf_dir),
+        model.datanodes(spark, sf_dir),
+    )
+
+
+RM1_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    model.CONTAINERS_CTE,
+    model.RM_REPLICAS_CTE,
+    *_RM_STACK,
+    *_RM_DELETE_STACK,
+    body="""SELECT * FROM (
+  SELECT container_id, 'MISSING' AS action,
+         CAST(NULL AS BIGINT) AS datanode_id, CAST(NULL AS VARCHAR) AS rack,
+         'no replicas found' AS detail
+  FROM rm_scope WHERE replica_count = 0
+  UNION ALL
+  SELECT container_id, 'NO_HEALTHY_SOURCE',
+         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+         'no healthy source replica'
+  FROM rm_under WHERE healthy_source_count = 0
+  UNION ALL
+  SELECT container_id, 'ADD_REPLICA', datanode_id, rack,
+         concat('add ', replication_factor - replica_count,
+                ' replica(s): have ', replica_count, ' of ', replication_factor)
+  FROM add_ranked WHERE rnk <= replication_factor - replica_count
+  UNION ALL
+  SELECT container_id, 'DELETE_REPLICA', datanode_id, rack,
+         concat('delete ', replica_count - replication_factor,
+                ' excess replica(s): have ', replica_count, ' of ',
+                replication_factor)
+  FROM del_ranked
+  WHERE drnk <= replica_count - replication_factor
+    AND (is_dup OR single_rank <= GREATEST(
+          0, elig_racks - LEAST(replication_factor, total_racks)))
+)
+ORDER BY container_id, action, COALESCE(datanode_id, -1)""",
+)
+
+
+def rm2_placement_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rack-aware placement chooser surface for the lowest
+    under-replicated container (operators/scm.py placement_probe)."""
+    return scm.placement_probe(
+        model.containers(spark, sf_dir),
+        model.rm_replicas(spark, sf_dir),
+        model.datanodes(spark, sf_dir),
+        limit=10,
+    )
+
+
+RM2_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    model.CONTAINERS_CTE,
+    model.RM_REPLICAS_CTE,
+    *_RM_STACK,
+    body="""SELECT container_id, rnk AS rank, datanode_id, rack,
+       rack_covered, free_bytes
+FROM add_ranked
+WHERE container_id = (SELECT min(container_id) FROM rm_under
+                      WHERE healthy_source_count > 0)
+  AND rnk <= 10
+ORDER BY rnk""",
+)
+
+
+def n2_datanode_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ozone admin datanode usageinfo --most-used` top-10
+    (SCMNodeManager.java:676-688; operators/scm.py datanode_usage)."""
+    return scm.datanode_usage(
+        model.container_replicas(spark, sf_dir),
+        model.containers(spark, sf_dir),
+        model.datanodes(spark, sf_dir),
+        count=10,
+        most_used=True,
+    )
+
+
+N2_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    model.CONTAINERS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    """node_used AS (
+  SELECT r.datanode_id, CAST(SUM(c.used_bytes) AS BIGINT) AS node_used
+  FROM container_replicas r JOIN containers c USING (container_id)
+  GROUP BY r.datanode_id
+)""",
+    body="""SELECT d.datanode_id, d.hostname, d.capacity_bytes,
+  COALESCE(u.node_used, 0) AS used_bytes,
+  d.capacity_bytes - COALESCE(u.node_used, 0) AS remaining_bytes,
+  CAST(COALESCE(u.node_used, 0) AS DOUBLE) / d.capacity_bytes AS percent_used
+FROM datanodes d
+LEFT JOIN node_used u USING (datanode_id)
+WHERE d.node_state = 'HEALTHY' AND d.op_state = 'IN_SERVICE'
+ORDER BY used_bytes DESC, d.datanode_id
+LIMIT 10""",
+)
+
+QUERIES["rm1_replication_actions"] = rm1_replication_actions
+QUERIES["rm2_placement_targets"] = rm2_placement_targets
+QUERIES["n2_datanode_usage"] = n2_datanode_usage
+ORACLES["rm1_replication_actions"] = RM1_SQL
+ORACLES["rm2_placement_targets"] = RM2_SQL
+ORACLES["n2_datanode_usage"] = N2_SQL
+
+
 # --- H1: access heatmap rollup --------------------------------------------
 
 def h1_access_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:

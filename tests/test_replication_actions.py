@@ -1,0 +1,200 @@
+"""ReplicationManager action-planner laws on synthetic frames
+(ReplicationManager.java:692-805 under-replication with rack-aware
+targets, :807-860 placement-preserving over-replication deletes), plus
+the rack-aware chooser (SCMContainerPlacementRackAware)."""
+
+from __future__ import annotations
+
+from hadoop_ozone_spark.operators import scm
+
+
+def _datanodes(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "datanode_id long, hostname string, rack string, node_state string, "
+        "op_state string, capacity_bytes long",
+    )
+
+
+def _containers(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "container_id long, state string, replication_factor int, "
+        "used_bytes long, pipeline_id long",
+    )
+
+
+def _replicas(spark, rows):
+    return spark.createDataFrame(rows, "container_id long, datanode_id long")
+
+
+def _actions(spark, containers, replicas, datanodes):
+    return scm.replication_actions(
+        _containers(spark, containers),
+        _replicas(spark, replicas),
+        _datanodes(spark, datanodes),
+    ).collect()
+
+
+DN_3RACKS = [
+    # rack r0: nodes 1,2 — rack r1: 3,4 — rack r2: 5,6; node 6 bigger
+    (1, "n1", "r0", "HEALTHY", "IN_SERVICE", 100),
+    (2, "n2", "r0", "HEALTHY", "IN_SERVICE", 100),
+    (3, "n3", "r1", "HEALTHY", "IN_SERVICE", 100),
+    (4, "n4", "r1", "HEALTHY", "IN_SERVICE", 100),
+    (5, "n5", "r2", "HEALTHY", "IN_SERVICE", 100),
+    (6, "n6", "r2", "HEALTHY", "IN_SERVICE", 200),
+]
+
+
+def test_under_replicated_prefers_uncovered_rack(spark):
+    # rf=3, replicas on racks r0,r1 → 1 ADD; r2 is uncovered, so an r2
+    # node must win even though covered-rack nodes have equal free space
+    rows = _actions(
+        spark,
+        [(10, "CLOSED", 3, 10, 0)],
+        [(10, 1), (10, 3)],
+        DN_3RACKS,
+    )
+    assert len(rows) == 1
+    a = rows[0]
+    assert a.action == "ADD_REPLICA"
+    assert a.rack == "r2"
+    # free-space ordering inside the uncovered rack: node 6 (free 200)
+    # beats node 5 (free 100)
+    assert a.datanode_id == 6
+
+
+def test_under_replicated_free_space_then_id_tiebreak(spark):
+    # both candidate racks uncovered and equal free space → lowest id
+    dns = [
+        (1, "n1", "r0", "HEALTHY", "IN_SERVICE", 100),
+        (5, "n5", "r2", "HEALTHY", "IN_SERVICE", 100),
+        (6, "n6", "r1", "HEALTHY", "IN_SERVICE", 100),
+    ]
+    rows = _actions(spark, [(10, "CLOSED", 2, 10, 0)], [(10, 1)], dns)
+    assert [r.datanode_id for r in rows] == [5]
+
+
+def test_under_replicated_excludes_holders_and_non_in_service(spark):
+    # candidates must skip nodes already holding a replica and nodes
+    # that are not HEALTHY+IN_SERVICE (ReplicationManager.java:757-763)
+    dns = [
+        (1, "n1", "r0", "HEALTHY", "IN_SERVICE", 100),
+        (2, "n2", "r1", "HEALTHY", "DECOMMISSIONING", 100),
+        (3, "n3", "r1", "STALE", "IN_SERVICE", 100),
+        (4, "n4", "r1", "HEALTHY", "IN_SERVICE", 100),
+    ]
+    rows = _actions(spark, [(10, "CLOSED", 2, 10, 0)], [(10, 1)], dns)
+    assert [r.datanode_id for r in rows] == [4]
+
+
+def test_no_healthy_source_marker(spark):
+    # all replicas on STALE/DEAD nodes → cannot re-replicate (:790)
+    dns = [
+        (1, "n1", "r0", "STALE", "IN_SERVICE", 100),
+        (2, "n2", "r1", "DEAD", "IN_SERVICE", 100),
+        (3, "n3", "r2", "HEALTHY", "IN_SERVICE", 100),
+    ]
+    rows = _actions(spark, [(10, "CLOSED", 3, 10, 0)], [(10, 1), (10, 2)], dns)
+    assert len(rows) == 1
+    assert rows[0].action == "NO_HEALTHY_SOURCE"
+    assert rows[0].datanode_id is None
+
+
+def test_missing_marker(spark):
+    rows = _actions(spark, [(10, "CLOSED", 3, 10, 0)], [], DN_3RACKS)
+    assert [(r.action, r.datanode_id) for r in rows] == [("MISSING", None)]
+
+
+def test_deleted_containers_ignored(spark):
+    rows = _actions(spark, [(10, "DELETED", 3, 10, 0)], [], DN_3RACKS)
+    assert rows == []
+
+
+def test_over_replicated_deletes_rack_duplicates_first(spark):
+    # rf=3, 5 replicas: r0 {1,2}, r1 {3,4}, r2 {5} → excess 2; the
+    # rack-duplicate replicas (2 on r0, 4 on r1) go first, highest
+    # datanode first — rack coverage never drops
+    rows = _actions(
+        spark,
+        [(10, "CLOSED", 3, 10, 0)],
+        [(10, 1), (10, 2), (10, 3), (10, 4), (10, 5)],
+        DN_3RACKS,
+    )
+    assert all(r.action == "DELETE_REPLICA" for r in rows)
+    assert sorted(r.datanode_id for r in rows) == [2, 4]
+
+
+def test_over_replicated_singletons_deletable_down_to_expected(spark):
+    # rf=1 on 3 racks (singletons only): expected = min(1, 3) = 1, so 2
+    # singletons may go, highest datanode_id first
+    rows = _actions(
+        spark,
+        [(10, "CLOSED", 1, 10, 0)],
+        [(10, 1), (10, 3), (10, 5)],
+        DN_3RACKS,
+    )
+    assert sorted(r.datanode_id for r in rows) == [3, 5]
+
+
+def test_over_replicated_blocked_when_placement_would_break(spark):
+    # rf=3, 4 eligible singletons on 3 racks is impossible — instead:
+    # 4 replicas but one on a DECOMMISSIONING node (ineligible, :843-847)
+    # leaves 3 eligible singletons on 3 racks; expected = min(3,3) = 3 →
+    # no deletion can keep placement satisfied → zero actions (the
+    # reference logs "cannot be removed without violating placement")
+    dns = [
+        (1, "n1", "r0", "HEALTHY", "IN_SERVICE", 100),
+        (3, "n3", "r1", "HEALTHY", "IN_SERVICE", 100),
+        (5, "n5", "r2", "HEALTHY", "IN_SERVICE", 100),
+        (7, "n7", "r2", "HEALTHY", "DECOMMISSIONING", 100),
+    ]
+    rows = _actions(
+        spark,
+        [(10, "CLOSED", 3, 10, 0)],
+        [(10, 1), (10, 3), (10, 5), (10, 7)],
+        dns,
+    )
+    assert rows == []
+
+
+def test_add_count_matches_deficit(spark):
+    # rf=3 with a single replica → exactly 2 ADDs on 2 distinct racks
+    rows = _actions(spark, [(10, "CLOSED", 3, 10, 0)], [(10, 1)], DN_3RACKS)
+    assert len(rows) == 2
+    assert {r.rack for r in rows} == {"r1", "r2"}
+
+
+def test_placement_probe_ranks_uncovered_racks_first(spark):
+    probe = scm.placement_probe(
+        _containers(spark, [(10, "CLOSED", 3, 10, 0)]),
+        _replicas(spark, [(10, 1)]),
+        _datanodes(spark, DN_3RACKS),
+        limit=10,
+    ).collect()
+    assert [r.rank for r in probe] == list(range(1, len(probe) + 1))
+    # covered-rack candidates (r0: node 2) rank after all uncovered
+    covered_ranks = [r.rank for r in probe if r.rack_covered]
+    uncovered_ranks = [r.rank for r in probe if not r.rack_covered]
+    assert max(uncovered_ranks) < min(covered_ranks)
+    # first pick: uncovered rack with most free space → node 6
+    assert probe[0].datanode_id == 6
+
+
+def test_datanode_usage_topk_ordering(spark):
+    dns = _datanodes(
+        spark,
+        [
+            (1, "n1", "r0", "HEALTHY", "IN_SERVICE", 100),
+            (2, "n2", "r0", "HEALTHY", "IN_SERVICE", 100),
+            (3, "n3", "r0", "STALE", "IN_SERVICE", 100),
+        ],
+    )
+    cts = _containers(spark, [(10, "CLOSED", 3, 60, 0), (20, "CLOSED", 3, 30, 0)])
+    reps = _replicas(spark, [(10, 1), (20, 2)])
+    rows = scm.datanode_usage(reps, cts, dns, count=10, most_used=True).collect()
+    # STALE node excluded from the usage scope
+    assert [r.datanode_id for r in rows] == [1, 2]
+    assert rows[0].used_bytes == 60 and rows[0].remaining_bytes == 40
+    assert rows[0].percent_used == 0.6
