@@ -346,3 +346,61 @@ def knn_join_bucketed(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine_sim")
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate detection (Abbas et al.
+    2023): cluster the corpus by nearest centroid, then compare
+    embeddings ONLY within their cluster — pairwise cosine ≥ threshold
+    flags a semantic duplicate; the lowest-id partner is the canonical
+    keeper.
+
+    Returns one row per flagged duplicate:
+        (list_id, vec_id, dup_of, cosine_sim)
+    where dup_of is the smallest lower-id cluster-mate above the
+    threshold (deterministic keeper law; SemDeDup keeps one exemplar
+    per duplicate clique — min-id here, so the oracle replays it).
+
+    Scale shape: this is the SemDeDup cost model — never an all-pairs
+    scan. The candidate join is an equi-join on list_id (both sides
+    co-partition by cluster; one shuffle each), so the quadratic term
+    is bounded by the LARGEST CLUSTER, not the corpus: at web scale the
+    codebook grows with the corpus (n_lists ∝ N) to hold cluster sizes
+    ~constant, and the same plan serves — only the ``centroids``
+    argument changes (trained k-means codebook).
+    """
+    idx = ivf_index(embeddings, n_lists, vec_col, centroids=centroids)
+    a = idx.select(
+        "list_id", F.col("vec_id").alias("vec_a"), F.col(vec_col).alias("va")
+    )
+    b = idx.select(
+        "list_id", F.col("vec_id").alias("vec_b"), F.col(vec_col).alias("vb")
+    )
+    sim = F.round(
+        cosine(as_double(F.col("va")), as_double(F.col("vb"))), round_digits
+    )
+    hits = (
+        a.join(b, "list_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("list_id", "vec_a", "vec_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    w = Window.partitionBy("vec_b").orderBy("vec_a")
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "list_id",
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("dup_of"),
+            "cosine_sim",
+        )
+        .orderBy("vec_id")
+    )

@@ -235,3 +235,90 @@ def upload_part_copy(
         )
         .orderBy("upload_id", "part_number")
     )
+
+
+def stale_multipart_uploads(
+    uploads: DataFrame,
+    parts: DataFrame,
+    expire_before: str,
+    created_col: str = "created",
+) -> DataFrame:
+    """Expired-MPU backlog: in-flight multipart uploads created before
+    ``expire_before`` with their reclaimable part bytes — the
+    storage-cost view behind aborting stale uploads
+    (S3MultipartUploadAbortRequest.java:157-170 walks partKeyInfoMap to
+    subtract exactly these bytes; the reference has no TTL sweeper at
+    this version, so the backlog query is the admin's surface).
+
+    ``uploads``: (key, upload_id, created); ``parts``: (upload_id,
+    part_number, part_size). One upload-keyed aggregate over the part
+    plane (map-side combinable) joined to the TTL-filtered upload rows
+    — the MPU planes are orders of magnitude smaller than the
+    namespace, so both shuffles are on the small tables.
+    """
+    part_stats = parts.groupBy("upload_id").agg(
+        F.count(F.lit(1)).alias("part_count"),
+        F.sum("part_size").alias("reclaimable_bytes"),
+    )
+    return (
+        uploads.filter(F.col(created_col) < F.to_date(F.lit(expire_before)))
+        .join(part_stats, "upload_id", "left")
+        .select(
+            "key",
+            "upload_id",
+            F.col(created_col).alias("created"),
+            F.coalesce(F.col("part_count"), F.lit(0)).alias("part_count"),
+            F.coalesce(F.col("reclaimable_bytes"), F.lit(0)).alias(
+                "reclaimable_bytes"
+            ),
+        )
+        .orderBy("key", "upload_id")
+    )
+
+
+def abort_expired_uploads(
+    uploads: DataFrame,
+    parts: DataFrame,
+    expire_before: str,
+    created_col: str = "created",
+) -> DataFrame:
+    """Abort-as-transform for every expired upload, summarized per
+    top-level directory: the multipartInfo rows are dropped (anti-join
+    — S3MultipartUploadAbortRequest.java:171-181 removes the cache
+    row) and their part bytes released (semi-join against the part
+    plane, the :157-170 byte subtraction), with per-dir accounting:
+
+        (dir, remaining_uploads, aborted_uploads, released_bytes)
+
+    The transform is the anti/semi-join pair; the rollup is one
+    combinable groupBy per side over the (small) MPU planes.
+    """
+    dir_col = F.substring_index(F.col("key"), "/", 1).alias("dir")
+    expired = uploads.filter(
+        F.col(created_col) < F.to_date(F.lit(expire_before))
+    ).select("key", "upload_id")
+    expired_ids = expired.select("upload_id")
+    remaining = uploads.join(expired_ids, "upload_id", "left_anti")
+    rem = remaining.select(dir_col).groupBy("dir").agg(
+        F.count(F.lit(1)).alias("remaining_uploads")
+    )
+    ab = expired.select(dir_col, "upload_id")
+    aborted = ab.groupBy("dir").agg(F.count(F.lit(1)).alias("aborted_uploads"))
+    released = (
+        parts.join(ab, "upload_id")
+        .groupBy("dir")
+        .agg(F.sum("part_size").alias("released_bytes"))
+    )
+    return (
+        rem.join(aborted, "dir", "full")
+        .join(released, "dir", "full")
+        .select(
+            "dir",
+            F.coalesce(F.col("remaining_uploads"), F.lit(0)).alias(
+                "remaining_uploads"
+            ),
+            F.coalesce(F.col("aborted_uploads"), F.lit(0)).alias("aborted_uploads"),
+            F.coalesce(F.col("released_bytes"), F.lit(0)).alias("released_bytes"),
+        )
+        .orderBy("dir")
+    )

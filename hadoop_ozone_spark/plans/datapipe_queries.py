@@ -1187,3 +1187,46 @@ ORDER BY p.source
 
 QUERIES["dp_budget_sample"] = dp_budget_sample
 ORACLES["dp_budget_sample"] = DP_BUDGET_SQL
+
+
+# --- SemDeDup-style semantic dedup ----------------------------------------
+
+def dp_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster semantic dedup (SemDeDup): IVF centroid
+    assignment, pairwise cosine WITHIN clusters only, min-id keeper —
+    datapipe/similarity.py semantic_dedup_pairs. Runs on the corpus
+    with injected scaled copies (cosine exactly 1.0) so the detector
+    has verifiable positives."""
+    return similarity.semantic_dedup_pairs(
+        model.embedding_corpus(spark, sf_dir), n_lists=16, threshold=0.9
+    )
+
+
+DP_SEMANTIC_DEDUP_SQL = model.with_ctes(
+    model.EMBEDDING_CORPUS_CTE,
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embedding_corpus)""",
+    """c AS (SELECT vec_id AS list_id, ve AS cv FROM v WHERE vec_id < 16)""",
+    f"""assign AS (
+  SELECT vec_id, ve, list_id FROM (
+    SELECT v.vec_id, v.ve, c.list_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_COS.format(a='v.ve', b='c.cv')} DESC, c.list_id ASC) AS rn
+    FROM v, c
+  ) WHERE rn = 1
+)""",
+    f"""hits AS (
+  SELECT a.list_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_COS.format(a='a.ve', b='b.ve')} AS cosine_sim
+  FROM assign a JOIN assign b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE {_COS.format(a='a.ve', b='b.ve')} >= 0.9
+)""",
+    body="""SELECT list_id, vec_b AS vec_id, vec_a AS dup_of, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_b ORDER BY vec_a) AS rn
+  FROM hits
+) WHERE rn = 1 ORDER BY vec_id""",
+)
+
+QUERIES["dp_semantic_dedup"] = dp_semantic_dedup
+ORACLES["dp_semantic_dedup"] = DP_SEMANTIC_DEDUP_SQL

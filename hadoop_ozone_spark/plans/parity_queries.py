@@ -417,3 +417,144 @@ ORACLES = {
     "p1_pipelines": P1_PIPELINES_SQL,
     "m5_etag_check": M5_ETAG_SQL,
 }
+
+
+# --- M4/M7: expired-MPU backlog + abort transform --------------------------
+#
+# The in-flight MPU planes extend the w4 _uploads shim with the source
+# key's creation date and a per-upload part list (n_parts cycles 1..4
+# with the container id; part f's size = data_size + f) so the expiry
+# backlog and the abort byte-release have deterministic, oracle-
+# replayable work (S3MultipartUploadAbortRequest.java:157-181).
+
+_MPU_EXPIRE_BEFORE = "1995-06-17"
+
+
+def _mpu_uploads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = model.om_keys(spark, sf_dir).filter(
+        (F.col("volume") == "vol_n")
+        & (F.col("bucket") == "bkt_o")
+        & (F.col("container_id") % 9 == 3)
+    )
+    return keys.select(
+        "key",
+        "row_key",
+        "data_size",
+        "container_id",
+        F.col("creation_time").alias("created"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("n"),
+    ).select(
+        "key",
+        F.substring(
+            F.md5(F.concat(F.col("row_key"), F.lit("#"), F.col("n").cast("string"))),
+            1,
+            16,
+        ).alias("upload_id"),
+        "created",
+        "data_size",
+        "container_id",
+    )
+
+
+def _mpu_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _mpu_uploads(spark, sf_dir)
+    return u.select(
+        "upload_id",
+        "data_size",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("container_id") % 4 + 1).cast("int"))
+        ).alias("part_number"),
+    ).select(
+        "upload_id",
+        "part_number",
+        (F.col("data_size") + F.col("part_number")).alias("part_size"),
+    )
+
+
+_MPU_UPLOADS_CTE = """
+mpu_uploads AS (
+  SELECT key,
+         substring(md5(concat(row_key, '#', CAST(n AS VARCHAR))), 1, 16) AS upload_id,
+         creation_time AS created, data_size, container_id
+  FROM om_keys, generate_series(1, 2) s(n)
+  WHERE volume = 'vol_n' AND bucket = 'bkt_o' AND container_id % 9 = 3
+)"""
+
+_MPU_PARTS_CTE = """
+mpu_parts AS (
+  SELECT upload_id,
+         unnest(generate_series(1, CAST(container_id % 4 + 1 AS INTEGER))) AS part_number,
+         data_size
+  FROM mpu_uploads
+)"""
+
+
+def m4_mpu_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stale-MPU backlog: uploads created before the TTL cut with their
+    reclaimable part bytes (operators/s3.py stale_multipart_uploads)."""
+    return s3.stale_multipart_uploads(
+        _mpu_uploads(spark, sf_dir),
+        _mpu_parts(spark, sf_dir),
+        expire_before=_MPU_EXPIRE_BEFORE,
+    )
+
+
+M4_MPU_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    _MPU_UPLOADS_CTE,
+    _MPU_PARTS_CTE,
+    body=f"""SELECT u.key, u.upload_id, u.created,
+  count(p.part_number) AS part_count,
+  CAST(COALESCE(SUM(p.data_size + p.part_number), 0) AS BIGINT) AS reclaimable_bytes
+FROM mpu_uploads u
+LEFT JOIN mpu_parts p USING (upload_id)
+WHERE u.created < DATE '{_MPU_EXPIRE_BEFORE}'
+GROUP BY u.key, u.upload_id, u.created
+ORDER BY u.key, u.upload_id""",
+)
+
+
+def m7_mpu_abort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abort transform over the expired set: drop multipartInfo rows,
+    release part bytes, per-dir accounting (operators/s3.py
+    abort_expired_uploads)."""
+    return s3.abort_expired_uploads(
+        _mpu_uploads(spark, sf_dir),
+        _mpu_parts(spark, sf_dir),
+        expire_before=_MPU_EXPIRE_BEFORE,
+    )
+
+
+M7_MPU_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    _MPU_UPLOADS_CTE,
+    _MPU_PARTS_CTE,
+    f"""expired AS (
+  SELECT split_part(key, '/', 1) AS dir, upload_id
+  FROM mpu_uploads WHERE created < DATE '{_MPU_EXPIRE_BEFORE}'
+)""",
+    f"""rem AS (
+  SELECT split_part(key, '/', 1) AS dir, count(*) AS remaining_uploads
+  FROM mpu_uploads WHERE created >= DATE '{_MPU_EXPIRE_BEFORE}'
+  GROUP BY 1
+)""",
+    """ab AS (SELECT dir, count(*) AS aborted_uploads FROM expired GROUP BY dir)""",
+    """rel AS (
+  SELECT e.dir, CAST(SUM(p.data_size + p.part_number) AS BIGINT) AS released_bytes
+  FROM mpu_parts p JOIN expired e USING (upload_id)
+  GROUP BY e.dir
+)""",
+    body="""SELECT COALESCE(rem.dir, ab.dir, rel.dir) AS dir,
+  COALESCE(remaining_uploads, 0) AS remaining_uploads,
+  COALESCE(aborted_uploads, 0) AS aborted_uploads,
+  COALESCE(released_bytes, 0) AS released_bytes
+FROM rem
+FULL JOIN ab ON rem.dir = ab.dir
+FULL JOIN rel ON COALESCE(rem.dir, ab.dir) = rel.dir
+ORDER BY dir""",
+)
+
+QUERIES["m4_mpu_expiry"] = m4_mpu_expiry
+QUERIES["m7_mpu_abort"] = m7_mpu_abort
+ORACLES["m4_mpu_expiry"] = M4_MPU_SQL
+ORACLES["m7_mpu_abort"] = M7_MPU_SQL
