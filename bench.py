@@ -75,6 +75,11 @@ HEADLINE = [
     "t1_trash_status",
     "sm1_safemode_status",
     "h1_access_heatmap",
+    # round 5 additions
+    "rm1_replication_actions",
+    "n2_datanode_usage",
+    "dp_semantic_dedup",
+    "m4_mpu_expiry",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state
@@ -144,6 +149,24 @@ def main() -> None:
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 3)
+    # Artifact robustness (VERDICT r4 #8): the driver's stdout capture
+    # is tail-bounded, so stdout carries ONLY one compact JSON line
+    # (progress already went to stderr). The per-query cold/spread
+    # detail lands in bench_details.json next to the repo root.
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "warmup_sec": warmup,
+        "snapshot_read_path": use_snapshot,
+        "cold_sec": colds,
+        "spread_pct": spreads,
+        "sf": sf,
+    }
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "bench_details.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
     print(
         json.dumps(
             {
@@ -152,9 +175,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "warmup_sec": warmup,
-                "snapshot_read_path": use_snapshot,
-                "cold_sec": colds,
-                "spread_pct": spreads,
                 "sf": sf,
             }
         )

@@ -72,26 +72,47 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return {lang: _stopword_hits(toks, sw) for lang, sw in LANG_STOPWORDS.items()}
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-vote language ID; deterministic argmax (tie → priority
-    order en > de > es > fr > unknown)."""
-    scores = lang_scores(F.col(text_col))
-    en, de, es, fr = scores["en"], scores["de"], scores["es"], scores["fr"]
-    pred = (
+def _lang_pred() -> "Column":
+    """Deterministic argmax over staged score COLUMNS (tie → priority
+    en > de > es > fr > unknown). Operating on attribute references —
+    not the score expression trees — matters twice: the when-chain
+    references each score ~3×, so inlining the trees would (a) blow the
+    logical plan up ~10× (measured ~0.8 s of pure Catalyst planning per
+    invocation on the composed curation query) and (b) re-evaluate each
+    tokenize+filter per reference at runtime. A staged projection is
+    kept by CollapseProject exactly because the refs repeat."""
+    en, de, es, fr = (
+        F.col("score_en"), F.col("score_de"), F.col("score_es"), F.col("score_fr")
+    )
+    return (
         F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), F.lit("en"))
         .when((de >= es) & (de >= fr) & (de > 0), F.lit("de"))
         .when((es >= fr) & (es > 0), F.lit("es"))
         .when(fr > 0, F.lit("fr"))
         .otherwise(F.lit("unknown"))
     )
-    return docs.select(
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID; deterministic argmax (tie → priority
+    order en > de > es > fr > unknown)."""
+    scores = lang_scores(F.col(text_col))
+    staged = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        pred.alias("predicted_lang"),
-        en.alias("score_en"),
-        de.alias("score_de"),
-        es.alias("score_es"),
-        fr.alias("score_fr"),
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["es"].alias("score_es"),
+        scores["fr"].alias("score_fr"),
+    )
+    return staged.select(
+        "doc_id",
+        "labeled_lang",
+        _lang_pred().alias("predicted_lang"),
+        "score_en",
+        "score_de",
+        "score_es",
+        "score_fr",
     )
 
 
@@ -118,20 +139,26 @@ def curation_pipeline(
     n_tok = F.size(toks)
     mean_len = F.length(F.regexp_replace(t, "\\s", "")).cast("double") / n_tok
     scores = lang_scores(t)
-    en, de, es, fr = scores["en"], scores["de"], scores["es"], scores["fr"]
-    pred = (
-        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), F.lit("en"))
-        .when((de >= es) & (de >= fr) & (de > 0), F.lit("de"))
-        .when((es >= fr) & (es > 0), F.lit("es"))
-        .when(fr > 0, F.lit("fr"))
-        .otherwise(F.lit("unknown"))
-    )
-    staged = docs.select(
+    # two-stage projection: each score/token tree appears ONCE (see
+    # _lang_pred — the argmax references each score ~3×; staging keeps
+    # both Catalyst planning time and per-row work linear in the
+    # feature count). Both selects still fuse into one codegen stage.
+    feats = docs.select(
         "doc_id",
         F.md5(t).alias("content_hash"),
         n_tok.alias("n_tokens"),
         mean_len.alias("mean_token_len"),
-        pred.alias("predicted_lang"),
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["es"].alias("score_es"),
+        scores["fr"].alias("score_fr"),
+    )
+    staged = feats.select(
+        "doc_id",
+        "content_hash",
+        "n_tokens",
+        "mean_token_len",
+        _lang_pred().alias("predicted_lang"),
     ).filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("mean_token_len") <= max_mean_token_len)
@@ -333,7 +360,10 @@ def chunk_dedup(
     The trailing partial window (< chunk_tokens tokens) is excluded on
     both engines.
     """
-    toks = tokens(F.col(text_col))
+    # NULL text must mean zero chunks: F.size returns -1 on NULL input
+    # (which would emit n_chunks = -1) while the oracle's len() yields
+    # NULL — coalesce to '' so both engines agree on 0
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     base = docs.select(
         "doc_id",
         toks.alias("t"),
@@ -416,14 +446,20 @@ def unigram_freq_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.sum("cnt").alias("sum_cnt"),
         )
     )
+    # DECIMAL(38,0) products: at web-corpus scale 1e6·sum_cnt (or
+    # n_tokens·n_total) can pass 2^63, where BIGINT arithmetic silently
+    # wraps on Spark but raises on DuckDB — the decimal lane keeps the
+    # law exact to ~1e38 on both engines; `div` on decimals returns
+    # BIGINT directly
     return (
         per_doc.crossJoin(F.broadcast(total))
         .select(
             "doc_id",
             "n_tokens",
-            F.expr("(1000000 * sum_cnt) div (n_tokens * n_total)").alias(
-                "mean_token_freq_ppm"
-            ),
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * sum_cnt)"
+                " div (CAST(n_tokens AS DECIMAL(38,0)) * n_total)"
+            ).alias("mean_token_freq_ppm"),
         )
         .orderBy("doc_id")
     )

@@ -309,6 +309,10 @@ def container_replicas_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucketed_or("container_replicas_bucketed", container_replicas, spark, sf_dir)
 
 
+def deleted_block_txns_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bucketed_or("deleted_block_txns_bucketed", deleted_block_txns, spark, sf_dir)
+
+
 def replica_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memoized(
         "replica_observations", spark, sf_dir,

@@ -64,14 +64,22 @@ def materialize_paths(dirs: DataFrame, max_depth: int = 64) -> DataFrame:
 
 def resolve_files(files: DataFrame, dir_paths: DataFrame) -> DataFrame:
     """fileTable rows (parent_object_id, name, ...) → full paths via one
-    equi-join against the materialized dir paths."""
+    equi-join against the materialized dir paths.
+
+    Deliberately un-hinted: the dir-path frame grows with the namespace
+    (unlike the one-level frontier in materialize_paths), so the
+    planner/AQE must stay free to pick a shuffle join once it outgrows
+    the broadcast threshold — same discipline as the unigram vocab join
+    (datapipe/text.py). At scale, co-partitioning both planes on
+    parent_object_id in the snapshot layout removes the Exchange
+    entirely; on moderate namespaces AQE still chooses broadcast on its
+    own.
+    """
     return (
         files.join(
-            F.broadcast(
-                dir_paths.select(
-                    F.col("object_id").alias("parent_object_id"),
-                    F.col("path").alias("dir_path"),
-                )
+            dir_paths.select(
+                F.col("object_id").alias("parent_object_id"),
+                F.col("path").alias("dir_path"),
             ),
             "parent_object_id",
         )
@@ -128,6 +136,8 @@ def rename_dir(
     new_parent_object_id: int,
     new_name: str,
     validate: bool = True,
+    files: DataFrame | None = None,
+    max_depth: int = 64,
 ) -> DataFrame:
     """FSO directory rename: the layout's headline property — moving a
     whole subtree is ONE dirTable row update (parent pointer + name
@@ -138,29 +148,51 @@ def rename_dir(
     ``materialize_paths`` read — no per-key writes.
 
     ``validate`` enforces the OM's request checks (the reference
-    rejects both at request time): the destination parent must not lie
-    inside the moved subtree (a cycle would silently orphan the whole
-    subtree from path materialization), and ``(parent, name)`` must
-    stay unique. Validation materializes paths of the DIM-sized dir
-    plane — cheap relative to the rename's purpose.
+    rejects both at request time):
+
+    - the destination parent must not lie inside the moved subtree (a
+      cycle would silently orphan the whole subtree from path
+      materialization). The check is an O(depth) ANCESTOR WALK of
+      ``new_parent_object_id`` — ≤ max_depth parent-pointer point
+      lookups, each a pushed predicate on the dir plane — never a
+      driver-side materialization of the whole tree: at scale the dir
+      plane holds tens of millions of rows, and the cycle test only
+      ever needs one root-ward chain of it.
+    - ``(parent, name)`` must stay unique across the SHARED
+      dir+file keyspace (FSO keys both tables by ``parentId/name`` —
+      OMDBDefinition.java:147-172): pass ``files`` to also probe the
+      file plane, exactly as OMKeyRenameRequestWithFSO's key-exists
+      check does.
 
     Relationally: a single-row conditional projection over the dir
-    plane (map-only, no shuffle).
+    plane (map-only, no shuffle); validation adds O(depth) point
+    lookups + two point counts.
     """
     if validate and new_parent_object_id != ROOT_PARENT:
-        paths = {
-            r["object_id"]: r["path"]
-            for r in materialize_paths(dirs).collect()
-        }
-        if new_parent_object_id not in paths:
-            raise ValueError(f"rename_dir: unknown parent {new_parent_object_id}")
-        moved_path = paths.get(object_id)
-        parent_path = paths[new_parent_object_id]
-        if moved_path is not None and (
-            parent_path == moved_path or parent_path.startswith(moved_path + "/")
-        ):
+        cur = new_parent_object_id
+        for _ in range(max_depth):
+            if cur == object_id:
+                raise ValueError(
+                    "rename_dir: destination parent is inside the moved subtree"
+                )
+            row = (
+                dirs.filter(F.col("object_id") == cur)
+                .select("parent_object_id")
+                .first()
+            )
+            if row is None:
+                if cur == new_parent_object_id:
+                    raise ValueError(
+                        f"rename_dir: unknown parent {new_parent_object_id}"
+                    )
+                break  # chain left the dir plane (corrupt edge) — no cycle
+            cur = row["parent_object_id"]
+            if cur == ROOT_PARENT:
+                break
+        else:
             raise ValueError(
-                "rename_dir: destination parent is inside the moved subtree"
+                f"rename_dir: parent chain exceeds max depth {max_depth} "
+                "(cyclic directory table?)"
             )
     if validate:
         clash = dirs.filter(
@@ -168,6 +200,11 @@ def rename_dir(
             & (F.col("name") == new_name)
             & (F.col("object_id") != object_id)
         ).count()
+        if not clash and files is not None:
+            clash = files.filter(
+                (F.col("parent_object_id") == new_parent_object_id)
+                & (F.col("name") == new_name)
+            ).count()
         if clash:
             raise ValueError(
                 f"rename_dir: child named {new_name!r} already exists under "

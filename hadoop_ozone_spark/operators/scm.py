@@ -268,8 +268,11 @@ def pending_deletion_by_datanode(
 
     The reference drains in txid order up to a per-round block limit;
     this is the steady-state backlog view (no cursor), which is what a
-    capacity dashboard needs. One shuffle: the join+groupBy on
-    container_id/datanode_id (co-located under the bucketed layout).
+    capacity dashboard needs. Under the deployment layout all three
+    planes (txns, replicas, containers — deleted_block_txns_bucketed in
+    sources/deployment.BUCKETED) are bucketed on container_id, so the
+    txn⋈container filter and the txn⋈replica fan-out co-locate; the
+    only Exchange left is the final datanode_id groupBy.
     """
     eligible = txns.filter(
         (F.col("retry_count") >= 0) & (F.col("retry_count") <= max_retry)

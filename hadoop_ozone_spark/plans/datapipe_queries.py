@@ -952,7 +952,7 @@ def dp_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 DP_CHUNK_DEDUP_SQL = model.with_ctes(
     model.DEDUP_CORPUS_CTE,
     r"""toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS t
   FROM dedup_corpus
 )""",
     """base AS (
@@ -1002,7 +1002,7 @@ WITH toks AS (
   FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id
 )
 SELECT doc_id, n_tokens,
-  CAST((1000000 * sum_cnt) // (n_tokens * n_total) AS BIGINT) AS mean_token_freq_ppm
+  CAST((CAST(1000000 AS HUGEINT) * sum_cnt) // (CAST(n_tokens AS HUGEINT) * n_total) AS BIGINT) AS mean_token_freq_ppm
 FROM perdoc CROSS JOIN total ORDER BY doc_id
 """
 
@@ -1127,7 +1127,7 @@ perdoc AS (
 ),
 scores AS (
   SELECT doc_id,
-    CAST((1000000 * sum_cnt) // (n_tokens * n_total) AS BIGINT) AS mean_token_freq_ppm
+    CAST((CAST(1000000 AS HUGEINT) * sum_cnt) // (CAST(n_tokens AS HUGEINT) * n_total) AS BIGINT) AS mean_token_freq_ppm
   FROM perdoc CROSS JOIN total
 )
 SELECT g.doc_id, g.group_id, s.mean_token_freq_ppm,

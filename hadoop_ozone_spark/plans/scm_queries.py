@@ -146,7 +146,7 @@ ORDER BY d.datanode_id""",
 
 def d2_pending_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scm.pending_deletion_by_datanode(
-        model.deleted_block_txns(spark, sf_dir),
+        model.deleted_block_txns_bucketed(spark, sf_dir),
         model.container_replicas_bucketed(spark, sf_dir),
         model.containers_bucketed(spark, sf_dir),
     )

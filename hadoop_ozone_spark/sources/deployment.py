@@ -44,8 +44,9 @@ BUCKETS = 32
 # Bump when any plane's schema/derivation changes: the marker embeds it,
 # so a snapshot written by an older layout reads as not-built and is
 # rebuilt instead of serving stale columns (e.g. datanodes.op_state and
-# audit_log resource paths, both added in round 4).
-LAYOUT_VERSION = 4
+# audit_log resource paths, both added in round 4; rm_replicas and the
+# bucketed deleted_block_txns plane, round 5).
+LAYOUT_VERSION = 5
 
 # plane name → model builder attribute; every derived table the query
 # layer can route to the snapshot
@@ -54,6 +55,7 @@ PLANES = (
     "om_events",
     "containers",
     "container_replicas",
+    "rm_replicas",
     "replica_observations",
     "deleted_block_txns",
     "datanodes",
@@ -70,6 +72,9 @@ BUCKETED = {
     "om_keys_by_container": "om_keys",
     "containers_bucketed": "containers",
     "container_replicas_bucketed": "container_replicas",
+    # the deleted-block log joins replicas/containers on container_id
+    # in every d2 scan — same bucketing co-locates that join too
+    "deleted_block_txns_bucketed": "deleted_block_txns",
 }
 
 

@@ -191,3 +191,55 @@ def test_fso_rename_rejects_cycles_and_name_clash(spark):
     # a legal move still works (and validate=False skips the checks)
     assert fso.rename_dir(dirs, 3, 1, "d").count() == 3
     assert fso.rename_dir(dirs, 1, 2, "x", validate=False).count() == 3
+
+
+def test_fso_rename_clash_includes_file_plane(spark):
+    import pytest as _pytest
+    from hadoop_ozone_spark.operators import fso
+
+    dirs = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "b")],
+        "object_id long, parent_object_id long, name string",
+    )
+    files = spark.createDataFrame(
+        [(9, 1, "taken", 5)],
+        "object_id long, parent_object_id long, name string, data_size long",
+    )
+    # FSO files share the parentId/name keyspace with dirs
+    # (OMDBDefinition.java:147-172) — a rename landing on an existing
+    # FILE name must be rejected like a dir clash
+    with _pytest.raises(ValueError, match="already exists"):
+        fso.rename_dir(dirs, 2, 1, "taken", files=files)
+    # same name under a different parent is fine
+    assert fso.rename_dir(dirs, 2, 0, "taken", files=files).count() == 2
+
+
+def test_fso_rename_cycle_check_is_distributed(spark):
+    """The ancestor walk must reject cycles WITHOUT collecting the dir
+    plane: validate against a wide namespace (100k sibling dirs) where
+    a full-plane collect would be the old driver-memory bottleneck —
+    only the O(depth) chain of the destination parent is touched."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from hadoop_ozone_spark.operators import fso
+
+    # a 30-deep chain (ids 1..30, parent = id-1) under 100k siblings
+    chain = spark.range(1, 31).select(
+        F.col("id").alias("object_id"),
+        (F.col("id") - 1).alias("parent_object_id"),
+        F.concat(F.lit("c"), F.col("id")).alias("name"),
+    )
+    wide = spark.range(1000, 101000).select(
+        F.col("id").alias("object_id"),
+        F.lit(0).alias("parent_object_id"),
+        F.concat(F.lit("w"), F.col("id")).alias("name"),
+    )
+    dirs = chain.unionByName(wide)
+    # moving the chain head under its own deep descendant is a cycle
+    with _pytest.raises(ValueError, match="inside the moved subtree"):
+        fso.rename_dir(dirs, object_id=5, new_parent_object_id=30, new_name="x")
+    # moving a leaf of the chain under root is legal
+    assert fso.rename_dir(dirs, 30, 0, "legal").count() == dirs.count()
+    # unknown destination parent is rejected
+    with _pytest.raises(ValueError, match="unknown parent"):
+        fso.rename_dir(dirs, 30, 999999, "x")
