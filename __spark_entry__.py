@@ -706,79 +706,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Registration order. The driver's correctness artifact covers the FIRST
-# 50 entries of queries() each round. Round 1's window covered the 31
-# inline queries + 18 datapipe + j3; round 2 the 50-query complement;
-# round 3 front-loaded the 11 never-checked queries, the three
-# semantics changes, and the round-3 additions, back-filled with
-# round-1 re-checks — so by round 3 every registered query had a green
-# driver row (union of CORRECTNESS_r01/r02/r03.json). Round 4 rotates
-# for evidence freshness (VERDICT r3 #8): first the four queries NEW
-# this round (replica history, datanode/pipeline listings, M5 ETag),
-# then the two whose semantics changed (the video PPM-stream codec —
-# frame_sample now decodes real frame pixels, extract_features counts
-# frames by parsing) plus q15 whose PLAN changed (global window →
-# broadcast max join), then re-checks ordered oldest-evidence-first:
-# the 11 round-1-only rows (three rounds stale — never re-checked in
-# r2/r3), then 10 round-2 rows. The 38 r2 TPC-H/parity queries that
-# don't fit rotate first in round 5 (their evidence is the oldest
-# remaining) — tracked in tests/test_entry_contract.py.
+# 50 entries of queries() each round. Rounds 1-3 together covered every
+# then-registered query; round 4 front-loaded its 26 new + 3 changed
+# queries and re-checked the oldest (r1-only + 10 r2) rows. Round 5
+# (VERDICT r4 #2): first the 6 queries NEW this round (ReplicationManager
+# action planner + placement probe, datanode usageinfo, MPU expiry/abort,
+# semantic dedup), then the 6 whose law or plan changed this round
+# (curation/lang_id staged-projection restructure, unigram decimal
+# widening, chunk_dedup null guard, d2 bucketed-txn read path, j3
+# un-hinted resolve join), then ALL 38 rows whose last driver evidence
+# is round 2 — after this window no query's evidence is older than two
+# rounds. Tracked in tests/test_entry_contract.py.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
-    # new in round 4 — first driver check
-    "j1_replica_history",
-    "n1_datanodes",
-    "p1_pipelines",
-    "m5_etag_check",
-    "j2_missing_containers",
-    "b1_balancer_utilization",
-    "d1_decommission_status",
-    "d2_pending_deletion",
-    "d2_failed_txns",
-    "dp_chunk_dedup",
-    "dp_unigram_quality",
-    "dp_train_order",
-    "t1_trash_status",
-    "sm1_safemode_status",
-    "c1_list_containers",
-    "p2_pipeline_rack_spread",
-    "h1_access_heatmap",
-    "j3_fso_list_status",
-    "dp_split_assign",
-    "x12_sorted_locations",
-    "m2_fso_rename_dir",
-    "dp_dedup_keep_best",
-    "a3_fso_namespace_du",
-    "m6_copy_part",
-    "dp_budget_sample",
-    "x13_get_file_status",
-    # semantics/plan change in round 4 — re-verify under the new law
-    "dp_media_features",
-    "dp_media_frame_sample",
-    "q15_top_supplier",
-    # round-1-only evidence (three rounds stale)
-    "dp_token_stats",
-    "dp_lang_id",
-    "dp_fingerprint",
+    # new in round 5 — first driver check
+    "rm1_replication_actions",
+    "rm2_placement_targets",
+    "n2_datanode_usage",
+    "m4_mpu_expiry",
+    "m7_mpu_abort",
+    "dp_semantic_dedup",
+    # law/plan changed in round 5 — re-verify under the new shape
     "dp_curation_pipeline",
-    "dp_ngram_jaccard",
-    "dp_vocabulary",
-    "dp_ann_bucket_histogram",
-    "dp_ann_bucketed_topk",
-    "dp_ann_multiprobe_topk",
-    "dp_ann_ivf_topk",
-    "dp_media_resize_plan",
-    # round-2 evidence (two rounds stale)
-    "dp_minhash_pairs",
-    "dp_simhash_pairs",
-    "w6_latest_version",
-    "w4_list_parts",
-    "w5_topk_containers",
-    "f5_slim_projection",
-    "a9_distinct_dirs",
-    "m1_open_key_commit",
-    "s7_audit_roundtrip",
-    "s8_freon_generator",
+    "dp_lang_id",
+    "dp_unigram_quality",
+    "dp_chunk_dedup",
+    "d2_pending_deletion",
+    "j3_fso_path_resolution",
+    # round-2 evidence (three rounds stale — the full set)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_selective_agg",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_surplus_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "s5_snapshot_tail_merge",
+    "s6_debug_scan",
+    "w1_list_buckets",
+    "w1_list_volumes_by_user",
+    "w4_list_uploads",
+    "a3_namespace_histogram",
+    "a5_quota_enforcement",
+    "a7_datanode_growth",
+    "m4_gc_batch",
+    "m6_copy_object",
+    "so3_multi_delete",
+    "x_path_functions",
+    "x6_range_read",
+    "x9_time_format",
+    "x10_storage_units",
+    "acl_longest_prefix",
+    "dp_embedding_neardup",
+    "ev_sessionization",
+    "ev_asof_join",
+    "ev_range_join_binned",
 ]
 
 

@@ -1,9 +1,9 @@
 """Driver-contract invariants: the correctness window (first 50
 queries() entries) must stay complete — every entry oracle-backed, no
-duplicates, and the union of the frozen round-1/2/3 windows
-(CORRECTNESS_r01/r02/r03.json) plus the current window must cover
-every registered query, so every query has at least one
-driver-visible row — with no green row older than two rounds."""
+duplicates, and the union of the frozen round-1/2/3/4 windows
+(CORRECTNESS_r01..r04.json) plus the current window must cover every
+registered query — with no green row older than two rounds after the
+round-5 rotation lands."""
 
 from __future__ import annotations
 
@@ -76,17 +76,39 @@ R3_WINDOW = [
     "dp_dedup_groups", "dp_ann_brute_topk",
 ]
 
-# new or semantics/plan-changed in round 4 — must lead the round-4 window
-R4_FRONTLOAD = {
-    "j1_replica_history", "j2_missing_containers", "n1_datanodes",
-    "p1_pipelines", "m5_etag_check", "b1_balancer_utilization",
+# the 50 keys the driver hash-checked in round 4 (CORRECTNESS_r04.json)
+R4_WINDOW = [
+    "j1_replica_history", "n1_datanodes", "p1_pipelines",
+    "m5_etag_check", "j2_missing_containers", "b1_balancer_utilization",
     "d1_decommission_status", "d2_pending_deletion", "d2_failed_txns",
     "dp_chunk_dedup", "dp_unigram_quality", "dp_train_order",
     "t1_trash_status", "sm1_safemode_status", "c1_list_containers",
     "p2_pipeline_rack_spread", "h1_access_heatmap", "j3_fso_list_status",
-    "dp_split_assign", "x12_sorted_locations", "m2_fso_rename_dir", "dp_dedup_keep_best", "a3_fso_namespace_du", "m6_copy_part", "dp_budget_sample", "x13_get_file_status",
-    "dp_media_features", "dp_media_frame_sample", "q15_top_supplier",
-}
+    "dp_split_assign", "x12_sorted_locations", "m2_fso_rename_dir",
+    "dp_dedup_keep_best", "a3_fso_namespace_du", "m6_copy_part",
+    "dp_budget_sample", "x13_get_file_status", "dp_media_features",
+    "dp_media_frame_sample", "q15_top_supplier", "dp_token_stats",
+    "dp_lang_id", "dp_fingerprint", "dp_curation_pipeline",
+    "dp_ngram_jaccard", "dp_vocabulary", "dp_ann_bucket_histogram",
+    "dp_ann_bucketed_topk", "dp_ann_multiprobe_topk", "dp_ann_ivf_topk",
+    "dp_media_resize_plan", "dp_minhash_pairs", "dp_simhash_pairs",
+    "w6_latest_version", "w4_list_parts", "w5_topk_containers",
+    "f5_slim_projection", "a9_distinct_dirs", "m1_open_key_commit",
+    "s7_audit_roundtrip", "s8_freon_generator",
+]
+
+# new in round 5 (first-ever driver check) — must lead the window
+R5_NEW = [
+    "rm1_replication_actions", "rm2_placement_targets",
+    "n2_datanode_usage", "m4_mpu_expiry", "m7_mpu_abort",
+    "dp_semantic_dedup",
+]
+
+# law/plan changed in round 5 — re-verified right after the new rows
+R5_CHANGED = [
+    "dp_curation_pipeline", "dp_lang_id", "dp_unigram_quality",
+    "dp_chunk_dedup", "d2_pending_deletion", "j3_fso_path_resolution",
+]
 
 
 def test_window_is_first_50_and_oracle_backed():
@@ -102,33 +124,33 @@ def test_every_query_has_an_oracle():
     assert set(q) == set(o)  # no rows-only checks remain
 
 
-def test_round4_window_frontloads_new_and_changed_queries():
-    assert set(entry.DRIVER_WINDOW[:29]) == R4_FRONTLOAD
+def test_round5_window_frontloads_new_and_changed_queries():
+    assert entry.DRIVER_WINDOW[:6] == R5_NEW
+    assert set(entry.DRIVER_WINDOW[6:12]) == set(R5_CHANGED)
+
+
+def test_round5_window_rotates_every_r2_stale_row():
+    # VERDICT r4 #2: after round 5, no query's driver evidence may be
+    # older than two rounds — the window must contain EVERY query whose
+    # last green row was round 2
+    last_checked = {}
+    for rnd, window in (
+        (1, R1_WINDOW), (2, R2_WINDOW), (3, R3_WINDOW), (4, R4_WINDOW)
+    ):
+        for name in window:
+            last_checked[name] = rnd
+    r2_stale = {
+        n for n in entry.queries() if last_checked.get(n, 0) == 2
+    }
+    assert r2_stale <= set(entry.DRIVER_WINDOW), sorted(
+        r2_stale - set(entry.DRIVER_WINDOW)
+    )
 
 
 def test_round_union_covers_every_registered_query():
     q = entry.queries()
     covered = (
-        set(R1_WINDOW) | set(R2_WINDOW) | set(R3_WINDOW)
+        set(R1_WINDOW) | set(R2_WINDOW) | set(R3_WINDOW) | set(R4_WINDOW)
         | set(entry.DRIVER_WINDOW)
     )
     assert set(q) <= covered, sorted(set(q) - covered)
-
-
-def test_rotation_is_oldest_evidence_first():
-    # staleness invariant: nothing outside the round-4 window may have
-    # OLDER evidence than something inside it (the rotation spends its
-    # 21 re-check slots on the oldest rows; the 38 r2 rows that do not
-    # fit are the freshest deferrals and rotate first in round 5)
-    last_checked = {}
-    for rnd, window in ((1, R1_WINDOW), (2, R2_WINDOW), (3, R3_WINDOW)):
-        for name in window:
-            last_checked[name] = rnd
-    in_window = set(entry.DRIVER_WINDOW)
-    oldest_in = min(last_checked.get(n, 4) for n in in_window)
-    deferred = set(entry.queries()) - in_window
-    assert deferred  # sanity: more queries than window slots
-    worst_deferred = min(last_checked.get(n, 0) for n in deferred)
-    # every deferred query has evidence at least as fresh as the oldest
-    # row the window re-checks
-    assert worst_deferred >= oldest_in

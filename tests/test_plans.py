@@ -245,3 +245,50 @@ def test_heatmap_rollup_is_one_expand_pass(spark, sf_dir):
     p = plan_of(entry.queries()["h1_access_heatmap"](spark, sf_dir))
     assert "Expand" in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_rm1_actions_broadcast_dims_no_cartesian(spark, sf_dir):
+    # the planner's only non-equi pair build is the deliberate
+    # under×candidates product over a BROADCAST node dim; replica-plane
+    # work rides hash joins — never a SortMergeJoin of two fact sides,
+    # never an unbroadcast nested-loop
+    p = plan_of(entry.queries()["rm1_replication_actions"](spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rm2_probe_is_single_container_window(spark, sf_dir):
+    # the probe prunes to ONE container before the candidate window, so
+    # the window input is |candidates|, not |under|×|candidates|
+    p = plan_of(entry.queries()["rm2_placement_targets"](spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_n2_usage_topk_is_take_ordered(spark, sf_dir):
+    p = plan_of(entry.queries()["n2_datanode_usage"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_semantic_dedup_joins_on_cluster_not_allpairs(spark, sf_dir):
+    # the pairwise stage must be an equi-join keyed on list_id (the
+    # SemDeDup bound: quadratic only within a cluster) — a cartesian/
+    # nested-loop product here would be the all-pairs scan the design
+    # forbids
+    p = plan_of(entry.queries()["dp_semantic_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "list_id" in p
+
+
+def test_resolve_files_join_is_planner_choice(spark, sf_dir):
+    # VERDICT r4 #5: resolve_files must not FORCE a broadcast of the
+    # dir-path frame — the optimized logical plan carries no join hint,
+    # leaving AQE free to shuffle when the namespace outgrows it
+    from hadoop_ozone_spark.operators import fso
+
+    dirs = model.fso_dirs(spark, sf_dir)
+    files = model.fso_files(spark, sf_dir)
+    df = fso.resolve_files(files, fso.materialize_paths(dirs))
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized and "JoinHint" not in optimized
