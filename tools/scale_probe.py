@@ -445,6 +445,58 @@ def scm_probe(n_replicas_m: float = 6.0, n_nodes: int = 1000) -> None:
     spark.stop()
 
 
+def fso_probe(n_dirs_k: float = 200.0, depth: int = 8) -> None:
+    """FSO dir-plane shapes at scale (round 5): resolve_files with the
+    un-hinted join (AQE picks the strategy as the dir plane grows) and
+    rename_dir validation, which must stay O(depth) point lookups —
+    NOT a full-plane collect — as dirs grow 10x."""
+    from hadoop_ozone_spark.operators import fso
+
+    spark = get_spark("fso-probe")
+    n_dirs = int(n_dirs_k * 1000)
+    per_level = n_dirs // depth
+    out = {"num_dirs": n_dirs, "depth": depth, "timings_sec": {}}
+    # level d holds ids [d*per_level+1, (d+1)*per_level]; each dir's
+    # parent is a deterministic dir of the previous level (level 0 →
+    # bucket root), so the tree is depth-bounded and wide like a real
+    # namespace
+    dirs = spark.range(1, n_dirs + 1).select(
+        F.col("id").alias("object_id"),
+        F.when(F.col("id") <= per_level, F.lit(0))
+        .otherwise(F.col("id") - per_level)
+        .alias("parent_object_id"),
+        F.concat(F.lit("d"), F.col("id")).alias("name"),
+    ).persist()
+    files = spark.range(1, n_dirs * 10 + 1).select(
+        (F.col("id") + 10_000_000).alias("object_id"),
+        (F.col("id") % n_dirs + 1).alias("parent_object_id"),
+        F.concat(F.lit("f"), F.col("id")).alias("name"),
+        (F.col("id") % 4096).alias("data_size"),
+    ).persist()
+    dirs.count(); files.count()
+
+    t0 = time.time()
+    paths = fso.materialize_paths(dirs)
+    n_paths = paths.count()
+    out["timings_sec"]["materialize_paths"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    n_resolved = fso.resolve_files(files, paths).count()
+    out["timings_sec"]["resolve_files"] = round(time.time() - t0, 2)
+    out["resolved_rows"] = n_resolved
+    assert n_paths == n_dirs and n_resolved == n_dirs * 10
+
+    # rename validation: deep-target move (walks the whole chain) must
+    # not scale with |dirs| — it is <= depth point lookups
+    t0 = time.time()
+    fso.rename_dir(
+        dirs, object_id=1, new_parent_object_id=n_dirs, new_name="probe-moved"
+    ).count()
+    out["timings_sec"]["rename_dir_validated"] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         if len(sys.argv) < 3:
@@ -464,6 +516,8 @@ if __name__ == "__main__":
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "--scm":
         scm_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 6.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--fso":
+        fso_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 200.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--vecs":
         if len(sys.argv) < 3:
             raise SystemExit("usage: scale_probe.py --vecs <num_vecs_thousands>")
