@@ -723,15 +723,18 @@ DRIVER_WINDOW = [
     # new in round 5 — first driver check
     "rm1_replication_actions",
     "rm2_placement_targets",
+    "rm3_close_actions",
     "n2_datanode_usage",
     "m4_mpu_expiry",
     "m7_mpu_abort",
     "dp_semantic_dedup",
     # law/plan changed in round 5 — re-verify under the new shape
+    # (dp_chunk_dedup's null-coalesce hardening is value-identical on
+    # the corpus and stays on r4 evidence; the five below changed plan
+    # or read path)
     "dp_curation_pipeline",
     "dp_lang_id",
     "dp_unigram_quality",
-    "dp_chunk_dedup",
     "d2_pending_deletion",
     "j3_fso_path_resolution",
     # round-2 evidence (three rounds stale — the full set)

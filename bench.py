@@ -77,6 +77,7 @@ HEADLINE = [
     "h1_access_heatmap",
     # round 5 additions
     "rm1_replication_actions",
+    "rm3_close_actions",
     "n2_datanode_usage",
     "dp_semantic_dedup",
     "m4_mpu_expiry",

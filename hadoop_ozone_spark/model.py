@@ -433,6 +433,108 @@ rm_replicas AS (
 
 
 # ---------------------------------------------------------------------------
+# Close-plane detail views (round 5): the ReplicationManager's
+# container/replica STATE detail — container LifeCycleState including
+# QUASI_CLOSED plus the BCSID (sequenceId), and per-replica
+# ContainerReplicaProto.State + sequenceId — the inputs of the
+# close/force-close dispatch (ReplicationManager.java:330-346 CLOSING
+# resend, :575-587 canForceClose quorum, :655-681 max-BCSID force
+# close, :929-977 unstable handling). Kept separate from the Recon
+# `containers` plane so its state vocabulary (no QUASI_CLOSED) and the
+# dependent round-1..4 oracles stay untouched. Both laws are pure
+# p/(p+s) arithmetic so the replica view needs no join and the oracle
+# replays bit-for-bit. Replica state matches its container except two
+# mismatch lanes ((p+s)%13 ∈ {0,1} → OPEN / UNHEALTHY); QUASI_CLOSED
+# replicas lag the container BCSID by (p+s)%3.
+# ---------------------------------------------------------------------------
+
+_RMC_STATE_SQL = """CASE WHEN {p} % 11 = 0 THEN 'DELETED'
+         WHEN {p} % 4 = 0 THEN 'OPEN'
+         WHEN {p} % 4 = 1 THEN 'CLOSING'
+         WHEN {p} % 4 = 2 THEN 'QUASI_CLOSED'
+         ELSE 'CLOSED' END"""
+
+
+def _rmc_state(p):
+    return (
+        F.when(p % 11 == 0, F.lit("DELETED"))
+        .when(p % 4 == 0, F.lit("OPEN"))
+        .when(p % 4 == 1, F.lit("CLOSING"))
+        .when(p % 4 == 2, F.lit("QUASI_CLOSED"))
+        .otherwise(F.lit("CLOSED"))
+    )
+
+
+def rm_container_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(
+        "rm_container_details", spark, sf_dir,
+        lambda: _build_rm_container_details(spark, sf_dir),
+    )
+
+
+def _build_rm_container_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    return p.select(
+        pk.alias("container_id"),
+        _rmc_state(pk).alias("state"),
+        F.lit(3).alias("replication_factor"),
+        (pk * 13 % 50).alias("sequence_id"),
+    )
+
+
+RM_CONTAINER_DETAILS_CTE = f"""
+rm_container_details AS (
+  SELECT p_partkey AS container_id,
+         {_RMC_STATE_SQL.format(p='p_partkey')} AS state,
+         3 AS replication_factor,
+         p_partkey * 13 % 50 AS sequence_id
+  FROM part
+)"""
+
+
+def rm_replica_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(
+        "rm_replica_details", spark, sf_dir,
+        lambda: _build_rm_replica_details(spark, sf_dir),
+    )
+
+
+def _build_rm_replica_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = rm_replicas(spark, sf_dir)
+    p, s = F.col("container_id"), F.col("datanode_id")
+    cstate = _rmc_state(p)
+    rstate = (
+        F.when((p + s) % 13 == 0, F.lit("OPEN"))
+        .when((p + s) % 13 == 1, F.lit("UNHEALTHY"))
+        .otherwise(cstate)
+    )
+    cseq = p * 13 % 50
+    seq = F.when(rstate == "QUASI_CLOSED", cseq - (p + s) % 3).otherwise(cseq)
+    return pairs.select(
+        "container_id",
+        "datanode_id",
+        rstate.alias("replica_state"),
+        seq.alias("sequence_id"),
+    )
+
+
+RM_REPLICA_DETAILS_CTE = f"""
+rm_replica_details AS (
+  SELECT container_id, datanode_id,
+         CASE WHEN (container_id + datanode_id) % 13 = 0 THEN 'OPEN'
+              WHEN (container_id + datanode_id) % 13 = 1 THEN 'UNHEALTHY'
+              ELSE {_RMC_STATE_SQL.format(p='container_id')} END AS replica_state,
+         CASE WHEN (CASE WHEN (container_id + datanode_id) % 13 = 0 THEN 'OPEN'
+                         WHEN (container_id + datanode_id) % 13 = 1 THEN 'UNHEALTHY'
+                         ELSE {_RMC_STATE_SQL.format(p='container_id')} END) = 'QUASI_CLOSED'
+              THEN container_id * 13 % 50 - (container_id + datanode_id) % 3
+              ELSE container_id * 13 % 50 END AS sequence_id
+  FROM rm_replicas
+)"""
+
+
+# ---------------------------------------------------------------------------
 # datanodes: the SCM node plane (ref NodeManager/NetworkTopology). One row
 # per registered datanode ← supplier; rack ← nation bucket (5 racks), so
 # the J2 placement check (SCMCommonPlacementPolicy.java:288-320,
@@ -735,6 +837,8 @@ def register_views(spark: SparkSession, sf_dir: str, derived: bool = True) -> li
             ("containers", containers),
             ("container_replicas", container_replicas),
             ("rm_replicas", rm_replicas),
+            ("rm_container_details", rm_container_details),
+            ("rm_replica_details", rm_replica_details),
             ("replica_observations", replica_observations),
             ("deleted_block_txns", deleted_block_txns),
             ("datanodes", datanodes),

@@ -768,3 +768,148 @@ def safe_mode_status(
         "total_count",
         (F.col("current_count") >= F.col("required_count")).alias("satisfied"),
     ).orderBy("rule")
+
+
+def close_actions(
+    container_details: DataFrame, replica_details: DataFrame
+) -> DataFrame:
+    """The ReplicationManager's CLOSE-command plane — the dispatch
+    branches that precede replication handling in processContainer:
+
+    - container CLOSING → (re)send a non-force CLOSE to every replica
+      (ReplicationManager.java:330-336; datanodes may have missed the
+      original close command).
+    - container QUASI_CLOSED with a force-close quorum — distinct
+      datanodes holding a QUASI_CLOSED replica > factor/2 (:575-587,
+      origin-dedup modeled by datanode) → FORCE_CLOSE exactly the
+      QUASI_CLOSED replicas at the highest BCSID (:655-681 max
+      sequenceId filter).
+    - otherwise, a CLOSED / QUASI_CLOSED container that is exactly
+      replicated (the under/over branches would have consumed it,
+      :400-420) but UNSTABLE — some replica state mismatches the
+      container (:929-977): OPEN/CLOSING replicas get CLOSE;
+      QUASI_CLOSED replicas matching the container BCSID get
+      FORCE_CLOSE; of the rest (UNHEALTHY or BCSID-lagging), exactly
+      ONE per container is deleted per iteration (:973-975
+      findFirst — nondeterministic stream order in the reference,
+      determinized here to the lowest datanode_id).
+
+    ``container_details``: (container_id, state incl. QUASI_CLOSED,
+    replication_factor, sequence_id); ``replica_details``:
+    (container_id, datanode_id, replica_state, sequence_id).
+
+    Output (container_id, action, datanode_id, detail). Plan: one
+    replica-plane shuffle for the per-container quorum/max rollup
+    (map-side combinable), windows per container for the delete pick;
+    the container dim rides broadcasts.
+    """
+    cd = container_details.select(
+        "container_id",
+        F.col("state").alias("c_state"),
+        "replication_factor",
+        F.col("sequence_id").alias("c_seq"),
+    )
+    rep = replica_details.join(F.broadcast(cd), "container_id")
+
+    closing = rep.filter(F.col("c_state") == "CLOSING").select(
+        "container_id",
+        F.lit("CLOSE").alias("action"),
+        F.col("datanode_id").cast("long").alias("datanode_id"),
+        F.lit("container CLOSING: resend close").alias("detail"),
+    )
+
+    qc = rep.filter(
+        (F.col("c_state") == "QUASI_CLOSED")
+        & (F.col("replica_state") == "QUASI_CLOSED")
+    )
+    quorum = qc.groupBy("container_id").agg(
+        F.countDistinct("datanode_id").alias("qc_nodes"),
+        F.max("sequence_id").alias("max_seq"),
+    )
+    force_close = (
+        qc.join(F.broadcast(quorum), "container_id")
+        .filter(
+            (F.col("qc_nodes") > F.col("replication_factor") / 2)
+            & (F.col("sequence_id") == F.col("max_seq"))
+        )
+        .select(
+            "container_id",
+            F.lit("FORCE_CLOSE").alias("action"),
+            F.col("datanode_id").cast("long").alias("datanode_id"),
+            F.concat(
+                F.lit("force close at BCSID "), F.col("max_seq").cast("string")
+            ).alias("detail"),
+        )
+    )
+
+    # unstable branch: CLOSED containers, or QUASI_CLOSED without the
+    # force-close quorum; gated to exactly-replicated containers (the
+    # under/over branches consume the rest first)
+    counts = rep.groupBy("container_id").agg(
+        F.count(F.lit(1)).alias("replica_count")
+    )
+    eligible = (
+        rep.join(F.broadcast(counts), "container_id")
+        .join(F.broadcast(quorum.select("container_id", "qc_nodes")), "container_id", "left")
+        .filter(
+            (F.col("replica_count") == F.col("replication_factor"))
+            & (
+                (F.col("c_state") == "CLOSED")
+                | (
+                    (F.col("c_state") == "QUASI_CLOSED")
+                    & ~(
+                        F.coalesce(F.col("qc_nodes"), F.lit(0))
+                        > F.col("replication_factor") / 2
+                    )
+                )
+            )
+        )
+    )
+    mismatched = eligible.filter(F.col("replica_state") != F.col("c_state"))
+    unstable_close = mismatched.filter(
+        F.col("replica_state").isin("OPEN", "CLOSING")
+    ).select(
+        "container_id",
+        F.lit("CLOSE").alias("action"),
+        F.col("datanode_id").cast("long").alias("datanode_id"),
+        F.lit("unstable replica: close").alias("detail"),
+    )
+    unstable_force = mismatched.filter(
+        (F.col("replica_state") == "QUASI_CLOSED")
+        & (F.col("sequence_id") == F.col("c_seq"))
+    ).select(
+        "container_id",
+        F.lit("FORCE_CLOSE").alias("action"),
+        F.col("datanode_id").cast("long").alias("datanode_id"),
+        F.lit("unstable quasi-closed replica at container BCSID").alias("detail"),
+    )
+    leftovers = mismatched.filter(
+        ~F.col("replica_state").isin("OPEN", "CLOSING")
+        & ~(
+            (F.col("replica_state") == "QUASI_CLOSED")
+            & (F.col("sequence_id") == F.col("c_seq"))
+        )
+    )
+    one_delete = (
+        leftovers.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("container_id").orderBy("datanode_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "container_id",
+            F.lit("DELETE_UNHEALTHY").alias("action"),
+            F.col("datanode_id").cast("long").alias("datanode_id"),
+            F.lit("unhealthy replica: delete one per iteration").alias("detail"),
+        )
+    )
+
+    return (
+        closing.unionByName(force_close)
+        .unionByName(unstable_close)
+        .unionByName(unstable_force)
+        .unionByName(one_delete)
+        .orderBy("container_id", "action", "datanode_id")
+    )

@@ -553,3 +553,85 @@ ORDER BY volume NULLS FIRST, bucket NULLS FIRST, key_dir NULLS FIRST""",
 
 QUERIES["h1_access_heatmap"] = h1_access_heatmap
 ORACLES["h1_access_heatmap"] = H1_SQL
+
+
+# --- RM3: close-command plane ----------------------------------------------
+
+def rm3_close_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplicationManager close dispatch: CLOSING resend, quasi-closed
+    force-close at max BCSID under quorum, unstable-replica handling
+    (operators/scm.py close_actions law)."""
+    return scm.close_actions(
+        model.rm_container_details(spark, sf_dir),
+        model.rm_replica_details(spark, sf_dir),
+    )
+
+
+RM3_SQL = model.with_ctes(
+    model.RM_REPLICAS_CTE,
+    model.RM_CONTAINER_DETAILS_CTE,
+    model.RM_REPLICA_DETAILS_CTE,
+    """rep AS (
+  SELECT r.container_id, r.datanode_id, r.replica_state, r.sequence_id,
+         c.state AS c_state, c.replication_factor, c.sequence_id AS c_seq
+  FROM rm_replica_details r
+  JOIN rm_container_details c USING (container_id)
+)""",
+    """quorum AS (
+  SELECT container_id,
+         count(DISTINCT datanode_id) AS qc_nodes,
+         max(sequence_id) AS max_seq
+  FROM rep
+  WHERE c_state = 'QUASI_CLOSED' AND replica_state = 'QUASI_CLOSED'
+  GROUP BY container_id
+)""",
+    """rcounts AS (
+  SELECT container_id, count(*) AS replica_count FROM rep GROUP BY container_id
+)""",
+    """mismatched AS (
+  SELECT rep.*
+  FROM rep
+  JOIN rcounts USING (container_id)
+  LEFT JOIN quorum USING (container_id)
+  WHERE rcounts.replica_count = rep.replication_factor
+    AND (rep.c_state = 'CLOSED'
+         OR (rep.c_state = 'QUASI_CLOSED'
+             AND NOT (COALESCE(quorum.qc_nodes, 0) > rep.replication_factor / 2)))
+    AND rep.replica_state <> rep.c_state
+)""",
+    body="""SELECT * FROM (
+  SELECT container_id, 'CLOSE' AS action,
+         datanode_id, 'container CLOSING: resend close' AS detail
+  FROM rep WHERE c_state = 'CLOSING'
+  UNION ALL
+  SELECT rep.container_id, 'FORCE_CLOSE', rep.datanode_id,
+         concat('force close at BCSID ', q.max_seq)
+  FROM rep JOIN quorum q USING (container_id)
+  WHERE rep.c_state = 'QUASI_CLOSED' AND rep.replica_state = 'QUASI_CLOSED'
+    AND q.qc_nodes > rep.replication_factor / 2
+    AND rep.sequence_id = q.max_seq
+  UNION ALL
+  SELECT container_id, 'CLOSE', datanode_id, 'unstable replica: close'
+  FROM mismatched WHERE replica_state IN ('OPEN', 'CLOSING')
+  UNION ALL
+  SELECT container_id, 'FORCE_CLOSE', datanode_id,
+         'unstable quasi-closed replica at container BCSID'
+  FROM mismatched
+  WHERE replica_state = 'QUASI_CLOSED' AND sequence_id = c_seq
+  UNION ALL
+  SELECT container_id, 'DELETE_UNHEALTHY', datanode_id,
+         'unhealthy replica: delete one per iteration'
+  FROM (
+    SELECT container_id, datanode_id,
+           row_number() OVER (PARTITION BY container_id
+                              ORDER BY datanode_id) AS rn
+    FROM mismatched
+    WHERE replica_state NOT IN ('OPEN', 'CLOSING')
+      AND NOT (replica_state = 'QUASI_CLOSED' AND sequence_id = c_seq)
+  ) WHERE rn = 1
+)
+ORDER BY container_id, action, datanode_id""",
+)
+
+QUERIES["rm3_close_actions"] = rm3_close_actions
+ORACLES["rm3_close_actions"] = RM3_SQL

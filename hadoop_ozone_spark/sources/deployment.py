@@ -56,6 +56,8 @@ PLANES = (
     "containers",
     "container_replicas",
     "rm_replicas",
+    "rm_container_details",
+    "rm_replica_details",
     "replica_observations",
     "deleted_block_txns",
     "datanodes",

@@ -100,14 +100,16 @@ R4_WINDOW = [
 # new in round 5 (first-ever driver check) — must lead the window
 R5_NEW = [
     "rm1_replication_actions", "rm2_placement_targets",
-    "n2_datanode_usage", "m4_mpu_expiry", "m7_mpu_abort",
-    "dp_semantic_dedup",
+    "rm3_close_actions", "n2_datanode_usage", "m4_mpu_expiry",
+    "m7_mpu_abort", "dp_semantic_dedup",
 ]
 
 # law/plan changed in round 5 — re-verified right after the new rows
+# (dp_chunk_dedup's null-coalesce is value-identical on the corpus and
+# keeps its r4 evidence)
 R5_CHANGED = [
     "dp_curation_pipeline", "dp_lang_id", "dp_unigram_quality",
-    "dp_chunk_dedup", "d2_pending_deletion", "j3_fso_path_resolution",
+    "d2_pending_deletion", "j3_fso_path_resolution",
 ]
 
 
@@ -125,8 +127,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_round5_window_frontloads_new_and_changed_queries():
-    assert entry.DRIVER_WINDOW[:6] == R5_NEW
-    assert set(entry.DRIVER_WINDOW[6:12]) == set(R5_CHANGED)
+    assert entry.DRIVER_WINDOW[:7] == R5_NEW
+    assert set(entry.DRIVER_WINDOW[7:12]) == set(R5_CHANGED)
 
 
 def test_round5_window_rotates_every_r2_stale_row():

@@ -198,3 +198,114 @@ def test_datanode_usage_topk_ordering(spark):
     assert [r.datanode_id for r in rows] == [1, 2]
     assert rows[0].used_bytes == 60 and rows[0].remaining_bytes == 40
     assert rows[0].percent_used == 0.6
+
+
+# --- close-command plane (close_actions) ----------------------------------
+
+def _cdetails(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "container_id long, state string, replication_factor int, "
+        "sequence_id long",
+    )
+
+
+def _rdetails(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "container_id long, datanode_id long, replica_state string, "
+        "sequence_id long",
+    )
+
+
+def _close(spark, containers, replicas):
+    return scm.close_actions(
+        _cdetails(spark, containers), _rdetails(spark, replicas)
+    ).collect()
+
+
+def test_closing_container_resends_close_to_all_replicas(spark):
+    rows = _close(
+        spark,
+        [(10, "CLOSING", 3, 7)],
+        [(10, 1, "OPEN", 7), (10, 2, "CLOSING", 7)],
+    )
+    assert [(r.action, r.datanode_id) for r in rows] == [
+        ("CLOSE", 1), ("CLOSE", 2)
+    ]
+
+
+def test_quasi_closed_force_close_targets_max_bcsid_under_quorum(spark):
+    # 3 quasi-closed replicas (quorum: 3 > 3/2) at BCSIDs 5,7,7 →
+    # force-close exactly the two at the max BCSID 7
+    rows = _close(
+        spark,
+        [(10, "QUASI_CLOSED", 3, 7)],
+        [
+            (10, 1, "QUASI_CLOSED", 5),
+            (10, 2, "QUASI_CLOSED", 7),
+            (10, 3, "QUASI_CLOSED", 7),
+        ],
+    )
+    assert [(r.action, r.datanode_id) for r in rows] == [
+        ("FORCE_CLOSE", 2), ("FORCE_CLOSE", 3)
+    ]
+
+
+def test_quasi_closed_without_quorum_goes_unstable(spark):
+    # only 1 quasi-closed replica (1 > 1.5 false) → no force-close;
+    # exactly-replicated container falls to the unstable branch:
+    # the OPEN replica gets CLOSE, the UNHEALTHY one is the single
+    # per-iteration delete
+    rows = _close(
+        spark,
+        [(10, "QUASI_CLOSED", 3, 7)],
+        [
+            (10, 1, "QUASI_CLOSED", 7),
+            (10, 2, "OPEN", 7),
+            (10, 3, "UNHEALTHY", 7),
+        ],
+    )
+    assert [(r.action, r.datanode_id) for r in rows] == [
+        ("CLOSE", 2), ("DELETE_UNHEALTHY", 3)
+    ]
+
+
+def test_unstable_closed_container_mixed_replicas(spark):
+    # container CLOSED BCSID 9: OPEN replica → CLOSE; QUASI_CLOSED at
+    # the container BCSID → FORCE_CLOSE; two UNHEALTHY → only the
+    # lowest-datanode one deleted this iteration (:973-975 findFirst,
+    # determinized)
+    rows = _close(
+        spark,
+        [(10, "CLOSED", 4, 9)],
+        [
+            (10, 1, "OPEN", 9),
+            (10, 2, "QUASI_CLOSED", 9),
+            (10, 3, "UNHEALTHY", 9),
+            (10, 4, "UNHEALTHY", 9),
+        ],
+    )
+    assert [(r.action, r.datanode_id) for r in rows] == [
+        ("CLOSE", 1), ("DELETE_UNHEALTHY", 3), ("FORCE_CLOSE", 2)
+    ]
+
+
+def test_unstable_skips_under_and_over_replicated(spark):
+    # under-replicated CLOSED container (2 of 3): the replication
+    # branch owns it — the unstable branch must not emit
+    rows = _close(
+        spark,
+        [(10, "CLOSED", 3, 9)],
+        [(10, 1, "OPEN", 9), (10, 2, "UNHEALTHY", 9)],
+    )
+    assert rows == []
+
+
+def test_healthy_stable_container_no_actions(spark):
+    rows = _close(
+        spark,
+        [(10, "CLOSED", 2, 9)],
+        [(10, 1, "CLOSED", 9), (10, 2, "CLOSED", 9)],
+    )
+    assert rows == []
