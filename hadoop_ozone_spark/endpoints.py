@@ -241,6 +241,58 @@ class OzoneAnalytics:
             self.pipelines, self.pipeline_members,
         )
 
+    def replication_actions(self) -> DataFrame:
+        """ReplicationManager action set — ADD/DELETE replica commands
+        with rack-aware targets (ReplicationManager.java:692-860;
+        `ozone admin container report` is the closest CLI surface)."""
+        assert self.containers is not None and self.replicas is not None
+        assert self.datanodes is not None
+        return scm.replication_actions(
+            self.containers, self.replicas, self.datanodes
+        )
+
+    def placement_targets(self, limit: int = 10) -> DataFrame:
+        """Rack-aware placement chooser for the lowest under-replicated
+        container (SCMContainerPlacementRackAware.chooseDatanodes)."""
+        assert self.containers is not None and self.replicas is not None
+        assert self.datanodes is not None
+        return scm.placement_probe(
+            self.containers, self.replicas, self.datanodes, limit=limit
+        )
+
+    def close_actions(
+        self, container_details: DataFrame, replica_details: DataFrame
+    ) -> DataFrame:
+        """Close-command plane: CLOSING resend / quasi-closed force
+        close / unstable handling (ReplicationManager.java:330-346,
+        655-681, 929-977). Takes the state-detail planes explicitly —
+        they are SCM-internal, not part of the Recon snapshot."""
+        return scm.close_actions(container_details, replica_details)
+
+    def datanode_usage(self, count: int = 10, most_used: bool = True) -> DataFrame:
+        """`ozone admin datanode usageinfo`
+        (SCMNodeManager.getMostOrLeastUsedDatanodes, :676-688)."""
+        assert self.containers is not None and self.replicas is not None
+        assert self.datanodes is not None
+        return scm.datanode_usage(
+            self.replicas, self.containers, self.datanodes,
+            count=count, most_used=most_used,
+        )
+
+    def stale_multipart_uploads(
+        self, uploads: DataFrame, parts: DataFrame, expire_before: str
+    ) -> DataFrame:
+        """Expired-MPU backlog with reclaimable bytes
+        (S3MultipartUploadAbortRequest.java:157-170 byte law)."""
+        return s3.stale_multipart_uploads(uploads, parts, expire_before)
+
+    def abort_expired_uploads(
+        self, uploads: DataFrame, parts: DataFrame, expire_before: str
+    ) -> DataFrame:
+        """Abort-as-transform over the expired MPU set
+        (S3MultipartUploadAbortRequest.java:104-181)."""
+        return s3.abort_expired_uploads(uploads, parts, expire_before)
+
     # --- CDC --------------------------------------------------------------
 
     def current_state(self) -> DataFrame:

@@ -98,3 +98,23 @@ def test_heatmap_endpoint(api):
     assert grand[0]["access_count"] == sum(
         r["access_count"] for r in hm if r["volume"] is not None and r["bucket"] is None
     )
+
+
+def test_replication_planner_endpoints(api, spark, sf_dir):
+    actions = api.replication_actions()
+    kinds = {r["action"] for r in actions.select("action").distinct().collect()}
+    assert kinds <= {
+        "MISSING", "NO_HEALTHY_SOURCE", "ADD_REPLICA", "DELETE_REPLICA"
+    }
+    usage = api.datanode_usage(count=5).collect()
+    assert len(usage) == 5
+    assert all(
+        usage[i].used_bytes >= usage[i + 1].used_bytes
+        for i in range(len(usage) - 1)
+    )
+    closes = api.close_actions(
+        model.rm_container_details(spark, sf_dir),
+        model.rm_replica_details(spark, sf_dir),
+    )
+    kinds = {r["action"] for r in closes.select("action").distinct().collect()}
+    assert kinds <= {"CLOSE", "FORCE_CLOSE", "DELETE_UNHEALTHY"}
