@@ -491,6 +491,7 @@ def replication_actions(
     containers_df: DataFrame,
     replicas: DataFrame,
     datanodes_df: DataFrame,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """The ReplicationManager's action set — what the cluster should DO
     next, not just how it is classified (the J2 classifier stops at
@@ -523,6 +524,15 @@ def replication_actions(
     Output: (container_id, action, datanode_id, rack, detail);
     datanode_id/rack are NULL on marker rows. One fact-sized shuffle
     per branch (the per-container windows); dims ride broadcasts.
+
+    ``candidates`` (default: derived from ``replicas``/``containers_df``
+    via :func:`node_free_space`, HEALTHY+IN_SERVICE filtered) lets the
+    incremental/streaming caller inject a target ranking computed over
+    the FULL live cluster while pruning ``replicas``/``containers_df``
+    to the containers touched by a micro-batch — per-container action
+    logic then costs O(|delta|) but target choice still sees
+    cluster-wide utilization (streaming/maintenance.py
+    plan_actions_batch).
     """
     dn = datanodes_df.select(
         "datanode_id", "rack", "node_state", "op_state"
@@ -575,9 +585,11 @@ def replication_actions(
         F.lit("no healthy source replica").alias("detail"),
     )
     sourced = under.filter(F.col("healthy_source_count") > 0)
-    candidates = node_free_space(replicas, containers_df, datanodes_df).filter(
-        (F.col("node_state") == "HEALTHY") & (F.col("op_state") == "IN_SERVICE")
-    )
+    if candidates is None:
+        candidates = node_free_space(replicas, containers_df, datanodes_df).filter(
+            (F.col("node_state") == "HEALTHY")
+            & (F.col("op_state") == "IN_SERVICE")
+        )
     adds = (
         placement_candidates(
             sourced,
@@ -616,12 +628,18 @@ def replication_actions(
             ),
         )
     )
-    elig_racks = elig.groupBy("container_id").agg(
-        F.countDistinct("rack").alias("elig_racks")
-    )
+    # per-container eligible-rack count as a window over the SAME frame
+    # (not a groupBy + re-join: a self-join here would re-enter elig's
+    # lineage and trip Spark's conflicting-reference analysis when the
+    # inputs are checkpointed RDDs — the streaming per-batch path)
     is_dup = F.col("rir") > 1
     ranked = (
-        elig.join(F.broadcast(elig_racks), "container_id")
+        elig.withColumn(
+            "elig_racks",
+            F.size(
+                F.collect_set("rack").over(Window.partitionBy("container_id"))
+            ).cast("long"),
+        )
         .crossJoin(F.broadcast(total_racks))
         .withColumn(
             "drnk",

@@ -364,3 +364,79 @@ def classify_health_batch(
             .alias("health"),
         )
     )
+
+
+def streaming_live_replicas(
+    reports: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """The live replica SET (not just counts) maintained incrementally
+    from the ADD/REMOVE report stream: per (container, datanode) the
+    latest op wins (seqno order — ReconContainerManager.java:289-336
+    upserts/removes exactly one row per report). Update-mode stateful
+    groupBy keyed by the pair; state is |replicas| rows. A sink keeps
+    rows whose last op is ADD (``is_live``) — the identity-carrying
+    input the replication ACTION planner needs, where the count-only
+    twin (:func:`streaming_replica_counts`) feeds classification.
+    """
+    return (
+        reports.withWatermark("event_time", watermark)
+        .groupBy("container_id", "datanode_id")
+        .agg(
+            F.max_by("op", "seqno").alias("last_op"),
+            F.max("seqno").alias("last_seqno"),
+        )
+        .withColumn("is_live", F.col("last_op") == "ADD")
+    )
+
+
+def plan_actions_batch(
+    live_replicas: DataFrame,
+    touched_containers: DataFrame,
+    containers_df: DataFrame,
+    datanodes_df: DataFrame,
+) -> DataFrame:
+    """Incremental ReplicationManager planning for a foreachBatch sink:
+    re-plan ONLY the containers touched by this micro-batch against the
+    maintained live replica set — the streaming shape of
+    operators/scm.replication_actions.
+
+    The reference's ReplicationMonitor rescans every container each
+    interval (ReplicationManager.java:294-310 run loop); the streaming
+    shape pays O(|touched| containers) per trigger instead, while the
+    free-space target ranking is still computed over the FULL live set
+    + container catalog, so incremental action choices match what a
+    full batch plan would emit for the same containers (pinned by
+    test_stateful_streaming's actions stream≡batch test).
+
+    ``live_replicas``: (container_id, datanode_id) currently-live rows
+    (e.g. the ``is_live`` output of :func:`streaming_live_replicas`);
+    ``touched_containers``: 1-column frame of container ids in the
+    batch.
+    """
+    from hadoop_ozone_spark.operators import scm
+
+    live = live_replicas.select("container_id", "datanode_id")
+    touched = touched_containers.select("container_id").distinct()
+    # all three planner inputs are micro-batch/dim sized (O(|touched|)
+    # replicas+containers, |datanodes| candidates); eager
+    # localCheckpoints cut their shared lineage — the pruned subtrees
+    # and the candidate subtree all descend from `live`/`touched`, and
+    # re-joining them inside the planner would otherwise collide on
+    # attribute ids (Spark self-join analysis)
+    pruned_replicas = live.join(
+        F.broadcast(touched), "container_id", "leftsemi"
+    ).localCheckpoint(eager=True)
+    pruned_containers = containers_df.join(
+        F.broadcast(touched), "container_id", "leftsemi"
+    ).localCheckpoint(eager=True)
+    candidates = (
+        scm.node_free_space(live, containers_df, datanodes_df)
+        .filter(
+            (F.col("node_state") == "HEALTHY")
+            & (F.col("op_state") == "IN_SERVICE")
+        )
+        .localCheckpoint(eager=True)
+    )
+    return scm.replication_actions(
+        pruned_containers, pruned_replicas, datanodes_df, candidates=candidates
+    )

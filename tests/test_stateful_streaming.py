@@ -57,3 +57,84 @@ def test_stateful_stream_equals_batch_compaction(spark):
         assert got["/v/b/k3"] == (True, 350, 7)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+REPLICA_REPORTS = [
+    # container 10 (rf 3): ends with replicas on nodes 1,3 → under by 1
+    (1, "ADD", 10, 1, "2024-01-01 00:00:01"),
+    (2, "ADD", 10, 2, "2024-01-01 00:00:02"),
+    (3, "ADD", 10, 3, "2024-01-01 00:00:03"),
+    (4, "REMOVE", 10, 2, "2024-01-01 00:00:04"),
+    # container 20 (rf 1): ends with replicas on 4,5 → over by 1
+    (5, "ADD", 20, 4, "2024-01-01 00:00:05"),
+    (6, "ADD", 20, 5, "2024-01-01 00:00:06"),
+    # container 30 (rf 3): added then fully removed → MISSING
+    (7, "ADD", 30, 6, "2024-01-01 00:00:07"),
+    (8, "REMOVE", 30, 6, "2024-01-01 00:00:08"),
+]
+
+
+def test_streaming_action_planning_equals_batch(spark):
+    """streaming_live_replicas replay + plan_actions_batch ≡ the batch
+    replication_actions over the same final replica set — the
+    incremental ReplicationMonitor contract."""
+    from hadoop_ozone_spark.operators import scm
+
+    tmp = tempfile.mkdtemp(prefix="ozspark_rm_")
+    try:
+        df = spark.createDataFrame(
+            REPLICA_REPORTS,
+            "seqno long, op string, container_id long, datanode_id long, "
+            "event_time string",
+        ).withColumn("event_time", F.to_timestamp("event_time"))
+        df.write.mode("overwrite").parquet(f"{tmp}/reports")
+        stream = maintenance.read_replica_report_stream(
+            spark, f"{tmp}/reports", max_files_per_trigger=10
+        )
+        q = (
+            maintenance.streaming_live_replicas(stream)
+            .writeStream.format("memory")
+            .queryName("live_replicas")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        live = spark.sql(
+            "SELECT container_id, datanode_id FROM live_replicas WHERE is_live"
+        )
+        assert {(r.container_id, r.datanode_id) for r in live.collect()} == {
+            (10, 1), (10, 3), (20, 4), (20, 5)
+        }
+
+        containers = spark.createDataFrame(
+            [(10, "CLOSED", 3, 50, 0), (20, "CLOSED", 1, 60, 0),
+             (30, "CLOSED", 3, 70, 0)],
+            "container_id long, state string, replication_factor int, "
+            "used_bytes long, pipeline_id long",
+        )
+        datanodes = spark.createDataFrame(
+            [(i, f"n{i}", f"r{i % 3}", "HEALTHY", "IN_SERVICE", 100)
+             for i in range(1, 7)],
+            "datanode_id long, hostname string, rack string, "
+            "node_state string, op_state string, capacity_bytes long",
+        )
+        touched = spark.createDataFrame(
+            [(10,), (20,), (30,)], "container_id long"
+        )
+        incremental = maintenance.plan_actions_batch(
+            live, touched, containers, datanodes
+        ).collect()
+        batch = scm.replication_actions(containers, live, datanodes).collect()
+        key = lambda r: (r.container_id, r.action, r.datanode_id)
+        assert sorted(map(key, incremental)) == sorted(map(key, batch))
+        kinds = {r.container_id: r.action for r in incremental
+                 if r.action in ("MISSING", "ADD_REPLICA", "DELETE_REPLICA")}
+        assert kinds[30] == "MISSING"
+        assert any(r.action == "ADD_REPLICA" and r.container_id == 10
+                   for r in incremental)
+        assert any(r.action == "DELETE_REPLICA" and r.container_id == 20
+                   for r in incremental)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
