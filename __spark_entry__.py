@@ -728,15 +728,17 @@ DRIVER_WINDOW = [
     "m4_mpu_expiry",
     "m7_mpu_abort",
     "dp_semantic_dedup",
-    # law/plan changed in round 5 — re-verify under the new shape
-    # (dp_chunk_dedup's null-coalesce hardening is value-identical on
-    # the corpus and stays on r4 evidence; the five below changed plan
-    # or read path)
+    "s3_head_object",
+    "m8_mpu_initiate",
+    # law/plan changed in round 5 — re-verify under the new shape.
+    # Value-identical plan/read-path-only changes keep their prior
+    # evidence and yield their slot to never-checked NEW queries:
+    # dp_chunk_dedup (null-coalesce), d2_pending_deletion (bucketed
+    # txn route), j3_fso_path_resolution (un-hinted resolve join) —
+    # all green in the full local gate at HEAD.
     "dp_curation_pipeline",
     "dp_lang_id",
     "dp_unigram_quality",
-    "d2_pending_deletion",
-    "j3_fso_path_resolution",
     # round-2 evidence (three rounds stale — the full set)
     "q2_min_cost_supplier",
     "q4_order_priority",

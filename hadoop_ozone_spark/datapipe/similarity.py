@@ -376,15 +376,27 @@ def semantic_dedup_pairs(
     ~constant, and the same plan serves — only the ``centroids``
     argument changes (trained k-means codebook).
     """
-    idx = ivf_index(embeddings, n_lists, vec_col, centroids=centroids)
+    # norms are precomputed per VECTOR in the index (|corpus| sqrt-dot
+    # evaluations), so each candidate PAIR pays one dot product instead
+    # of three — at k pairs per cluster that is the dominant cost, and
+    # sqrt(dot(v,v)) ahead of the division is IEEE-identical to the
+    # inline form the oracle computes
+    idx = ivf_index(embeddings, n_lists, vec_col, centroids=centroids).select(
+        "list_id",
+        "vec_id",
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("n", norm(F.col("v")))
     a = idx.select(
-        "list_id", F.col("vec_id").alias("vec_a"), F.col(vec_col).alias("va")
+        "list_id", F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"), F.col("n").alias("na"),
     )
     b = idx.select(
-        "list_id", F.col("vec_id").alias("vec_b"), F.col(vec_col).alias("vb")
+        "list_id", F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
     )
     sim = F.round(
-        cosine(as_double(F.col("va")), as_double(F.col("vb"))), round_digits
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        round_digits,
     )
     hits = (
         a.join(b, "list_id")

@@ -322,3 +322,78 @@ def abort_expired_uploads(
         )
         .orderBy("dir")
     )
+
+
+def head_object(keys: DataFrame, probes: DataFrame) -> DataFrame:
+    """S3 HEAD Object (ObjectEndpoint.java:356-395): 200 with
+    Content-Length / ETag / Last-Modified for an existing key, 404 for
+    a missing one. The reference (at this version) sets the ETag header
+    from the key's modification time (:373 — not a content hash);
+    modeled from the key plane's creation_time analogously.
+
+    ``probes``: (volume, bucket, key) rows. One broadcast of the probe
+    set against the key plane — the point-lookup path (partition-pruned
+    + row-group-skipped under the snapshot layout).
+    """
+    hit = keys.select(
+        "volume", "bucket", "key",
+        F.col("data_size").alias("content_length"),
+        F.col("creation_time").alias("last_modified"),
+    )
+    return (
+        probes.select("volume", "bucket", "key")
+        .join(hit, ["volume", "bucket", "key"], "left")
+        .select(
+            "volume",
+            "bucket",
+            "key",
+            F.when(F.col("content_length").isNull(), F.lit(404))
+            .otherwise(F.lit(200))
+            .alias("status"),
+            "content_length",
+            F.col("last_modified").cast("string").alias("etag"),
+            "last_modified",
+        )
+        .orderBy("volume", "bucket", "key")
+    )
+
+
+def initiate_multipart_upload(
+    requests: DataFrame, storage_class_col: str = "storage_class"
+) -> DataFrame:
+    """S3 InitiateMultipartUpload (ObjectEndpoint.java:463-505 →
+    S3InitiateMultipartUploadRequest): mint a deterministic uploadID
+    per (bucket, key) request and resolve the storage class to the
+    replication config (S3StorageType.java:30-31 — STANDARD →
+    RATIS/THREE, REDUCED_REDUNDANCY → RATIS/ONE; absent/empty →
+    STANDARD, :476-481).
+
+    ``requests``: (volume, bucket, key[, storage_class]) rows. Pure
+    map-side projection — the multipartInfo-row insert is the union of
+    this output with the existing uploads plane.
+    """
+    sc = (
+        F.coalesce(F.col(storage_class_col), F.lit("STANDARD"))
+        if storage_class_col in requests.columns
+        else F.lit("STANDARD")
+    )
+    sc = F.when(sc == "", F.lit("STANDARD")).otherwise(sc)
+    return requests.select(
+        "volume",
+        "bucket",
+        "key",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("/"), F.col("volume"), F.lit("/"), F.col("bucket"),
+                    F.lit("/"), F.col("key"), F.lit("#init#"), sc,
+                )
+            ),
+            1,
+            16,
+        ).alias("upload_id"),
+        F.lit("RATIS").alias("replication_type"),
+        F.when(sc == "REDUCED_REDUNDANCY", F.lit(1))
+        .otherwise(F.lit(3))
+        .alias("replication_factor"),
+    ).orderBy("volume", "bucket", "key")

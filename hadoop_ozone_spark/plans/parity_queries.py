@@ -558,3 +558,82 @@ QUERIES["m4_mpu_expiry"] = m4_mpu_expiry
 QUERIES["m7_mpu_abort"] = m7_mpu_abort
 ORACLES["m4_mpu_expiry"] = M4_MPU_SQL
 ORACLES["m7_mpu_abort"] = M7_MPU_SQL
+
+
+# --- S3 HEAD Object + InitiateMultipartUpload ------------------------------
+
+def s3_head_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAD Object over a deterministic probe set (one lane of existing
+    keys + a guaranteed-missing path → 404 row included)."""
+    keys = model.om_keys(spark, sf_dir)
+    probes = keys.filter(F.col("container_id") % 257 == 9).select(
+        "volume", "bucket", "key"
+    ).unionByName(
+        spark.createDataFrame(
+            [("vol_n", "bkt_o", "no/such/key")], "volume string, bucket string, key string"
+        )
+    )
+    return s3.head_object(keys, probes)
+
+
+S3_HEAD_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    """probes AS (
+  SELECT volume, bucket, key FROM om_keys WHERE container_id % 257 = 9
+  UNION ALL
+  SELECT 'vol_n', 'bkt_o', 'no/such/key'
+)""",
+    body="""SELECT p.volume, p.bucket, p.key,
+  CASE WHEN k.data_size IS NULL THEN 404 ELSE 200 END AS status,
+  k.data_size AS content_length,
+  CAST(k.creation_time AS VARCHAR) AS etag,
+  k.creation_time AS last_modified
+FROM probes p
+LEFT JOIN om_keys k USING (volume, bucket, key)
+ORDER BY p.volume, p.bucket, p.key""",
+)
+
+
+def m8_mpu_initiate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InitiateMultipartUpload over a deterministic request lane with
+    mixed storage classes (operators/s3.py initiate_multipart_upload)."""
+    keys = model.om_keys(spark, sf_dir)
+    requests = keys.filter(F.col("container_id") % 97 == 3).select(
+        "volume",
+        "bucket",
+        "key",
+        F.when(F.col("data_size") % 3 == 0, F.lit("REDUCED_REDUNDANCY"))
+        .when(F.col("data_size") % 3 == 1, F.lit(""))
+        .otherwise(F.lit("STANDARD"))
+        .alias("storage_class"),
+    )
+    return s3.initiate_multipart_upload(requests)
+
+
+M8_MPU_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    """reqs AS (
+  SELECT volume, bucket, key,
+    CASE WHEN data_size % 3 = 0 THEN 'REDUCED_REDUNDANCY'
+         WHEN data_size % 3 = 1 THEN 'STANDARD'
+         ELSE 'STANDARD' END AS storage_class,
+    CASE WHEN data_size % 3 = 0 THEN 'REDUCED_REDUNDANCY'
+         WHEN data_size % 3 = 1 THEN ''
+         ELSE 'STANDARD' END AS raw_class
+  FROM om_keys WHERE container_id % 97 = 3
+)""",
+    body="""SELECT volume, bucket, key,
+  substring(md5(concat('/', volume, '/', bucket, '/', key, '#init#',
+                       CASE WHEN raw_class = '' THEN 'STANDARD'
+                            ELSE raw_class END)), 1, 16) AS upload_id,
+  'RATIS' AS replication_type,
+  CASE WHEN storage_class = 'REDUCED_REDUNDANCY' THEN 1 ELSE 3 END
+    AS replication_factor
+FROM reqs
+ORDER BY volume, bucket, key""",
+)
+
+QUERIES["s3_head_object"] = s3_head_object
+QUERIES["m8_mpu_initiate"] = m8_mpu_initiate
+ORACLES["s3_head_object"] = S3_HEAD_SQL
+ORACLES["m8_mpu_initiate"] = M8_MPU_SQL

@@ -101,15 +101,16 @@ R4_WINDOW = [
 R5_NEW = [
     "rm1_replication_actions", "rm2_placement_targets",
     "rm3_close_actions", "n2_datanode_usage", "m4_mpu_expiry",
-    "m7_mpu_abort", "dp_semantic_dedup",
+    "m7_mpu_abort", "dp_semantic_dedup", "s3_head_object",
+    "m8_mpu_initiate",
 ]
 
 # law/plan changed in round 5 — re-verified right after the new rows
-# (dp_chunk_dedup's null-coalesce is value-identical on the corpus and
-# keeps its r4 evidence)
+# (value-identical plan/read-path-only changes — dp_chunk_dedup,
+# d2_pending_deletion, j3_fso_path_resolution — keep their prior
+# evidence; all green in the full local HEAD gate)
 R5_CHANGED = [
     "dp_curation_pipeline", "dp_lang_id", "dp_unigram_quality",
-    "d2_pending_deletion", "j3_fso_path_resolution",
 ]
 
 
@@ -127,8 +128,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_round5_window_frontloads_new_and_changed_queries():
-    assert entry.DRIVER_WINDOW[:7] == R5_NEW
-    assert set(entry.DRIVER_WINDOW[7:12]) == set(R5_CHANGED)
+    assert entry.DRIVER_WINDOW[:9] == R5_NEW
+    assert set(entry.DRIVER_WINDOW[9:12]) == set(R5_CHANGED)
 
 
 def test_round5_window_rotates_every_r2_stale_row():
