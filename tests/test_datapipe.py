@@ -588,3 +588,25 @@ def test_budget_sample_rate_regimes(spark):
     again = {r.source: r.n_docs for r in packing.budget_sample(
         docs, {"a": 2000, "b": 100}).collect()}
     assert again == {s: r.n_docs for s, r in out.items()}
+
+
+def test_semantic_dedup_finds_every_injected_duplicate(spark, sf_dir):
+    """SemDeDup recall pin: the corpus injects one scaled copy
+    (vec_id + 1e6, cosine exactly 1.0) per vec_id % 10 == 0 — the
+    cluster-bounded detector must flag EVERY copy and attribute it to
+    its source (the min-id keeper law), despite never comparing across
+    clusters: a copy always lands in its source's cluster because
+    scaling preserves all centroid cosines."""
+    corpus = model.embedding_corpus(spark, sf_dir)
+    n_copies = corpus.filter(F.col("vec_id") >= 1_000_000).count()
+    dups = similarity.semantic_dedup_pairs(corpus, n_lists=16, threshold=0.9)
+    rows = dups.collect()
+    flagged = {r.vec_id: r for r in rows}
+    # every injected copy flagged, attributed to its exact source
+    copies = [r.vec_id for r in corpus.filter(
+        F.col("vec_id") >= 1_000_000).select("vec_id").collect()]
+    assert len(copies) == n_copies and n_copies > 0
+    for cid in copies:
+        assert cid in flagged, f"injected duplicate {cid} not flagged"
+        assert flagged[cid].dup_of == cid - 1_000_000
+        assert flagged[cid].cosine_sim == 1.0
