@@ -372,6 +372,42 @@ def vecs_probe(n_vecs: int, dims: int = 64, k: int = 50) -> None:
         spark.stop()
 
 
+def semdedup_probe(n_vecs: int, dims: int = 64) -> None:
+    """Semantic-dedup scale probe (round 5): the SemDeDup claim is that
+    pairwise cost is bounded by the LARGEST CLUSTER, so growing the
+    codebook with the corpus (n_lists proportional to N) keeps per-vector
+    cost ~flat. Measure the same clustered corpus at N and 4N with
+    n_lists and 4*n_lists."""
+    from hadoop_ozone_spark.datapipe import similarity
+
+    spark = get_spark("scale-probe-semdedup")
+    out = {"dims": dims, "runs": []}
+    for scale, n, n_lists in (("1x", n_vecs, 64), ("4x", n_vecs * 4, 256)):
+        n_clusters = 1000
+        centroid = f"cast(pmod(hash((id % {n_clusters}) * 31 + d), 2001) - 1000 as double) / 1000.0"
+        noise = "cast(pmod(hash(id * 131 + d), 401) - 200 as double) / 2000.0"
+        vec_expr = (
+            f"transform(sequence(0, {dims - 1}), d -> cast({centroid} + {noise} as float))"
+        )
+        emb = spark.range(n).select(
+            F.col("id").alias("vec_id"), F.expr(vec_expr).alias("embedding")
+        ).persist()
+        emb.count()
+        t0 = time.time()
+        n_dups = similarity.semantic_dedup_pairs(
+            emb, n_lists=n_lists, threshold=0.98
+        ).count()
+        dt = time.time() - t0
+        out["runs"].append({
+            "scale": scale, "num_vecs": n, "n_lists": n_lists,
+            "dup_pairs": n_dups, "sec": round(dt, 2),
+            "us_per_vec": round(dt / n * 1e6, 1),
+        })
+        emb.unpersist()
+    print(json.dumps(out))
+    spark.stop()
+
+
 def scm_probe(n_replicas_m: float = 6.0, n_nodes: int = 1000) -> None:
     """SCM service-plane shapes at synthetic cluster scale: balancer
     classification, decommission readiness, and deleted-block backlog
@@ -518,6 +554,8 @@ if __name__ == "__main__":
         scm_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 6.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--fso":
         fso_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 200.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--semdedup":
+        semdedup_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 50000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--vecs":
         if len(sys.argv) < 3:
             raise SystemExit("usage: scale_probe.py --vecs <num_vecs_thousands>")
