@@ -309,3 +309,66 @@ def test_healthy_stable_container_no_actions(spark):
         [(10, 1, "CLOSED", 9), (10, 2, "CLOSED", 9)],
     )
     assert rows == []
+
+
+def test_delete_law_invariants_random_sweep(spark):
+    """The over-replication closed form is a DETERMINIZATION of the
+    reference's greedy walk (whose own victim order is hashCode-
+    arbitrary, ReplicationManager.java:828-831). What must hold for
+    EVERY configuration is the walk's contract, checked here over 200
+    seeded-random clusters in one planner pass:
+
+      (a) never delete more than the excess;
+      (b) rack coverage of surviving eligible replicas never drops
+          below min(rf, eligible racks before, total racks...) — i.e.
+          deleting preserves the placement the validator would accept;
+      (c) maximality: if fewer than excess were deleted, deleting ANY
+          additional eligible replica would reduce rack coverage below
+          the expected min(rf, total_racks) — the reference's 'cannot
+          be removed without violating placement' terminal state.
+    """
+    import random
+
+    rng = random.Random(42)
+    racks = [f"r{i}" for i in range(4)]
+    datanode_rows = [
+        (d, f"n{d}", racks[d % 4], "HEALTHY", "IN_SERVICE", 100)
+        for d in range(1, 41)
+    ]
+    rack_of = {d: racks[d % 4] for d in range(1, 41)}
+    total_racks = len({r for r in rack_of.values()})
+
+    containers, replicas, spec = [], [], {}
+    for cid in range(1, 201):
+        rf = rng.choice([1, 2, 3, 3, 4])
+        n_rep = rng.randint(rf + 1, min(rf + 4, 12))  # always over
+        nodes = rng.sample(range(1, 41), n_rep)
+        containers.append((cid, "CLOSED", rf, 10, 0))
+        replicas.extend((cid, d) for d in nodes)
+        spec[cid] = (rf, nodes)
+
+    rows = _actions(spark, containers, replicas, datanode_rows)
+    deleted = {}
+    for r in rows:
+        if r.action == "DELETE_REPLICA":
+            deleted.setdefault(r.container_id, set()).add(r.datanode_id)
+        else:
+            # a strictly-over-replicated healthy cluster emits only deletes
+            assert r.action == "DELETE_REPLICA", r
+
+    for cid, (rf, nodes) in spec.items():
+        excess = len(nodes) - rf
+        got = deleted.get(cid, set())
+        assert got <= set(nodes)
+        assert len(got) <= excess  # (a)
+        survivors = [d for d in nodes if d not in got]
+        cov_before = len({rack_of[d] for d in nodes})
+        cov_after = len({rack_of[d] for d in survivors})
+        expected = min(rf, total_racks)
+        assert cov_after >= min(expected, cov_before)  # (b)
+        if len(got) < excess:  # (c) maximality
+            for d in survivors:
+                rest = [x for x in survivors if x != d]
+                assert len({rack_of[x] for x in rest}) < expected, (
+                    f"container {cid}: {d} was deletable but not deleted"
+                )
