@@ -730,15 +730,16 @@ DRIVER_WINDOW = [
     "dp_semantic_dedup",
     "s3_head_object",
     "m8_mpu_initiate",
+    "dp_kmeans_step",
     # law/plan changed in round 5 — re-verify under the new shape.
     # Value-identical plan/read-path-only changes keep their prior
     # evidence and yield their slot to never-checked NEW queries:
-    # dp_chunk_dedup (null-coalesce), d2_pending_deletion (bucketed
-    # txn route), j3_fso_path_resolution (un-hinted resolve join) —
-    # all green in the full local gate at HEAD.
+    # dp_chunk_dedup (null-coalesce), dp_unigram_quality (decimal
+    # widening), d2_pending_deletion (bucketed txn route),
+    # j3_fso_path_resolution (un-hinted resolve join) — all green in
+    # the full local gate at HEAD.
     "dp_curation_pipeline",
     "dp_lang_id",
-    "dp_unigram_quality",
     # round-2 evidence (three rounds stale — the full set)
     "q2_min_cost_supplier",
     "q4_order_priority",

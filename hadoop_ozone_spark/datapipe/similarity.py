@@ -416,3 +416,92 @@ def semantic_dedup_pairs(
         )
         .orderBy("vec_id")
     )
+
+
+def kmeans_step(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """One Lloyd iteration over the corpus: assign every vector to its
+    nearest centroid (cosine, ties → lowest list_id — the same
+    assignment law as ivf_index) and re-estimate each centroid as the
+    coordinate-wise mean of its members. Returns (list_id, cvec,
+    n_members).
+
+    Empty clusters keep their previous centroid (the standard Lloyd
+    guard) — the left join + coalesce below.
+
+    Scale shape: one corpus pass scoring against the broadcast codebook,
+    then the mean as a DIMENSION-EXPLODED sum — groupBy(list_id, dim)
+    over scalar components, which is map-side combinable (a
+    collect_list of member vectors would gather whole clusters into
+    single aggregation buffers); the ordered re-assembly sorts ≤dims
+    entries per centroid. k iterations = k linear passes; the corpus
+    never shuffles on anything other than its cluster key.
+    """
+    c = centroids.select("list_id", "cvec")
+    score = F.round(cosine(as_double(F.col(vec_col)), F.col("cvec")), round_digits)
+    assigned = (
+        embeddings.crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            as_double(F.col(vec_col)).alias("v"),
+            (-F.col("list_id")).alias("neg_list"),
+            score.alias("score"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max(F.struct("score", "neg_list", F.col("v").alias("v"))).alias("m"))
+        .select((-F.col("m.neg_list")).alias("list_id"), F.col("m.v").alias("v"))
+    )
+    dim_sums = (
+        assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
+        .groupBy("list_id", "pos")
+        .agg(F.sum("x").alias("sx"))
+    )
+    members = assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    new_c = (
+        dim_sums.groupBy("list_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "sx"))).alias("dims"))
+        .join(members, "list_id")
+        .select(
+            "list_id",
+            F.transform("dims", lambda d: d["sx"] / F.col("n_members")).alias(
+                "cvec"
+            ),
+            "n_members",
+        )
+    )
+    return (
+        c.join(new_c, "list_id", "left")
+        .select(
+            "list_id",
+            F.coalesce(new_c["cvec"], c["cvec"]).alias("cvec"),
+            F.coalesce(F.col("n_members"), F.lit(0)).alias("n_members"),
+        )
+        .orderBy("list_id")
+    )
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the IVF/SemDeDup codebook: seed with the deterministic
+    lowest-id vectors (ivf_centroids) and run ``iters`` Lloyd steps.
+    Each step's output is localCheckpointed — k bounded passes, not a
+    k-deep lazy lineage re-executing every prior step per action. The
+    result drops into ivf_index/ivf_topk/semantic_dedup_pairs via their
+    ``centroids`` argument without changing any plan.
+    """
+    c = ivf_centroids(embeddings, n_lists, vec_col)
+    for _ in range(iters):
+        c = kmeans_step(embeddings, c, vec_col).select(
+            "list_id", "cvec"
+        ).localCheckpoint(eager=True)
+    return c

@@ -1230,3 +1230,55 @@ DP_SEMANTIC_DEDUP_SQL = model.with_ctes(
 
 QUERIES["dp_semantic_dedup"] = dp_semantic_dedup
 ORACLES["dp_semantic_dedup"] = DP_SEMANTIC_DEDUP_SQL
+
+
+# --- Lloyd step (codebook training primitive) ------------------------------
+
+def dp_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of the IVF/SemDeDup codebook trainer over
+    the embedding corpus (similarity.kmeans_step): per-cluster member
+    count + the re-estimated centroid's norm (rounded — the scalar
+    summary keeps the oracle hash array-free). Every seed centroid is
+    its own nearest neighbour (cosine 1.0), so no cluster is empty and
+    the empty-cluster fallback branch never fires on this corpus."""
+    emb = model.embedding_corpus(spark, sf_dir)
+    step = similarity.kmeans_step(emb, similarity.ivf_centroids(emb, 16))
+    return step.select(
+        "list_id",
+        "n_members",
+        F.round(similarity.norm(F.col("cvec")), 6).alias("centroid_norm"),
+    ).orderBy("list_id")
+
+
+DP_KMEANS_SQL = model.with_ctes(
+    model.EMBEDDING_CORPUS_CTE,
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embedding_corpus)""",
+    """c AS (SELECT vec_id AS list_id, ve AS cv FROM v WHERE vec_id < 16)""",
+    f"""assign AS (
+  SELECT vec_id, ve, list_id FROM (
+    SELECT v.vec_id, v.ve, c.list_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_COS.format(a='v.ve', b='c.cv')} DESC, c.list_id ASC) AS rn
+    FROM v, c
+  ) WHERE rn = 1
+)""",
+    """dim_sums AS (
+  SELECT list_id, d, SUM(ve[d]) AS sx
+  FROM assign, unnest(generate_series(1, len(ve))) AS s(d)
+  GROUP BY list_id, d
+)""",
+    """members AS (
+  SELECT list_id, count(*) AS n_members FROM assign GROUP BY list_id
+)""",
+    body="""SELECT m.list_id, m.n_members,
+  round(sqrt(list_sum(list_transform(
+    (SELECT list(ds.sx / m.n_members ORDER BY ds.d)
+     FROM dim_sums ds WHERE ds.list_id = m.list_id),
+    x -> x * x))), 6) AS centroid_norm
+FROM members m
+ORDER BY m.list_id""",
+)
+
+QUERIES["dp_kmeans_step"] = dp_kmeans_step
+ORACLES["dp_kmeans_step"] = DP_KMEANS_SQL

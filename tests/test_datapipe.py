@@ -610,3 +610,52 @@ def test_semantic_dedup_finds_every_injected_duplicate(spark, sf_dir):
         assert cid in flagged, f"injected duplicate {cid} not flagged"
         assert flagged[cid].dup_of == cid - 1_000_000
         assert flagged[cid].cosine_sim == 1.0
+
+
+def test_trained_codebook_drops_into_semantic_dedup(spark, sf_dir):
+    """train_centroids (Lloyd iterations over the seed codebook) slots
+    into semantic_dedup_pairs via the centroids argument without
+    changing the plan or the recall guarantee: every injected scaled
+    copy is still flagged against its exact source (a copy's centroid
+    cosines equal its source's, so they always share a cluster under
+    ANY codebook)."""
+    corpus = model.embedding_corpus(spark, sf_dir)
+    trained = similarity.train_centroids(corpus, n_lists=8, iters=2)
+    assert trained.count() == 8
+    dups = similarity.semantic_dedup_pairs(
+        corpus, n_lists=8, threshold=0.9, centroids=trained
+    )
+    flagged = {r.vec_id: r.dup_of for r in dups.collect()}
+    copies = [r.vec_id for r in corpus.filter(
+        F.col("vec_id") >= 1_000_000).select("vec_id").collect()]
+    assert copies and all(
+        flagged.get(cid) == cid - 1_000_000 for cid in copies
+    )
+
+
+def test_kmeans_step_moves_centroids_toward_members(spark, sf_dir):
+    """A Lloyd step must re-estimate each centroid as its members'
+    mean: total within-cluster assignment score (sum of members' best
+    cosines) must not decrease after one step — the standard Lloyd
+    monotonicity signal, evaluated on the corpus."""
+    from pyspark.sql import functions as SF
+
+    emb = model.load(spark, sf_dir, "embeddings")
+    seed = similarity.ivf_centroids(emb, 8)
+
+    def total_score(centroids):
+        scored = emb.crossJoin(SF.broadcast(centroids)).select(
+            "vec_id",
+            similarity.cosine(
+                similarity.as_double(SF.col("embedding")), SF.col("cvec")
+            ).alias("s"),
+        )
+        return (
+            scored.groupBy("vec_id").agg(SF.max("s").alias("best"))
+            .agg(SF.sum("best")).collect()[0][0]
+        )
+
+    before = total_score(seed)
+    stepped = similarity.kmeans_step(emb, seed).select("list_id", "cvec")
+    after = total_score(stepped)
+    assert after >= before - 1e-9

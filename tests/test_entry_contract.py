@@ -102,15 +102,15 @@ R5_NEW = [
     "rm1_replication_actions", "rm2_placement_targets",
     "rm3_close_actions", "n2_datanode_usage", "m4_mpu_expiry",
     "m7_mpu_abort", "dp_semantic_dedup", "s3_head_object",
-    "m8_mpu_initiate",
+    "m8_mpu_initiate", "dp_kmeans_step",
 ]
 
 # law/plan changed in round 5 — re-verified right after the new rows
 # (value-identical plan/read-path-only changes — dp_chunk_dedup,
-# d2_pending_deletion, j3_fso_path_resolution — keep their prior
-# evidence; all green in the full local HEAD gate)
+# dp_unigram_quality, d2_pending_deletion, j3_fso_path_resolution —
+# keep their prior evidence; all green in the full local HEAD gate)
 R5_CHANGED = [
-    "dp_curation_pipeline", "dp_lang_id", "dp_unigram_quality",
+    "dp_curation_pipeline", "dp_lang_id",
 ]
 
 
@@ -128,8 +128,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_round5_window_frontloads_new_and_changed_queries():
-    assert entry.DRIVER_WINDOW[:9] == R5_NEW
-    assert set(entry.DRIVER_WINDOW[9:12]) == set(R5_CHANGED)
+    assert entry.DRIVER_WINDOW[:10] == R5_NEW
+    assert set(entry.DRIVER_WINDOW[10:12]) == set(R5_CHANGED)
 
 
 def test_round5_window_rotates_every_r2_stale_row():
