@@ -731,15 +731,16 @@ DRIVER_WINDOW = [
     "s3_head_object",
     "m8_mpu_initiate",
     "dp_kmeans_step",
-    # law/plan changed in round 5 — re-verify under the new shape.
-    # Value-identical plan/read-path-only changes keep their prior
-    # evidence and yield their slot to never-checked NEW queries:
-    # dp_chunk_dedup (null-coalesce), dp_unigram_quality (decimal
-    # widening), d2_pending_deletion (bucketed txn route),
-    # j3_fso_path_resolution (un-hinted resolve join) — all green in
-    # the full local gate at HEAD.
-    "dp_curation_pipeline",
-    "dp_lang_id",
+    "p3_pipeline_scrub",
+    "rm4_delete_actions",
+    # The round-5 law/plan changes (dp_curation_pipeline + dp_lang_id
+    # staged-projection restructure, dp_chunk_dedup null-coalesce,
+    # dp_unigram_quality decimal widening, d2_pending_deletion bucketed
+    # txn route, j3_fso_path_resolution un-hinted resolve join) are all
+    # VALUE-identical — verified green in the full local gate at HEAD —
+    # so they keep their prior driver evidence and every slot beyond
+    # the 12 new queries goes to the 38 rows whose evidence is three
+    # rounds old.
     # round-2 evidence (three rounds stale — the full set)
     "q2_min_cost_supplier",
     "q4_order_priority",

@@ -81,6 +81,8 @@ HEADLINE = [
     "n2_datanode_usage",
     "dp_semantic_dedup",
     "m4_mpu_expiry",
+    "dp_kmeans_step",
+    "rm4_delete_actions",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

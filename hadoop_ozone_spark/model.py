@@ -449,6 +449,7 @@ rm_replicas AS (
 # ---------------------------------------------------------------------------
 
 _RMC_STATE_SQL = """CASE WHEN {p} % 11 = 0 THEN 'DELETED'
+         WHEN {p} % 11 = 1 THEN 'DELETING'
          WHEN {p} % 4 = 0 THEN 'OPEN'
          WHEN {p} % 4 = 1 THEN 'CLOSING'
          WHEN {p} % 4 = 2 THEN 'QUASI_CLOSED'
@@ -458,6 +459,7 @@ _RMC_STATE_SQL = """CASE WHEN {p} % 11 = 0 THEN 'DELETED'
 def _rmc_state(p):
     return (
         F.when(p % 11 == 0, F.lit("DELETED"))
+        .when(p % 11 == 1, F.lit("DELETING"))
         .when(p % 4 == 0, F.lit("OPEN"))
         .when(p % 4 == 1, F.lit("CLOSING"))
         .when(p % 4 == 2, F.lit("QUASI_CLOSED"))
@@ -504,10 +506,17 @@ def _build_rm_replica_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = rm_replicas(spark, sf_dir)
     p, s = F.col("container_id"), F.col("datanode_id")
     cstate = _rmc_state(p)
+    # DELETING/DELETED are container-lifecycle-only states; their
+    # replicas report CLOSED (ContainerReplicaProto.State has no
+    # deleting member — the datanode closes before deletion)
+    matched = (
+        F.when(cstate.isin("DELETING", "DELETED"), F.lit("CLOSED"))
+        .otherwise(cstate)
+    )
     rstate = (
         F.when((p + s) % 13 == 0, F.lit("OPEN"))
         .when((p + s) % 13 == 1, F.lit("UNHEALTHY"))
-        .otherwise(cstate)
+        .otherwise(matched)
     )
     cseq = p * 13 % 50
     seq = F.when(rstate == "QUASI_CLOSED", cseq - (p + s) % 3).otherwise(cseq)
@@ -519,15 +528,19 @@ def _build_rm_replica_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RMC_MATCHED_SQL = f"""CASE WHEN {_RMC_STATE_SQL.format(p='container_id')}
+                IN ('DELETING', 'DELETED') THEN 'CLOSED'
+           ELSE {_RMC_STATE_SQL.format(p='container_id')} END"""
+
 RM_REPLICA_DETAILS_CTE = f"""
 rm_replica_details AS (
   SELECT container_id, datanode_id,
          CASE WHEN (container_id + datanode_id) % 13 = 0 THEN 'OPEN'
               WHEN (container_id + datanode_id) % 13 = 1 THEN 'UNHEALTHY'
-              ELSE {_RMC_STATE_SQL.format(p='container_id')} END AS replica_state,
+              ELSE {_RMC_MATCHED_SQL} END AS replica_state,
          CASE WHEN (CASE WHEN (container_id + datanode_id) % 13 = 0 THEN 'OPEN'
                          WHEN (container_id + datanode_id) % 13 = 1 THEN 'UNHEALTHY'
-                         ELSE {_RMC_STATE_SQL.format(p='container_id')} END) = 'QUASI_CLOSED'
+                         ELSE {_RMC_MATCHED_SQL} END) = 'QUASI_CLOSED'
               THEN container_id * 13 % 50 - (container_id + datanode_id) % 3
               ELSE container_id * 13 % 50 END AS sequence_id
   FROM rm_replicas
@@ -651,6 +664,57 @@ def _build_pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_nationkey") % 7 + 1).alias("leader_datanode_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_details: the pipeline-manager state detail — PipelineState
+# including ALLOCATED plus the creation timestamp (epoch millis), the
+# inputs of the background scrubber (SCMPipelineManager.java:511-545).
+# Separate view from `pipelines` (whose OPEN/CLOSED/DORMANT vocabulary
+# feeds a6/p1/sm1) so those hashes stay put. Derived from supplier so
+# the scrubber has a realistically sized plane (one pipeline per
+# supplier id; creation time deterministic in a 100-day window).
+# ---------------------------------------------------------------------------
+
+def pipeline_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(
+        "pipeline_details", spark, sf_dir,
+        lambda: _build_pipeline_details(spark, sf_dir),
+    )
+
+
+def _build_pipeline_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    state = (
+        F.when(k % 7 == 0, F.lit("ALLOCATED"))
+        .when(k % 7 == 1, F.lit("CLOSED"))
+        .when(k % 7 == 2, F.lit("DORMANT"))
+        .otherwise(F.lit("OPEN"))
+    )
+    return s.select(
+        k.alias("pipeline_id"),
+        state.alias("state"),
+        F.when(k % 5 == 0, F.lit(1)).otherwise(F.lit(3)).alias(
+            "replication_factor"
+        ),
+        (F.lit(1_600_000_000_000) + k % 100 * F.lit(86_400_000)).alias(
+            "created_ms"
+        ),
+    )
+
+
+PIPELINE_DETAILS_CTE = """
+pipeline_details AS (
+  SELECT s_suppkey AS pipeline_id,
+         CASE WHEN s_suppkey % 7 = 0 THEN 'ALLOCATED'
+              WHEN s_suppkey % 7 = 1 THEN 'CLOSED'
+              WHEN s_suppkey % 7 = 2 THEN 'DORMANT'
+              ELSE 'OPEN' END AS state,
+         CASE WHEN s_suppkey % 5 = 0 THEN 1 ELSE 3 END AS replication_factor,
+         1600000000000 + s_suppkey % 100 * 86400000 AS created_ms
+  FROM supplier
+)"""
 
 
 PIPELINES_CTE = """
@@ -843,6 +907,7 @@ def register_views(spark: SparkSession, sf_dir: str, derived: bool = True) -> li
             ("deleted_block_txns", deleted_block_txns),
             ("datanodes", datanodes),
             ("pipelines", pipelines),
+            ("pipeline_details", pipeline_details),
             ("pipeline_members", pipeline_members),
             ("audit_log", audit_log),
             ("dedup_corpus", dedup_corpus),

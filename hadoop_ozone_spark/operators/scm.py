@@ -931,3 +931,128 @@ def close_actions(
         .unionByName(one_delete)
         .orderBy("container_id", "action", "datanode_id")
     )
+
+
+def pipeline_scrub(
+    pipeline_details_df: DataFrame,
+    now_ms: int,
+    allocated_timeout_ms: int = 300_000,
+) -> DataFrame:
+    """The background pipeline scrubber's per-iteration action view
+    (SCMPipelineManager.java:511-545, driven by
+    BackgroundPipelineCreator): scope is RATIS factor-THREE pipelines
+    only (:513-517); a pipeline stuck in ALLOCATED longer than the
+    scrub timeout gets CLOSE (:526-532); a CLOSED pipeline gets REMOVE
+    — its containers are closed and the pipeline row dropped
+    (:538-543). OPEN/DORMANT pipelines are untouched.
+
+    Map-only classification over the pipeline dim — no shuffle at all;
+    age arithmetic in integer millis so the oracle replays exactly.
+    """
+    age = F.lit(now_ms) - F.col("created_ms")
+    action = (
+        F.when(
+            (F.col("state") == "ALLOCATED") & (age >= allocated_timeout_ms),
+            F.lit("CLOSE"),
+        )
+        .when(F.col("state") == "CLOSED", F.lit("REMOVE"))
+    )
+    return (
+        pipeline_details_df.filter(F.col("replication_factor") == 3)
+        .select(
+            "pipeline_id",
+            "state",
+            age.alias("age_ms"),
+            action.alias("action"),
+        )
+        .filter(F.col("action").isNotNull())
+        .orderBy("pipeline_id")
+    )
+
+
+def delete_actions(
+    container_details: DataFrame,
+    replica_details: DataFrame,
+    keys: DataFrame,
+) -> DataFrame:
+    """The container delete plane — the processContainer branches that
+    retire containers:
+
+    - DELETING with ZERO replicas → CLEANUP: the container transitions
+      to DELETED (ReplicationManager.java:620-626).
+    - DELETING with replicas left → resend DELETE_REPLICA to every
+      remaining replica (:627-645; no in-flight tracking in the model,
+      so every replica resends).
+    - CLOSED and EMPTY — no live keys reference the container and every
+      replica reports CLOSED (isContainerEmpty, :503-510; the
+      byte/key-count fields collapse to the key-plane existence test
+      here) → DELETE_EMPTY per replica plus one CLEANUP marker
+      (deleteContainerReplicas + the DELETE event, :595-617).
+
+    ``keys``: the namespace plane — its per-container existence
+    semi-set is the numberOfKeys()==0 gate. Plan: one key-plane
+    aggregate (map-side combinable count per container, semi-join
+    sized), one replica rollup; the container dim rides broadcasts.
+    """
+    cd = container_details.select(
+        "container_id", F.col("state").alias("c_state")
+    )
+    rep = replica_details.select(
+        "container_id", "datanode_id", "replica_state"
+    ).join(F.broadcast(cd), "container_id")
+    rep_stats = rep.groupBy("container_id").agg(
+        F.count(F.lit(1)).alias("replica_count"),
+        F.sum(F.when(F.col("replica_state") == "CLOSED", 0).otherwise(1)).alias(
+            "non_closed"
+        ),
+    )
+    live_containers = keys.select("container_id").distinct()
+
+    deleting = cd.filter(F.col("c_state") == "DELETING").join(
+        F.broadcast(rep_stats), "container_id", "left"
+    )
+    cleanup = deleting.filter(
+        F.coalesce(F.col("replica_count"), F.lit(0)) == 0
+    ).select(
+        "container_id",
+        F.lit("CLEANUP").alias("action"),
+        F.lit(None).cast("long").alias("datanode_id"),
+        F.lit("no replicas left: container DELETED").alias("detail"),
+    )
+    resend = (
+        rep.filter(F.col("c_state") == "DELETING")
+        .select(
+            "container_id",
+            F.lit("DELETE_REPLICA").alias("action"),
+            F.col("datanode_id").cast("long").alias("datanode_id"),
+            F.lit("deleting container: resend replica delete").alias("detail"),
+        )
+    )
+    empty = (
+        cd.filter(F.col("c_state") == "CLOSED")
+        .join(F.broadcast(rep_stats), "container_id")
+        .filter((F.col("replica_count") > 0) & (F.col("non_closed") == 0))
+        .join(live_containers, "container_id", "left_anti")
+    )
+    empty_deletes = rep.join(
+        F.broadcast(empty.select("container_id")), "container_id"
+    ).select(
+        "container_id",
+        F.lit("DELETE_EMPTY").alias("action"),
+        F.col("datanode_id").cast("long").alias("datanode_id"),
+        F.lit("empty closed container: delete replica").alias("detail"),
+    )
+    empty_cleanup = empty.select(
+        "container_id",
+        F.lit("CLEANUP").alias("action"),
+        F.lit(None).cast("long").alias("datanode_id"),
+        F.lit("empty closed container: DELETE event").alias("detail"),
+    )
+    return (
+        cleanup.unionByName(resend)
+        .unionByName(empty_deletes)
+        .unionByName(empty_cleanup)
+        .orderBy(
+            "container_id", "action", F.coalesce(F.col("datanode_id"), F.lit(-1))
+        )
+    )

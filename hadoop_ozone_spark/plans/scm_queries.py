@@ -635,3 +635,110 @@ ORDER BY container_id, action, datanode_id""",
 
 QUERIES["rm3_close_actions"] = rm3_close_actions
 ORACLES["rm3_close_actions"] = RM3_SQL
+
+
+# --- P3 / RM4: pipeline scrubber + container delete plane ------------------
+
+_SCRUB_NOW_MS = 1_600_000_000_000 + 50 * 86_400_000  # day 50 of the window
+
+
+def p3_pipeline_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Background pipeline scrubber actions (SCMPipelineManager.java:
+    511-545; operators/scm.py pipeline_scrub): RATIS-3 scope, stale
+    ALLOCATED → CLOSE, CLOSED → REMOVE. The probe time sits mid-window
+    so both age classes occur."""
+    return scm.pipeline_scrub(
+        model.pipeline_details(spark, sf_dir),
+        now_ms=_SCRUB_NOW_MS,
+        allocated_timeout_ms=10 * 86_400_000,
+    )
+
+
+P3_SQL = model.with_ctes(
+    model.PIPELINE_DETAILS_CTE,
+    body=f"""SELECT pipeline_id, state,
+  {_SCRUB_NOW_MS} - created_ms AS age_ms,
+  CASE WHEN state = 'ALLOCATED'
+            AND {_SCRUB_NOW_MS} - created_ms >= {10 * 86_400_000}
+         THEN 'CLOSE'
+       WHEN state = 'CLOSED' THEN 'REMOVE' END AS action
+FROM pipeline_details
+WHERE replication_factor = 3
+  AND (CASE WHEN state = 'ALLOCATED'
+                 AND {_SCRUB_NOW_MS} - created_ms >= {10 * 86_400_000}
+              THEN 'CLOSE'
+            WHEN state = 'CLOSED' THEN 'REMOVE' END) IS NOT NULL
+ORDER BY pipeline_id""",
+)
+
+
+def rm4_delete_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container delete plane (ReplicationManager.java:503-510,
+    595-617, 620-645; operators/scm.py delete_actions). The live-key
+    plane is restricted to container_id % 5 != 2 — the GC'd-namespace
+    state in which some CLOSED containers genuinely hold no keys, so
+    the isContainerEmpty branch has verifiable work (with the raw shim
+    every container is referenced and the branch would be dead under
+    test)."""
+    from pyspark.sql import functions as F
+
+    keys = model.om_keys(spark, sf_dir).filter(F.col("container_id") % 5 != 2)
+    return scm.delete_actions(
+        model.rm_container_details(spark, sf_dir),
+        model.rm_replica_details(spark, sf_dir),
+        keys,
+    )
+
+
+RM4_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    model.RM_REPLICAS_CTE,
+    model.RM_CONTAINER_DETAILS_CTE,
+    model.RM_REPLICA_DETAILS_CTE,
+    """drep AS (
+  SELECT r.container_id, r.datanode_id, r.replica_state, c.state AS c_state
+  FROM rm_replica_details r
+  JOIN rm_container_details c USING (container_id)
+)""",
+    """rep_stats AS (
+  SELECT container_id, count(*) AS replica_count,
+         CAST(SUM(CASE WHEN replica_state = 'CLOSED' THEN 0 ELSE 1 END)
+              AS BIGINT) AS non_closed
+  FROM drep GROUP BY container_id
+)""",
+    """live AS (
+  SELECT DISTINCT container_id FROM om_keys WHERE container_id % 5 <> 2
+)""",
+    body="""SELECT * FROM (
+  SELECT c.container_id, 'CLEANUP' AS action,
+         CAST(NULL AS BIGINT) AS datanode_id,
+         'no replicas left: container DELETED' AS detail
+  FROM rm_container_details c
+  LEFT JOIN rep_stats s USING (container_id)
+  WHERE c.state = 'DELETING' AND COALESCE(s.replica_count, 0) = 0
+  UNION ALL
+  SELECT container_id, 'DELETE_REPLICA', datanode_id,
+         'deleting container: resend replica delete'
+  FROM drep WHERE c_state = 'DELETING'
+  UNION ALL
+  SELECT d.container_id, 'DELETE_EMPTY', d.datanode_id,
+         'empty closed container: delete replica'
+  FROM drep d
+  JOIN rep_stats s USING (container_id)
+  WHERE d.c_state = 'CLOSED' AND s.replica_count > 0 AND s.non_closed = 0
+    AND d.container_id NOT IN (SELECT container_id FROM live)
+  UNION ALL
+  SELECT c.container_id, 'CLEANUP', CAST(NULL AS BIGINT),
+         'empty closed container: DELETE event'
+  FROM rm_container_details c
+  JOIN rep_stats s USING (container_id)
+  WHERE c.state = 'CLOSED' AND s.replica_count > 0 AND s.non_closed = 0
+    AND c.container_id NOT IN (SELECT container_id FROM live)
+)
+ORDER BY container_id, action, COALESCE(datanode_id, -1)""",
+)
+
+QUERIES["p3_pipeline_scrub"] = p3_pipeline_scrub
+QUERIES["rm4_delete_actions"] = rm4_delete_actions
+ORACLES["p3_pipeline_scrub"] = P3_SQL
+ORACLES["rm4_delete_actions"] = RM4_SQL

@@ -44,9 +44,10 @@ BUCKETS = 32
 # Bump when any plane's schema/derivation changes: the marker embeds it,
 # so a snapshot written by an older layout reads as not-built and is
 # rebuilt instead of serving stale columns (e.g. datanodes.op_state and
-# audit_log resource paths, both added in round 4; rm_replicas and the
-# bucketed deleted_block_txns plane, round 5).
-LAYOUT_VERSION = 5
+# audit_log resource paths, round 4; rm/close/delete-plane detail views
+# incl. the DELETING lane, pipeline_details, and the bucketed
+# deleted_block_txns plane, round 5).
+LAYOUT_VERSION = 6
 
 # plane name → model builder attribute; every derived table the query
 # layer can route to the snapshot
@@ -62,6 +63,7 @@ PLANES = (
     "deleted_block_txns",
     "datanodes",
     "pipelines",
+    "pipeline_details",
     "pipeline_members",
     "audit_log",
     "dedup_corpus",

@@ -102,15 +102,8 @@ R5_NEW = [
     "rm1_replication_actions", "rm2_placement_targets",
     "rm3_close_actions", "n2_datanode_usage", "m4_mpu_expiry",
     "m7_mpu_abort", "dp_semantic_dedup", "s3_head_object",
-    "m8_mpu_initiate", "dp_kmeans_step",
-]
-
-# law/plan changed in round 5 — re-verified right after the new rows
-# (value-identical plan/read-path-only changes — dp_chunk_dedup,
-# dp_unigram_quality, d2_pending_deletion, j3_fso_path_resolution —
-# keep their prior evidence; all green in the full local HEAD gate)
-R5_CHANGED = [
-    "dp_curation_pipeline", "dp_lang_id",
+    "m8_mpu_initiate", "dp_kmeans_step", "p3_pipeline_scrub",
+    "rm4_delete_actions",
 ]
 
 
@@ -127,9 +120,11 @@ def test_every_query_has_an_oracle():
     assert set(q) == set(o)  # no rows-only checks remain
 
 
-def test_round5_window_frontloads_new_and_changed_queries():
-    assert entry.DRIVER_WINDOW[:10] == R5_NEW
-    assert set(entry.DRIVER_WINDOW[10:12]) == set(R5_CHANGED)
+def test_round5_window_frontloads_new_queries():
+    # every query introduced in round 5 gets its first driver check
+    # up front; the remaining 38 slots re-check the r2-stale rows
+    # (the round-5 value-identical changes keep their prior evidence)
+    assert entry.DRIVER_WINDOW[:12] == R5_NEW
 
 
 def test_round5_window_rotates_every_r2_stale_row():

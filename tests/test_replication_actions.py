@@ -372,3 +372,52 @@ def test_delete_law_invariants_random_sweep(spark):
                 assert len({rack_of[x] for x in rest}) < expected, (
                     f"container {cid}: {d} was deletable but not deleted"
                 )
+
+
+# --- delete plane + pipeline scrubber --------------------------------------
+
+def test_delete_actions_branches(spark):
+    containers = _cdetails(
+        spark,
+        [
+            (10, "DELETING", 3, 0),   # no replicas → CLEANUP
+            (20, "DELETING", 3, 0),   # replicas left → resend deletes
+            (30, "CLOSED", 3, 0),     # empty (no keys, all CLOSED) → delete
+            (40, "CLOSED", 3, 0),     # NOT empty (live key) → untouched
+            (50, "CLOSED", 3, 0),     # non-CLOSED replica → not empty
+        ],
+    )
+    replicas = _rdetails(
+        spark,
+        [
+            (20, 1, "CLOSED", 0), (20, 2, "CLOSED", 0),
+            (30, 3, "CLOSED", 0), (30, 4, "CLOSED", 0),
+            (40, 5, "CLOSED", 0),
+            (50, 6, "UNHEALTHY", 0),
+        ],
+    )
+    keys = spark.createDataFrame([(40,)], "container_id long")
+    rows = scm.delete_actions(containers, replicas, keys).collect()
+    got = [(r.container_id, r.action, r.datanode_id) for r in rows]
+    assert got == [
+        (10, "CLEANUP", None),
+        (20, "DELETE_REPLICA", 1), (20, "DELETE_REPLICA", 2),
+        (30, "CLEANUP", None),
+        (30, "DELETE_EMPTY", 3), (30, "DELETE_EMPTY", 4),
+    ]
+
+
+def test_pipeline_scrub_laws(spark):
+    details = spark.createDataFrame(
+        [
+            (1, "ALLOCATED", 3, 1000),   # stale → CLOSE
+            (2, "ALLOCATED", 3, 9000),   # fresh → untouched
+            (3, "CLOSED", 3, 1000),      # → REMOVE
+            (4, "OPEN", 3, 1000),        # untouched
+            (5, "CLOSED", 1, 1000),      # factor 1 → out of scope
+        ],
+        "pipeline_id long, state string, replication_factor int, created_ms long",
+    )
+    rows = scm.pipeline_scrub(details, now_ms=10_000, allocated_timeout_ms=5_000)
+    got = {(r.pipeline_id, r.action) for r in rows.collect()}
+    assert got == {(1, "CLOSE"), (3, "REMOVE")}
