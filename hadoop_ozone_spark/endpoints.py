@@ -293,6 +293,25 @@ class OzoneAnalytics:
         (S3MultipartUploadAbortRequest.java:104-181)."""
         return s3.abort_expired_uploads(uploads, parts, expire_before)
 
+    def pipeline_scrub(
+        self, pipeline_details: DataFrame, now_ms: int,
+        allocated_timeout_ms: int = 300_000,
+    ) -> DataFrame:
+        """Background pipeline scrubber actions
+        (SCMPipelineManager.java:511-545)."""
+        return scm.pipeline_scrub(
+            pipeline_details, now_ms, allocated_timeout_ms
+        )
+
+    def container_delete_actions(
+        self, container_details: DataFrame, replica_details: DataFrame
+    ) -> DataFrame:
+        """Container delete plane: DELETING cleanup/resend + empty
+        CLOSED-container retirement (ReplicationManager.java:503-645)."""
+        return scm.delete_actions(
+            container_details, replica_details, self.keys
+        )
+
     # --- CDC --------------------------------------------------------------
 
     def current_state(self) -> DataFrame:
