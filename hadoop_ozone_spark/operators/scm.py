@@ -128,8 +128,10 @@ def container_sufficiency(
 
     sufficient ⇔ missing ≤ 0 (no in-flight ops in the model).
     healthy_state mirrors isHealthy()'s container-state gate
-    (ContainerReplicaCount.java:263-270); the replica-state match is
-    not modeled (no per-replica state plane).
+    (ContainerReplicaCount.java:263-270); the per-replica state match
+    lives in the close/delete planes (close_actions / delete_actions
+    over model.rm_replica_details), which is where the reference
+    consumes it — the sufficiency law itself only counts.
     """
     op_states = datanodes_df.select("datanode_id", "op_state")
     counts = (
