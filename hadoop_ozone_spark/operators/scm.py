@@ -829,7 +829,11 @@ def close_actions(
         "replication_factor",
         F.col("sequence_id").alias("c_seq"),
     )
-    rep = replica_details.join(F.broadcast(cd), "container_id")
+    # rep anchors all five dispatch branches (closing / force-close /
+    # unstable×3); persist so the replica⋈dim join runs once, not once
+    # per branch — replica-plane sized, same discipline as
+    # replication_actions' anchors
+    rep = replica_details.join(F.broadcast(cd), "container_id").persist()
 
     closing = rep.filter(F.col("c_state") == "CLOSING").select(
         "container_id",
@@ -885,7 +889,11 @@ def close_actions(
             )
         )
     )
-    mismatched = eligible.filter(F.col("replica_state") != F.col("c_state"))
+    # three consumers (close / force-close / single-delete) — persist
+    # so the counts⋈quorum⋈rep pipeline behind it runs once
+    mismatched = eligible.filter(
+        F.col("replica_state") != F.col("c_state")
+    ).persist()
     unstable_close = mismatched.filter(
         F.col("replica_state").isin("OPEN", "CLOSING")
     ).select(
