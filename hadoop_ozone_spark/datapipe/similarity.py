@@ -355,6 +355,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     round_digits: int = 6,
     centroids: DataFrame | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate detection (Abbas et al.
     2023): cluster the corpus by nearest centroid, then compare
@@ -380,12 +381,22 @@ def semantic_dedup_pairs(
     # evaluations), so each candidate PAIR pays one dot product instead
     # of three — at k pairs per cluster that is the dominant cost, and
     # sqrt(dot(v,v)) ahead of the division is IEEE-identical to the
-    # inline form the oracle computes
-    idx = ivf_index(embeddings, n_lists, vec_col, centroids=centroids).select(
+    # inline form the oracle computes.
+    # ``index`` short-circuits with a PERSISTED (list_id, vec_id, vec)
+    # artifact — the deployment shape (same contract as bucketed_topk);
+    # the inline fallback persists because BOTH sides of the
+    # within-cluster self-join read it, and rebuilding the assignment
+    # (corpus × codebook) twice would dominate the pair stage.
+    base = index if index is not None else ivf_index(
+        embeddings, n_lists, vec_col, centroids=centroids
+    )
+    idx = base.select(
         "list_id",
         "vec_id",
         as_double(F.col(vec_col)).alias("v"),
     ).withColumn("n", norm(F.col("v")))
+    if index is None:
+        idx = idx.persist()
     a = idx.select(
         "list_id", F.col("vec_id").alias("vec_a"),
         F.col("v").alias("va"), F.col("n").alias("na"),
