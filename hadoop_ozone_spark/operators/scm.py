@@ -830,10 +830,33 @@ def close_actions(
         F.col("sequence_id").alias("c_seq"),
     )
     # rep anchors all five dispatch branches (closing / force-close /
-    # unstable×3); persist so the replica⋈dim join runs once, not once
-    # per branch — replica-plane sized, same discipline as
-    # replication_actions' anchors
-    rep = replica_details.join(F.broadcast(cd), "container_id").persist()
+    # unstable×3). Every per-container statistic the dispatch needs
+    # (replica count, quasi-closed quorum, max BCSID) is computed as a
+    # WINDOW over this one frame — never a groupBy re-joined onto its
+    # own source: the per-container stats share one container_id
+    # Exchange, the branches stay pure filters over it, and there is no
+    # self-join for Spark's conflicting-reference analysis to trip on
+    # when the inputs are checkpointed per-batch RDDs (the streaming
+    # plan_close_batch path). Persisted so the window pass runs once.
+    w = Window.partitionBy("container_id")
+    is_qc = (F.col("c_state") == "QUASI_CLOSED") & (
+        F.col("replica_state") == "QUASI_CLOSED"
+    )
+    rep = (
+        replica_details.join(F.broadcast(cd), "container_id")
+        .withColumn("replica_count", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "qc_nodes",
+            F.size(
+                F.collect_set(F.when(is_qc, F.col("datanode_id"))).over(w)
+            ),
+        )
+        .withColumn(
+            "max_seq",
+            F.max(F.when(is_qc, F.col("sequence_id"))).over(w),
+        )
+        .persist()
+    )
 
     closing = rep.filter(F.col("c_state") == "CLOSING").select(
         "container_id",
@@ -842,51 +865,26 @@ def close_actions(
         F.lit("container CLOSING: resend close").alias("detail"),
     )
 
-    qc = rep.filter(
-        (F.col("c_state") == "QUASI_CLOSED")
-        & (F.col("replica_state") == "QUASI_CLOSED")
-    )
-    quorum = qc.groupBy("container_id").agg(
-        F.countDistinct("datanode_id").alias("qc_nodes"),
-        F.max("sequence_id").alias("max_seq"),
-    )
-    force_close = (
-        qc.join(F.broadcast(quorum), "container_id")
-        .filter(
-            (F.col("qc_nodes") > F.col("replication_factor") / 2)
-            & (F.col("sequence_id") == F.col("max_seq"))
-        )
-        .select(
-            "container_id",
-            F.lit("FORCE_CLOSE").alias("action"),
-            F.col("datanode_id").cast("long").alias("datanode_id"),
-            F.concat(
-                F.lit("force close at BCSID "), F.col("max_seq").cast("string")
-            ).alias("detail"),
-        )
+    has_quorum = F.col("qc_nodes") > F.col("replication_factor") / 2
+    force_close = rep.filter(
+        is_qc & has_quorum & (F.col("sequence_id") == F.col("max_seq"))
+    ).select(
+        "container_id",
+        F.lit("FORCE_CLOSE").alias("action"),
+        F.col("datanode_id").cast("long").alias("datanode_id"),
+        F.concat(
+            F.lit("force close at BCSID "), F.col("max_seq").cast("string")
+        ).alias("detail"),
     )
 
     # unstable branch: CLOSED containers, or QUASI_CLOSED without the
     # force-close quorum; gated to exactly-replicated containers (the
     # under/over branches consume the rest first)
-    counts = rep.groupBy("container_id").agg(
-        F.count(F.lit(1)).alias("replica_count")
-    )
-    eligible = (
-        rep.join(F.broadcast(counts), "container_id")
-        .join(F.broadcast(quorum.select("container_id", "qc_nodes")), "container_id", "left")
-        .filter(
-            (F.col("replica_count") == F.col("replication_factor"))
-            & (
-                (F.col("c_state") == "CLOSED")
-                | (
-                    (F.col("c_state") == "QUASI_CLOSED")
-                    & ~(
-                        F.coalesce(F.col("qc_nodes"), F.lit(0))
-                        > F.col("replication_factor") / 2
-                    )
-                )
-            )
+    eligible = rep.filter(
+        (F.col("replica_count") == F.col("replication_factor"))
+        & (
+            (F.col("c_state") == "CLOSED")
+            | ((F.col("c_state") == "QUASI_CLOSED") & ~has_quorum)
         )
     )
     # three consumers (close / force-close / single-delete) — persist

@@ -440,3 +440,75 @@ def plan_actions_batch(
     return scm.replication_actions(
         pruned_containers, pruned_replicas, datanodes_df, candidates=candidates
     )
+
+
+# Replica STATE report stream (the ICR payload carries the replica's
+# state and BCSID — ContainerReplicaProto; ReconContainerManager
+# upserts the full replica row per report). The close/force-close
+# dispatch needs state + sequence, not just liveness.
+REPLICA_STATE_REPORT_SCHEMA = StructType(
+    [
+        StructField("seqno", LongType()),
+        StructField("container_id", LongType()),
+        StructField("datanode_id", LongType()),
+        StructField("replica_state", StringType()),
+        StructField("sequence_id", LongType()),
+        StructField("event_time", TimestampType()),
+    ]
+)
+
+
+def read_replica_state_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    return (
+        spark.readStream.schema(REPLICA_STATE_REPORT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_replica_states(
+    reports: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Latest-report-wins replica state per (container, datanode) —
+    the maintained input of the close dispatch. Update-mode stateful
+    groupBy; state is |replicas| rows carrying (state, BCSID)."""
+    return (
+        reports.withWatermark("event_time", watermark)
+        .groupBy("container_id", "datanode_id")
+        .agg(
+            F.max_by("replica_state", "seqno").alias("replica_state"),
+            F.max_by("sequence_id", "seqno").alias("sequence_id"),
+            F.max("seqno").alias("last_seqno"),
+        )
+    )
+
+
+def plan_close_batch(
+    replica_states: DataFrame,
+    touched_containers: DataFrame,
+    container_details: DataFrame,
+) -> DataFrame:
+    """Incremental close/force-close dispatch for a foreachBatch sink:
+    re-run operators/scm.close_actions over ONLY the containers touched
+    by this micro-batch, against the maintained replica-state set. The
+    dispatch is per-container-local (quorum, max-BCSID, and the
+    unstable gate all aggregate within one container), so pruning by
+    touched container id loses nothing — incremental output ≡ the
+    batch dispatch restricted to the same containers (pinned by
+    test_stateful_streaming)."""
+    from hadoop_ozone_spark.operators import scm
+
+    touched = touched_containers.select("container_id").distinct()
+    pruned_states = (
+        replica_states.select(
+            "container_id", "datanode_id", "replica_state", "sequence_id"
+        )
+        .join(F.broadcast(touched), "container_id", "leftsemi")
+        .localCheckpoint(eager=True)
+    )
+    pruned_containers = container_details.join(
+        F.broadcast(touched), "container_id", "leftsemi"
+    ).localCheckpoint(eager=True)
+    return scm.close_actions(pruned_containers, pruned_states)

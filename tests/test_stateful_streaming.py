@@ -138,3 +138,75 @@ def test_streaming_action_planning_equals_batch(spark):
                    for r in incremental)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+STATE_REPORTS = [
+    # container 10 CLOSED seq 9: replica 1 reports OPEN then CLOSED
+    # (stabilizes); replica 2 stays OPEN; replica 3 UNHEALTHY
+    (1, 10, 1, "OPEN", 9, "2024-01-01 00:00:01"),
+    (2, 10, 2, "OPEN", 9, "2024-01-01 00:00:02"),
+    (3, 10, 3, "UNHEALTHY", 9, "2024-01-01 00:00:03"),
+    (4, 10, 1, "CLOSED", 9, "2024-01-01 00:00:04"),
+    # container 20 QUASI_CLOSED seq 7: two QC replicas (quorum for
+    # rf 3) at BCSIDs 7 and 6 → force close only the max
+    (5, 20, 4, "QUASI_CLOSED", 7, "2024-01-01 00:00:05"),
+    (6, 20, 5, "QUASI_CLOSED", 6, "2024-01-01 00:00:06"),
+]
+
+
+def test_streaming_close_dispatch_equals_batch(spark):
+    from hadoop_ozone_spark.operators import scm
+
+    tmp = tempfile.mkdtemp(prefix="ozspark_close_")
+    try:
+        df = spark.createDataFrame(
+            STATE_REPORTS,
+            "seqno long, container_id long, datanode_id long, "
+            "replica_state string, sequence_id long, event_time string",
+        ).withColumn("event_time", F.to_timestamp("event_time"))
+        df.write.mode("overwrite").parquet(f"{tmp}/reports")
+        stream = maintenance.read_replica_state_stream(
+            spark, f"{tmp}/reports", max_files_per_trigger=10
+        )
+        q = (
+            maintenance.streaming_replica_states(stream)
+            .writeStream.format("memory")
+            .queryName("replica_states")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        states = spark.sql(
+            "SELECT container_id, datanode_id, replica_state, sequence_id "
+            "FROM replica_states"
+        )
+        # latest report won for replica (10, 1)
+        got = {(r.container_id, r.datanode_id): r.replica_state
+               for r in states.collect()}
+        assert got[(10, 1)] == "CLOSED"
+
+        cdetails = spark.createDataFrame(
+            [(10, "CLOSED", 3, 9), (20, "QUASI_CLOSED", 3, 7)],
+            "container_id long, state string, replication_factor int, "
+            "sequence_id long",
+        )
+        touched = spark.createDataFrame([(10,), (20,)], "container_id long")
+        incremental = maintenance.plan_close_batch(
+            states, touched, cdetails
+        ).collect()
+        batch = scm.close_actions(cdetails, states).collect()
+        key = lambda r: (r.container_id, r.action, r.datanode_id)
+        assert sorted(map(key, incremental)) == sorted(map(key, batch))
+        got = sorted(map(key, incremental))
+        # container 10 (CLOSED, exactly replicated, unstable): OPEN
+        # replica 2 → CLOSE; UNHEALTHY replica 3 → the one delete
+        # container 20: force-close only the max-BCSID QC replica (4)
+        assert got == [
+            (10, "CLOSE", 2),
+            (10, "DELETE_UNHEALTHY", 3),
+            (20, "FORCE_CLOSE", 4),
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
