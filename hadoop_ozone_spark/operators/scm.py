@@ -363,21 +363,25 @@ def datanode_usage(
     most_used: bool = True,
 ) -> DataFrame:
     """`ozone admin datanode usageinfo` — getMostOrLeastUsedDatanodes
-    (SCMNodeManager.java:676-688 sorts the IN_SERVICE+HEALTHY scope by
-    scmUsed descending for mostUsed, remaining descending otherwise).
+    (SCMNodeManager.java:676-700): IN_SERVICE+HEALTHY scope, ordered by
+    the REMAINING-TO-CAPACITY RATIO (DatanodeUsageInfo.java:49-66
+    compareByRemainingRatio) — mostUsed = lowest remaining ratio first,
+    not absolute bytes, which matters on heterogeneous-capacity
+    clusters. datanode_id breaks ties deterministically.
 
     Top-k over the node dim after the one fact rollup of
     :func:`node_free_space` — a TakeOrderedAndProject cut, never a full
-    sort. percent_used is a single IEEE division over exact BIGINTs
+    sort. The ratios are single IEEE divisions over exact BIGINTs
     (engine-stable).
     """
     nodes = node_free_space(replicas, containers_df, datanodes_df).filter(
         (F.col("node_state") == "HEALTHY") & (F.col("op_state") == "IN_SERVICE")
     )
+    remaining_ratio = F.col("remaining_bytes") / F.col("capacity_bytes")
     order = (
-        [F.desc("used_bytes"), F.asc("datanode_id")]
+        [remaining_ratio.asc(), F.asc("datanode_id")]
         if most_used
-        else [F.desc("free_bytes"), F.asc("datanode_id")]
+        else [remaining_ratio.desc(), F.asc("datanode_id")]
     )
     return (
         nodes.select(

@@ -519,7 +519,9 @@ N2_SQL = model.with_ctes(
 FROM datanodes d
 LEFT JOIN node_used u USING (datanode_id)
 WHERE d.node_state = 'HEALTHY' AND d.op_state = 'IN_SERVICE'
-ORDER BY used_bytes DESC, d.datanode_id
+ORDER BY CAST(d.capacity_bytes - COALESCE(u.node_used, 0) AS DOUBLE)
+           / d.capacity_bytes ASC,
+         d.datanode_id
 LIMIT 10""",
 )
 

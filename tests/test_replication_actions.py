@@ -421,3 +421,23 @@ def test_pipeline_scrub_laws(spark):
     rows = scm.pipeline_scrub(details, now_ms=10_000, allocated_timeout_ms=5_000)
     got = {(r.pipeline_id, r.action) for r in rows.collect()}
     assert got == {(1, "CLOSE"), (3, "REMOVE")}
+
+
+def test_datanode_usage_orders_by_remaining_ratio_not_bytes(spark):
+    # node 1: 100 GB capacity, 50 used → remaining ratio 0.5
+    # node 2: 10 GB capacity, 9 used → remaining ratio 0.1 (most used
+    # by the reference's compareByRemainingRatio law, despite fewer
+    # absolute bytes used)
+    dns = _datanodes(
+        spark,
+        [
+            (1, "n1", "r0", "HEALTHY", "IN_SERVICE", 100),
+            (2, "n2", "r0", "HEALTHY", "IN_SERVICE", 10),
+        ],
+    )
+    cts = _containers(spark, [(10, "CLOSED", 3, 50, 0), (20, "CLOSED", 3, 9, 0)])
+    reps = _replicas(spark, [(10, 1), (20, 2)])
+    most = scm.datanode_usage(reps, cts, dns, count=2, most_used=True).collect()
+    assert [r.datanode_id for r in most] == [2, 1]
+    least = scm.datanode_usage(reps, cts, dns, count=2, most_used=False).collect()
+    assert [r.datanode_id for r in least] == [1, 2]
