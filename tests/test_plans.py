@@ -292,3 +292,28 @@ def test_resolve_files_join_is_planner_choice(spark, sf_dir):
     df = fso.resolve_files(files, fso.materialize_paths(dirs))
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "ResolvedHint" not in optimized and "JoinHint" not in optimized
+
+
+def test_rm3_close_stats_share_one_window_exchange(spark, sf_dir):
+    # per-container stats (count / quorum / max BCSID) are windows over
+    # ONE persisted frame: every dispatch branch reads the cached
+    # window output (InMemoryTableScan) — the single container_id
+    # Exchange behind it runs once at materialization — and no
+    # self-join (SortMergeJoin) re-enters the frame
+    p = plan_of(entry.queries()["rm3_close_actions"](spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "InMemoryTableScan" in p
+
+
+def test_rm4_delete_plane_broadcasts_dims(spark, sf_dir):
+    p = plan_of(entry.queries()["rm4_delete_actions"](spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_p3_scrub_is_map_only(spark, sf_dir):
+    # pure classification over the pipeline dim — no Exchange other
+    # than the final ordering
+    p = plan_of(entry.queries()["p3_pipeline_scrub"](spark, sf_dir))
+    assert "hashpartitioning" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
