@@ -313,6 +313,16 @@ def deleted_block_txns_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucketed_or("deleted_block_txns_bucketed", deleted_block_txns, spark, sf_dir)
 
 
+def rm_replicas_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bucketed_or("rm_replicas_bucketed", rm_replicas, spark, sf_dir)
+
+
+def rm_replica_details_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bucketed_or(
+        "rm_replica_details_bucketed", rm_replica_details, spark, sf_dir
+    )
+
+
 def replica_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memoized(
         "replica_observations", spark, sf_dir,

@@ -425,7 +425,7 @@ def rm1_replication_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rack-aware targets (operators/scm.py replication_actions law)."""
     return scm.replication_actions(
         model.containers(spark, sf_dir),
-        model.rm_replicas(spark, sf_dir),
+        model.rm_replicas_bucketed(spark, sf_dir),
         model.datanodes(spark, sf_dir),
     )
 
@@ -565,7 +565,7 @@ def rm3_close_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/scm.py close_actions law)."""
     return scm.close_actions(
         model.rm_container_details(spark, sf_dir),
-        model.rm_replica_details(spark, sf_dir),
+        model.rm_replica_details_bucketed(spark, sf_dir),
     )
 
 
@@ -687,7 +687,7 @@ def rm4_delete_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = model.om_keys(spark, sf_dir).filter(F.col("container_id") % 5 != 2)
     return scm.delete_actions(
         model.rm_container_details(spark, sf_dir),
-        model.rm_replica_details(spark, sf_dir),
+        model.rm_replica_details_bucketed(spark, sf_dir),
         keys,
     )
 

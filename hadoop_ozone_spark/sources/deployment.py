@@ -46,8 +46,8 @@ BUCKETS = 32
 # rebuilt instead of serving stale columns (e.g. datanodes.op_state and
 # audit_log resource paths, round 4; rm/close/delete-plane detail views
 # incl. the DELETING lane, pipeline_details, and the bucketed
-# deleted_block_txns plane, round 5).
-LAYOUT_VERSION = 6
+# deleted_block_txns + rm planes, round 5).
+LAYOUT_VERSION = 7
 
 # plane name → model builder attribute; every derived table the query
 # layer can route to the snapshot
@@ -79,6 +79,11 @@ BUCKETED = {
     # the deleted-block log joins replicas/containers on container_id
     # in every d2 scan — same bucketing co-locates that join too
     "deleted_block_txns_bucketed": "deleted_block_txns",
+    # the ReplicationManager planes: every rm1/rm3/rm4 stage is a
+    # container-keyed window or rollup, so bucketing removes the one
+    # remaining fact Exchange from the action planners
+    "rm_replicas_bucketed": "rm_replicas",
+    "rm_replica_details_bucketed": "rm_replica_details",
 }
 
 
