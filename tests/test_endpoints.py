@@ -108,10 +108,10 @@ def test_replication_planner_endpoints(api, spark, sf_dir):
     }
     usage = api.datanode_usage(count=5).collect()
     assert len(usage) == 5
-    assert all(
-        usage[i].used_bytes >= usage[i + 1].used_bytes
-        for i in range(len(usage) - 1)
-    )
+    # most-used ordering is by remaining-to-capacity RATIO ascending
+    # (DatanodeUsageInfo.compareByRemainingRatio), not absolute bytes
+    ratios = [r.remaining_bytes / r.capacity_bytes for r in usage]
+    assert all(ratios[i] <= ratios[i + 1] for i in range(len(ratios) - 1))
     closes = api.close_actions(
         model.rm_container_details(spark, sf_dir),
         model.rm_replica_details(spark, sf_dir),
