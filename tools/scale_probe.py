@@ -460,6 +460,35 @@ def scm_probe(n_replicas_m: float = 6.0, n_nodes: int = 1000) -> None:
         .alias("retry_count"),
     ).persist()
     datanodes.count(); containers.count(); replicas.count(); txns.count()
+    # close-plane detail twins over the same pair space: container
+    # lifecycle states incl. QUASI_CLOSED/DELETING, replica states with
+    # mismatch lanes, BCSIDs — the round-5 action planners' inputs
+    cdetails = containers.select(
+        "container_id",
+        F.when(F.col("container_id") % 11 == 0, F.lit("DELETED"))
+        .when(F.col("container_id") % 11 == 1, F.lit("DELETING"))
+        .when(F.col("container_id") % 4 == 0, F.lit("OPEN"))
+        .when(F.col("container_id") % 4 == 1, F.lit("CLOSING"))
+        .when(F.col("container_id") % 4 == 2, F.lit("QUASI_CLOSED"))
+        .otherwise(F.lit("CLOSED"))
+        .alias("state"),
+        "replication_factor",
+        (F.col("container_id") * 13 % 50).alias("sequence_id"),
+    ).persist()
+    rdetails = replicas.join(
+        cdetails.select("container_id", F.col("state").alias("cs")),
+        "container_id",
+    ).select(
+        "container_id",
+        "datanode_id",
+        F.when((F.col("container_id") + F.col("datanode_id")) % 13 == 0, F.lit("OPEN"))
+        .when((F.col("container_id") + F.col("datanode_id")) % 13 == 1, F.lit("UNHEALTHY"))
+        .when(F.col("cs").isin("DELETING", "DELETED"), F.lit("CLOSED"))
+        .otherwise(F.col("cs"))
+        .alias("replica_state"),
+        (F.col("container_id") * 13 % 50).alias("sequence_id"),
+    ).persist()
+    cdetails.count(); rdetails.count()
     cases = {
         "b1_balancer": lambda: scm.balancer_utilization(
             datanodes, replicas, containers
@@ -469,6 +498,12 @@ def scm_probe(n_replicas_m: float = 6.0, n_nodes: int = 1000) -> None:
         ).count(),
         "d2_pending_deletion": lambda: scm.pending_deletion_by_datanode(
             txns, replicas, containers
+        ).count(),
+        "rm1_replication_actions": lambda: scm.replication_actions(
+            containers, replicas, datanodes
+        ).count(),
+        "rm3_close_actions": lambda: scm.close_actions(
+            cdetails, rdetails
         ).count(),
     }
     for name, fn in cases.items():
