@@ -409,6 +409,17 @@ def placement_candidates(
     node with the most free space (hasEnoughSpace/usage ordering),
     datanode_id as the final deterministic tie-break.
 
+    Multi-replica picks must SPREAD: when a container needs several new
+    replicas, taking the global free-space order could place two on the
+    same uncovered rack while another uncovered rack goes unused — the
+    reference's chooser explicitly places the remaining replicas "on
+    different racks" from the already-chosen ones
+    (SCMContainerPlacementRackAware.java:163-166). The closed form of
+    that greedy: rank candidates within their (container, rack) by free
+    space, and order globally by (rack_covered, rack_rank, free, id) —
+    the best node of EVERY uncovered rack sorts before any second node
+    of one.
+
     ``under``: (container_id, ...) the containers needing targets;
     ``replicas``: the live (container_id, datanode_id [, rack]) plane;
     ``candidates``: node_free_space rows pre-filtered to
@@ -433,9 +444,20 @@ def placement_candidates(
         .join(holders, ["container_id", "datanode_id"], "left_anti")
         .join(covered, ["container_id", "rack"], "left")
         .withColumn("rack_covered", F.coalesce(F.col("rack_covered"), F.lit(False)))
+        .withColumn(
+            "rack_rank",
+            F.row_number().over(
+                Window.partitionBy("container_id", "rack").orderBy(
+                    F.desc("free_bytes"), F.asc("datanode_id")
+                )
+            ),
+        )
     )
     w = Window.partitionBy("container_id").orderBy(
-        F.asc("rack_covered"), F.desc("free_bytes"), F.asc("datanode_id")
+        F.asc("rack_covered"),
+        F.asc("rack_rank"),
+        F.desc("free_bytes"),
+        F.asc("datanode_id"),
     )
     return pairs.withColumn("rank", F.row_number().over(w))
 

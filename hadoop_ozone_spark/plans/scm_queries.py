@@ -371,14 +371,11 @@ _RM_STACK = (
   SELECT * FROM rm_scope
   WHERE replica_count > 0 AND replica_count < replication_factor
 )""",
-    """add_ranked AS (
+    """add_pairs AS (
   SELECT u.container_id, u.replication_factor, u.replica_count,
          c.datanode_id, c.rack,
          cr.rack IS NOT NULL AS rack_covered,
-         c.free_bytes,
-         row_number() OVER (PARTITION BY u.container_id
-           ORDER BY CASE WHEN cr.rack IS NULL THEN 0 ELSE 1 END,
-                    c.free_bytes DESC, c.datanode_id) AS rnk
+         c.free_bytes
   FROM (SELECT * FROM rm_under WHERE healthy_source_count > 0) u
   CROSS JOIN cand c
   LEFT JOIN (SELECT DISTINCT container_id, datanode_id FROM rm_replicas) h
@@ -386,6 +383,18 @@ _RM_STACK = (
   LEFT JOIN (SELECT DISTINCT container_id, rack FROM rep) cr
     ON u.container_id = cr.container_id AND c.rack = cr.rack
   WHERE h.datanode_id IS NULL
+)""",
+    """add_ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY container_id
+           ORDER BY CASE WHEN rack_covered THEN 1 ELSE 0 END,
+                    rack_rank, free_bytes DESC, datanode_id) AS rnk
+  FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY container_id, rack
+             ORDER BY free_bytes DESC, datanode_id) AS rack_rank
+    FROM add_pairs
+  )
 )""",
 )
 

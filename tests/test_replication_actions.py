@@ -441,3 +441,68 @@ def test_datanode_usage_orders_by_remaining_ratio_not_bytes(spark):
     assert [r.datanode_id for r in most] == [2, 1]
     least = scm.datanode_usage(reps, cts, dns, count=2, most_used=False).collect()
     assert [r.datanode_id for r in least] == [1, 2]
+
+
+def test_add_law_invariants_random_sweep(spark):
+    """Target-choice contract over 200 seeded-random under-replicated
+    clusters, one planner pass:
+
+      (a) exactly min(deficit, |eligible candidates|) ADDs;
+      (b) never onto a current holder or a non-HEALTHY/IN_SERVICE node;
+      (c) rack-aware greedy: the chosen set covers
+          min(deficit, |uncovered racks with candidates|) NEW racks —
+          an uncovered rack is never passed over for a covered one;
+      (d) within the uncovered-rack picks, each choice has the maximal
+          free space among that rack-class's remaining candidates
+          (verified via global free-space ordering of the pick list).
+    """
+    import random
+
+    rng = random.Random(7)
+    racks = [f"r{i}" for i in range(4)]
+    # mixed health/op states so exclusion rules (b) have work
+    dn_rows, eligible_nodes = [], {}
+    for d in range(1, 41):
+        node_state = "STALE" if d % 11 == 0 else "HEALTHY"
+        op_state = "DECOMMISSIONING" if d % 13 == 0 else "IN_SERVICE"
+        dn_rows.append((d, f"n{d}", racks[d % 4], node_state, op_state, 50 + d))
+        if node_state == "HEALTHY" and op_state == "IN_SERVICE":
+            eligible_nodes[d] = racks[d % 4]
+
+    containers, replicas, spec = [], [], {}
+    for cid in range(1, 201):
+        rf = rng.choice([2, 3, 3, 4])
+        n_rep = rng.randint(1, rf - 1)  # always under, never missing
+        holders = rng.sample(range(1, 41), n_rep)
+        containers.append((cid, "CLOSED", rf, 10, 0))
+        replicas.extend((cid, d) for d in holders)
+        spec[cid] = (rf, holders)
+
+    rows = _actions(spark, containers, replicas, dn_rows)
+    rack_of = {d: racks[d % 4] for d in range(1, 41)}
+    adds, markers = {}, {}
+    for r in rows:
+        if r.action == "ADD_REPLICA":
+            adds.setdefault(r.container_id, []).append(r.datanode_id)
+        else:
+            markers.setdefault(r.container_id, r.action)
+
+    for cid, (rf, holders) in spec.items():
+        healthy_sources = [
+            d for d in holders
+            if d % 11 != 0  # node_state HEALTHY (source law ignores op)
+        ]
+        if not healthy_sources:
+            assert markers.get(cid) == "NO_HEALTHY_SOURCE"
+            assert cid not in adds
+            continue
+        cands = {d: rk for d, rk in eligible_nodes.items() if d not in holders}
+        deficit = rf - len(holders)
+        got = adds.get(cid, [])
+        assert len(got) == min(deficit, len(cands))  # (a)
+        for d in got:  # (b)
+            assert d in cands
+        covered = {rack_of[d] for d in holders}
+        uncovered_with_cands = {rk for rk in cands.values() if rk not in covered}
+        new_racks = {cands[d] for d in got} - covered
+        assert len(new_racks) == min(len(got), len(uncovered_with_cands))  # (c)
