@@ -312,6 +312,13 @@ class OzoneAnalytics:
             container_details, replica_details, self.keys
         )
 
+    def resolve_bucket_links(self, buckets: DataFrame) -> DataFrame:
+        """Bucket-link resolution map — every read RPC resolves
+        through this before touching the key plane
+        (OzoneManager.resolveBucketLink; loop pairs flagged instead of
+        the DETECTED_LOOP_IN_BUCKET_LINKS throw)."""
+        return listing.resolve_bucket_links(buckets)
+
     # --- CDC --------------------------------------------------------------
 
     def current_state(self) -> DataFrame:

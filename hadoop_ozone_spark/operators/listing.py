@@ -242,3 +242,102 @@ def get_file_status(
         )
         .orderBy("probe_path")
     )
+
+
+def resolve_bucket_links(buckets: DataFrame, max_depth: int = 16) -> DataFrame:
+    """Bucket-link resolution — OzoneManager.resolveBucketLink walks
+    (sourceVolume, sourceBucket) chains recursively until a non-link
+    bucket, failing on a revisited pair (DETECTED_LOOP_IN_BUCKET_LINKS;
+    OmBucketInfo link fields OmBucketInfo.java:42-106). Every read RPC
+    resolves through this before touching the key plane.
+
+    Spark-first inversion: instead of per-request walks, resolve EVERY
+    bucket once by iterative self-join to fixpoint (the bucket dim is
+    tiny, chains are short) — later reads are one equi-join against the
+    resolved map. Returns one row per bucket:
+
+        (volume, bucket, resolved_volume, resolved_bucket, depth,
+         is_loop)
+
+    A chain still pointing at a link after ``max_depth`` hops is marked
+    ``is_loop`` (the relational determinization of the reference's
+    visited-set throw: any cycle exceeds every finite depth, and
+    namespace link chains are admin-created and short).
+
+    ``buckets``: (volume, bucket, source_volume, source_bucket) with
+    NULL sources for non-link buckets.
+    """
+    links = buckets.select(
+        F.col("volume").alias("_lv"),
+        F.col("bucket").alias("_lb"),
+        "source_volume",
+        "source_bucket",
+    ).persist()
+    state = buckets.select(
+        "volume",
+        "bucket",
+        F.col("volume").alias("resolved_volume"),
+        F.col("bucket").alias("resolved_bucket"),
+        F.lit(0).alias("depth"),
+    )
+    for _ in range(max_depth):
+        state = (
+            state.join(
+                F.broadcast(links),
+                (state["resolved_volume"] == links["_lv"])
+                & (state["resolved_bucket"] == links["_lb"]),
+                "left",
+            )
+            .select(
+                "volume",
+                "bucket",
+                F.coalesce("source_volume", "resolved_volume").alias(
+                    "resolved_volume"
+                ),
+                F.coalesce("source_bucket", "resolved_bucket").alias(
+                    "resolved_bucket"
+                ),
+                (
+                    F.col("depth")
+                    + F.when(F.col("source_volume").isNotNull(), 1).otherwise(0)
+                ).alias("depth"),
+            )
+            .localCheckpoint(eager=True)  # O(depth) plans, not O(depth²)
+        )
+        # fixpoint reached when nothing resolves to a link anymore —
+        # real chains are 1-2 hops, so this exits almost immediately
+        unresolved = state.join(
+            F.broadcast(
+                links.filter(F.col("source_volume").isNotNull()).select(
+                    F.col("_lv").alias("resolved_volume"),
+                    F.col("_lb").alias("resolved_bucket"),
+                )
+            ),
+            ["resolved_volume", "resolved_bucket"],
+            "leftsemi",
+        )
+        if unresolved.isEmpty():
+            break
+    # still resolving TO a link after max_depth hops ⇒ cycle: flag it
+    return (
+        state.join(
+            F.broadcast(
+                links.filter(F.col("source_volume").isNotNull()).select(
+                    F.col("_lv").alias("resolved_volume"),
+                    F.col("_lb").alias("resolved_bucket"),
+                    F.lit(True).alias("_still"),
+                )
+            ),
+            ["resolved_volume", "resolved_bucket"],
+            "left",
+        )
+        .select(
+            "volume",
+            "bucket",
+            "resolved_volume",
+            "resolved_bucket",
+            "depth",
+            F.coalesce(F.col("_still"), F.lit(False)).alias("is_loop"),
+        )
+        .orderBy("volume", "bucket")
+    )

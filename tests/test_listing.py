@@ -243,3 +243,38 @@ def test_fso_rename_cycle_check_is_distributed(spark):
     # unknown destination parent is rejected
     with _pytest.raises(ValueError, match="unknown parent"):
         fso.rename_dir(dirs, 30, 999999, "x")
+
+
+def test_bucket_link_resolution(spark):
+    """OzoneManager.resolveBucketLink parity: chains follow to the
+    non-link source; loops are flagged (DETECTED_LOOP_IN_BUCKET_LINKS);
+    non-links resolve to themselves."""
+    from hadoop_ozone_spark.operators import listing as listing_ops
+
+    buckets = spark.createDataFrame(
+        [
+            # chain: v/l1 -> v/l2 -> v/real
+            ("v", "l1", "v", "l2"),
+            ("v", "l2", "v", "real"),
+            ("v", "real", None, None),
+            # loop: v/a -> v/b -> v/a
+            ("v", "a", "v", "b"),
+            ("v", "b", "v", "a"),
+            # cross-volume single hop
+            ("w", "alias", "v", "real"),
+        ],
+        "volume string, bucket string, source_volume string, source_bucket string",
+    )
+    out = {
+        (r.volume, r.bucket): r
+        for r in listing_ops.resolve_bucket_links(buckets).collect()
+    }
+    assert (out[("v", "l1")].resolved_volume, out[("v", "l1")].resolved_bucket) == ("v", "real")
+    assert out[("v", "l1")].depth == 2 and not out[("v", "l1")].is_loop
+    assert (out[("v", "l2")].resolved_bucket, out[("v", "l2")].depth) == ("real", 1)
+    assert (out[("w", "alias")].resolved_volume, out[("w", "alias")].depth) == ("v", 1)
+    # non-link resolves to itself at depth 0
+    assert out[("v", "real")].resolved_bucket == "real"
+    assert out[("v", "real")].depth == 0 and not out[("v", "real")].is_loop
+    # the loop pair is flagged, never "resolved"
+    assert out[("v", "a")].is_loop and out[("v", "b")].is_loop
