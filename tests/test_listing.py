@@ -278,3 +278,44 @@ def test_bucket_link_resolution(spark):
     assert out[("v", "real")].depth == 0 and not out[("v", "real")].is_loop
     # the loop pair is flagged, never "resolved"
     assert out[("v", "a")].is_loop and out[("v", "b")].is_loop
+
+
+def test_bucket_link_resolution_random_graph_equivalence(spark):
+    """Random link graphs: the fixpoint resolver must agree with a
+    direct Python implementation of the reference's visited-set walk
+    (resolve to the first non-link; any revisit ⇒ loop)."""
+    import random
+
+    from hadoop_ozone_spark.operators import listing as listing_ops
+
+    rng = random.Random(11)
+    names = [f"b{i}" for i in range(60)]
+    rows = []
+    link_of = {}
+    for n in names:
+        if rng.random() < 0.5:
+            tgt = rng.choice(names)  # may self-link or form cycles
+            rows.append(("v", n, "v", tgt))
+            link_of[n] = tgt
+        else:
+            rows.append(("v", n, None, None))
+    buckets = spark.createDataFrame(
+        rows,
+        "volume string, bucket string, source_volume string, source_bucket string",
+    )
+
+    def walk(start):
+        seen, cur = set(), start
+        while cur in link_of:
+            if cur in seen:
+                return None  # loop
+            seen.add(cur)
+            cur = link_of[cur]
+        return cur
+
+    got = {
+        r.bucket: (None if r.is_loop else r.resolved_bucket)
+        for r in listing_ops.resolve_bucket_links(buckets).collect()
+    }
+    for n in names:
+        assert got[n] == walk(n), f"bucket {n}"
