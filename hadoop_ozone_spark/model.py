@@ -740,6 +740,61 @@ pipelines AS (
 )"""
 
 
+# ---------------------------------------------------------------------------
+# om_buckets: the bucketTable with LINK buckets (OmBucketInfo
+# sourceVolume/sourceBucket, OmBucketInfo.java:42-106). Base rows = the
+# distinct namespace buckets (non-links, NULL sources); plus one link
+# per base bucket under vol_links, a 2-hop chain, and a 2-cycle so the
+# resolveBucketLink walk (chains, loop detection) has verifiable work.
+# ---------------------------------------------------------------------------
+
+def om_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(
+        "om_buckets", spark, sf_dir, lambda: _build_om_buckets(spark, sf_dir)
+    )
+
+
+def _build_om_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = om_keys(spark, sf_dir).select("volume", "bucket").distinct()
+    nulls = base.select(
+        "volume",
+        "bucket",
+        F.lit(None).cast("string").alias("source_volume"),
+        F.lit(None).cast("string").alias("source_bucket"),
+    )
+    links = base.select(
+        F.lit("vol_links").alias("volume"),
+        F.concat(F.lit("ln_"), F.col("volume"), F.lit("_"), F.col("bucket")).alias(
+            "bucket"
+        ),
+        F.col("volume").alias("source_volume"),
+        F.col("bucket").alias("source_bucket"),
+    )
+    extra = spark.createDataFrame(
+        [
+            ("vol_links", "chain2", "vol_links", "ln_vol_a_bkt_f"),
+            ("vol_links", "loop_x", "vol_links", "loop_y"),
+            ("vol_links", "loop_y", "vol_links", "loop_x"),
+        ],
+        "volume string, bucket string, source_volume string, source_bucket string",
+    )
+    return nulls.unionByName(links).unionByName(extra)
+
+
+OM_BUCKETS_CTE = """
+om_buckets AS (
+  SELECT volume, bucket, CAST(NULL AS VARCHAR) AS source_volume,
+         CAST(NULL AS VARCHAR) AS source_bucket
+  FROM (SELECT DISTINCT volume, bucket FROM om_keys)
+  UNION ALL
+  SELECT 'vol_links', concat('ln_', volume, '_', bucket), volume, bucket
+  FROM (SELECT DISTINCT volume, bucket FROM om_keys)
+  UNION ALL SELECT 'vol_links', 'chain2', 'vol_links', 'ln_vol_a_bkt_f'
+  UNION ALL SELECT 'vol_links', 'loop_x', 'vol_links', 'loop_y'
+  UNION ALL SELECT 'vol_links', 'loop_y', 'vol_links', 'loop_x'
+)"""
+
+
 # audit_log: orders → audit rows (ref commands.properties:18-22):
 # user ← customer id bucketized (skewed), op ← orderpriority,
 # result ← orderstatus, accessed resource path (real OM audit entries
@@ -907,6 +962,7 @@ def register_views(spark: SparkSession, sf_dir: str, derived: bool = True) -> li
     if derived:
         for name, fn in (
             ("om_keys", om_keys),
+            ("om_buckets", om_buckets),
             ("om_events", om_events),
             ("containers", containers),
             ("container_replicas", container_replicas),

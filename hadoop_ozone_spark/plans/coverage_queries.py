@@ -592,3 +592,45 @@ ORDER BY p.probe_path""",
 
 QUERIES["x13_get_file_status"] = x13_get_file_status
 ORACLES["x13_get_file_status"] = X13_SQL
+
+
+# --- L1: bucket-link resolution map ---------------------------------------
+
+def l1_bucket_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resolveBucketLink as a resolution MAP over the bucketTable with
+    links (operators/listing.py resolve_bucket_links): chains to the
+    first non-link, loop pairs flagged. First driver check lands in the
+    round-6 window (the round-5 window is committed to its 12 new
+    queries + the 38 r2-stale rows)."""
+    from hadoop_ozone_spark.operators import listing as listing_ops
+
+    return listing_ops.resolve_bucket_links(model.om_buckets(spark, sf_dir))
+
+
+# a RECURSIVE member must head the one WITH list, so this oracle is
+# assembled directly instead of via model.with_ctes
+L1_SQL = f"""WITH RECURSIVE {model.OM_KEYS_CTE.strip().rstrip()},
+{model.OM_BUCKETS_CTE.strip()},
+walk(volume, bucket, rv, rb, depth) AS (
+  SELECT volume, bucket, volume, bucket, 0 FROM om_buckets
+  UNION ALL
+  SELECT w.volume, w.bucket, b.source_volume, b.source_bucket, w.depth + 1
+  FROM walk w
+  JOIN om_buckets b ON w.rv = b.volume AND w.rb = b.bucket
+  WHERE b.source_volume IS NOT NULL AND w.depth < 16
+)
+SELECT f.volume, f.bucket,
+       f.rv AS resolved_volume, f.rb AS resolved_bucket, f.depth,
+       EXISTS (SELECT 1 FROM om_buckets b
+               WHERE b.volume = f.rv AND b.bucket = f.rb
+                 AND b.source_volume IS NOT NULL) AS is_loop
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY volume, bucket
+                               ORDER BY depth DESC) AS rn
+  FROM walk
+) f
+WHERE f.rn = 1
+ORDER BY f.volume, f.bucket"""
+
+QUERIES["l1_bucket_links"] = l1_bucket_links
+ORACLES["l1_bucket_links"] = L1_SQL

@@ -53,6 +53,7 @@ LAYOUT_VERSION = 7
 # layer can route to the snapshot
 PLANES = (
     "om_keys",
+    "om_buckets",
     "om_events",
     "containers",
     "container_replicas",
