@@ -83,6 +83,7 @@ HEADLINE = [
     "m4_mpu_expiry",
     "dp_kmeans_step",
     "rm4_delete_actions",
+    "l1_bucket_links",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

@@ -252,9 +252,13 @@ def resolve_bucket_links(buckets: DataFrame, max_depth: int = 16) -> DataFrame:
     resolves through this before touching the key plane.
 
     Spark-first inversion: instead of per-request walks, resolve EVERY
-    bucket once by iterative self-join to fixpoint (the bucket dim is
-    tiny, chains are short) — later reads are one equi-join against the
-    resolved map. Returns one row per bucket:
+    bucket once by POINTER DOUBLING — each round composes the current
+    partial resolution with itself (``resolved(x) ←
+    resolved(resolved(x))``, depths summing), so ``max_depth`` hops
+    need only ``log2(max_depth)`` self-joins instead of ``max_depth``
+    sequential ones (cycle rows never resolve, so a step-at-a-time
+    loop always pays the full depth budget). Later reads are one
+    equi-join against the resolved map. Returns one row per bucket:
 
         (volume, bucket, resolved_volume, resolved_bucket, depth,
          is_loop)
@@ -262,53 +266,62 @@ def resolve_bucket_links(buckets: DataFrame, max_depth: int = 16) -> DataFrame:
     A chain still pointing at a link after ``max_depth`` hops is marked
     ``is_loop`` (the relational determinization of the reference's
     visited-set throw: any cycle exceeds every finite depth, and
-    namespace link chains are admin-created and short).
+    namespace link chains are admin-created and short). Cycle rows
+    surface with depth exactly ``max_depth`` — the same terminal state
+    a depth-capped single-step walk (and the recursive-CTE oracle)
+    reaches — which requires ``max_depth`` to be a power of two.
 
     ``buckets``: (volume, bucket, source_volume, source_bucket) with
     NULL sources for non-link buckets.
     """
-    links = buckets.select(
-        F.col("volume").alias("_lv"),
-        F.col("bucket").alias("_lb"),
-        "source_volume",
-        "source_bucket",
+    assert max_depth & (max_depth - 1) == 0, "max_depth must be a power of 2"
+    link_set = buckets.filter(F.col("source_volume").isNotNull()).select(
+        F.col("volume").alias("_lv"), F.col("bucket").alias("_lb")
     ).persist()
+    # one-step seed: links point at their source (depth 1), non-links
+    # at themselves (depth 0)
     state = buckets.select(
         "volume",
         "bucket",
-        F.col("volume").alias("resolved_volume"),
-        F.col("bucket").alias("resolved_bucket"),
-        F.lit(0).alias("depth"),
-    )
-    for _ in range(max_depth):
+        F.coalesce("source_volume", "volume").alias("resolved_volume"),
+        F.coalesce("source_bucket", "bucket").alias("resolved_bucket"),
+        F.when(F.col("source_volume").isNotNull(), 1)
+        .otherwise(0)
+        .alias("depth"),
+    ).localCheckpoint(eager=True)
+    rounds = max(1, max_depth.bit_length() - 1)  # log2(max_depth)
+    for _ in range(rounds):
+        target = state.select(
+            F.col("volume").alias("_tv"),
+            F.col("bucket").alias("_tb"),
+            F.col("resolved_volume").alias("_trv"),
+            F.col("resolved_bucket").alias("_trb"),
+            F.col("depth").alias("_td"),
+        )
         state = (
             state.join(
-                F.broadcast(links),
-                (state["resolved_volume"] == links["_lv"])
-                & (state["resolved_bucket"] == links["_lb"]),
+                F.broadcast(target),
+                (state["resolved_volume"] == target["_tv"])
+                & (state["resolved_bucket"] == target["_tb"])
+                & (target["_td"] > 0),  # compose only through links
                 "left",
             )
             .select(
                 "volume",
                 "bucket",
-                F.coalesce("source_volume", "resolved_volume").alias(
-                    "resolved_volume"
+                F.coalesce("_trv", "resolved_volume").alias("resolved_volume"),
+                F.coalesce("_trb", "resolved_bucket").alias("resolved_bucket"),
+                (F.col("depth") + F.coalesce(F.col("_td"), F.lit(0))).alias(
+                    "depth"
                 ),
-                F.coalesce("source_bucket", "resolved_bucket").alias(
-                    "resolved_bucket"
-                ),
-                (
-                    F.col("depth")
-                    + F.when(F.col("source_volume").isNotNull(), 1).otherwise(0)
-                ).alias("depth"),
             )
-            .localCheckpoint(eager=True)  # O(depth) plans, not O(depth²)
+            .localCheckpoint(eager=True)  # O(log depth) plans
         )
-        # fixpoint reached when nothing resolves to a link anymore —
-        # real chains are 1-2 hops, so this exits almost immediately
+        # fixpoint: nothing resolves to a link anymore (cycle-free case
+        # exits after ~log2(longest chain) rounds)
         unresolved = state.join(
             F.broadcast(
-                links.filter(F.col("source_volume").isNotNull()).select(
+                link_set.select(
                     F.col("_lv").alias("resolved_volume"),
                     F.col("_lb").alias("resolved_bucket"),
                 )
@@ -318,6 +331,12 @@ def resolve_bucket_links(buckets: DataFrame, max_depth: int = 16) -> DataFrame:
         )
         if unresolved.isEmpty():
             break
+    links = buckets.select(
+        F.col("volume").alias("_lv"),
+        F.col("bucket").alias("_lb"),
+        "source_volume",
+        "source_bucket",
+    )
     # still resolving TO a link after max_depth hops ⇒ cycle: flag it
     return (
         state.join(
