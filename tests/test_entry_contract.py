@@ -1,9 +1,11 @@
 """Driver-contract invariants: the correctness window (first 50
 queries() entries) must stay complete — every entry oracle-backed, no
-duplicates, and the union of the frozen round-1/2/3/4 windows
-(CORRECTNESS_r01..r04.json) plus the current window must cover every
-registered query — with no green row older than two rounds after the
-round-5 rotation lands."""
+duplicates, and the union of the frozen round-1..5 windows
+(CORRECTNESS_r01..r05.json) plus the current window must cover every
+registered query except those registered this round (which sit
+immediately after the window for the round-7 rotation). After the
+round-6 rotation no pre-r6 query's driver evidence is older than
+round 4 (two rounds)."""
 
 from __future__ import annotations
 
@@ -97,13 +99,27 @@ R4_WINDOW = [
     "s7_audit_roundtrip", "s8_freon_generator",
 ]
 
-# new in round 5 (first-ever driver check) — must lead the window
-R5_NEW = [
+# the 50 keys the driver hash-checked in round 5 (CORRECTNESS_r05.json)
+R5_WINDOW = [
     "rm1_replication_actions", "rm2_placement_targets",
     "rm3_close_actions", "n2_datanode_usage", "m4_mpu_expiry",
     "m7_mpu_abort", "dp_semantic_dedup", "s3_head_object",
     "m8_mpu_initiate", "dp_kmeans_step", "p3_pipeline_scrub",
-    "rm4_delete_actions",
+    "rm4_delete_actions", "q2_min_cost_supplier", "q4_order_priority",
+    "q6_selective_agg", "q7_volume_shipping", "q8_market_share",
+    "q9_profit_by_nation", "q10_returned_items", "q11_important_parts",
+    "q12_late_shipments", "q13_customer_distribution",
+    "q14_promo_effect", "q16_supplier_variety", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue",
+    "q20_surplus_suppliers", "q21_waiting_suppliers",
+    "q22_idle_customers", "s5_snapshot_tail_merge", "s6_debug_scan",
+    "w1_list_buckets", "w1_list_volumes_by_user", "w4_list_uploads",
+    "a3_namespace_histogram", "a5_quota_enforcement",
+    "a7_datanode_growth", "m4_gc_batch", "m6_copy_object",
+    "so3_multi_delete", "x_path_functions", "x6_range_read",
+    "x9_time_format", "x10_storage_units", "acl_longest_prefix",
+    "dp_embedding_neardup", "ev_sessionization", "ev_asof_join",
+    "ev_range_join_binned",
 ]
 
 
@@ -120,41 +136,53 @@ def test_every_query_has_an_oracle():
     assert set(q) == set(o)  # no rows-only checks remain
 
 
-def test_round5_window_frontloads_new_queries():
-    # every query introduced in round 5 gets its first driver check
-    # up front; the remaining 38 slots re-check the r2-stale rows
-    # (the round-5 value-identical changes keep their prior evidence)
-    assert entry.DRIVER_WINDOW[:12] == R5_NEW
+def test_round6_window_frontloads_l1():
+    # l1_bucket_links is the only pre-r6 query with zero driver
+    # evidence (registered after the r5 window froze) — it leads
+    assert entry.DRIVER_WINDOW[0] == "l1_bucket_links"
 
 
-def test_round5_window_rotates_every_r2_stale_row():
-    # VERDICT r4 #2: after round 5, no query's driver evidence may be
-    # older than two rounds — the window must contain EVERY query whose
-    # last green row was round 2
+def test_round6_window_rotates_every_r3_stale_row():
+    # VERDICT r5 #1: after round 6, no pre-r6 query's driver evidence
+    # may be older than two rounds — the window must contain EVERY
+    # query whose last green row was round 3
     last_checked = {}
     for rnd, window in (
-        (1, R1_WINDOW), (2, R2_WINDOW), (3, R3_WINDOW), (4, R4_WINDOW)
+        (1, R1_WINDOW), (2, R2_WINDOW), (3, R3_WINDOW),
+        (4, R4_WINDOW), (5, R5_WINDOW),
     ):
         for name in window:
             last_checked[name] = rnd
-    r2_stale = {
-        n for n in entry.queries() if last_checked.get(n, 0) == 2
+    r3_stale = {
+        n for n in entry.queries() if last_checked.get(n, 0) == 3
     }
-    assert r2_stale <= set(entry.DRIVER_WINDOW), sorted(
-        r2_stale - set(entry.DRIVER_WINDOW)
+    assert r3_stale <= set(entry.DRIVER_WINDOW), sorted(
+        r3_stale - set(entry.DRIVER_WINDOW)
     )
+    # and the window is exactly l1 + the stale set — no wasted slots
+    assert set(entry.DRIVER_WINDOW) == r3_stale | {"l1_bucket_links"}
 
 
-# registered after the round-5 window was committed to its 12 new
-# queries + the 38 r2-stale rows; first driver check scheduled for the
-# round-6 window (judge-verifiable via tools/oracle_check.py meanwhile)
-R6_PENDING = {"l1_bucket_links"}
+# registered during round 6, after the window committed to l1 + the 49
+# r3-stale rows; they sit immediately after the window (positions 51+)
+# for the round-7 rotation (judge-verifiable via tools/oracle_check.py
+# at HEAD meanwhile)
+R7_PENDING = {
+    "pp1_pipeline_targets", "s3_bucket_acl", "bm1_balancer_moves",
+}
 
 
 def test_round_union_covers_every_registered_query():
     q = entry.queries()
     covered = (
         set(R1_WINDOW) | set(R2_WINDOW) | set(R3_WINDOW) | set(R4_WINDOW)
-        | set(entry.DRIVER_WINDOW)
+        | set(R5_WINDOW) | set(entry.DRIVER_WINDOW)
     )
-    assert set(q) - covered == R6_PENDING, sorted(set(q) - covered)
+    pending = set(q) - covered
+    assert pending <= R7_PENDING, sorted(pending - R7_PENDING)
+
+
+def test_r7_pending_queries_sit_right_after_the_window():
+    names = list(entry.queries())
+    registered_pending = [n for n in names if n in R7_PENDING]
+    assert names[50:50 + len(registered_pending)] == registered_pending
