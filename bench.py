@@ -168,8 +168,13 @@ def main() -> None:
         "spread_pct": spreads,
         "sf": sf,
     }
+    # Detail goes to an untracked artifacts/ dir (ADVICE r5: writing the
+    # git-tracked repo-root file on every run churned a committed
+    # artifact); commit a snapshot deliberately if a round needs one.
     repo = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo, "bench_details.json"), "w") as fh:
+    art = os.path.join(repo, "artifacts")
+    os.makedirs(art, exist_ok=True)
+    with open(os.path.join(art, "bench_details.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
     print(
         json.dumps(

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hadoop_ozone_spark import scratch
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -396,7 +398,8 @@ def semantic_dedup_pairs(
         as_double(F.col(vec_col)).alias("v"),
     ).withColumn("n", norm(F.col("v")))
     if index is None:
-        idx = idx.persist()
+        scratch.fresh("semantic_dedup_pairs")
+        idx = scratch.keep("semantic_dedup_pairs", idx)
     a = idx.select(
         "list_id", F.col("vec_id").alias("vec_a"),
         F.col("v").alias("va"), F.col("n").alias("na"),
@@ -446,11 +449,21 @@ def kmeans_step(
 
     Scale shape: one corpus pass scoring against the broadcast codebook,
     then the mean as a DIMENSION-EXPLODED sum — groupBy(list_id, dim)
-    over scalar components, which is map-side combinable (a
-    collect_list of member vectors would gather whole clusters into
-    single aggregation buffers); the ordered re-assembly sorts ≤dims
+    over scalar components; the ordered re-assembly sorts ≤dims
     entries per centroid. k iterations = k linear passes; the corpus
     never shuffles on anything other than its cluster key.
+
+    Determinism (ADVICE r5): a plain SUM over doubles adds in
+    partition-dependent order, so the centroid would drift between
+    runs and vs the oracle by FP-reassociation noise. Each (list_id,
+    pos) component is instead folded SEQUENTIALLY in vec_id order —
+    array_sort(collect_list(struct(vec_id, x))) + F.aggregate, the
+    same fold discipline dot() uses — making the value bit-identical
+    run-to-run and to the oracle's list_reduce(list(x ORDER BY
+    vec_id)). The per-group list holds one scalar per cluster member;
+    the codebook-∝-N sizing that keeps clusters flat (see
+    semantic_dedup_pairs) bounds it, exactly like the within-cluster
+    pair stage.
     """
     c = centroids.select("list_id", "cvec")
     score = F.round(cosine(as_double(F.col(vec_col)), F.col("cvec")), round_digits)
@@ -464,12 +477,22 @@ def kmeans_step(
         )
         .groupBy("vec_id")
         .agg(F.max(F.struct("score", "neg_list", F.col("v").alias("v"))).alias("m"))
-        .select((-F.col("m.neg_list")).alias("list_id"), F.col("m.v").alias("v"))
+        .select(
+            "vec_id",
+            (-F.col("m.neg_list")).alias("list_id"),
+            F.col("m.v").alias("v"),
+        )
     )
     dim_sums = (
-        assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
+        assigned.select("vec_id", "list_id", F.posexplode("v").alias("pos", "x"))
         .groupBy("list_id", "pos")
-        .agg(F.sum("x").alias("sx"))
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vec_id", "x"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["x"],
+            ).alias("sx")
+        )
     )
     members = assigned.groupBy("list_id").agg(
         F.count(F.lit(1)).alias("n_members")

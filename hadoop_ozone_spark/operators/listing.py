@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hadoop_ozone_spark import scratch
 from hadoop_ozone_spark.functions.paths import immediate_child, is_file
 
 DEFAULT_MAX_KEYS = 1000  # ref: RPC page size, OzoneBucket.java:892-895
@@ -275,9 +276,13 @@ def resolve_bucket_links(buckets: DataFrame, max_depth: int = 16) -> DataFrame:
     NULL sources for non-link buckets.
     """
     assert max_depth & (max_depth - 1) == 0, "max_depth must be a power of 2"
-    link_set = buckets.filter(F.col("source_volume").isNotNull()).select(
-        F.col("volume").alias("_lv"), F.col("bucket").alias("_lb")
-    ).persist()
+    scratch.fresh("resolve_bucket_links")
+    link_set = scratch.keep(
+        "resolve_bucket_links",
+        buckets.filter(F.col("source_volume").isNotNull()).select(
+            F.col("volume").alias("_lv"), F.col("bucket").alias("_lb")
+        ),
+    )
     # one-step seed: links point at their source (depth 1), non-links
     # at themselves (depth 0)
     state = buckets.select(

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hadoop_ozone_spark import scratch
+
 _DECOM_STATES = ("DECOMMISSIONING", "DECOMMISSIONED")
 _MAINT_STATES = ("IN_MAINTENANCE", "ENTERING_MAINTENANCE")
 
@@ -562,17 +564,20 @@ def replication_actions(
     cluster-wide utilization (streaming/maintenance.py
     plan_actions_batch).
     """
+    scratch.fresh("replication_actions")
     dn = datanodes_df.select(
         "datanode_id", "rack", "node_state", "op_state"
     )
     # rep and scope anchor all four action branches (missing / no-source
     # / add / delete); persist so the replica⋈dim join and the count
     # rollup run once, not once per branch. Both are bounded by the
-    # replica plane / container dim, not the key fact table.
-    rep = (
-        replicas.select("container_id", "datanode_id")
-        .join(F.broadcast(dn), "datanode_id")
-        .persist()
+    # replica plane / container dim, not the key fact table. Registered
+    # as scratch so the next invocation releases them (ADVICE r5).
+    rep = scratch.keep(
+        "replication_actions",
+        replicas.select("container_id", "datanode_id").join(
+            F.broadcast(dn), "datanode_id"
+        ),
     )
     counts = rep.groupBy("container_id").agg(
         F.count(F.lit(1)).alias("replica_count"),
@@ -592,8 +597,8 @@ def replication_actions(
                 "healthy_source_count"
             ),
         )
-        .persist()
     )
+    scope = scratch.keep("replication_actions", scope)
     rf, cnt = F.col("replication_factor"), F.col("replica_count")
 
     missing = scope.filter(cnt == 0).select(
@@ -849,6 +854,7 @@ def close_actions(
     (map-side combinable), windows per container for the delete pick;
     the container dim rides broadcasts.
     """
+    scratch.fresh("close_actions")
     cd = container_details.select(
         "container_id",
         F.col("state").alias("c_state"),
@@ -881,8 +887,8 @@ def close_actions(
             "max_seq",
             F.max(F.when(is_qc, F.col("sequence_id"))).over(w),
         )
-        .persist()
     )
+    rep = scratch.keep("close_actions", rep)
 
     closing = rep.filter(F.col("c_state") == "CLOSING").select(
         "container_id",
@@ -915,9 +921,10 @@ def close_actions(
     )
     # three consumers (close / force-close / single-delete) — persist
     # so the counts⋈quorum⋈rep pipeline behind it runs once
-    mismatched = eligible.filter(
-        F.col("replica_state") != F.col("c_state")
-    ).persist()
+    mismatched = scratch.keep(
+        "close_actions",
+        eligible.filter(F.col("replica_state") != F.col("c_state")),
+    )
     unstable_close = mismatched.filter(
         F.col("replica_state").isin("OPEN", "CLOSING")
     ).select(

@@ -1264,7 +1264,11 @@ DP_KMEANS_SQL = model.with_ctes(
   ) WHERE rn = 1
 )""",
     """dim_sums AS (
-  SELECT list_id, d, SUM(ve[d]) AS sx
+  -- sequential vec_id-ordered fold: bit-identical to the Spark side's
+  -- array_sort(collect_list)+aggregate discipline (ADVICE r5), unlike
+  -- SUM whose addition order is engine/partition dependent
+  SELECT list_id, d,
+         list_reduce(list(ve[d] ORDER BY vec_id), (a, b) -> a + b) AS sx
   FROM assign, unnest(generate_series(1, len(ve))) AS s(d)
   GROUP BY list_id, d
 )""",

@@ -415,6 +415,13 @@ def plan_actions_batch(
     """
     from hadoop_ozone_spark.operators import scm
 
+    # Defensive contract guard (ADVICE r5): the docstring advertises the
+    # streaming_live_replicas sink as the expected input, and that sink
+    # carries REMOVEd rows with is_live=false — filter them here so a
+    # caller passing the sink table unfiltered doesn't silently plan
+    # against dead replicas.
+    if "is_live" in live_replicas.columns:
+        live_replicas = live_replicas.filter(F.col("is_live"))
     live = live_replicas.select("container_id", "datanode_id")
     touched = touched_containers.select("container_id").distinct()
     # all three planner inputs are micro-batch/dim sized (O(|touched|)

@@ -23,7 +23,7 @@ from hadoop_ozone_spark.model import TABLES  # noqa: E402
 from hadoop_ozone_spark.session import get_spark  # noqa: E402
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
+def normalize(df: pd.DataFrame, strict: bool = False) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
 
     def norm_cell(v):
@@ -32,8 +32,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, bool):
             return str(v).lower()
         if isinstance(v, float):
-            import os
-            if os.environ.get("STRICT_FLOATS"):
+            if strict:
                 return repr(v)
             return repr(round(v, 6))
         if isinstance(v, pd.Timestamp):
@@ -63,6 +62,7 @@ def main() -> int:
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    strict_failures = []  # repr-level float compare, no 6dp tolerance
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -99,12 +99,24 @@ def main() -> int:
                     print(diff.head(5))
                 else:
                     print("  spark:\n", ns.head(3), "\n  oracle:\n", no.head(3))
+            # strict certification (VERDICT r5 #7): same frames, repr-level
+            # float compare — surfaced as its own tail line every run so
+            # the driver artifact carries the result
+            ss, so = normalize(sdf, strict=True), normalize(odf, strict=True)
+            if value_hash(ss) != value_hash(so):
+                strict_failures.append(name)
         if problems:
             failures.append(name)
+            if name not in strict_failures:
+                strict_failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"OK   {name} ({len(sdf)} rows, {elapsed:.1f}s)")
-    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    print(
+        f"\nstrict_floats: {len(strict_failures)} failures"
+        + (f": {strict_failures}" if strict_failures else "")
+    )
+    print(f"{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
     return 1 if failures else 0
 
