@@ -400,7 +400,10 @@ def datanode_usage(
 
 
 def placement_candidates(
-    under: DataFrame, replicas: DataFrame, candidates: DataFrame
+    under: DataFrame,
+    replicas: DataFrame,
+    candidates: DataFrame,
+    prune_per_rack: bool = False,
 ) -> DataFrame:
     """Rack-aware target ranking — the relational closed form of
     SCMContainerPlacementRackAware.chooseDatanodes
@@ -432,7 +435,41 @@ def placement_candidates(
     every node per container too) built from a broadcast of the node
     dim; the holder/rack exclusions are joins against the fact-sized
     replica plane keyed on container_id — one shuffle each.
+
+    ``prune_per_rack`` (VERDICT r5 #2 — the disaster-mode fan-out
+    guard): pre-rank the candidate dim to the top-K nodes per rack
+    (free-space desc, id asc) BEFORE the per-container join, with
+    K = max(replication_factor) over ``under``. Provably
+    value-identical for every consumer that reads rank ≤ rf − cnt:
+    (a) the k-th globally-ranked row of a container always has
+    per-rack rank ≤ k (the global order sorts rack_rank ascending
+    within each covered-group), so consumed rows have post-exclusion
+    rack rank ≤ rf − cnt; (b) a container excludes at most cnt holder
+    nodes from any one rack, so the rack's top rf pre-exclusion nodes
+    contain its top rf − cnt post-exclusion nodes; (c) pruned rows
+    therefore never sit in any container's consumed top — removing
+    them cannot promote a different row into it. The fan-out shrinks
+    from |under| × |nodes| to |under| × |racks| × max_rf — under mass
+    failure (every container under-replicated) that is ~|nodes|/
+    (|racks|·rf) smaller, the difference between 10^10 and 10^7
+    intermediate rows at 10^6 containers × 10^4 nodes. The probe
+    surface (placement_probe) keeps the unpruned dim: it ranks ONE
+    container and displays beyond the consumed prefix.
     """
+    if prune_per_rack and "replication_factor" in under.columns:
+        kmax = under.agg(F.max("replication_factor").alias("_keep"))
+        candidates = (
+            candidates.withColumn(
+                "_rr",
+                F.row_number().over(
+                    Window.partitionBy("rack").orderBy(
+                        F.desc("free_bytes"), F.asc("datanode_id")
+                    )
+                ),
+            )
+            .crossJoin(F.broadcast(kmax))
+            .filter(F.col("_rr") <= F.col("_keep"))
+        )
     cand = F.broadcast(
         candidates.select("datanode_id", "rack", "free_bytes")
     )
@@ -628,6 +665,7 @@ def replication_actions(
             sourced,
             rep.select("container_id", "datanode_id", "rack"),
             candidates,
+            prune_per_rack=True,
         )
         .join(
             F.broadcast(
@@ -1096,4 +1134,172 @@ def delete_actions(
         .orderBy(
             "container_id", "action", F.coalesce(F.col("datanode_id"), F.lit(-1))
         )
+    )
+
+
+def pipeline_load(
+    pipeline_members: DataFrame,
+    pipeline_details: DataFrame,
+    nodes_required: int = 3,
+) -> DataFrame:
+    """Per-datanode pipeline engagement under the reference's counting
+    law (PipelinePlacementPolicy.currentPipelineCount,
+    PipelinePlacementPolicy.java:92-118): a node's load is its
+    membership count MINUS the "deductable" pipelines — RATIS factor-1
+    pipelines and CLOSED pipelines of the requested factor. What
+    remains is the open/allocated factor-``nodes_required`` engagement
+    that counts against ozone.scm.datanode.pipeline.limit.
+
+    Output: (datanode_id, pipeline_count). Plan: one membership⋈detail
+    join with the pipeline dim broadcast, then a map-side-combinable
+    groupBy(datanode_id).
+    """
+    pd = pipeline_details.select("pipeline_id", "state", "replication_factor")
+    counted = (
+        pipeline_members.join(F.broadcast(pd), "pipeline_id")
+        .filter(
+            (F.col("replication_factor") != 1)
+            & ~(
+                (F.col("replication_factor") == nodes_required)
+                & (F.col("state") == "CLOSED")
+            )
+        )
+    )
+    return counted.groupBy("datanode_id").agg(
+        F.count(F.lit(1)).alias("pipeline_count")
+    )
+
+
+def pipeline_targets(
+    datanodes_df: DataFrame,
+    pipeline_members: DataFrame,
+    pipeline_details: DataFrame,
+    replicas: DataFrame,
+    containers_df: DataFrame,
+    heavy_node_limit: int = 2,
+    min_free_bytes: int = 1_000_000_000,
+    nodes_required: int = 3,
+) -> DataFrame:
+    """PP1 — the pipeline placement proposer, the pipeline twin of the
+    RM2 container chooser: given the node plane and current pipeline
+    engagement, emit the member set the SCM would choose for the NEXT
+    RATIS-3 pipeline (PipelinePlacementPolicy.chooseDatanodes,
+    PipelinePlacementPolicy.java:231-246).
+
+    Law, determinized:
+
+    - viable nodes (filterViableNodes, :134-199): HEALTHY + IN_SERVICE,
+      enough free space (filterNodesWithSpace; free computed from the
+      replica plane as node_free_space does), and pipeline engagement
+      BELOW ozone.scm.datanode.pipeline.limit (default 2,
+      ScmConfigKeys.java:357), with load counted per
+      :func:`pipeline_load`. The surviving list is sorted by pipeline
+      load ascending (:162-169 DnWithPipelines sort) — datanode_id
+      breaks ties, our standing determinization of the reference's
+      arbitrary stream order.
+    - anchor (getResultSet :289-298): the reference picks RANDOMLY from
+      the load-sorted viable list (chooseNode :374-382); determinized
+      to the head of the list — the least-loaded viable node.
+    - second (:305-320 chooseNodeBasedOnRackAwareness + :392-410): the
+      first viable node in list order on a DIFFERENT rack than the
+      anchor; when every viable node shares the anchor's rack, rack
+      awareness is off and the pick falls back to plain list order
+      (fallBackPickNodes :252-264).
+    - third (:322-352 chooseNodeBasedOnSameRack): with rack awareness
+      on, the first remaining viable node on the anchor's OWN rack
+      (Ratis favors a local quorum partner); if none, fall back to
+      list order over the remaining nodes.
+
+    Output: (member_no 1..3, datanode_id, rack, pipeline_count,
+    free_bytes, role ∈ {ANCHOR, RACK_SPREAD, SAME_RACK, FALLBACK}).
+    Fewer than 3 rows ⇔ the reference throws
+    FAILED_TO_FIND_SUITABLE_NODE — the insufficient-cluster marker.
+
+    Plan shape: everything is node-dim sized — the one fact-plane
+    touch is the free-space rollup (one replica shuffle); the
+    load/rank windows run on the |nodes| dim (a single-partition
+    window over a dim, same budget as n2's top-k), and the three picks
+    are 1-row broadcast joins, never a collect.
+    """
+    free = node_free_space(replicas, containers_df, datanodes_df)
+    load = pipeline_load(pipeline_members, pipeline_details, nodes_required)
+    viable = (
+        free.filter(
+            (F.col("node_state") == "HEALTHY")
+            & (F.col("op_state") == "IN_SERVICE")
+            & (F.col("free_bytes") >= min_free_bytes)
+        )
+        .join(F.broadcast(load), "datanode_id", "left")
+        .select(
+            "datanode_id",
+            "rack",
+            "free_bytes",
+            F.coalesce(F.col("pipeline_count"), F.lit(0)).alias(
+                "pipeline_count"
+            ),
+        )
+        .filter(F.col("pipeline_count") < heavy_node_limit)
+        .withColumn(
+            "ord",
+            F.row_number().over(
+                Window.orderBy(F.asc("pipeline_count"), F.asc("datanode_id"))
+            ),
+        )
+    )
+    anchor = viable.filter(F.col("ord") == 1)
+    a = F.broadcast(
+        anchor.select(
+            F.col("datanode_id").alias("_aid"), F.col("rack").alias("_arack")
+        )
+    )
+    rest = viable.join(a, viable["ord"] > 1).withColumn(
+        "_diff", F.col("rack") != F.col("_arack")
+    )
+    # second pick: different-rack first (rack awareness), else next in
+    # load order (fallback when the cluster is single-rack-viable)
+    second = (
+        rest.withColumn(
+            "_r2",
+            F.row_number().over(
+                Window.orderBy(F.desc("_diff"), F.asc("ord"))
+            ),
+        )
+        .filter(F.col("_r2") == 1)
+        .withColumn(
+            "role",
+            F.when(F.col("_diff"), F.lit("RACK_SPREAD")).otherwise(
+                F.lit("FALLBACK")
+            ),
+        )
+    )
+    s = F.broadcast(
+        second.select(
+            F.col("datanode_id").alias("_sid"),
+            F.col("_diff").alias("_rack_aware"),
+        )
+    )
+    third = (
+        rest.join(s, rest["datanode_id"] != F.col("_sid"))
+        .withColumn("_same_pref", F.col("_rack_aware") & ~F.col("_diff"))
+        .withColumn(
+            "_r3",
+            F.row_number().over(
+                Window.orderBy(F.desc("_same_pref"), F.asc("ord"))
+            ),
+        )
+        .filter(F.col("_r3") == 1)
+        .withColumn(
+            "role",
+            F.when(F.col("_same_pref"), F.lit("SAME_RACK")).otherwise(
+                F.lit("FALLBACK")
+            ),
+        )
+    )
+    cols = ["datanode_id", "rack", "pipeline_count", "free_bytes", "role"]
+    return (
+        anchor.withColumn("role", F.lit("ANCHOR"))
+        .select(F.lit(1).alias("member_no"), *cols)
+        .unionByName(second.select(F.lit(2).alias("member_no"), *cols))
+        .unionByName(third.select(F.lit(3).alias("member_no"), *cols))
+        .orderBy("member_no")
     )

@@ -753,3 +753,88 @@ QUERIES["p3_pipeline_scrub"] = p3_pipeline_scrub
 QUERIES["rm4_delete_actions"] = rm4_delete_actions
 ORACLES["p3_pipeline_scrub"] = P3_SQL
 ORACLES["rm4_delete_actions"] = RM4_SQL
+
+
+# --- PP1: pipeline placement proposer (round 6) ----------------------------
+
+def pp1_pipeline_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The member set the SCM would choose for the next RATIS-3
+    pipeline — PipelinePlacementPolicy.chooseDatanodes determinized
+    (operators/scm.py pipeline_targets): viable = HEALTHY+IN_SERVICE,
+    free space ≥ 1 GB, engagement < the ozone.scm.datanode.pipeline
+    .limit default 2; anchor → rack-spread second → same-rack third."""
+    return scm.pipeline_targets(
+        model.datanodes(spark, sf_dir),
+        model.pipeline_members(spark, sf_dir),
+        model.pipeline_details(spark, sf_dir),
+        model.container_replicas(spark, sf_dir),
+        model.containers(spark, sf_dir),
+    )
+
+
+PP1_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    model.CONTAINERS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    model.PIPELINE_MEMBERS_CTE,
+    model.PIPELINE_DETAILS_CTE,
+    """pl_load AS (
+  SELECT m.datanode_id, count(*) AS pipeline_count
+  FROM pipeline_members m JOIN pipeline_details p USING (pipeline_id)
+  WHERE p.replication_factor <> 1
+    AND NOT (p.replication_factor = 3 AND p.state = 'CLOSED')
+  GROUP BY m.datanode_id
+)""",
+    """pl_used AS (
+  SELECT r.datanode_id, CAST(SUM(c.used_bytes) AS BIGINT) AS node_used
+  FROM container_replicas r JOIN containers c USING (container_id)
+  GROUP BY r.datanode_id
+)""",
+    """pl_viable AS (
+  SELECT d.datanode_id, d.rack,
+         d.capacity_bytes - COALESCE(u.node_used, 0) AS free_bytes,
+         COALESCE(l.pipeline_count, 0) AS pipeline_count
+  FROM datanodes d
+  LEFT JOIN pl_used u USING (datanode_id)
+  LEFT JOIN pl_load l USING (datanode_id)
+  WHERE d.node_state = 'HEALTHY' AND d.op_state = 'IN_SERVICE'
+    AND d.capacity_bytes - COALESCE(u.node_used, 0) >= 1000000000
+    AND COALESCE(l.pipeline_count, 0) < 2
+)""",
+    """pl_ord AS (
+  SELECT *, row_number() OVER (ORDER BY pipeline_count, datanode_id) AS ord
+  FROM pl_viable
+)""",
+    """pl_anchor AS (SELECT * FROM pl_ord WHERE ord = 1)""",
+    """pl_rest AS (
+  SELECT o.*, (o.rack <> a.rack) AS diff
+  FROM pl_ord o CROSS JOIN pl_anchor a WHERE o.ord > 1
+)""",
+    """pl_second AS (
+  SELECT *, CASE WHEN diff THEN 'RACK_SPREAD' ELSE 'FALLBACK' END AS role
+  FROM pl_rest ORDER BY diff DESC, ord LIMIT 1
+)""",
+    """pl_third AS (
+  SELECT r.*,
+         CASE WHEN s.diff AND NOT r.diff THEN 'SAME_RACK'
+              ELSE 'FALLBACK' END AS role
+  FROM pl_rest r CROSS JOIN pl_second s
+  WHERE r.datanode_id <> s.datanode_id
+  ORDER BY (s.diff AND NOT r.diff) DESC, r.ord LIMIT 1
+)""",
+    body="""SELECT * FROM (
+  SELECT 1 AS member_no, datanode_id, rack, pipeline_count, free_bytes,
+         'ANCHOR' AS role
+  FROM pl_anchor
+  UNION ALL
+  SELECT 2, datanode_id, rack, pipeline_count, free_bytes, role
+  FROM pl_second
+  UNION ALL
+  SELECT 3, datanode_id, rack, pipeline_count, free_bytes, role
+  FROM pl_third
+)
+ORDER BY member_no""",
+)
+
+QUERIES["pp1_pipeline_targets"] = pp1_pipeline_targets
+ORACLES["pp1_pipeline_targets"] = PP1_SQL

@@ -255,6 +255,13 @@ def test_rm1_actions_broadcast_dims_no_cartesian(spark, sf_dir):
     p = plan_of(entry.queries()["rm1_replication_actions"](spark, sf_dir))
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+    # disaster-mode fan-out guard (VERDICT r5 #2): the candidate dim is
+    # pre-ranked to the top-max(rf) nodes PER RACK before the
+    # per-container product — the plan must carry the rack-partitioned
+    # row_number window and its _rr <= _keep cut, bounding the build at
+    # |under| × |racks| × max_rf instead of |under| × |nodes|
+    assert "partitionBy=[rack#" in p.replace(" ", "") or "[rack" in p
+    assert "_rr" in p and "_keep" in p
 
 
 def test_rm2_probe_is_single_container_window(spark, sf_dir):

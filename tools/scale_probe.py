@@ -516,6 +516,94 @@ def scm_probe(n_replicas_m: float = 6.0, n_nodes: int = 1000) -> None:
     spark.stop()
 
 
+def disaster_probe(n_replicas_m: float = 6.0, n_nodes: int = 1000) -> None:
+    """Mass-failure placement probe (VERDICT r5 #2): half the container
+    fleet under-replicated at once — the rack/DC-loss scenario where
+    the ADD planner's under×candidates build was flagged `weak`. With
+    the per-rack candidate prune the build is |under| × |racks| ×
+    max_rf instead of |under| × |nodes|; this probe measures the
+    planner wall AND counts both pair-build sizes so the bound is a
+    recorded number, not a claim."""
+    from pyspark.sql import Window
+
+    from hadoop_ozone_spark.operators import scm
+
+    spark = get_spark("disaster-probe")
+    n = int(n_replicas_m * 1_000_000)
+    n_racks = 20
+    # disaster shape: every container has rf=3 but HALF hold only 1-2
+    # replicas → |under| ≈ n_containers/2, the worst realistic fan-out
+    n_containers = int(n / 2.25)  # half at 3, half at 1.5 avg → n total
+    out = {
+        "num_replicas": n, "num_nodes": n_nodes,
+        "num_containers": n_containers, "timings_sec": {},
+    }
+    datanodes = spark.range(1, n_nodes + 1).select(
+        F.col("id").alias("datanode_id"),
+        F.concat(F.lit("node-"), F.col("id")).alias("hostname"),
+        F.concat(F.lit("rack_"), F.col("id") % n_racks).alias("rack"),
+        F.lit("HEALTHY").alias("node_state"),
+        F.lit("IN_SERVICE").alias("op_state"),
+        ((F.col("id") % 16 + 4) * F.lit(1_000_000_000)).alias("capacity_bytes"),
+    ).persist()
+    containers = spark.range(1, n_containers + 1).select(
+        F.col("id").alias("container_id"),
+        F.lit("CLOSED").alias("state"),
+        F.lit(3).alias("replication_factor"),
+        (F.col("id") % 997 * 5_000_000).alias("used_bytes"),
+    ).persist()
+    # odd containers keep 3 replicas; even keep 1 + (id/2 % 2)
+    cnt = F.when(F.col("id") % 2 == 1, 3).otherwise(
+        1 + (F.col("id") / 2).cast("long") % 2
+    )
+    replicas = (
+        containers.select(F.col("container_id").alias("id"))
+        .select("id", F.explode(F.sequence(F.lit(1), cnt)).alias("k"))
+        .select(
+            F.col("id").alias("container_id"),
+            ((F.xxhash64("id") + F.col("k") * 37) % n_nodes + n_nodes)
+            % n_nodes + 1,
+        )
+        .toDF("container_id", "datanode_id")
+        .distinct()
+        .persist()
+    )
+    datanodes.count(); containers.count()
+    out["actual_replicas"] = replicas.count()
+
+    t0 = time.time()
+    actions = scm.replication_actions(containers, replicas, datanodes)
+    by_action = {
+        r["action"]: r["n"]
+        for r in actions.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out["timings_sec"]["rm1_disaster_plan"] = round(time.time() - t0, 2)
+    out["actions"] = by_action
+
+    # the recorded bound: pruned pair-build size vs the unpruned product
+    under = (
+        replicas.groupBy("container_id").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") < 3)
+    )
+    n_under = under.count()
+    out["under_replicated"] = n_under
+    out["pair_build_unpruned"] = n_under * n_nodes
+    kmax = 3
+    pruned_nodes = (
+        datanodes.withColumn(
+            "rr",
+            F.row_number().over(
+                Window.partitionBy("rack").orderBy(F.desc("capacity_bytes"),
+                                                   F.asc("datanode_id"))
+            ),
+        ).filter(F.col("rr") <= kmax).count()
+    )
+    out["pair_build_pruned"] = n_under * pruned_nodes
+    out["fanout_shrink_x"] = round(n_nodes / pruned_nodes, 1)
+    print(json.dumps(out))
+    spark.stop()
+
+
 def fso_probe(n_dirs_k: float = 200.0, depth: int = 8) -> None:
     """FSO dir-plane shapes at scale (round 5): resolve_files with the
     un-hinted join (AQE picks the strategy as the dir plane grows) and
@@ -587,6 +675,8 @@ if __name__ == "__main__":
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "--scm":
         scm_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 6.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--disaster":
+        disaster_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 6.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--fso":
         fso_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 200.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--semdedup":
