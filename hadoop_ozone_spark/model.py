@@ -1091,3 +1091,79 @@ key_acls AS (
   SELECT row_key, 'WORLD' AS type, '' AS name, 1 AS rights, 'ACCESS' AS scope
   FROM om_keys WHERE replication_factor = 3
 )"""
+
+
+# ---------------------------------------------------------------------------
+# s3_native_bucket_acls: the native OzoneAcl rows on each bucket that the
+# S3 gateway's `GET /bucket?acl` translates (BucketEndpoint.java:383-421;
+# S3Acl.ozoneNativeAclToS3Acl, S3Acl.java:175-219). Deterministic per
+# bucket: an owner USER with ALL in BOTH scopes (the ACCESS/DEFAULT pair
+# the gateway's grantSet dedups), a secondary USER whose rights cycle
+# through the five S3-mappable bitmask shapes (plus the unmappable
+# READ-only lane the gateway drops), and a GROUP row (non-CanonicalUser —
+# dropped by the identity filter). Rights bitmask ordinals as above.
+# ---------------------------------------------------------------------------
+
+def s3_native_bucket_acls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(
+        "s3_native_bucket_acls", spark, sf_dir,
+        lambda: _build_s3_native_bucket_acls(spark, sf_dir),
+    )
+
+
+def _build_s3_native_bucket_acls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = om_keys(spark, sf_dir).select("volume", "bucket").distinct()
+    lane = (
+        F.ascii(F.substring(F.col("volume"), -1, 1))
+        + F.ascii(F.substring(F.col("bucket"), -1, 1))
+    ) % 5
+    sec_rights = (
+        F.when(lane == 0, F.lit(9))     # READ|LIST        -> READ
+        .when(lane == 1, F.lit(22))     # WRITE|CREATE|DELETE -> WRITE
+        .when(lane == 2, F.lit(32))     # READ_ACL         -> READ_ACP
+        .when(lane == 3, F.lit(64))     # WRITE_ACL        -> WRITE_ACP
+        .otherwise(F.lit(1))            # READ only        -> unmappable
+    ).cast("long")
+    owner = F.concat(F.lit("owner-"), F.col("volume"))
+    sec_name = F.concat(F.lit("user-"), lane.cast("string"))
+
+    def rows(typ, name, rights, scope):
+        return b.select(
+            "volume", "bucket",
+            F.lit(typ).alias("type"), name.alias("name"),
+            rights.alias("rights"), F.lit(scope).alias("scope"),
+        )
+
+    return (
+        rows("USER", owner, F.lit(128).cast("long"), "ACCESS")
+        .unionByName(rows("USER", owner, F.lit(128).cast("long"), "DEFAULT"))
+        .unionByName(rows("USER", sec_name, sec_rights, "ACCESS"))
+        .unionByName(rows("GROUP", F.lit("eng"), F.lit(128).cast("long"), "ACCESS"))
+    )
+
+
+S3_NATIVE_BUCKET_ACLS_CTE = """
+s3_native_bucket_acls AS (
+  WITH b AS (SELECT DISTINCT volume, bucket FROM om_keys),
+  lanes AS (
+    SELECT volume, bucket,
+           (ascii(substring(volume, -1, 1))
+            + ascii(substring(bucket, -1, 1))) % 5 AS lane
+    FROM b
+  )
+  SELECT volume, bucket, 'USER' AS type,
+         concat('owner-', volume) AS name, 128 AS rights, 'ACCESS' AS scope
+  FROM lanes
+  UNION ALL
+  SELECT volume, bucket, 'USER', concat('owner-', volume), 128, 'DEFAULT'
+  FROM lanes
+  UNION ALL
+  SELECT volume, bucket, 'USER', concat('user-', lane),
+         CASE lane WHEN 0 THEN 9 WHEN 1 THEN 22 WHEN 2 THEN 32
+                   WHEN 3 THEN 64 ELSE 1 END,
+         'ACCESS'
+  FROM lanes
+  UNION ALL
+  SELECT volume, bucket, 'GROUP', 'eng', 128, 'ACCESS'
+  FROM lanes
+)"""

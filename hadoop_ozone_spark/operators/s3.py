@@ -397,3 +397,121 @@ def initiate_multipart_upload(
         .otherwise(F.lit(3))
         .alias("replication_factor"),
     ).orderBy("volume", "bucket", "key")
+
+
+# --- S3 bucket ACL surface (GET/PUT /bucket?acl) ---------------------------
+
+# ACLType bitmask ordinals (IAccessAuthorizer.java:48-57), as in
+# operators/acl.py: READ=1 WRITE=2 CREATE=4 LIST=8 DELETE=16 READ_ACL=32
+# WRITE_ACL=64 ALL=128.
+_B_READ, _B_WRITE, _B_CREATE, _B_LIST, _B_DELETE = 1, 2, 4, 8, 16
+_B_READ_ACL, _B_WRITE_ACL, _B_ALL = 32, 64, 128
+
+
+def _has(bits: int):
+    return F.col("rights").bitwiseAND(F.lit(bits)) == bits
+
+
+def bucket_acl_grants(native_acls: DataFrame) -> DataFrame:
+    """`GET /bucket?acl` — translate each bucket's native OzoneAcl rows
+    into S3 grants (BucketEndpoint.getAcl, BucketEndpoint.java:383-421;
+    S3Acl.ozoneNativeAclToS3Acl, S3Acl.java:175-219):
+
+    - only USER identities map ("CanonicalUser" is the single supported
+      grantee type, S3Acl.java:96-99); GROUP/WORLD rows drop.
+    - permission by the reference's if-ladder priority: ALL →
+      FULL_CONTROL; else WRITE_ACL → WRITE_ACP; else READ_ACL →
+      READ_ACP; else WRITE∧DELETE∧CREATE → WRITE; else READ∧LIST →
+      READ; anything else is unmappable and logged+dropped.
+    - grants dedup across ACCESS/DEFAULT scopes (the gateway's
+      grantSet, BucketEndpoint.java:396-401).
+
+    Owner rides along as the volume owner surrogate
+    (BucketEndpoint.java:390-392 uses the volume owner until bucket
+    owners exist). Map-only projection + a distinct on the tiny ACL
+    plane — no fact-table touch.
+    """
+    permission = (
+        F.when(_has(_B_ALL), F.lit("FULL_CONTROL"))
+        .when(_has(_B_WRITE_ACL), F.lit("WRITE_ACP"))
+        .when(_has(_B_READ_ACL), F.lit("READ_ACP"))
+        .when(
+            _has(_B_WRITE | _B_DELETE | _B_CREATE), F.lit("WRITE")
+        )
+        .when(_has(_B_READ | _B_LIST), F.lit("READ"))
+    )
+    return (
+        native_acls.filter(F.col("type") == "USER")
+        .select(
+            "volume",
+            "bucket",
+            F.concat(F.lit("owner-"), F.col("volume")).alias("owner_id"),
+            F.col("name").alias("grantee_id"),
+            F.col("name").alias("grantee_display_name"),
+            F.lit("CanonicalUser").alias("grantee_type"),
+            permission.alias("permission"),
+        )
+        .filter(F.col("permission").isNotNull())
+        .distinct()
+        .orderBy("volume", "bucket", "grantee_id", "permission")
+    )
+
+
+def s3_permission_to_bucket_rights(permission) -> "F.Column":
+    """S3 permission string → native bucket-ACL bitmask
+    (S3Acl.getOzoneAclOnBucketFromS3Permission, S3Acl.java:253-284)."""
+    p = F.lit(permission) if isinstance(permission, str) else permission
+    return (
+        F.when(p == "FULL_CONTROL", F.lit(_B_ALL))
+        .when(p == "WRITE_ACP", F.lit(_B_WRITE_ACL))
+        .when(p == "READ_ACP", F.lit(_B_READ_ACL))
+        .when(p == "WRITE", F.lit(_B_WRITE | _B_DELETE | _B_CREATE))
+        .when(p == "READ", F.lit(_B_READ | _B_LIST))
+        .cast("long")
+    )
+
+
+def s3_permission_to_volume_rights(permission) -> "F.Column":
+    """S3 permission → the least-privilege volume-ACL bitmask the put
+    also applies on the parent volume
+    (S3Acl.getOzoneAclOnVolumeFromS3Permission, S3Acl.java:313-345)."""
+    p = F.lit(permission) if isinstance(permission, str) else permission
+    return (
+        F.when(
+            p == "FULL_CONTROL",
+            F.lit(_B_READ | _B_WRITE | _B_READ_ACL | _B_WRITE_ACL),
+        )
+        .when(p == "WRITE_ACP", F.lit(_B_READ | _B_READ_ACL | _B_WRITE_ACL))
+        .when(p == "READ_ACP", F.lit(_B_READ | _B_READ_ACL))
+        .when(p == "WRITE", F.lit(_B_READ | _B_WRITE))
+        .when(p == "READ", F.lit(_B_READ))
+        .cast("long")
+    )
+
+
+def put_bucket_acl(
+    native_acls: DataFrame, grants: DataFrame, volume: str, bucket: str
+) -> DataFrame:
+    """`PUT /bucket?acl` as a transform — BucketEndpoint.putAcl
+    (BucketEndpoint.java:427-500): the target bucket's native ACL list
+    is REPLACED (bucket.setAcl) by the translated grants, each grant
+    expanding to an ACCESS + DEFAULT scope pair
+    (S3Acl.s3AclToOzoneNativeAclOnBucket, S3Acl.java:221-251); every
+    other bucket's rows pass through untouched.
+
+    ``grants``: (grantee_id, permission) rows. Returns the new native
+    ACL plane. Anti-filter on the target + a union of the tiny
+    translated set — map-only.
+    """
+    new_rows = grants.select(
+        F.lit(volume).alias("volume"),
+        F.lit(bucket).alias("bucket"),
+        F.lit("USER").alias("type"),
+        F.col("grantee_id").alias("name"),
+        s3_permission_to_bucket_rights(F.col("permission")).alias("rights"),
+        F.explode(F.array(F.lit("ACCESS"), F.lit("DEFAULT"))).alias("scope"),
+    )
+    untouched = native_acls.filter(
+        ~((F.col("volume") == volume) & (F.col("bucket") == bucket))
+    )
+    return untouched.unionByName(new_rows)

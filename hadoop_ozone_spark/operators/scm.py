@@ -1303,3 +1303,186 @@ def pipeline_targets(
         .unionByName(third.select(F.lit(3).alias("member_no"), *cols))
         .orderBy("member_no")
     )
+
+
+def balancer_moves(
+    datanodes_df: DataFrame,
+    replicas: DataFrame,
+    containers_df: DataFrame,
+    threshold: float = 0.1,
+    max_size_to_move: int | None = None,
+) -> DataFrame:
+    """BM1 — the balancer MOVE planner pairing B1's over/under-utilized
+    sets into (container, source, target) moves. Design-forward:
+    v1.2.0's ContainerBalancer classifies only (initializeIteration,
+    ContainerBalancer.java:169-233 — no FindTargetStrategy exists at
+    this version), so the pick law below is REPO-DEFINED, determinized,
+    and documented here as the oracle of record; it respects the same
+    placement law RM2 enforces and the reference's per-iteration byte
+    budgets (bytes_over_upper / bytes_under_lower via ratioToBytes,
+    :304-312; maxSizeToMoveInGB, :56,124).
+
+    The law:
+
+    1. sources = OVER_UTILIZED nodes, targets = UNDER_UTILIZED nodes
+       (exactly B1's classification at the same threshold).
+    2. movable containers: CLOSED, used_bytes > 0, holding a replica on
+       a source. A container moves AT MOST ONCE per iteration, debited
+       from its most-over-utilized source (ties → lowest source id).
+    3. source budget: per source, containers picked in (used_bytes
+       desc, container_id) order while the running sum stays within
+       the source's bytes_over_upper.
+    4. target choice: the placement-safe under-utilized node with the
+       most headroom (bytes_under_lower desc, id asc). Placement-safe =
+       target holds no replica of the container AND rack coverage after
+       the move (source rack decrements when this was its only replica
+       there; target rack adds if new) does not drop below
+       min(replication_factor, total racks) — the
+       ContainerPlacementStatusDefault law — nor below its current
+       value if already under it.
+    5. target budget: per target, accepted moves in (used_bytes desc,
+       container_id) order while the running sum stays within
+       bytes_under_lower.
+    6. optional global cap ``max_size_to_move``: running sum over all
+       surviving moves in (used_bytes desc, container_id) order.
+
+    Output: (container_id, source_datanode_id, target_datanode_id,
+    used_bytes, source_rack, target_rack). Plan: the only fact-plane
+    shuffles are the replica rollups (per-node used, per-container rack
+    facts); candidate moves are replicas semi-joined to the BROADCAST
+    source set; targets ride a broadcast; budgets are per-node windows
+    (natural keys, no skew).
+    """
+    util = balancer_utilization(
+        datanodes_df, replicas, containers_df, threshold
+    )
+    racks = datanodes_df.select("datanode_id", "rack")
+    sources = F.broadcast(
+        util.filter(F.col("classification") == "OVER_UTILIZED")
+        .join(racks, "datanode_id")
+        .select(
+            F.col("datanode_id").alias("source_datanode_id"),
+            F.col("rack").alias("source_rack"),
+            "bytes_over_upper",
+        )
+    )
+    targets = F.broadcast(
+        util.filter(F.col("classification") == "UNDER_UTILIZED")
+        .join(racks, "datanode_id")
+        .select(
+            F.col("datanode_id").alias("target_datanode_id"),
+            F.col("rack").alias("target_rack"),
+            "bytes_under_lower",
+        )
+    )
+    rep_rack = replicas.join(F.broadcast(racks), "datanode_id")
+    cont_racks = rep_rack.groupBy("container_id", "rack").agg(
+        F.count(F.lit(1)).alias("rack_cnt")
+    )
+    cov = cont_racks.groupBy("container_id").agg(
+        F.count(F.lit(1)).alias("cov_before")
+    )
+    total_racks = datanodes_df.agg(
+        F.countDistinct("rack").alias("total_racks")
+    )
+    movable = F.broadcast(
+        containers_df.filter(
+            (F.col("state") == "CLOSED") & (F.col("used_bytes") > 0)
+        ).select("container_id", "replication_factor", "used_bytes")
+    )
+    cand = (
+        replicas.withColumnRenamed("datanode_id", "source_datanode_id")
+        .join(sources, "source_datanode_id")
+        .join(movable, "container_id")
+        # one move per container: debit the most-over source
+        .withColumn(
+            "_c1",
+            F.row_number().over(
+                Window.partitionBy("container_id").orderBy(
+                    F.desc("bytes_over_upper"), F.asc("source_datanode_id")
+                )
+            ),
+        )
+        .filter(F.col("_c1") == 1)
+        # source-side budget prefix
+        .withColumn(
+            "_src_cum",
+            F.sum("used_bytes").over(
+                Window.partitionBy("source_datanode_id")
+                .orderBy(F.desc("used_bytes"), F.asc("container_id"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("_src_cum") <= F.col("bytes_over_upper"))
+        .join(cov, "container_id")
+        .join(
+            cont_racks.select(
+                "container_id",
+                F.col("rack").alias("source_rack"),
+                F.col("rack_cnt").alias("src_rack_cnt"),
+            ),
+            ["container_id", "source_rack"],
+        )
+    )
+    holders = replicas.select(
+        "container_id", F.col("datanode_id").alias("target_datanode_id")
+    )
+    covered = cont_racks.select(
+        "container_id",
+        F.col("rack").alias("target_rack"),
+        F.lit(True).alias("target_rack_covered"),
+    )
+    cov_after = (
+        F.col("cov_before")
+        - F.when(F.col("src_rack_cnt") == 1, 1).otherwise(0)
+        + F.when(F.col("target_rack_covered"), 0).otherwise(1)
+    )
+    placement_min = F.least(F.col("replication_factor"), F.col("total_racks"))
+    paired = (
+        cand.crossJoin(targets)  # broadcast under-set product, |cand|×|under|
+        .join(holders, ["container_id", "target_datanode_id"], "left_anti")
+        .join(covered, ["container_id", "target_rack"], "left")
+        .withColumn(
+            "target_rack_covered",
+            F.coalesce(F.col("target_rack_covered"), F.lit(False)),
+        )
+        .crossJoin(F.broadcast(total_racks))
+        .filter(
+            (cov_after >= placement_min) | (cov_after >= F.col("cov_before"))
+        )
+        .withColumn(
+            "_t1",
+            F.row_number().over(
+                Window.partitionBy("container_id").orderBy(
+                    F.desc("bytes_under_lower"), F.asc("target_datanode_id")
+                )
+            ),
+        )
+        .filter(F.col("_t1") == 1)
+        # target-side budget prefix
+        .withColumn(
+            "_tgt_cum",
+            F.sum("used_bytes").over(
+                Window.partitionBy("target_datanode_id")
+                .orderBy(F.desc("used_bytes"), F.asc("container_id"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("_tgt_cum") <= F.col("bytes_under_lower"))
+    )
+    if max_size_to_move is not None:
+        paired = paired.withColumn(
+            "_g_cum",
+            F.sum("used_bytes").over(
+                Window.orderBy(F.desc("used_bytes"), F.asc("container_id"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).filter(F.col("_g_cum") <= F.lit(max_size_to_move))
+    return paired.select(
+        "container_id",
+        "source_datanode_id",
+        "target_datanode_id",
+        "used_bytes",
+        "source_rack",
+        "target_rack",
+    ).orderBy("container_id")

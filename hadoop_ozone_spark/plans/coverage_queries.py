@@ -634,3 +634,40 @@ ORDER BY f.volume, f.bucket"""
 
 QUERIES["l1_bucket_links"] = l1_bucket_links
 ORACLES["l1_bucket_links"] = L1_SQL
+
+
+# --- S3 bucket ACL view (round 6) ------------------------------------------
+
+def s3_bucket_acl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GET /bucket?acl` over every bucket: native OzoneAcl rows →
+    S3 grant rows (BucketEndpoint.java:383-421, S3Acl.java:175-219 —
+    operators/s3.py bucket_acl_grants)."""
+    return s3.bucket_acl_grants(model.s3_native_bucket_acls(spark, sf_dir))
+
+
+S3_BUCKET_ACL_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    model.S3_NATIVE_BUCKET_ACLS_CTE,
+    body="""SELECT DISTINCT volume, bucket,
+       concat('owner-', volume) AS owner_id,
+       name AS grantee_id, name AS grantee_display_name,
+       'CanonicalUser' AS grantee_type,
+       CASE WHEN (rights & 128) = 128 THEN 'FULL_CONTROL'
+            WHEN (rights & 64) = 64 THEN 'WRITE_ACP'
+            WHEN (rights & 32) = 32 THEN 'READ_ACP'
+            WHEN (rights & 22) = 22 THEN 'WRITE'
+            WHEN (rights & 9) = 9 THEN 'READ'
+       END AS permission
+FROM s3_native_bucket_acls
+WHERE type = 'USER'
+  AND CASE WHEN (rights & 128) = 128 THEN 'FULL_CONTROL'
+           WHEN (rights & 64) = 64 THEN 'WRITE_ACP'
+           WHEN (rights & 32) = 32 THEN 'READ_ACP'
+           WHEN (rights & 22) = 22 THEN 'WRITE'
+           WHEN (rights & 9) = 9 THEN 'READ'
+      END IS NOT NULL
+ORDER BY volume, bucket, grantee_id, permission""",
+)
+
+QUERIES["s3_bucket_acl"] = s3_bucket_acl
+ORACLES["s3_bucket_acl"] = S3_BUCKET_ACL_SQL

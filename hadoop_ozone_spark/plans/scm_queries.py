@@ -838,3 +838,129 @@ ORDER BY member_no""",
 
 QUERIES["pp1_pipeline_targets"] = pp1_pipeline_targets
 ORACLES["pp1_pipeline_targets"] = PP1_SQL
+
+
+# --- BM1: balancer move planner (round 6, design-forward) ------------------
+
+def bm1_balancer_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balancer (container, source, target) moves pairing B1's over/
+    under-utilized sets under the RM2 placement law and per-node byte
+    budgets (operators/scm.py balancer_moves — repo-defined determinized
+    pick law; v1.2.0 has no in-tree move chooser to hash-match).
+    Threshold 0.002 fits the synthetic cluster's utilization spread the
+    way an admin would tune ozone's threshold to their fleet."""
+    return scm.balancer_moves(
+        model.datanodes(spark, sf_dir),
+        model.container_replicas(spark, sf_dir),
+        model.containers(spark, sf_dir),
+        threshold=0.002,
+    )
+
+
+BM1_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    model.CONTAINERS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    """bm_nodes AS (
+  SELECT d.datanode_id, d.rack, d.capacity_bytes,
+         COALESCE(u.used_bytes, 0) AS used_bytes
+  FROM datanodes d
+  LEFT JOIN (
+    SELECT r.datanode_id, CAST(SUM(c.used_bytes) AS BIGINT) AS used_bytes
+    FROM container_replicas r JOIN containers c USING (container_id)
+    GROUP BY r.datanode_id
+  ) u USING (datanode_id)
+  WHERE d.node_state = 'HEALTHY' AND d.op_state = 'IN_SERVICE'
+)""",
+    """bm_class AS (
+  SELECT n.datanode_id, n.rack, n.capacity_bytes,
+         CAST(n.used_bytes AS DOUBLE) / n.capacity_bytes AS util,
+         CAST(t.cluster_used AS DOUBLE) / t.cluster_capacity AS avgu
+  FROM bm_nodes n CROSS JOIN (
+    SELECT SUM(used_bytes) AS cluster_used,
+           SUM(capacity_bytes) AS cluster_capacity
+    FROM bm_nodes
+  ) t
+)""",
+    """bm_sources AS (
+  SELECT datanode_id AS source_datanode_id, rack AS source_rack,
+         capacity_bytes * util - capacity_bytes * (avgu + 0.002)
+           AS bytes_over_upper
+  FROM bm_class WHERE util > avgu + 0.002
+)""",
+    """bm_targets AS (
+  SELECT datanode_id AS target_datanode_id, rack AS target_rack,
+         capacity_bytes * (avgu - 0.002) - capacity_bytes * util
+           AS bytes_under_lower
+  FROM bm_class WHERE util < avgu - 0.002
+)""",
+    """bm_cont_racks AS (
+  SELECT r.container_id, d.rack, count(*) AS rack_cnt
+  FROM container_replicas r JOIN datanodes d USING (datanode_id)
+  GROUP BY 1, 2
+)""",
+    """bm_cov AS (
+  SELECT container_id, count(*) AS cov_before FROM bm_cont_racks GROUP BY 1
+)""",
+    """bm_cand AS (
+  SELECT * FROM (
+    SELECT *, SUM(used_bytes) OVER (
+        PARTITION BY source_datanode_id
+        ORDER BY used_bytes DESC, container_id ROWS UNBOUNDED PRECEDING
+      ) AS src_cum
+    FROM (
+      SELECT r.container_id, s.source_datanode_id, s.source_rack,
+             s.bytes_over_upper, m.replication_factor, m.used_bytes,
+             row_number() OVER (PARTITION BY r.container_id
+               ORDER BY s.bytes_over_upper DESC, s.source_datanode_id) AS c1
+      FROM container_replicas r
+      JOIN bm_sources s ON r.datanode_id = s.source_datanode_id
+      JOIN (SELECT container_id, replication_factor, used_bytes
+            FROM containers
+            WHERE state = 'CLOSED' AND used_bytes > 0) m
+        USING (container_id)
+    ) WHERE c1 = 1
+  ) WHERE src_cum <= bytes_over_upper
+)""",
+    """bm_pick AS (
+  SELECT *, row_number() OVER (PARTITION BY container_id
+      ORDER BY bytes_under_lower DESC, target_datanode_id) AS t1
+  FROM (
+    SELECT c.*, v.cov_before, cr.rack_cnt AS src_rack_cnt,
+           t.target_datanode_id, t.target_rack, t.bytes_under_lower,
+           COALESCE(cr2.rack_cnt > 0, FALSE) AS target_rack_covered,
+           tr.total_racks,
+           v.cov_before - (CASE WHEN cr.rack_cnt = 1 THEN 1 ELSE 0 END)
+             + (CASE WHEN COALESCE(cr2.rack_cnt > 0, FALSE)
+                     THEN 0 ELSE 1 END) AS cov_after
+    FROM bm_cand c
+    JOIN bm_cov v USING (container_id)
+    JOIN bm_cont_racks cr
+      ON cr.container_id = c.container_id AND cr.rack = c.source_rack
+    CROSS JOIN bm_targets t
+    LEFT JOIN bm_cont_racks cr2
+      ON cr2.container_id = c.container_id AND cr2.rack = t.target_rack
+    CROSS JOIN (SELECT count(DISTINCT rack) AS total_racks FROM datanodes) tr
+    WHERE NOT EXISTS (
+      SELECT 1 FROM container_replicas h
+      WHERE h.container_id = c.container_id
+        AND h.datanode_id = t.target_datanode_id)
+  )
+  WHERE cov_after >= LEAST(replication_factor, total_racks)
+     OR cov_after >= cov_before
+)""",
+    body="""SELECT container_id, source_datanode_id, target_datanode_id,
+       used_bytes, source_rack, target_rack
+FROM (
+  SELECT *, SUM(used_bytes) OVER (
+      PARTITION BY target_datanode_id
+      ORDER BY used_bytes DESC, container_id ROWS UNBOUNDED PRECEDING
+    ) AS tgt_cum
+  FROM bm_pick WHERE t1 = 1
+)
+WHERE tgt_cum <= bytes_under_lower
+ORDER BY container_id""",
+)
+
+QUERIES["bm1_balancer_moves"] = bm1_balancer_moves
+ORACLES["bm1_balancer_moves"] = BM1_SQL
