@@ -210,3 +210,65 @@ def test_streaming_close_dispatch_equals_batch(spark):
         ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_delete_plane_equals_batch(spark):
+    """RM4 stream≡batch (VERDICT r5 #6): plan_delete_batch over the
+    maintained replica-state set + touched ids ≡ the batch delete plane
+    restricted to the same containers — including the key-plane
+    emptiness gate surviving the semi-prune."""
+    from hadoop_ozone_spark.operators import scm
+    from hadoop_ozone_spark.streaming import maintenance
+
+    states = spark.createDataFrame(
+        [
+            # 30: DELETING with replicas -> resend deletes
+            (30, 1, "CLOSED"), (30, 2, "OPEN"),
+            # 40: CLOSED + all replicas CLOSED + NO live keys -> empty
+            (40, 1, "CLOSED"), (40, 3, "CLOSED"),
+            # 50: CLOSED + all CLOSED but HAS live keys -> no action
+            (50, 2, "CLOSED"),
+            # 60: untouched this batch — must NOT appear incrementally
+            (60, 4, "CLOSED"),
+        ],
+        "container_id long, datanode_id long, replica_state string",
+    )
+    cdetails = spark.createDataFrame(
+        [
+            (30, "DELETING", 3, 0), (35, "DELETING", 3, 0),  # 35: no reps
+            (40, "CLOSED", 3, 0), (50, "CLOSED", 3, 0),
+            (60, "DELETING", 3, 0),
+        ],
+        "container_id long, state string, replication_factor int, "
+        "sequence_id long",
+    )
+    keys = spark.createDataFrame(
+        [(50, "/v/b/k1"), (50, "/v/b/k2"), (99, "/v/b/k3")],
+        "container_id long, row_key string",
+    )
+    touched = spark.createDataFrame(
+        [(30,), (35,), (40,), (50,)], "container_id long"
+    )
+    incremental = maintenance.plan_delete_batch(
+        states, touched, cdetails, keys
+    ).collect()
+    batch = [
+        r for r in scm.delete_actions(cdetails, states, keys).collect()
+        if r.container_id in {30, 35, 40, 50}
+    ]
+    key = lambda r: (r.container_id, r.action, r.datanode_id)
+    assert sorted(map(key, incremental)) == sorted(map(key, batch))
+    got = sorted(map(key, incremental))
+    assert got == [
+        (30, "DELETE_REPLICA", 1),
+        (30, "DELETE_REPLICA", 2),
+        (35, "CLEANUP", None),
+        (40, "CLEANUP", None),
+        (40, "DELETE_EMPTY", 1),
+        (40, "DELETE_EMPTY", 3),
+    ]
+    # untouched container 60 is absent incrementally but present in the
+    # full batch plane — the prune is the only difference
+    full = {r.container_id for r in
+            scm.delete_actions(cdetails, states, keys).collect()}
+    assert 60 in full

@@ -604,6 +604,114 @@ def disaster_probe(n_replicas_m: float = 6.0, n_nodes: int = 1000) -> None:
     spark.stop()
 
 
+def links_probe(n_buckets: int = 10_000, max_depth: int = 16) -> None:
+    """Deep-chain probe for the bucket-link resolver (VERDICT r5 #8):
+    a 10k-bucket plane of chains one hop short of ``max_depth`` plus
+    4-cycle clusters, resolved by the pointer-doubling operator
+    (log2(max_depth) self-joins) vs a step-at-a-time single-hop loop
+    (max_depth self-joins). Asserts value-equivalence and that the
+    deepest chains and all cycles terminate correctly; reports both
+    walls so the log-rounds claim is a measured number."""
+    import math
+
+    from hadoop_ozone_spark.operators import listing
+
+    spark = get_spark("links-probe")
+    chain_len = max_depth - 1  # deepest resolvable chain: depth 15 @ 16
+    n_cycles = n_buckets // 100  # 4-bucket rings
+    n_chain_buckets = n_buckets - 4 * n_cycles
+    n_chains = n_chain_buckets // chain_len
+    rows = []
+    for c in range(n_chains):
+        base = c * chain_len
+        rows.append((f"v", f"b{base}", None, None))  # chain root
+        for j in range(1, chain_len):
+            rows.append(("v", f"b{base + j}", "v", f"b{base + j - 1}"))
+    cyc0 = n_chains * chain_len
+    for k in range(n_cycles):
+        ids = [cyc0 + 4 * k + i for i in range(4)]
+        for i, b in enumerate(ids):
+            rows.append(("v", f"b{b}", "v", f"b{ids[(i + 1) % 4]}"))
+    buckets = spark.createDataFrame(
+        rows,
+        "volume string, bucket string, source_volume string, "
+        "source_bucket string",
+    ).persist()
+    n_total = buckets.count()
+    out = {
+        "num_buckets": n_total, "max_depth": max_depth,
+        "chains": n_chains, "chain_len": chain_len, "cycles": n_cycles,
+        "rounds_doubling": int(math.log2(max_depth)),
+        "rounds_step": max_depth,
+        "timings_sec": {},
+    }
+
+    # warm the JVM/codegen paths so neither measured variant pays startup
+    listing.resolve_bucket_links(buckets.limit(64), max_depth=max_depth).count()
+
+    t0 = time.time()
+    fast = listing.resolve_bucket_links(buckets, max_depth=max_depth)
+    stats = fast.groupBy("is_loop").agg(
+        F.count(F.lit(1)).alias("n"), F.max("depth").alias("max_d")
+    ).collect()
+    out["timings_sec"]["pointer_doubling"] = round(time.time() - t0, 2)
+    by_loop = {r.is_loop: (r.n, r.max_d) for r in stats}
+    assert by_loop[True][0] == 4 * n_cycles, by_loop  # every cycle row flagged
+    assert by_loop[False][0] == n_chains * chain_len, by_loop
+    assert by_loop[False][1] == chain_len - 1  # deepest chain resolved
+
+    # step-at-a-time comparator: one hop per round, max_depth rounds
+    t0 = time.time()
+    state = buckets.select(
+        "volume", "bucket",
+        F.coalesce("source_volume", "volume").alias("rv"),
+        F.coalesce("source_bucket", "bucket").alias("rb"),
+        F.when(F.col("source_volume").isNotNull(), 1).otherwise(0).alias("d"),
+    ).localCheckpoint(eager=True)
+    links = buckets.filter(F.col("source_volume").isNotNull()).select(
+        F.col("volume").alias("_lv"), F.col("bucket").alias("_lb"),
+        F.col("source_volume").alias("_sv"), F.col("source_bucket").alias("_sb"),
+    ).persist()
+    for _ in range(max_depth):
+        state = state.join(
+            F.broadcast(links),
+            (state["rv"] == F.col("_lv")) & (state["rb"] == F.col("_lb")),
+            "left",
+        ).select(
+            "volume", "bucket",
+            F.coalesce("_sv", "rv").alias("rv"),
+            F.coalesce("_sb", "rb").alias("rb"),
+            (F.col("d") + F.when(F.col("_sv").isNotNull(), 1).otherwise(0)).alias("d"),
+        ).localCheckpoint(eager=True)
+    slow_rows = state.count()
+    out["timings_sec"]["step_at_a_time"] = round(time.time() - t0, 2)
+    assert slow_rows == n_total
+
+    # value equivalence on the resolvable rows
+    diff = (
+        fast.filter(~F.col("is_loop"))
+        .select("volume", "bucket", "resolved_volume", "resolved_bucket")
+        .exceptAll(
+            state.select(
+                "volume", "bucket",
+                F.col("rv").alias("resolved_volume"),
+                F.col("rb").alias("resolved_bucket"),
+            ).join(
+                fast.filter(~F.col("is_loop")).select("volume", "bucket"),
+                ["volume", "bucket"], "leftsemi",
+            )
+        )
+        .count()
+    )
+    assert diff == 0
+    out["speedup_x"] = round(
+        out["timings_sec"]["step_at_a_time"]
+        / max(out["timings_sec"]["pointer_doubling"], 1e-9), 2,
+    )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def fso_probe(n_dirs_k: float = 200.0, depth: int = 8) -> None:
     """FSO dir-plane shapes at scale (round 5): resolve_files with the
     un-hinted join (AQE picks the strategy as the dir plane grows) and
@@ -677,6 +785,8 @@ if __name__ == "__main__":
         scm_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 6.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--disaster":
         disaster_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 6.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--links":
+        links_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 10_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--fso":
         fso_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 200.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--semdedup":
