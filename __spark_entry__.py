@@ -826,6 +826,8 @@ NEXT_WINDOW = [
     "pp1_pipeline_targets",
     "s3_bucket_acl",
     "bm1_balancer_moves",
+    "dp_bpe_pair_counts",
+    "dp_quality_strata",
 ]
 
 

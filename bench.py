@@ -84,6 +84,10 @@ HEADLINE = [
     "dp_kmeans_step",
     "rm4_delete_actions",
     "l1_bucket_links",
+    # round 6 additions
+    "pp1_pipeline_targets",
+    "s3_bucket_acl",
+    "bm1_balancer_moves",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

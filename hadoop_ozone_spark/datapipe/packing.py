@@ -251,3 +251,66 @@ def budget_sample(
         )
         .orderBy("source")
     )
+
+
+def stratified_quality_sample(
+    docs: DataFrame,
+    rates: dict[int, float] | None = None,
+    n_strata: int = 10,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Quality-stratified sampling: rank each source's documents into
+    ``n_strata`` quality deciles (token count as the quality proxy —
+    swap any score column in) and draw each stratum at its own rate —
+    the standard curriculum/cleanup shape "keep the best decile whole,
+    thin the middle, drop most of the tail" applied per source so one
+    domain's length distribution doesn't starve another's.
+
+    Deciles are ntile(n) over (score, doc_id) WITHIN each source — a
+    partitioned window (no global sort, no single-partition shuffle;
+    the 100 TB partition key is the source/domain, the natural lane a
+    web corpus is already laid out on). The draw is the md5-lane
+    uniform every sampler here shares, so replays and the DuckDB
+    oracle agree bit-for-bit.
+
+    Returns per (source, stratum) accounting: docs/tokens in and kept
+    plus the realized rate against the target.
+    """
+    if rates is None:
+        # default curriculum: drop most of the worst, keep the best
+        rates = {1: 0.1, 2: 0.1, 3: 0.1, 4: 0.5, 5: 0.5, 6: 0.5, 7: 0.5,
+                 8: 1.0, 9: 1.0, 10: 1.0}
+    score = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    rate = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in rates.items() for x in kv]),
+            F.col("stratum"),
+        ),
+        F.lit(0.0),
+    )
+    ranked = docs.select(
+        F.col(source_col).alias("source"),
+        "doc_id",
+        score.alias("score"),
+        F.ntile(n_strata)
+        .over(Window.partitionBy(source_col).orderBy(F.asc(score), F.asc("doc_id")))
+        .alias("stratum"),
+    ).withColumn("rate", rate).withColumn(
+        "kept", _uniform01(F.col("doc_id")) < F.col("rate")
+    )
+    return (
+        ranked.groupBy("source", "stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("score")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+            F.max("rate").alias("target_rate"),
+        )
+        .withColumn(
+            "realized_rate", F.round(F.col("n_kept") / F.col("n_docs"), 6)
+        )
+        .orderBy("source", "stratum")
+    )

@@ -463,3 +463,39 @@ def unigram_freq_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, top_k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """One BPE merge-selection step over the corpus: frequency-weighted
+    counts of adjacent character pairs inside whitespace words — the
+    argmax of this table IS the next merge a byte-pair-encoding
+    tokenizer trainer would adopt (Sennrich et al. 2016; the selection
+    loop of every BPE implementation). Exposed as the top-``top_k``
+    candidate merges with deterministic (count desc, pair asc) order.
+
+    Scale shape: the corpus collapses to its word-frequency table
+    first (one explode + one map-side-combinable groupBy — the same
+    shuffle budget as :func:`vocabulary`), so the pair explode runs
+    over |vocab| rows, not |corpus|; pair counting is again
+    combinable, and the cut is a TakeOrderedAndProject. Iterating
+    merges re-runs this over a symbol-sequence column — each step is
+    one linear vocab pass.
+    """
+    words = docs.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+    ).filter(F.length("word") >= 2)
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top_k)
+    )

@@ -1286,3 +1286,77 @@ ORDER BY m.list_id""",
 
 QUERIES["dp_kmeans_step"] = dp_kmeans_step
 ORACLES["dp_kmeans_step"] = DP_KMEANS_SQL
+
+
+# --- BPE merge-selection step (round 6) ------------------------------------
+
+def dp_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 frequency-weighted adjacent character pairs over the
+    word-frequency table — the merge-selection step of BPE tokenizer
+    training (datapipe/text.py bpe_pair_counts)."""
+    return text.bpe_pair_counts(model.load(spark, sf_dir, "documents"), top_k=20)
+
+
+DP_BPE_SQL = r"""
+WITH words AS (
+  SELECT w AS word FROM documents,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(w)
+  WHERE length(w) >= 2
+), vocab AS (
+  SELECT word, count(*) AS freq FROM words GROUP BY word
+), pairs AS (
+  SELECT substring(word, i, 2) AS pair, freq
+  FROM vocab, unnest(generate_series(1, length(word) - 1)) AS s(i)
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC LIMIT 20
+"""
+
+QUERIES["dp_bpe_pair_counts"] = dp_bpe_pair_counts
+ORACLES["dp_bpe_pair_counts"] = DP_BPE_SQL
+
+
+# --- Stratified quality sampling (round 6) ---------------------------------
+
+def dp_quality_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-decile sampling accounting (keep the best
+    deciles, thin the middle, drop the tail — datapipe/packing.py
+    stratified_quality_sample, md5-lane draw)."""
+    from hadoop_ozone_spark.datapipe import packing
+
+    return packing.stratified_quality_sample(
+        model.load(spark, sf_dir, "documents")
+    )
+
+
+DP_STRATA_SQL = r"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS score,
+         ntile(10) OVER (PARTITION BY source
+                         ORDER BY len(regexp_split_to_array(trim(text), '\s+')),
+                                  doc_id) AS stratum
+  FROM documents
+), drawn AS (
+  SELECT *,
+         CASE WHEN stratum <= 3 THEN 0.1
+              WHEN stratum <= 7 THEN 0.5 ELSE 1.0 END AS rate,
+         (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000000) / 1000000.0
+           < CASE WHEN stratum <= 3 THEN 0.1
+                  WHEN stratum <= 7 THEN 0.5 ELSE 1.0 END AS kept
+  FROM ranked
+)
+SELECT source, stratum, count(*) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN score ELSE 0 END) AS BIGINT) AS kept_tokens,
+       MAX(rate) AS target_rate,
+       round(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS realized_rate
+FROM drawn GROUP BY source, stratum
+ORDER BY source, stratum
+"""
+
+QUERIES["dp_quality_strata"] = dp_quality_strata
+ORACLES["dp_quality_strata"] = DP_STRATA_SQL

@@ -659,3 +659,34 @@ def test_kmeans_step_moves_centroids_toward_members(spark, sf_dir):
     stepped = similarity.kmeans_step(emb, seed).select("list_id", "cvec")
     after = total_score(stepped)
     assert after >= before - 1e-9
+
+
+def test_bpe_pair_counts_argmax(spark):
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low")],
+        "doc_id long, text string",
+    )
+    rows = text_ops.bpe_pair_counts(docs, top_k=3).collect()
+    # "lo" and "ow" appear once per word occurrence: 5 each; ties break
+    # by pair asc — the canonical first BPE merge on this corpus
+    assert [(r.pair, r.pair_count) for r in rows][:2] == [("lo", 5), ("ow", 5)]
+
+
+def test_stratified_sample_decile_shape(spark):
+    from hadoop_ozone_spark.datapipe import packing
+
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * i)) for i in range(1, 21)],
+        "doc_id long, source string, text string",
+    )
+    rows = packing.stratified_quality_sample(docs).collect()
+    # 20 docs, one source: ntile(10) gives 2 docs per stratum; the top
+    # three strata keep everything (rate 1.0)
+    assert len(rows) == 10
+    assert all(r.n_docs == 2 for r in rows)
+    for r in rows:
+        if r.stratum >= 8:
+            assert r.target_rate == 1.0 and r.n_kept == 2
+        assert 0 <= r.n_kept <= r.n_docs

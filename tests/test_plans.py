@@ -324,3 +324,20 @@ def test_p3_scrub_is_map_only(spark, sf_dir):
     p = plan_of(entry.queries()["p3_pipeline_scrub"](spark, sf_dir))
     assert "hashpartitioning" not in p
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_bm1_moves_broadcast_dims_no_cartesian(spark, sf_dir):
+    # sources/targets are broadcast node-dim sets over the replica
+    # plane; the under-set product is a broadcast nested loop, never an
+    # unbroadcast CartesianProduct; budgets are per-node windows
+    p = plan_of(entry.queries()["bm1_balancer_moves"](spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pp1_targets_broadcast_picks(spark, sf_dir):
+    # the three member picks are 1-row broadcast joins over the viable
+    # node dim; the only windows run on |nodes| rows
+    p = plan_of(entry.queries()["pp1_pipeline_targets"](spark, sf_dir))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
