@@ -828,6 +828,8 @@ NEXT_WINDOW = [
     "bm1_balancer_moves",
     "dp_bpe_pair_counts",
     "dp_quality_strata",
+    "u1_file_counts_filtered",
+    "n3_topology",
 ]
 
 

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from hadoop_ozone_spark import model
 from hadoop_ozone_spark.functions import paths
+from hadoop_ozone_spark.functions.binning import file_size_upper_bound_sql
 from hadoop_ozone_spark.operators import cdc, mutations, s3
 
 
@@ -671,3 +672,34 @@ ORDER BY volume, bucket, grantee_id, permission""",
 
 QUERIES["s3_bucket_acl"] = s3_bucket_acl
 ORACLES["s3_bucket_acl"] = S3_BUCKET_ACL_SQL
+
+
+# --- U1: /utilization/fileCount residual filters (round 6) -----------------
+
+def u1_file_counts_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Recon utilization endpoint's volume+bucket branch — the
+    hand-rolled predicate ladder of UtilizationEndpoint.java:65-101
+    served as residual filters over the A1 histogram mart. In Spark
+    the ladder IS Catalyst: the same filter pushes into the mart scan
+    for every branch combination."""
+    from hadoop_ozone_spark.operators import recon
+
+    hist = recon.file_size_histogram(model.om_keys(spark, sf_dir))
+    return hist.filter(
+        (F.col("volume") == "vol_a") & (F.col("bucket") == "bkt_f")
+    ).orderBy("file_size")
+
+
+U1_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body=f"""SELECT volume, bucket,
+       {file_size_upper_bound_sql('data_size')} AS file_size,
+       count(*) AS cnt
+FROM om_keys
+WHERE volume = 'vol_a' AND bucket = 'bkt_f'
+GROUP BY 1, 2, 3
+ORDER BY file_size""",
+)
+
+QUERIES["u1_file_counts_filtered"] = u1_file_counts_filtered
+ORACLES["u1_file_counts_filtered"] = U1_SQL

@@ -12,6 +12,7 @@ across engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hadoop_ozone_spark import model
 from hadoop_ozone_spark.operators import scm
@@ -964,3 +965,45 @@ ORDER BY container_id""",
 
 QUERIES["bm1_balancer_moves"] = bm1_balancer_moves
 ORACLES["bm1_balancer_moves"] = BM1_SQL
+
+
+# --- N3: printTopology (round 6) -------------------------------------------
+
+def n3_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ozone admin printTopology --order` — nodes per health-state
+    section grouped by sorted network location with operational state
+    (TopologySubcommand.java:72-86 state loop, :95-121
+    printOrderedByLocation: locations sorted, nodes tree-ordered within
+    a rack). Map-only projection with the reference's section order
+    (HEALTHY, STALE, DEAD) as an explicit sort key."""
+    d = model.datanodes(spark, sf_dir)
+    state_rank = (
+        F.when(F.col("node_state") == "HEALTHY", 0)
+        .when(F.col("node_state") == "STALE", 1)
+        .otherwise(2)
+    )
+    return (
+        d.select(
+            "node_state",
+            F.col("rack").alias("location"),
+            "datanode_id",
+            "hostname",
+            "op_state",
+            state_rank.alias("state_rank"),
+        )
+        .orderBy("state_rank", "location", "hostname", "datanode_id")
+    )
+
+
+N3_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    body="""SELECT node_state, rack AS location, datanode_id, hostname,
+       op_state,
+       CASE node_state WHEN 'HEALTHY' THEN 0 WHEN 'STALE' THEN 1
+            ELSE 2 END AS state_rank
+FROM datanodes
+ORDER BY state_rank, location, hostname, datanode_id""",
+)
+
+QUERIES["n3_topology"] = n3_topology
+ORACLES["n3_topology"] = N3_SQL

@@ -170,6 +170,7 @@ def test_round6_window_rotates_every_r3_stale_row():
 R7_PENDING = {
     "pp1_pipeline_targets", "s3_bucket_acl", "bm1_balancer_moves",
     "dp_bpe_pair_counts", "dp_quality_strata",
+    "u1_file_counts_filtered", "n3_topology",
 }
 
 
