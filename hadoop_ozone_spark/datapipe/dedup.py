@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hadoop_ozone_spark import scratch
 from hadoop_ozone_spark.datapipe.text import tokens
 
 
@@ -361,13 +362,18 @@ def minhash_dedup_pairs(
     # (2× the text pass, measured); on the cached frame it is a cheap
     # size() check. <n-token docs have no shingles → no pairs, and no
     # null-lane band keys.
-    hashed = hashed_shingle_df(docs, text_col, n, portable=portable).persist()
+    scratch.fresh("minhash_dedup_pairs")
+    hashed = scratch.keep(
+        "minhash_dedup_pairs", hashed_shingle_df(docs, text_col, n, portable=portable)
+    )
     hashed = hashed.filter(F.size("h0") > 0)
     # persist the (doc_id, sig) frame too: the band self-join consumes
     # it from BOTH sides, and when Spark picks a broadcast join for the
     # bands there is no shuffle exchange to reuse — without the persist
     # the whole lane pass runs twice (measured). k longs per doc: tiny.
-    sigs = signatures_from_hashed(hashed, portable=portable).persist()
+    sigs = scratch.keep(
+        "minhash_dedup_pairs", signatures_from_hashed(hashed, portable=portable)
+    )
     cands = minhash_lsh_candidates(docs, text_col, n, sigs=sigs, portable=portable)
     sets = hashed.withColumnRenamed("h0", "sh")
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -423,12 +429,19 @@ def minhash_incremental_pairs(
     holds exactly for the same hash family (pinned by
     test_minhash_incremental_matches_batch).
     """
+    scratch.fresh("minhash_incremental_pairs")
     if corpus_hashed is None:
-        ch = hashed_shingle_df(corpus, text_col, n, portable=portable).persist()
+        ch = scratch.keep(
+            "minhash_incremental_pairs",
+            hashed_shingle_df(corpus, text_col, n, portable=portable),
+        )
         ch = ch.filter(F.size("h0") > 0)
     else:
         ch = corpus_hashed.filter(F.size("h0") > 0)
-    dh = hashed_shingle_df(delta, text_col, n, portable=portable).persist()
+    dh = scratch.keep(
+        "minhash_incremental_pairs",
+        hashed_shingle_df(delta, text_col, n, portable=portable),
+    )
     dh = dh.filter(F.size("h0") > 0)
     if corpus_bands is None:
         cb = band_table(
@@ -437,9 +450,12 @@ def minhash_incremental_pairs(
     else:
         cb = corpus_bands
     cb = cb.withColumn("is_delta", F.lit(False))
-    db = band_table(
-        signatures_from_hashed(dh, portable=portable), portable=portable
-    ).withColumn("is_delta", F.lit(True)).persist()
+    db = scratch.keep(
+        "minhash_incremental_pairs",
+        band_table(
+            signatures_from_hashed(dh, portable=portable), portable=portable
+        ).withColumn("is_delta", F.lit(True)),
+    )
     all_b = cb.unionByName(db).alias("b")
     d = db.alias("a")
     cand = (
@@ -602,7 +618,10 @@ def simhash_pairs(
     layout = simhash_chunk_layout(max_hamming)
     # both sides of the chunk self-join consume the fingerprints; persist
     # so the token-explode + 128-sum aggregation runs once, not twice
-    fp = simhash_fingerprints(docs, text_col, max_hamming).persist()
+    scratch.fresh("simhash_pairs")
+    fp = scratch.keep(
+        "simhash_pairs", simhash_fingerprints(docs, text_col, max_hamming)
+    )
     blocks = simhash_blocks(fp, len(layout))
     a = blocks.alias("a")
     b = blocks.alias("b")

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hadoop_ozone_spark import scratch
+
 ROOT_PARENT = 0  # bucket root sentinel
 
 
@@ -27,7 +29,11 @@ def materialize_paths(dirs: DataFrame, max_depth: int = 64) -> DataFrame:
     d+1 = dirs whose parent resolved at level d. Terminates when a level
     is empty (or max_depth, guarding cyclic corruption).
     """
-    dirs = dirs.cache()  # scanned once per level of the fixpoint loop
+    scratch.fresh("materialize_paths")
+    # scanned once per level of the fixpoint loop; registered as scratch
+    # so the next invocation releases every level's cache (ADVICE-r5
+    # pattern — bench runs each FSO query 3x in one session)
+    dirs = scratch.keep("materialize_paths", dirs)
     resolved = (
         dirs.filter(F.col("parent_object_id") == ROOT_PARENT)
         .select(
@@ -36,7 +42,7 @@ def materialize_paths(dirs: DataFrame, max_depth: int = 64) -> DataFrame:
             F.lit(0).alias("depth"),
         )
     )
-    frontier = resolved.persist()
+    frontier = scratch.keep("materialize_paths", resolved)
     for depth in range(1, max_depth):
         parents = frontier.select(
             F.col("object_id").alias("parent_object_id"),
@@ -52,10 +58,9 @@ def materialize_paths(dirs: DataFrame, max_depth: int = 64) -> DataFrame:
                 F.concat(F.col("parent_path"), F.lit("/"), F.col("name")).alias("path"),
                 F.lit(depth).alias("depth"),
             )
-            .persist()
         )
+        nxt = scratch.keep("materialize_paths", nxt)
         if nxt.isEmpty():
-            nxt.unpersist()
             break
         resolved = resolved.unionByName(nxt)
         frontier = nxt

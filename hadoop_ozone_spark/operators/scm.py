@@ -1353,8 +1353,13 @@ def balancer_moves(
     source set; targets ride a broadcast; budgets are per-node windows
     (natural keys, no skew).
     """
-    util = balancer_utilization(
-        datanodes_df, replicas, containers_df, threshold
+    scratch.fresh("balancer_moves")
+    # util feeds BOTH the source and target sets; cont_racks feeds the
+    # coverage facts and both rack-count joins — persist each so the
+    # replica-plane rollups behind them run once (node/rack-dim sized)
+    util = scratch.keep(
+        "balancer_moves",
+        balancer_utilization(datanodes_df, replicas, containers_df, threshold),
     )
     racks = datanodes_df.select("datanode_id", "rack")
     sources = F.broadcast(
@@ -1376,8 +1381,11 @@ def balancer_moves(
         )
     )
     rep_rack = replicas.join(F.broadcast(racks), "datanode_id")
-    cont_racks = rep_rack.groupBy("container_id", "rack").agg(
-        F.count(F.lit(1)).alias("rack_cnt")
+    cont_racks = scratch.keep(
+        "balancer_moves",
+        rep_rack.groupBy("container_id", "rack").agg(
+            F.count(F.lit(1)).alias("rack_cnt")
+        ),
     )
     cov = cont_racks.groupBy("container_id").agg(
         F.count(F.lit(1)).alias("cov_before")
