@@ -499,3 +499,126 @@ def bpe_pair_counts(
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+def _apply_merge(symbols: Column, left: Column, right: Column) -> Column:
+    """Apply ONE learned BPE merge (left, right) → left||right to a
+    symbol array with a single left-to-right fold — the carry scheme:
+    hold the previous symbol; when (carry, s) matches the merge pair,
+    emit the merged token and clear the carry, else emit the carry and
+    hold s. Pure Column expression (no UDF)."""
+    stepped = F.aggregate(
+        symbols,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("carry"),
+        ),
+        lambda acc, s: F.when(
+            acc["carry"].isNull(),
+            F.struct(acc["out"].alias("out"), s.alias("carry")),
+        )
+        .when(
+            (acc["carry"] == left) & (s == right),
+            F.struct(
+                F.concat(acc["out"], F.array(F.concat(left, right))).alias("out"),
+                F.lit(None).cast("string").alias("carry"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
+                s.alias("carry"),
+            )
+        ),
+    )
+    return F.when(
+        stepped["carry"].isNull(), stepped["out"]
+    ).otherwise(F.concat(stepped["out"], F.array(stepped["carry"])))
+
+
+def bpe_learn_merges(
+    docs: DataFrame, n_merges: int = 10, text_col: str = "text"
+):
+    """Train ``n_merges`` BPE merges over the corpus (Sennrich et al.
+    2016 — the algorithm every BPE tokenizer trainer runs): start from
+    the word-frequency table with words split to characters, then
+    repeatedly (a) count adjacent symbol pairs weighted by word
+    frequency, (b) adopt the most frequent pair as the next merge
+    (ties → lexicographic, determinized), (c) rewrite every word's
+    symbol sequence with the merge applied.
+
+    Returns ``(merges_df, vocab_df)``: the ordered merge log
+    (merge_rank, left, right, pair_count) and the final segmented
+    vocabulary (word, freq, symbols) — the segmentation a tokenizer
+    built from these merges would produce for every corpus word.
+
+    Scale shape, mirroring train_centroids: the corpus collapses ONCE
+    to its word-frequency table (the only corpus-sized shuffle); each
+    merge step is a |vocab|-sized pair count + a 1-row broadcast of the
+    winning pair + a map-only rewrite, localCheckpointed so k merges
+    stay k bounded passes instead of a k-deep lazy lineage. No
+    collect: the winner rides a broadcast join; the merge log
+    accumulates as 1-row frames.
+    """
+    words = docs.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+    ).filter(F.length("word") >= 1)
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("symbols", F.split(F.col("word"), ""))
+        .localCheckpoint(eager=True)
+    )
+    merge_log = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            # words already collapsed to one symbol pair nothing; the
+            # size guard also keeps sequence() ascending (sequence(1,0)
+            # DESCENDS in Spark and indexes out of bounds under ANSI)
+            vocab.filter(F.size("symbols") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(symbols) - 1),"
+                        " i -> struct(symbols[i-1] AS l, symbols[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .filter(F.col("p.l").isNotNull() & F.col("p.r").isNotNull())
+            .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = (
+            pairs.orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .withColumn("merge_rank", F.lit(rank))
+            .localCheckpoint(eager=True)
+        )
+        if top.isEmpty():
+            break
+        merge_log.append(top)
+        vocab = (
+            vocab.crossJoin(
+                F.broadcast(top.select(F.col("left").alias("_ml"),
+                                       F.col("right").alias("_mr")))
+            )
+            .select(
+                "word",
+                "freq",
+                _apply_merge(
+                    F.col("symbols"), F.col("_ml"), F.col("_mr")
+                ).alias("symbols"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    merges_df = merge_log[0].sparkSession.createDataFrame(
+        [], "merge_rank int, left string, right string, pair_count long"
+    ) if not merge_log else (
+        merge_log[0].select("merge_rank", "left", "right", "pair_count")
+    )
+    for t in merge_log[1:]:
+        merges_df = merges_df.unionByName(
+            t.select("merge_rank", "left", "right", "pair_count")
+        )
+    return merges_df.orderBy("merge_rank"), vocab.orderBy("word")

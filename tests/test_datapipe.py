@@ -690,3 +690,50 @@ def test_stratified_sample_decile_shape(spark):
         if r.stratum >= 8:
             assert r.target_rate == 1.0 and r.n_kept == 2
         assert 0 <= r.n_kept <= r.n_docs
+
+
+def test_bpe_learn_merges_matches_reference_algorithm(spark):
+    """The distributed trainer replays Sennrich et al.'s pseudocode
+    exactly: same merges in the same order, same final segmentation
+    (ties determinized lexicographically on both sides)."""
+    import collections
+
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                      + ["widest"] * 3 + ["a"]))],
+        "doc_id long, text string",
+    )
+    merges, vocab = text_ops.bpe_learn_merges(docs, n_merges=6)
+    got_merges = [(r.left, r.right, r.pair_count) for r in merges.collect()]
+    got_vocab = {r.word: list(r.symbols) for r in vocab.collect()}
+
+    corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "a": 1}
+    v = {tuple(w): f for w, f in corpus.items()}
+    ref_merges = []
+    for _ in range(6):
+        pc = collections.Counter()
+        for syms, f in v.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        best = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        ref_merges.append((best[0], best[1], pc[best]))
+        new = {}
+        for syms, f in v.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = f
+        v = new
+    ref_vocab = {"".join(k): list(k) for k in v}
+    assert got_merges == ref_merges
+    assert got_vocab == ref_vocab
