@@ -830,6 +830,8 @@ NEXT_WINDOW = [
     "dp_quality_strata",
     "u1_file_counts_filtered",
     "n3_topology",
+    "c2_container_info",
+    "n4_datanode_list",
 ]
 
 

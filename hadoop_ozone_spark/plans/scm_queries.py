@@ -1007,3 +1007,125 @@ ORDER BY state_rank, location, hostname, datanode_id""",
 
 QUERIES["n3_topology"] = n3_topology
 ORACLES["n3_topology"] = N3_SQL
+
+
+# --- C2: `ozone admin container info` (round 6) ----------------------------
+
+def c2_container_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ozone admin container info <id>` — getContainerWithPipeline
+    (InfoSubcommand.java:64-90; SCMClientProtocolServer
+    getContainerWithPipeline): the container record joined to its
+    pipeline and the pipeline's sorted member list. Self-contained
+    probe on the LOWEST open container (scalar-subquery ≡ 1-row
+    broadcast, the s2 pattern); members collapse to a sorted
+    concat_ws string so the surface stays hash-comparable."""
+    c = model.containers(spark, sf_dir)
+    p = model.pipelines(spark, sf_dir)
+    m = model.pipeline_members(spark, sf_dir)
+    probe = c.filter(F.col("state") == "OPEN").agg(
+        F.min("container_id").alias("container_id")
+    )
+    members = m.groupBy("pipeline_id").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_list(F.col("datanode_id").cast("string")))
+        ).alias("pipeline_members"),
+        F.count(F.lit(1)).alias("member_count"),
+    )
+    pd = p.select(
+        "pipeline_id", F.col("state").alias("pipeline_state")
+    )
+    return (
+        c.withColumnRenamed("state", "container_state")
+        .join(F.broadcast(probe), "container_id")
+        .join(F.broadcast(pd), "pipeline_id", "left")
+        .join(F.broadcast(members), "pipeline_id", "left")
+        .select(
+            "container_id",
+            "container_state",
+            "replication_factor",
+            "pipeline_id",
+            "pipeline_state",
+            F.col("member_count").cast("long").alias("member_count"),
+            "pipeline_members",
+        )
+    )
+
+
+C2_SQL = model.with_ctes(
+    model.CONTAINERS_CTE,
+    model.PIPELINES_CTE,
+    model.PIPELINE_MEMBERS_CTE,
+    """c2_members AS (
+  SELECT pipeline_id,
+         array_to_string(list_sort(list(CAST(datanode_id AS VARCHAR))), ',')
+           AS pipeline_members,
+         count(*) AS member_count
+  FROM pipeline_members GROUP BY pipeline_id
+)""",
+    body="""SELECT c.container_id, c.state AS container_state,
+       c.replication_factor, c.pipeline_id,
+       p.state AS pipeline_state, m.member_count, m.pipeline_members
+FROM containers c
+LEFT JOIN pipelines p USING (pipeline_id)
+LEFT JOIN c2_members m USING (pipeline_id)
+WHERE c.container_id = (SELECT min(container_id) FROM containers
+                        WHERE state = 'OPEN')""",
+)
+
+QUERIES["c2_container_info"] = c2_container_info
+ORACLES["c2_container_info"] = C2_SQL
+
+
+# --- N4: `ozone admin datanode list` (round 6) -----------------------------
+
+def n4_datanode_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ozone admin datanode list --node-state HEALTHY` —
+    ListInfoSubcommand.java:40-90: the filtered node listing with each
+    node's related pipelines (the CLI prints per-node pipeline lines
+    from listPipelines filtered to membership). Sorted pipeline-id
+    string keeps the surface hash-comparable."""
+    d = model.datanodes(spark, sf_dir).filter(F.col("node_state") == "HEALTHY")
+    m = model.pipeline_members(spark, sf_dir)
+    per_node = m.groupBy("datanode_id").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_list(F.col("pipeline_id").cast("string")))
+        ).alias("pipelines"),
+        F.count(F.lit(1)).alias("pipeline_count"),
+    )
+    return (
+        d.join(F.broadcast(per_node), "datanode_id", "left")
+        .select(
+            "datanode_id",
+            "hostname",
+            "rack",
+            "op_state",
+            F.coalesce(F.col("pipeline_count"), F.lit(0)).cast("long").alias(
+                "pipeline_count"
+            ),
+            F.coalesce(F.col("pipelines"), F.lit("")).alias("pipelines"),
+        )
+        .orderBy("datanode_id")
+    )
+
+
+N4_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    model.PIPELINE_MEMBERS_CTE,
+    """n4_per_node AS (
+  SELECT datanode_id,
+         array_to_string(list_sort(list(CAST(pipeline_id AS VARCHAR))), ',')
+           AS pipelines,
+         count(*) AS pipeline_count
+  FROM pipeline_members GROUP BY datanode_id
+)""",
+    body="""SELECT d.datanode_id, d.hostname, d.rack, d.op_state,
+       COALESCE(p.pipeline_count, 0) AS pipeline_count,
+       COALESCE(p.pipelines, '') AS pipelines
+FROM datanodes d
+LEFT JOIN n4_per_node p USING (datanode_id)
+WHERE d.node_state = 'HEALTHY'
+ORDER BY d.datanode_id""",
+)
+
+QUERIES["n4_datanode_list"] = n4_datanode_list
+ORACLES["n4_datanode_list"] = N4_SQL
