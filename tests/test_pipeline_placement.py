@@ -167,3 +167,63 @@ def test_space_filter(spark):
     ).collect()
     assert all(r.datanode_id != 1 for r in rows)
     assert [r.datanode_id for r in rows] == [2, 3, 4]
+
+
+def test_pp1_matches_reference_walk_random_sweep(spark):
+    """Randomized clusters vs a direct Python replay of the determinized
+    chooser (filter → load-sort → anchor → diff-rack → same-rack →
+    fallback): member sets and roles must match exactly."""
+    import random
+
+    rng = random.Random(23)
+    for trial in range(20):
+        n_nodes = rng.randint(3, 14)
+        n_racks = rng.randint(1, 4)
+        dns, loads = [], {}
+        for d in range(1, n_nodes + 1):
+            healthy = rng.random() < 0.85
+            dns.append((
+                d, f"n{d}", f"r{d % n_racks}",
+                "HEALTHY" if healthy else "DEAD",
+                "IN_SERVICE" if rng.random() < 0.9 else "DECOMMISSIONING",
+                10 * GB,
+            ))
+            loads[d] = rng.randint(0, 2)
+        members, details = [], []
+        pid = 100
+        for d, n in loads.items():
+            for _ in range(n):
+                members.append((pid, d))
+                details.append((pid, "OPEN", 3, 0))
+                pid += 1
+        rows = _targets(spark, dns, members, details)
+
+        # reference walk
+        viable = sorted(
+            (
+                (loads[d[0]], d[0], d[2])
+                for d in dns
+                if d[3] == "HEALTHY" and d[4] == "IN_SERVICE"
+                and loads[d[0]] < 2
+            ),
+        )
+        expect = []
+        if viable:
+            anchor = viable[0]
+            expect.append((anchor[1], "ANCHOR"))
+            rest = viable[1:]
+            diff = [v for v in rest if v[2] != anchor[2]]
+            if rest:
+                second = diff[0] if diff else rest[0]
+                expect.append(
+                    (second[1], "RACK_SPREAD" if diff else "FALLBACK")
+                )
+                rest2 = [v for v in rest if v[1] != second[1]]
+                same = [v for v in rest2 if v[2] == anchor[2]]
+                if rest2:
+                    if diff and same:
+                        expect.append((same[0][1], "SAME_RACK"))
+                    else:
+                        expect.append((rest2[0][1], "FALLBACK"))
+        got = [(r.datanode_id, r.role) for r in rows]
+        assert got == expect[:3], (trial, got, expect, viable)
