@@ -832,6 +832,7 @@ NEXT_WINDOW = [
     "n3_topology",
     "c2_container_info",
     "n4_datanode_list",
+    "dp_ann_pq_topk",
 ]
 
 

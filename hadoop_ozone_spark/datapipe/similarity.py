@@ -539,3 +539,160 @@ def train_centroids(
             "list_id", "cvec"
         ).localCheckpoint(eager=True)
     return c
+
+
+# --- Product quantization (PQ) ANN ----------------------------------------
+#
+# The compressed-vector scale path (Jégou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search"): split each vector into m
+# subvectors, learn a small per-subspace codebook, store each vector as
+# m one-byte codes, and answer queries by Asymmetric Distance
+# Computation — a per-query (m × k) lookup table of query-subvector ↔
+# centroid distances, summed over each stored vector's codes. At 100 TB
+# the raw float corpus cannot be rescanned per query; the PQ code table
+# is 32× smaller (64 floats → 8 codes) and the ADC scan is integer
+# lookups + adds. All folds are sequential (the dot() discipline) so
+# scores are bit-stable and oracle-matchable.
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dims: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace codebooks (sub_id, code, cvec): seeded from the k
+    lowest vec_ids' subvectors — the deterministic ivf_centroids
+    convention; refine with Lloyd steps per subspace when quality
+    matters more than oracle replayability."""
+    assert dims % m == 0
+    dsub = dims // m
+    seeds = embeddings.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("code"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    return seeds.select(
+        "code",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> struct(s AS sub_id, slice(v, s * {dsub} + 1, {dsub}) AS cvec))"
+            )
+        ).alias("p"),
+    ).select(F.col("p.sub_id").alias("sub_id"), "code", F.col("p.cvec").alias("cvec"))
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The write-time PQ index: (vec_id, codes array<int>, ordered by
+    sub_id) — each subvector's nearest codebook entry (squared L2,
+    rounded; ties → lowest code). One corpus pass against the broadcast
+    codebook; the groupBy keys are (vec_id, sub_id) then vec_id — both
+    map-side combinable, no skew."""
+    assert dims % m == 0
+    dsub = dims // m
+    subv = embeddings.select(
+        "vec_id", as_double(F.col(vec_col)).alias("v")
+    ).select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> struct(s AS sub_id, slice(v, s * {dsub} + 1, {dsub}) AS svec))"
+            )
+        ).alias("p"),
+    ).select("vec_id", F.col("p.sub_id").alias("sub_id"), F.col("p.svec").alias("svec"))
+    scored = subv.join(F.broadcast(codebooks), "sub_id").select(
+        "vec_id",
+        "sub_id",
+        "code",
+        F.round(l2sq(F.col("svec"), F.col("cvec")), round_digits).alias("d"),
+    )
+    best = scored.groupBy("vec_id", "sub_id").agg(
+        F.min(F.struct("d", "code")).alias("mn")
+    )
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", F.col("mn.code").alias("code")))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    probe_vec_id: int,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ADC top-k: the query's (m × n_codes) distance lookup table rides
+    a broadcast join onto the exploded code table; per-vector scores
+    fold the m looked-up sub-distances in sub_id order (deterministic),
+    and the cut is a TakeOrderedAndProject. ``index`` short-circuits
+    with a persisted pq_encode artifact — the deployment shape."""
+    cb = pq_codebooks(embeddings, m, n_codes, dims, vec_col)
+    codes = index if index is not None else pq_encode(
+        embeddings, cb, m, dims, vec_col, round_digits
+    )
+    dsub = dims // m
+    q = embeddings.filter(F.col("vec_id") == probe_vec_id).select(
+        as_double(F.col(vec_col)).alias("v")
+    )
+    lut = (
+        q.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}),"
+                    f" s -> struct(s AS sub_id, slice(v, s * {dsub} + 1, {dsub}) AS qsub))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.sub_id").alias("sub_id"), F.col("p.qsub").alias("qsub"))
+        .join(F.broadcast(cb), "sub_id")
+        .select(
+            "sub_id",
+            "code",
+            F.round(l2sq(F.col("qsub"), F.col("cvec")), round_digits).alias("qd"),
+        )
+    )
+    exploded = codes.select(
+        "vec_id", F.posexplode("codes").alias("sub_id", "code")
+    )
+    return (
+        exploded.join(F.broadcast(lut), ["sub_id", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("sub_id", "qd"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["qd"],
+                ),
+                round_digits,
+            ).alias("adc_dist")
+        )
+        .filter(F.col("vec_id") != probe_vec_id)
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )

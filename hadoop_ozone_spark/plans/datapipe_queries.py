@@ -1360,3 +1360,67 @@ ORDER BY source, stratum
 
 QUERIES["dp_quality_strata"] = dp_quality_strata
 ORACLES["dp_quality_strata"] = DP_STRATA_SQL
+
+
+# --- PQ (product quantization) ANN (round 6) -------------------------------
+
+def dp_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 for probe vector 10 over the PQ-coded corpus
+    (datapipe/similarity.py pq_codebooks/pq_encode/pq_topk — Jégou et
+    al. 2011): 64 floats → 8 codes, per-query (8 × 16) lookup table,
+    sub_id-ordered sequential score fold. The injected scaled copy of
+    the probe (vec 1000010) quantizes to identical codes and must rank
+    first at ADC distance 0."""
+    return similarity.pq_topk(
+        model.embedding_corpus(spark, sf_dir), probe_vec_id=10, k=10
+    )
+
+
+DP_PQ_SQL = model.with_ctes(
+    model.EMBEDDING_CORPUS_CTE,
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embedding_corpus)""",
+    """pq_cb AS (
+  SELECT s AS sub_id, CAST(vec_id AS INTEGER) AS code,
+         list_slice(ve, s * 8 + 1, s * 8 + 8) AS cvec
+  FROM v, unnest(generate_series(0, 7)) AS t(s)
+  WHERE vec_id < 16
+)""",
+    """pq_subv AS (
+  SELECT vec_id, s AS sub_id, list_slice(ve, s * 8 + 1, s * 8 + 8) AS svec
+  FROM v, unnest(generate_series(0, 7)) AS t(s)
+)""",
+    """pq_best AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT sv.vec_id, sv.sub_id, c.code,
+           round(list_reduce(list_transform(generate_series(1, 8),
+                 i -> (sv.svec[i] - c.cvec[i]) * (sv.svec[i] - c.cvec[i])),
+                 (x, y) -> x + y), 6) AS d,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub_id
+                              ORDER BY round(list_reduce(list_transform(
+                                generate_series(1, 8),
+                                i -> (sv.svec[i] - c.cvec[i])
+                                     * (sv.svec[i] - c.cvec[i])),
+                                (x, y) -> x + y), 6), c.code) AS rn
+    FROM pq_subv sv JOIN pq_cb c USING (sub_id)
+  ) WHERE rn = 1
+)""",
+    """pq_lut AS (
+  SELECT c.sub_id, c.code,
+         round(list_reduce(list_transform(generate_series(1, 8),
+               i -> (q.qsub[i] - c.cvec[i]) * (q.qsub[i] - c.cvec[i])),
+               (x, y) -> x + y), 6) AS qd
+  FROM pq_cb c
+  JOIN (SELECT sub_id, svec AS qsub FROM pq_subv WHERE vec_id = 10) q
+    USING (sub_id)
+)""",
+    body="""SELECT vec_id,
+       round(list_reduce(list(l.qd ORDER BY b.sub_id), (x, y) -> x + y), 6)
+         AS adc_dist
+FROM pq_best b JOIN pq_lut l ON b.sub_id = l.sub_id AND b.code = l.code
+WHERE b.vec_id <> 10
+GROUP BY vec_id
+ORDER BY adc_dist, vec_id LIMIT 10""",
+)
+
+QUERIES["dp_ann_pq_topk"] = dp_ann_pq_topk
+ORACLES["dp_ann_pq_topk"] = DP_PQ_SQL

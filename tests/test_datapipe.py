@@ -737,3 +737,29 @@ def test_bpe_learn_merges_matches_reference_algorithm(spark):
     ref_vocab = {"".join(k): list(k) for k in v}
     assert got_merges == ref_merges
     assert got_vocab == ref_vocab
+
+
+def test_pq_codes_shape_and_self_encoding(spark):
+    from hadoop_ozone_spark import model
+    from hadoop_ozone_spark.datapipe import similarity as sim
+
+    emb = model.embedding_corpus(spark, "/root/testdata/sf0.001")
+    cb = sim.pq_codebooks(emb)
+    assert cb.count() == 8 * 16  # m subspaces x k codes
+    codes = {r.vec_id: list(r.codes) for r in sim.pq_encode(emb, cb).collect()}
+    # every vector gets one code per subspace, in range
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c)
+               for c in codes.values())
+    # seed vectors quantize to themselves in every subspace
+    for seed in range(16):
+        assert codes[seed] == [seed] * 8
+
+
+def test_pq_topk_finds_scaled_copy_first(spark):
+    from hadoop_ozone_spark import model
+    from hadoop_ozone_spark.datapipe import similarity as sim
+
+    emb = model.embedding_corpus(spark, "/root/testdata/sf0.001")
+    top = sim.pq_topk(emb, probe_vec_id=10, k=5).collect()
+    # the injected x1.01 copy shares every code -> ADC distance exactly 0
+    assert top[0].vec_id == 1000010 and top[0].adc_dist == 0.0
