@@ -696,3 +696,102 @@ def pq_topk(
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    iters: int = 2,
+    m: int = 8,
+    k: int = 16,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lloyd-refine the PQ codebooks — all m subspaces JOINTLY in one
+    corpus pass per step (not m separate k-means runs): the subvector
+    frame (vec_id, sub_id, svec) assigns within its sub_id against the
+    broadcast codebook, and the centroid update is a groupBy
+    (sub_id, code, pos) over exploded components — map-side combinable,
+    sub_id just rides the keys. The same determinism discipline as
+    kmeans_step: assignment distances rounded, component sums folded
+    sequentially in vec_id order, empty codes keep their seed. Each
+    step localCheckpoints — k bounded passes.
+
+    Drops into pq_encode/pq_topk via their ``codebooks``/``index``
+    arguments without changing any plan.
+    """
+    assert dims % m == 0
+    dsub = dims // m
+    cb = pq_codebooks(embeddings, m, k, dims, vec_col)
+    subv = embeddings.select(
+        "vec_id", as_double(F.col(vec_col)).alias("v")
+    ).select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> struct(s AS sub_id, slice(v, s * {dsub} + 1, {dsub}) AS svec))"
+            )
+        ).alias("p"),
+    ).select(
+        "vec_id", F.col("p.sub_id").alias("sub_id"), F.col("p.svec").alias("svec")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        scored = subv.join(F.broadcast(cb), "sub_id").select(
+            "vec_id",
+            "sub_id",
+            "svec",
+            (-F.col("code")).alias("neg_code"),
+            F.round(l2sq(F.col("svec"), F.col("cvec")), round_digits).alias("d"),
+        )
+        assigned = (
+            scored.groupBy("vec_id", "sub_id")
+            .agg(
+                F.min(
+                    F.struct("d", "neg_code", F.col("svec").alias("svec"))
+                ).alias("mn")
+            )
+            .select(
+                "vec_id",
+                "sub_id",
+                (-F.col("mn.neg_code")).alias("code"),
+                F.col("mn.svec").alias("svec"),
+            )
+        )
+        dim_sums = (
+            assigned.select(
+                "vec_id", "sub_id", "code", F.posexplode("svec").alias("pos", "x")
+            )
+            .groupBy("sub_id", "code", "pos")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "x"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["x"],
+                ).alias("sx")
+            )
+        )
+        members = assigned.groupBy("sub_id", "code").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        new_c = (
+            dim_sums.groupBy("sub_id", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "sx"))).alias("dims"))
+            .join(members, ["sub_id", "code"])
+            .select(
+                "sub_id",
+                "code",
+                F.transform("dims", lambda d: d["sx"] / F.col("n")).alias("cvec"),
+            )
+        )
+        cb = (
+            cb.join(new_c.withColumnRenamed("cvec", "ncvec"),
+                    ["sub_id", "code"], "left")
+            .select(
+                "sub_id",
+                "code",
+                F.coalesce(F.col("ncvec"), F.col("cvec")).alias("cvec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cb

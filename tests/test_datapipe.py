@@ -763,3 +763,45 @@ def test_pq_topk_finds_scaled_copy_first(spark):
     top = sim.pq_topk(emb, probe_vec_id=10, k=5).collect()
     # the injected x1.01 copy shares every code -> ADC distance exactly 0
     assert top[0].vec_id == 1000010 and top[0].adc_dist == 0.0
+
+
+def test_pq_training_reduces_quantization_error(spark):
+    """Joint Lloyd refinement must not worsen the PQ quantization error
+    (and measurably improves it on the corpus), while the trained
+    codebook drops into encode/search unchanged."""
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark import model
+    from hadoop_ozone_spark.datapipe import similarity as sim
+
+    emb = model.embedding_corpus(spark, "/root/testdata/sf0.001")
+
+    def qerr(cb):
+        codes = sim.pq_encode(emb, cb)
+        ex = codes.select(
+            "vec_id", F.posexplode("codes").alias("sub_id", "code")
+        ).join(cb, ["sub_id", "code"])
+        sv = emb.select(
+            "vec_id", sim.as_double(F.col("embedding")).alias("v")
+        ).select(
+            "vec_id",
+            F.explode(F.expr(
+                "transform(sequence(0,7),"
+                " s -> struct(s AS sub_id, slice(v, s*8+1, 8) AS svec))"
+            )).alias("p"),
+        ).select("vec_id", F.col("p.sub_id").alias("sub_id"),
+                 F.col("p.svec").alias("svec"))
+        return (
+            ex.join(sv, ["vec_id", "sub_id"])
+            .select(sim.l2sq(F.col("svec"), F.col("cvec")).alias("e"))
+            .agg(F.sum("e")).first()[0]
+        )
+
+    e_seed = qerr(sim.pq_codebooks(emb))
+    trained = sim.pq_train_codebooks(emb, iters=2)
+    e_trained = qerr(trained)
+    assert e_trained < e_seed
+    top = sim.pq_topk(
+        emb, probe_vec_id=10, k=3, index=sim.pq_encode(emb, trained)
+    ).collect()
+    assert top[0].vec_id == 1000010 and top[0].adc_dist == 0.0
