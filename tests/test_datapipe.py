@@ -804,4 +804,8 @@ def test_pq_training_reduces_quantization_error(spark):
     top = sim.pq_topk(
         emb, probe_vec_id=10, k=3, index=sim.pq_encode(emb, trained)
     ).collect()
-    assert top[0].vec_id == 1000010 and top[0].adc_dist == 0.0
+    # the x1.01 copy still shares every trained code and ranks first;
+    # its ADC distance is the query's own quantization residual now
+    # (exact 0 holds only while the query is a seed centroid)
+    assert top[0].vec_id == 1000010
+    assert top[0].adc_dist < 0.05
