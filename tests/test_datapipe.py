@@ -809,3 +809,34 @@ def test_pq_training_reduces_quantization_error(spark):
     # (exact 0 holds only while the query is a seed centroid)
     assert top[0].vec_id == 1000010
     assert top[0].adc_dist < 0.05
+
+
+def test_pq_rerank_recovers_exact_l2_topk(spark):
+    """Two-stage PQ: the ADC shortlist reranked with exact L2 must
+    reproduce the exact L2 top-k when the shortlist covers it."""
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark import model
+    from hadoop_ozone_spark.datapipe import similarity as sim
+
+    emb = model.embedding_corpus(spark, "/root/testdata/sf0.001")
+    q = emb.filter(F.col("vec_id") == 10).select(
+        sim.as_double(F.col("embedding")).alias("qv")
+    )
+    exact = [
+        r.vec_id
+        for r in emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            sim.l2sq(sim.as_double(F.col("embedding")), F.col("qv")).alias("d"),
+        )
+        .filter(F.col("vec_id") != 10)
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(5)
+        .collect()
+    ]
+    got = [
+        r.vec_id
+        for r in sim.pq_topk(emb, probe_vec_id=10, k=5, rerank=1000).collect()
+    ]
+    assert got == exact

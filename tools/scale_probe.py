@@ -366,6 +366,61 @@ def vecs_probe(n_vecs: int, dims: int = 64, k: int = 50) -> None:
             "max": sizes[-1],
             "max_over_mean": round(sizes[-1] * len(sizes) / sum(sizes), 2),
         }
+        # PQ: encode once (the 32x-compressed code table is the persisted
+        # artifact), then ADC top-k against it — the round-6 scale path
+        cb = similarity.pq_codebooks(emb, k=256, dims=dims)
+        t0 = time.time()
+        similarity.pq_encode(emb, cb, dims=dims).write.parquet(f"{tmp}/pq")
+        out["timings_sec"]["pq_encode_write"] = round(time.time() - t0, 2)
+        pq = spark.read.parquet(f"{tmp}/pq")
+        t0 = time.time()
+        approx = [
+            r["vec_id"]
+            for r in similarity.pq_topk(
+                emb, probe_vec_id=42, k=k, n_codes=256, dims=dims, index=pq
+            ).collect()
+        ]
+        out["timings_sec"]["pq_adc_topk"] = round(time.time() - t0, 2)
+        # PQ/ADC approximates L2, so its recall baseline is the exact
+        # L2 top-k (the cosine exact set above is the wrong metric for
+        # unnormalized vectors)
+        qv = emb.filter(F.col("vec_id") == 42).select(
+            similarity.as_double(F.col("embedding")).alias("qv")
+        )
+        exact_l2 = [
+            r["vec_id"]
+            for r in emb.crossJoin(F.broadcast(qv))
+            .select(
+                "vec_id",
+                similarity.l2sq(
+                    similarity.as_double(F.col("embedding")), F.col("qv")
+                ).alias("d2"),
+            )
+            .filter(F.col("vec_id") != 42)
+            .orderBy(F.asc("d2"), F.asc("vec_id"))
+            .limit(k)
+            .collect()
+        ]
+        out["recall_at_k"]["pq_adc_vs_l2"] = round(
+            len(set(exact_l2) & set(approx)) / len(exact_l2), 3
+        )
+        exact_no_self = [v for v in exact if v != 42]
+        out["recall_at_k"]["pq_adc_vs_cosine"] = round(
+            len(set(exact_no_self) & set(approx)) / len(exact_no_self), 3
+        )
+        # two-stage: ADC shortlist + exact rerank (the deployment shape)
+        t0 = time.time()
+        rr = [
+            r["vec_id"]
+            for r in similarity.pq_topk(
+                emb, probe_vec_id=42, k=k, n_codes=256, dims=dims,
+                index=pq, rerank=1000,
+            ).collect()
+        ]
+        out["timings_sec"]["pq_rerank_topk"] = round(time.time() - t0, 2)
+        out["recall_at_k"]["pq_rerank_vs_l2"] = round(
+            len(set(exact_l2) & set(rr)) / len(exact_l2), 3
+        )
         print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
