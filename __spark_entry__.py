@@ -833,6 +833,7 @@ NEXT_WINDOW = [
     "c2_container_info",
     "n4_datanode_list",
     "dp_ann_pq_topk",
+    "dp_dsir_weights",
 ]
 
 

@@ -88,6 +88,10 @@ HEADLINE = [
     "pp1_pipeline_targets",
     "s3_bucket_acl",
     "bm1_balancer_moves",
+    "dp_ann_pq_topk",
+    "dp_bpe_pair_counts",
+    "dp_quality_strata",
+    "dp_dsir_weights",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

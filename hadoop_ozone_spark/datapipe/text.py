@@ -622,3 +622,100 @@ def bpe_learn_merges(
             t.select("merge_rank", "left", "right", "pair_count")
         )
     return merges_df.orderBy("merge_rank"), vocab.orderBy("word")
+
+
+def _hashed_grams(text: Column, n_buckets: int) -> Column:
+    """Word unigram + bigram feature buckets WITH multiplicity, in
+    document order — md5-lane hashed into ``n_buckets`` (the
+    engine-portable construction every hash draw here shares)."""
+    from hadoop_ozone_spark.datapipe.dedup import md5_lane
+
+    toks = tokens(F.lower(text))
+    unigrams = toks
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    )
+    return F.transform(
+        F.concat(unigrams, bigrams), lambda g: md5_lane(g) % n_buckets
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram profile is —
+    log w(x) = Σ_g log p_target(bucket(g)) − log p_raw(bucket(g)) over
+    the document's unigram+bigram features (with multiplicity), both
+    distributions add-1 smoothed over the bucket space. Sampling
+    ∝ exp(log_weight) is the published recipe for picking
+    domain-matched pretraining data from a web-scale crawl.
+
+    Scale shape: the corpus collapses to bucket counts (one map-side-
+    combinable groupBy onto ≤ n_buckets keys), the per-bucket log-ratio
+    table (n_buckets rows) rides a BROADCAST into the scoring pass, so
+    the corpus is scanned exactly twice and never shuffled on doc_id.
+    Per-document sums fold in document order (deterministic, oracle-
+    matchable); the ratio table rounds before the fold so both engines
+    add identical values.
+    """
+    def bucket_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.explode(_hashed_grams(F.col(text_col), n_buckets)).alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    raw = bucket_counts(docs)
+    tgt = bucket_counts(target)
+    raw_total = raw.agg(F.sum("cnt").alias("raw_total"))
+    tgt_total = tgt.agg(F.sum("cnt").alias("tgt_total"))
+    ratio = (
+        raw.withColumnRenamed("cnt", "raw_cnt")
+        .join(tgt.withColumnRenamed("cnt", "tgt_cnt"), "b", "outer")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("tgt_cnt"), F.lit(0)) + 1)
+                    / (F.col("tgt_total") + n_buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("raw_cnt"), F.lit(0)) + 1)
+                    / (F.col("raw_total") + n_buckets)
+                ),
+                round_digits,
+            ).alias("lr"),
+        )
+    )
+    scored = docs.select(
+        "doc_id",
+        F.posexplode(_hashed_grams(F.col(text_col), n_buckets)).alias(
+            "pos", "b"
+        ),
+    ).join(F.broadcast(ratio), "b")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("pos", "lr"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["lr"],
+                ),
+                round_digits,
+            ).alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )

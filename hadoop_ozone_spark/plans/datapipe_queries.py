@@ -1424,3 +1424,68 @@ ORDER BY adc_dist, vec_id LIMIT 10""",
 
 QUERIES["dp_ann_pq_topk"] = dp_ann_pq_topk
 ORACLES["dp_ann_pq_topk"] = DP_PQ_SQL
+
+
+# --- DSIR importance weights (round 6) -------------------------------------
+
+def dp_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram importance weights of every document against the
+    src0 target domain (datapipe/text.py dsir_weights — the published
+    importance-resampling recipe for domain-matched pretraining data).
+    Top-50 most target-like docs, deterministic cut."""
+    docs = model.load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    return (
+        text.dsir_weights(docs, target)
+        .orderBy(F.desc("log_weight"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+_DSIR_GRAMS = r"""
+SELECT doc_id, g.pos, g.gram FROM (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), LATERAL (
+  SELECT i - 1 AS pos, t[i] AS gram
+  FROM unnest(generate_series(1, len(t))) AS s(i)
+  UNION ALL
+  SELECT len(t) + i - 1 AS pos, concat(t[i], ' ', t[i+1]) AS gram
+  FROM unnest(generate_series(1, greatest(len(t) - 1, 0))) AS s(i)
+) g
+"""
+
+DP_DSIR_SQL = rf"""
+WITH grams AS (
+  SELECT doc_id, pos,
+         CAST(concat('0x', substring(md5(gram), 1, 15)) AS BIGINT) % 10000 AS b
+  FROM ({_DSIR_GRAMS})
+),
+tgt_grams AS (
+  SELECT g.* FROM grams g JOIN documents d USING (doc_id)
+  WHERE d.source = 'src0'
+),
+raw_c AS (SELECT b, count(*) AS raw_cnt FROM grams GROUP BY b),
+tgt_c AS (SELECT b, count(*) AS tgt_cnt FROM tgt_grams GROUP BY b),
+ratio AS (
+  SELECT COALESCE(r.b, t.b) AS b,
+         round(ln((COALESCE(t.tgt_cnt, 0) + 1)
+                  / ((SELECT SUM(tgt_cnt) FROM tgt_c) + 10000.0))
+               - ln((COALESCE(r.raw_cnt, 0) + 1)
+                    / ((SELECT SUM(raw_cnt) FROM raw_c) + 10000.0)), 6) AS lr
+  FROM raw_c r FULL OUTER JOIN tgt_c t ON r.b = t.b
+),
+scored AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         round(list_reduce(list(x.lr ORDER BY g.pos), (a, c) -> a + c), 6)
+           AS log_weight
+  FROM grams g JOIN ratio x USING (b)
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, log_weight FROM scored
+ORDER BY log_weight DESC, doc_id LIMIT 50
+"""
+
+QUERIES["dp_dsir_weights"] = dp_dsir_weights
+ORACLES["dp_dsir_weights"] = DP_DSIR_SQL

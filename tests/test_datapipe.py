@@ -840,3 +840,25 @@ def test_pq_rerank_recovers_exact_l2_topk(spark):
         for r in sim.pq_topk(emb, probe_vec_id=10, k=5, rerank=1000).collect()
     ]
     assert got == exact
+
+
+def test_dsir_weights_prefer_target_domain(spark):
+    """Importance weights must rank docs from the target's own
+    vocabulary lane above off-domain docs (the resampling premise)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    # two vocab lanes: target-ish docs share words with the target set
+    rows = [(i, "s", "alpha beta gamma delta epsilon") for i in range(10)]
+    rows += [(100 + i, "s", "zeta eta theta iota kappa") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = spark.createDataFrame(
+        [(900, "t", "alpha beta gamma beta alpha")],
+        "doc_id long, source string, text string",
+    )
+    w = {r.doc_id: r.log_weight
+         for r in text_ops.dsir_weights(docs, target).collect()}
+    on_domain = sum(w[i] for i in range(10)) / 10
+    off_domain = sum(w[100 + i] for i in range(10)) / 10
+    assert on_domain > off_domain
