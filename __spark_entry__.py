@@ -834,6 +834,7 @@ NEXT_WINDOW = [
     "n4_datanode_list",
     "dp_ann_pq_topk",
     "dp_dsir_weights",
+    "a10_rate_spikes",
 ]
 
 

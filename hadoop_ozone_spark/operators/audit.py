@@ -80,3 +80,50 @@ def access_heatmap(audit: DataFrame) -> DataFrame:
             F.col("key_dir").asc_nulls_first(),
         )
     )
+
+
+def rate_spikes(
+    audit: DataFrame,
+    z_threshold: float = 2.0,
+    ts_col: str = "datetime",
+) -> DataFrame:
+    """Per-user request-rate anomaly detection over the audit feed —
+    the ops question on top of A8's top-k views: which (user, bucket)
+    activity bursts stand out against that user's own baseline.
+    Beyond-reference analytics (the reference ships raw top-k SQL
+    templates only, commands.properties:20-22), built on the same
+    audit table.
+
+    z-score per (user, time-bucket): z = (cnt − mean) / σ_pop over the
+    user's buckets; flagged when z ≥ threshold and σ > 0. All moments
+    derive from EXACT integer sums (count / Σcnt / Σcnt²), so the
+    doubles are single IEEE divisions — engine-stable, oracle-matched
+    at 6dp. Two map-side-combinable aggregates (events → buckets →
+    user moments), the user-moment dim rides a broadcast back onto the
+    bucket counts.
+    """
+    counts = audit.groupBy("user", F.col(ts_col).alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.groupBy("user").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("cnt").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+    )
+    mean = F.col("total") / F.col("n_buckets")
+    var = F.col("sumsq") / F.col("n_buckets") - mean * mean
+    std = F.sqrt(var)
+    z = (F.col("cnt") - mean) / std
+    return (
+        counts.join(F.broadcast(stats), "user")
+        .filter((var > 0) & (z >= z_threshold))
+        .select(
+            "user",
+            "bucket_ts",
+            "cnt",
+            F.round(mean, 6).alias("user_mean"),
+            F.round(std, 6).alias("user_std"),
+            F.round(z, 6).alias("z_score"),
+        )
+        .orderBy("user", "bucket_ts")
+    )

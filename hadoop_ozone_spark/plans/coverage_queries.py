@@ -703,3 +703,49 @@ ORDER BY file_size""",
 
 QUERIES["u1_file_counts_filtered"] = u1_file_counts_filtered
 ORACLES["u1_file_counts_filtered"] = U1_SQL
+
+
+# --- A10: audit rate-spike detection (round 6) -----------------------------
+
+def a10_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity bursts ≥2σ above the user's own per-day
+    baseline (operators/audit.py rate_spikes)."""
+    from hadoop_ozone_spark.operators import audit as audit_ops
+
+    return audit_ops.rate_spikes(model.audit_log(spark, sf_dir))
+
+
+A10_SQL = model.with_ctes(
+    model.AUDIT_LOG_CTE,
+    """a10_counts AS (
+  SELECT "user", datetime AS bucket_ts, count(*) AS cnt
+  FROM audit_log GROUP BY 1, 2
+)""",
+    """a10_stats AS (
+  SELECT "user", count(*) AS n_buckets,
+         CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq
+  FROM a10_counts GROUP BY 1
+)""",
+    body="""SELECT c."user", c.bucket_ts, c.cnt,
+       round(CAST(s.total AS DOUBLE) / s.n_buckets, 6) AS user_mean,
+       round(sqrt(CAST(s.sumsq AS DOUBLE) / s.n_buckets
+                  - (CAST(s.total AS DOUBLE) / s.n_buckets)
+                    * (CAST(s.total AS DOUBLE) / s.n_buckets)), 6) AS user_std,
+       round((c.cnt - CAST(s.total AS DOUBLE) / s.n_buckets)
+             / sqrt(CAST(s.sumsq AS DOUBLE) / s.n_buckets
+                    - (CAST(s.total AS DOUBLE) / s.n_buckets)
+                      * (CAST(s.total AS DOUBLE) / s.n_buckets)), 6) AS z_score
+FROM a10_counts c JOIN a10_stats s USING ("user")
+WHERE CAST(s.sumsq AS DOUBLE) / s.n_buckets
+      - (CAST(s.total AS DOUBLE) / s.n_buckets)
+        * (CAST(s.total AS DOUBLE) / s.n_buckets) > 0
+  AND (c.cnt - CAST(s.total AS DOUBLE) / s.n_buckets)
+      / sqrt(CAST(s.sumsq AS DOUBLE) / s.n_buckets
+             - (CAST(s.total AS DOUBLE) / s.n_buckets)
+               * (CAST(s.total AS DOUBLE) / s.n_buckets)) >= 2.0
+ORDER BY c."user", c.bucket_ts""",
+)
+
+QUERIES["a10_rate_spikes"] = a10_rate_spikes
+ORACLES["a10_rate_spikes"] = A10_SQL

@@ -171,7 +171,7 @@ R7_PENDING = {
     "pp1_pipeline_targets", "s3_bucket_acl", "bm1_balancer_moves",
     "dp_bpe_pair_counts", "dp_quality_strata",
     "u1_file_counts_filtered", "n3_topology",
-    "c2_container_info", "n4_datanode_list", "dp_ann_pq_topk", "dp_dsir_weights",
+    "c2_container_info", "n4_datanode_list", "dp_ann_pq_topk", "dp_dsir_weights", "a10_rate_spikes",
 }
 
 
