@@ -665,6 +665,8 @@ def dsir_weights(
     matchable); the ratio table rounds before the fold so both engines
     add identical values.
     """
+    from hadoop_ozone_spark import scratch
+
     def bucket_counts(df: DataFrame) -> DataFrame:
         return (
             df.select(
@@ -674,7 +676,20 @@ def dsir_weights(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
-    raw = bucket_counts(docs)
+    # the (doc_id, pos, bucket) gram frame feeds BOTH the raw counts and
+    # the scoring pass — persist it so the md5 gram hashing (the
+    # dominant cost: ~300 hashes per doc) runs once, not twice
+    scratch.fresh("dsir_weights")
+    grams = scratch.keep(
+        "dsir_weights",
+        docs.select(
+            "doc_id",
+            F.posexplode(_hashed_grams(F.col(text_col), n_buckets)).alias(
+                "pos", "b"
+            ),
+        ),
+    )
+    raw = grams.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
     tgt = bucket_counts(target)
     raw_total = raw.agg(F.sum("cnt").alias("raw_total"))
     tgt_total = tgt.agg(F.sum("cnt").alias("tgt_total"))
@@ -698,12 +713,7 @@ def dsir_weights(
             ).alias("lr"),
         )
     )
-    scored = docs.select(
-        "doc_id",
-        F.posexplode(_hashed_grams(F.col(text_col), n_buckets)).alias(
-            "pos", "b"
-        ),
-    ).join(F.broadcast(ratio), "b")
+    scored = grams.join(F.broadcast(ratio), "b")
     return (
         scored.groupBy("doc_id")
         .agg(
