@@ -835,6 +835,7 @@ NEXT_WINDOW = [
     "dp_ann_pq_topk",
     "dp_dsir_weights",
     "a10_rate_spikes",
+    "b2_balancer_summary",
 ]
 
 

@@ -1129,3 +1129,94 @@ ORDER BY d.datanode_id""",
 
 QUERIES["n4_datanode_list"] = n4_datanode_list
 ORACLES["n4_datanode_list"] = N4_SQL
+
+
+# --- B2: balancer iteration summary (round 6) ------------------------------
+
+def b2_balancer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ozone admin containerbalancer status`-shaped iteration summary —
+    the totals initializeIteration logs (ContainerBalancer.java:199-233:
+    countDatanodesToBalance, overLoadedBytes, underLoadedBytes, cluster
+    average): one 1-row rollup over B1's classification frame at the
+    bm1 threshold."""
+    util = scm.balancer_utilization(
+        model.datanodes(spark, sf_dir),
+        model.container_replicas(spark, sf_dir),
+        model.containers(spark, sf_dir),
+        threshold=0.002,
+    )
+    is_over = F.col("classification") == "OVER_UTILIZED"
+    is_under = F.col("classification") == "UNDER_UTILIZED"
+
+    # double sums fold in datanode_id order (the kmeans/dot discipline —
+    # a plain SUM adds in partition order and can flip a 6dp boundary)
+    def ordered_sum(col_name):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("datanode_id", col_name))),
+            F.lit(0.0),
+            lambda acc, s: acc + s[col_name],
+        )
+
+    return util.agg(
+        F.count(F.lit(1)).alias("nodes_in_scope"),
+        F.sum(F.when(is_over, 1).otherwise(0)).alias("over_utilized"),
+        F.sum(F.when(is_under, 1).otherwise(0)).alias("under_utilized"),
+        F.sum(F.when(is_over | is_under, 1).otherwise(0)).alias(
+            "datanodes_to_balance"
+        ),
+        F.round(ordered_sum("bytes_over_upper"), 6).alias("over_loaded_bytes"),
+        F.round(ordered_sum("bytes_under_lower"), 6).alias(
+            "under_loaded_bytes"
+        ),
+        F.round(F.max("cluster_avg_utilization"), 6).alias(
+            "cluster_avg_utilization"
+        ),
+    )
+
+
+B2_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    model.CONTAINERS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    """b2_nodes AS (
+  SELECT d.datanode_id, d.capacity_bytes,
+         COALESCE(u.used_bytes, 0) AS used_bytes
+  FROM datanodes d
+  LEFT JOIN (
+    SELECT r.datanode_id, CAST(SUM(c.used_bytes) AS BIGINT) AS used_bytes
+    FROM container_replicas r JOIN containers c USING (container_id)
+    GROUP BY r.datanode_id
+  ) u USING (datanode_id)
+  WHERE d.node_state = 'HEALTHY' AND d.op_state = 'IN_SERVICE'
+)""",
+    """b2_class AS (
+  SELECT datanode_id, capacity_bytes,
+         CAST(used_bytes AS DOUBLE) / capacity_bytes AS util,
+         CAST(t.cluster_used AS DOUBLE) / t.cluster_capacity AS avgu
+  FROM b2_nodes CROSS JOIN (
+    SELECT SUM(used_bytes) AS cluster_used,
+           SUM(capacity_bytes) AS cluster_capacity
+    FROM b2_nodes
+  ) t
+)""",
+    body="""SELECT count(*) AS nodes_in_scope,
+  CAST(SUM(CASE WHEN util > avgu + 0.002 THEN 1 ELSE 0 END) AS BIGINT)
+    AS over_utilized,
+  CAST(SUM(CASE WHEN util < avgu - 0.002 THEN 1 ELSE 0 END) AS BIGINT)
+    AS under_utilized,
+  CAST(SUM(CASE WHEN util > avgu + 0.002 OR util < avgu - 0.002
+            THEN 1 ELSE 0 END) AS BIGINT) AS datanodes_to_balance,
+  round(list_reduce(list(CASE WHEN util > avgu + 0.002
+            THEN capacity_bytes * util - capacity_bytes * (avgu + 0.002)
+            ELSE 0.0 END ORDER BY datanode_id), (x, y) -> x + y), 6)
+    AS over_loaded_bytes,
+  round(list_reduce(list(CASE WHEN util < avgu - 0.002
+            THEN capacity_bytes * (avgu - 0.002) - capacity_bytes * util
+            ELSE 0.0 END ORDER BY datanode_id), (x, y) -> x + y), 6)
+    AS under_loaded_bytes,
+  round(MAX(avgu), 6) AS cluster_avg_utilization
+FROM b2_class""",
+)
+
+QUERIES["b2_balancer_summary"] = b2_balancer_summary
+ORACLES["b2_balancer_summary"] = B2_SQL

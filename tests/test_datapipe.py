@@ -862,3 +862,42 @@ def test_dsir_weights_prefer_target_domain(spark):
     on_domain = sum(w[i] for i in range(10)) / 10
     off_domain = sum(w[100 + i] for i in range(10)) / 10
     assert on_domain > off_domain
+
+
+def test_bpe_apply_merge_fold_property(spark):
+    """Property check: the carry-fold _apply_merge equals the direct
+    Python left-to-right merge for randomized symbol sequences and
+    pairs (incl. overlapping runs like a,a,a with merge (a,a))."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    rng = random.Random(5)
+    alphabet = ["a", "b", "ab", "c"]
+    rows, expected = [], []
+    for i in range(60):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(1, 10))]
+        left, right = rng.choice(alphabet), rng.choice(alphabet)
+        out, j = [], 0
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+                out.append(left + right)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        rows.append((i, syms, left, right))
+        expected.append((i, out))
+    df = spark.createDataFrame(
+        rows, "id long, syms array<string>, l string, r string"
+    ).select(
+        "id",
+        text_ops._apply_merge(
+            F.col("syms"), F.col("l"), F.col("r")
+        ).alias("merged"),
+    )
+    got = {r.id: list(r.merged) for r in df.collect()}
+    for i, out in expected:
+        assert got[i] == out, (i, got[i], out)
