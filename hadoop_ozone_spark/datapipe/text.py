@@ -729,3 +729,43 @@ def dsir_weights(
         )
         .orderBy("doc_id")
     )
+
+
+def bpe_segment_corpus(
+    docs: DataFrame, vocab: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Tokenize the corpus with a TRAINED BPE segmentation: per-doc
+    token counts under the learned merges — the number that actually
+    prices a document into a training budget (whitespace counts
+    under-estimate rare-word-heavy docs; token_count_bpe_ish is a
+    heuristic). OOV words (absent from the training vocab) fall back
+    to character count — the worst-case segmentation every real BPE
+    tokenizer bottoms out at.
+
+    ``vocab``: (word, symbols) from :func:`bpe_learn_merges`. Shape:
+    one corpus explode + an equi-join against the broadcast vocab
+    (|vocab| is dictionary-sized) + a map-side-combinable per-doc
+    rollup — the corpus shuffles once on doc_id.
+    """
+    words = docs.select(
+        "doc_id",
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    ).filter(F.length("word") >= 1)
+    seg = F.broadcast(
+        vocab.select("word", F.size("symbols").alias("word_tokens"))
+    )
+    return (
+        words.join(seg, "word", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("word_tokens"), F.length("word")
+            ).alias("word_tokens"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -901,3 +901,26 @@ def test_bpe_apply_merge_fold_property(spark):
     got = {r.id: list(r.merged) for r in df.collect()}
     for i, out in expected:
         assert got[i] == out, (i, got[i], out)
+
+
+def test_bpe_segment_corpus_counts(spark):
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    train = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["newest"] * 6))],
+        "doc_id long, text string",
+    )
+    merges, vocab = text_ops.bpe_learn_merges(train, n_merges=4)
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in text_ops.bpe_segment_corpus(
+            spark.createDataFrame(
+                [(7, "low newest zzz")], "doc_id long, text string"
+            ),
+            vocab,
+        ).collect()
+    }
+    seg = {r.word: len(r.symbols) for r in vocab.collect()}
+    # in-vocab words use their trained segmentation; OOV 'zzz' falls
+    # back to its character count
+    assert got[7] == (3, seg["low"] + seg["newest"] + 3)
