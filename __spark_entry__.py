@@ -836,6 +836,7 @@ NEXT_WINDOW = [
     "dp_dsir_weights",
     "a10_rate_spikes",
     "b2_balancer_summary",
+    "w2_list_objects_v1",
 ]
 
 

@@ -515,3 +515,33 @@ def put_bucket_acl(
         ~((F.col("volume") == volume) & (F.col("bucket") == bucket))
     )
     return untouched.unionByName(new_rows)
+
+
+def list_objects_v1(
+    keys: DataFrame,
+    prefix: str = "",
+    delimiter: str = "/",
+    marker: str | None = None,
+    start_after: str | None = None,
+    continuation_last_key: str | None = None,
+    max_keys: int = 1000,
+    key_col: str = "key",
+    size_col: str = "data_size",
+) -> DataFrame:
+    """S3 ListObjects V1/V2 resume-parameter compatibility — the
+    BucketEndpoint.get precedence ladder (BucketEndpoint.java:134-148):
+    a V1 ``marker`` is assigned to ``start-after`` when the latter is
+    absent, and a decoded continuation token beats start-after when
+    both arrive. The resolved resume key then drives the SAME listing
+    program as V2 (delimiter grouping, consecutive-prefix dedup,
+    maxKeys cut) — one surface, two API dialects.
+    """
+    if start_after is None and marker is not None:
+        start_after = marker
+    resume = (
+        continuation_last_key if continuation_last_key is not None
+        else start_after
+    )
+    return list_objects_v2(
+        keys, prefix, delimiter, resume, max_keys, key_col, size_col
+    )

@@ -637,3 +637,41 @@ QUERIES["s3_head_object"] = s3_head_object
 QUERIES["m8_mpu_initiate"] = m8_mpu_initiate
 ORACLES["s3_head_object"] = S3_HEAD_SQL
 ORACLES["m8_mpu_initiate"] = M8_MPU_SQL
+
+
+# --- W2/V1: ListObjects marker compatibility (round 6) ---------------------
+
+def w2_list_objects_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 dialect: resume from a mid-listing `marker` (assigned to
+    start-after per BucketEndpoint.java:134-136), delimiter grouping
+    unchanged — operators/s3.py list_objects_v1."""
+    keys = model.om_keys(spark, sf_dir).filter(
+        (F.col("volume") == "vol_a") & (F.col("bucket") == "bkt_f")
+    )
+    return s3.list_objects_v1(
+        keys, prefix="dir1/", delimiter="/", marker="dir1/sub0/",
+        max_keys=100,
+    )
+
+
+W2_V1_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT name, entry_type, size FROM (
+  SELECT DISTINCT
+    concat('dir1/', split_part(substring(key, length('dir1/') + 1, 100000),
+                               '/', 1), '/') AS name,
+    'PREFIX' AS entry_type, CAST(0 AS BIGINT) AS size
+  FROM om_keys
+  WHERE volume = 'vol_a' AND bucket = 'bkt_f' AND starts_with(key, 'dir1/')
+    AND key > 'dir1/sub0/' AND NOT starts_with(key, 'dir1/sub0/')
+  UNION ALL
+  SELECT key AS name, 'KEY' AS entry_type, CAST(data_size AS BIGINT) AS size
+  FROM om_keys
+  WHERE volume = 'vol_a' AND bucket = 'bkt_f' AND starts_with(key, 'dir1/')
+    AND key > 'dir1/sub0/' AND NOT starts_with(key, 'dir1/sub0/')
+    AND strpos(substring(key, length('dir1/') + 1, 100000), '/') = 0
+) ORDER BY name LIMIT 100""",
+)
+
+QUERIES["w2_list_objects_v1"] = w2_list_objects_v1
+ORACLES["w2_list_objects_v1"] = W2_V1_SQL
