@@ -837,6 +837,7 @@ NEXT_WINDOW = [
     "a10_rate_spikes",
     "b2_balancer_summary",
     "w2_list_objects_v1",
+    "dp_dedup_rate_report",
 ]
 
 

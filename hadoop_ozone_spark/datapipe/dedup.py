@@ -698,3 +698,36 @@ def connected_dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def dedup_rate_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source duplication dashboard — the data-quality rollup a
+    curation run reports before/after dedup: docs, distinct contents
+    (md5), exact-duplicate count and rate per source. One
+    map-side-combinable groupBy over (source, content hash) then a
+    per-source rollup; no joins, no pair enumeration — this is the
+    cheap health metric, the pair-level detectors are the scalpel.
+    """
+    h = F.md5(F.col(text_col))
+    per_content = docs.groupBy(
+        F.col(source_col).alias("source"), h.alias("content_hash")
+    ).agg(F.count(F.lit(1)).alias("copies"))
+    return (
+        per_content.groupBy("source")
+        .agg(
+            F.sum("copies").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            (F.sum("copies") - F.count(F.lit(1))).alias("n_exact_dups"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct")) / F.col("n_docs"), 6
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1489,3 +1489,34 @@ ORDER BY log_weight DESC, doc_id LIMIT 50
 
 QUERIES["dp_dsir_weights"] = dp_dsir_weights
 ORACLES["dp_dsir_weights"] = DP_DSIR_SQL
+
+
+# --- per-source dedup-rate report (round 6) --------------------------------
+
+def dp_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication rates over the dedup corpus
+    (datapipe/dedup.py dedup_rate_report) — the before/after curation
+    health metric."""
+    corpus = model.dedup_corpus(spark, sf_dir).withColumn(
+        "source", F.concat(F.lit("lane_"), (F.col("doc_id") % 4).cast("string"))
+    )
+    return dedup.dedup_rate_report(corpus)
+
+
+DP_DEDUP_RATE_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    """ddr AS (
+  SELECT concat('lane_', CAST(doc_id % 4 AS VARCHAR)) AS source,
+         md5(text) AS content_hash, count(*) AS copies
+  FROM dedup_corpus GROUP BY 1, 2
+)""",
+    body="""SELECT source, CAST(SUM(copies) AS BIGINT) AS n_docs,
+       count(*) AS n_distinct,
+       CAST(SUM(copies) - count(*) AS BIGINT) AS n_exact_dups,
+       round(CAST(SUM(copies) - count(*) AS DOUBLE) / SUM(copies), 6)
+         AS dup_rate
+FROM ddr GROUP BY source ORDER BY source""",
+)
+
+QUERIES["dp_dedup_rate_report"] = dp_dedup_rate_report
+ORACLES["dp_dedup_rate_report"] = DP_DEDUP_RATE_SQL

@@ -172,7 +172,7 @@ R7_PENDING = {
     "dp_bpe_pair_counts", "dp_quality_strata",
     "u1_file_counts_filtered", "n3_topology",
     "c2_container_info", "n4_datanode_list", "dp_ann_pq_topk", "dp_dsir_weights", "a10_rate_spikes",
-    "b2_balancer_summary", "w2_list_objects_v1",
+    "b2_balancer_summary", "w2_list_objects_v1", "dp_dedup_rate_report",
 }
 
 
