@@ -142,3 +142,50 @@ def test_leaf_level_token_resume(bucket_keys):
         paged.extend(page)
         token = page[-1][0]
     assert paged == full
+
+
+def test_v1_marker_pagination_equals_full_listing(spark):
+    """V1 dialect resume law: walking the listing with marker =
+    last-returned name, page by page, reproduces the one-shot listing
+    exactly — including the seek-past-subtree rule when the marker is
+    a CommonPrefix."""
+    from hadoop_ozone_spark.operators import s3
+
+    rows = [
+        (f"dir1/sub{i}/k{j}", 10 + i * 10 + j)
+        for i in range(4) for j in range(3)
+    ] + [(f"dir1/leaf{i}", 100 + i) for i in range(4)]
+    keys = spark.createDataFrame(rows, "key string, data_size long")
+    full = [
+        (r.name, r.entry_type)
+        for r in s3.list_objects_v1(
+            keys, prefix="dir1/", delimiter="/", max_keys=1000
+        ).collect()
+    ]
+    paged, marker = [], None
+    for _ in range(20):
+        page = s3.list_objects_v1(
+            keys, prefix="dir1/", delimiter="/", marker=marker, max_keys=3
+        ).collect()
+        if not page:
+            break
+        paged.extend((r.name, r.entry_type) for r in page)
+        marker = page[-1].name
+    assert paged == full and len(full) == 8  # 4 prefixes + 4 leaves
+
+
+def test_v1_precedence_continuation_beats_marker(spark):
+    """BucketEndpoint.java:139-148: a continuation token wins over
+    start-after/marker when both are supplied."""
+    from hadoop_ozone_spark.operators import s3
+
+    keys = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(10)], "key string, data_size long"
+    )
+    got = [
+        r.name
+        for r in s3.list_objects_v1(
+            keys, marker="k1", continuation_last_key="k7", max_keys=100
+        ).collect()
+    ]
+    assert got == ["k8", "k9"]
