@@ -632,10 +632,17 @@ def _hashed_grams(text: Column, n_buckets: int) -> Column:
 
     toks = tokens(F.lower(text))
     unigrams = toks
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, 2), " "),
-    )
+    # Guard the <2-token case: sequence(1, 0) DESCENDS in Spark ([1, 0])
+    # and slice(toks, 0, 2) then throws INVALID_PARAMETER_VALUE.START —
+    # while the DuckDB oracle's generate_series(1, 0) is empty. Emit the
+    # oracle's empty bigram set for single-token / empty documents.
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.transform(
         F.concat(unigrams, bigrams), lambda g: md5_lane(g) % n_buckets
     )

@@ -1336,7 +1336,8 @@ def balancer_moves(
        most headroom (bytes_under_lower desc, id asc). Placement-safe =
        target holds no replica of the container AND rack coverage after
        the move (source rack decrements when this was its only replica
-       there; target rack adds if new) does not drop below
+       there AND the move leaves the rack — a same-rack move keeps
+       coverage unchanged; target rack adds if new) does not drop below
        min(replication_factor, total racks) — the
        ContainerPlacementStatusDefault law — nor below its current
        value if already under it.
@@ -1440,9 +1441,17 @@ def balancer_moves(
         F.col("rack").alias("target_rack"),
         F.lit(True).alias("target_rack_covered"),
     )
+    # Same-rack move: the replica stays on its rack, so coverage is
+    # unchanged — the src-rack decrement must NOT fire (otherwise a
+    # source that is its rack's only holder computes cov_before-1 and a
+    # valid same-rack move is spuriously rejected).
     cov_after = (
         F.col("cov_before")
-        - F.when(F.col("src_rack_cnt") == 1, 1).otherwise(0)
+        - F.when(
+            (F.col("src_rack_cnt") == 1)
+            & (F.col("target_rack") != F.col("source_rack")),
+            1,
+        ).otherwise(0)
         + F.when(F.col("target_rack_covered"), 0).otherwise(1)
     )
     placement_min = F.least(F.col("replication_factor"), F.col("total_racks"))

@@ -931,7 +931,9 @@ BM1_SQL = model.with_ctes(
            t.target_datanode_id, t.target_rack, t.bytes_under_lower,
            COALESCE(cr2.rack_cnt > 0, FALSE) AS target_rack_covered,
            tr.total_racks,
-           v.cov_before - (CASE WHEN cr.rack_cnt = 1 THEN 1 ELSE 0 END)
+           v.cov_before - (CASE WHEN cr.rack_cnt = 1
+                                 AND t.target_rack <> c.source_rack
+                                THEN 1 ELSE 0 END)
              + (CASE WHEN COALESCE(cr2.rack_cnt > 0, FALSE)
                      THEN 0 ELSE 1 END) AS cov_after
     FROM bm_cand c

@@ -25,21 +25,57 @@ dedup:
 Unpersisting only on plan CHANGE matters for a second reason: identical
 plans share one CacheManager entry, so unpersisting an old same-plan
 frame would silently drop the entry the new frame is using.
+
+ASSUMPTION (same-plan ⇒ same-data): the same-plan cache hit presumes an
+identical plan reads identical data. That holds for this repo's callers
+— the memoized model planes (model._memoized) and deployment snapshots
+are immutable for a given (session, sf_dir), and the streaming planners
+re-plan from per-batch frames whose plans differ per batch. It does NOT
+hold for arbitrary external sources: re-reading a path whose files were
+rewritten between invocations under a byte-identical plan would serve
+the stale cached rows. Operators over mutable external paths must not
+route them through ``keep`` (or must call ``spark.catalog.refreshByPath``
+first, which changes nothing here since the plan comparison would still
+hit — simply don't ``keep`` such frames).
+
+Slots are keyed per SparkSession (ADVICE r6): two sessions in one
+process never reuse or unpersist each other's frames, and a restarted
+session starts from empty slots instead of colliding with frames whose
+JVM-side cache entries died with the old session. Within one session the
+registry is shared across threads — the repo's operators are invoked
+serially per session, matching the one-live-generation contract.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_SLOTS: dict[str, list[DataFrame]] = {}
-_CURSOR: dict[str, int] = {}
+# (session_key, tag) → slot list / cursor
+_SLOTS: dict[tuple[str, str], list[DataFrame]] = {}
+_CURSOR: dict[tuple[str, str], int] = {}
 
 
-def fresh(tag: str) -> None:
+def _session_key(df_or_spark) -> str:
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # Spark Connect has no sparkContext
+        return str(id(spark))
+
+
+def fresh(tag: str, spark=None) -> None:
     """Reset ``tag``'s slot cursor at operator entry. Slots beyond the
     count the previous invocation used are released lazily by the next
-    :func:`keep` walk; the generation count per slot stays at one."""
-    _CURSOR[tag] = 0
+    :func:`keep` walk; the generation count per slot stays at one.
+
+    Resets the cursor for every session when ``spark`` is omitted (the
+    common case: the operator resets before it has a frame in hand)."""
+    if spark is not None:
+        _CURSOR[(_session_key(spark), tag)] = 0
+        return
+    for key in list(_CURSOR):
+        if key[1] == tag:
+            _CURSOR[key] = 0
 
 
 def _same_plan(a: DataFrame, b: DataFrame) -> bool:
@@ -55,10 +91,14 @@ def _same_plan(a: DataFrame, b: DataFrame) -> bool:
 
 def keep(tag: str, df: DataFrame) -> DataFrame:
     """Persist ``df`` in the tag's next slot, reusing the previous
-    invocation's cached frame when the plan is semantically identical."""
-    i = _CURSOR.get(tag, 0)
-    _CURSOR[tag] = i + 1
-    slots = _SLOTS.setdefault(tag, [])
+    invocation's cached frame when the plan is semantically identical.
+
+    See the module docstring for the same-plan-implies-same-data
+    assumption this reuse relies on."""
+    key = (_session_key(df), tag)
+    i = _CURSOR.get(key, 0)
+    _CURSOR[key] = i + 1
+    slots = _SLOTS.setdefault(key, [])
     if i < len(slots):
         old = slots[i]
         if _same_plan(old, df):

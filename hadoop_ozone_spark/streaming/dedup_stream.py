@@ -36,14 +36,21 @@ def _read_state(
     matter when the replay happens (idempotence at any point), and its
     own half-written landing zone can never feed back into itself."""
     cols = [c.split()[0] for c in schema.split(", ")]
+    # First-batch missing path → empty index; any other failure must
+    # propagate (a swallowed read error would dedup against nothing and
+    # silently violate the replay-idempotence law pinned in tests).
+    from pyspark.errors import AnalysisException
+
     try:
         return (
             spark.read.parquet(path)
             .filter(F.col("batch") < before_batch)
             .select(*cols)
         )
-    except Exception:
-        return spark.createDataFrame([], schema)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def process_batch(

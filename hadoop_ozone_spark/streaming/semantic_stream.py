@@ -36,14 +36,22 @@ VEC_STATE_SCHEMA = "list_id long, vec_id long, v array<double>, n double"
 def _read_state(
     spark: SparkSession, path: str, before_batch: int
 ) -> DataFrame:
+    # Only the first-batch missing-path case maps to an empty index.
+    # Any OTHER read failure must propagate and abort the batch —
+    # swallowing it would silently dedup against nothing and break the
+    # pinned stream≡batch equivalence without surfacing an error.
+    from pyspark.errors import AnalysisException
+
     try:
         return (
             spark.read.parquet(path)
             .filter(F.col("batch") < before_batch)
             .select("list_id", "vec_id", "v", "n")
         )
-    except Exception:
-        return spark.createDataFrame([], VEC_STATE_SCHEMA)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], VEC_STATE_SCHEMA)
+        raise
 
 
 def assign_batch(

@@ -107,6 +107,45 @@ def test_move_invariants_random_sweep(spark):
     assert total_moves > 0  # the sweep exercised real moves
 
 
+def test_same_rack_move_keeps_coverage(spark):
+    """A same-rack move leaves rack coverage unchanged — the source-rack
+    decrement must not fire when the source is its rack's only holder
+    and the target sits on the same rack (regression: the old law
+    computed cov_before-1 and spuriously rejected the move)."""
+    cap = 100_000_000
+    used = 10_000_000
+    datanodes = spark.createDataFrame(
+        [
+            (1, "a", "r0", "HEALTHY", "IN_SERVICE", cap),
+            (2, "b", "r1", "HEALTHY", "IN_SERVICE", cap),
+            (3, "c", "r0", "HEALTHY", "IN_SERVICE", cap),
+            (4, "d", "r1", "HEALTHY", "IN_SERVICE", cap),
+        ],
+        "datanode_id long, hostname string, rack string, node_state string, "
+        "op_state string, capacity_bytes long",
+    )
+    containers = spark.createDataFrame(
+        [(cid, "CLOSED", 2, used) for cid in (1, 2, 3, 4, 5)],
+        "container_id long, state string, replication_factor int, "
+        "used_bytes long",
+    )
+    # node 1 (rack r0) holds every container and is the only r0 holder;
+    # the sole under-utilized target (node 3) is also in r0.
+    replicas = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 4), (4, 1), (4, 4),
+         (5, 1), (5, 4)],
+        "container_id long, datanode_id long",
+    )
+    moves = scm.balancer_moves(datanodes, replicas, containers, 0.1).collect()
+    # avg=0.25, upper=0.35 → node 1 OVER (15M budget → 1 container),
+    # node 3 UNDER (15M budget → 1 container) → exactly one same-rack
+    # move survives
+    assert len(moves) == 1
+    (m,) = moves
+    assert m.source_datanode_id == 1 and m.target_datanode_id == 3
+    assert m.source_rack == m.target_rack == "r0"
+
+
 def test_global_budget_caps_total_bytes(spark):
     rng = random.Random(13)
     datanodes, containers, replicas = _frames(spark, rng)

@@ -864,6 +864,25 @@ def test_dsir_weights_prefer_target_domain(spark):
     assert on_domain > off_domain
 
 
+def test_dsir_weights_single_token_doc(spark):
+    """Regression: a single-token document must score (unigram only, no
+    bigrams) rather than crash — Spark's sequence(1, 0) DESCENDS and
+    slice(toks, 0, 2) throws without the <2-token guard."""
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "s", "hello"), (2, "s", "alpha beta"), (3, "s", "  ")],
+        "doc_id long, source string, text string",
+    )
+    target = spark.createDataFrame(
+        [(900, "t", "alpha beta")], "doc_id long, source string, text string"
+    )
+    rows = {r.doc_id: r for r in text_ops.dsir_weights(docs, target).collect()}
+    assert rows[1].n_grams == 1  # one unigram, zero bigrams
+    assert rows[2].n_grams == 3  # 2 unigrams + 1 bigram
+    assert rows[3].n_grams == 1  # split('') -> [''] — one empty token
+
+
 def test_bpe_apply_merge_fold_property(spark):
     """Property check: the carry-fold _apply_merge equals the direct
     Python left-to-right merge for randomized symbol sequences and
