@@ -1,11 +1,11 @@
 """Driver-contract invariants: the correctness window (first 50
 queries() entries) must stay complete — every entry oracle-backed, no
-duplicates, and the union of the frozen round-1..5 windows
-(CORRECTNESS_r01..r05.json) plus the current window must cover every
+duplicates, and the union of the frozen round-1..6 windows
+(CORRECTNESS_r01..r06.json) plus the current window must cover every
 registered query except those registered this round (which sit
-immediately after the window for the round-7 rotation). After the
-round-6 rotation no pre-r6 query's driver evidence is older than
-round 4 (two rounds)."""
+immediately after the window for the round-8 rotation). The round-7
+window front-loads the 15 round-6 registrations (first driver check)
+and fills with the 35 stalest (round-4-evidence) rows."""
 
 from __future__ import annotations
 
@@ -123,6 +123,49 @@ R5_WINDOW = [
 ]
 
 
+# the 50 keys the driver hash-checked in round 6 (CORRECTNESS_r06.json):
+# l1_bucket_links + the 49 r3-stale rows
+R6_WINDOW = [
+    "l1_bucket_links", "a1_file_size_histogram", "a1_histogram_rollup",
+    "a2_signed_counts", "a3_namespace_du", "a4_table_counts",
+    "a5_quota_usage", "a6_cluster_state", "a7_daily_growth",
+    "a8_failure_rate", "a8_top_ops", "a8_top_users",
+    "acl_effective_access", "dp_ann_brute_topk", "dp_ann_knn_join",
+    "dp_decontaminate", "dp_dedup_groups", "dp_exact_dedup",
+    "dp_minhash_incremental", "dp_mixture_sample", "dp_pack_plan",
+    "dp_pii_redact", "dp_repetition", "f2_range_scan",
+    "f4_tombstone_anti_join", "gdpr_metadata_filter",
+    "j1_keys_for_container", "j2_container_health", "j2_health_summary",
+    "j3_fso_path_resolution", "j4_container_key_index",
+    "j5_keys_in_open_containers", "m2_rename_prefix", "m3_delete_prefix",
+    "m4_open_key_expiry", "m5_multipart_check", "nested_locations_stats",
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
+    "s1_prefix_scan", "s2_point_lookup", "size_percentiles",
+    "so1_latest_state", "w1_list_keys_page", "w1_list_volumes",
+    "w2_s3_common_prefixes", "w2_s3_leaf_listing", "w3_list_status",
+    "x11_busiest_seconds",
+]
+
+# registered during round 6 — zero driver evidence until the r7 window
+R6_REGISTRATIONS = [
+    "pp1_pipeline_targets", "s3_bucket_acl", "bm1_balancer_moves",
+    "dp_bpe_pair_counts", "dp_quality_strata", "u1_file_counts_filtered",
+    "n3_topology", "c2_container_info", "n4_datanode_list",
+    "dp_ann_pq_topk", "dp_dsir_weights", "a10_rate_spikes",
+    "b2_balancer_summary", "w2_list_objects_v1", "dp_dedup_rate_report",
+]
+
+# the 15 round-4-evidence rows that did not fit in the r7 window
+# (35 slots after the 15 round-6 registrations) — front of the r8 queue
+R4_LEFTOVER = [
+    "m5_etag_check", "m6_copy_part", "n1_datanodes", "p1_pipelines",
+    "p2_pipeline_rack_spread", "q15_top_supplier", "s7_audit_roundtrip",
+    "s8_freon_generator", "sm1_safemode_status", "t1_trash_status",
+    "w4_list_parts", "w5_topk_containers", "w6_latest_version",
+    "x12_sorted_locations", "x13_get_file_status",
+]
+
+
 def test_window_is_first_50_and_oracle_backed():
     q, o = entry.queries(), entry.oracle_sql()
     names = list(q)
@@ -136,57 +179,45 @@ def test_every_query_has_an_oracle():
     assert set(q) == set(o)  # no rows-only checks remain
 
 
-def test_round6_window_frontloads_l1():
-    # l1_bucket_links is the only pre-r6 query with zero driver
-    # evidence (registered after the r5 window froze) — it leads
-    assert entry.DRIVER_WINDOW[0] == "l1_bucket_links"
+def test_round7_window_frontloads_round6_registrations():
+    # VERDICT r6 #1: the 15 queries registered during round 6 have zero
+    # driver evidence — they lead the r7 window
+    assert entry.DRIVER_WINDOW[:15] == R6_REGISTRATIONS
 
 
-def test_round6_window_rotates_every_r3_stale_row():
-    # VERDICT r5 #1: after round 6, no pre-r6 query's driver evidence
-    # may be older than two rounds — the window must contain EVERY
-    # query whose last green row was round 3
+def test_round7_window_fills_with_stalest_rows():
+    # the remaining 35 slots hold round-4-evidence rows (the stalest);
+    # together with R4_LEFTOVER they exactly exhaust the r4 set
     last_checked = {}
     for rnd, window in (
         (1, R1_WINDOW), (2, R2_WINDOW), (3, R3_WINDOW),
-        (4, R4_WINDOW), (5, R5_WINDOW),
+        (4, R4_WINDOW), (5, R5_WINDOW), (6, R6_WINDOW),
     ):
         for name in window:
             last_checked[name] = rnd
-    r3_stale = {
-        n for n in entry.queries() if last_checked.get(n, 0) == 3
+    r4_stale = {
+        n for n in entry.queries() if last_checked.get(n, 0) == 4
     }
-    assert r3_stale <= set(entry.DRIVER_WINDOW), sorted(
-        r3_stale - set(entry.DRIVER_WINDOW)
-    )
-    # and the window is exactly l1 + the stale set — no wasted slots
-    assert set(entry.DRIVER_WINDOW) == r3_stale | {"l1_bucket_links"}
-
-
-# registered during round 6, after the window committed to l1 + the 49
-# r3-stale rows; they sit immediately after the window (positions 51+)
-# for the round-7 rotation (judge-verifiable via tools/oracle_check.py
-# at HEAD meanwhile)
-R7_PENDING = {
-    "pp1_pipeline_targets", "s3_bucket_acl", "bm1_balancer_moves",
-    "dp_bpe_pair_counts", "dp_quality_strata",
-    "u1_file_counts_filtered", "n3_topology",
-    "c2_container_info", "n4_datanode_list", "dp_ann_pq_topk", "dp_dsir_weights", "a10_rate_spikes",
-    "b2_balancer_summary", "w2_list_objects_v1", "dp_dedup_rate_report",
-}
+    filler = entry.DRIVER_WINDOW[15:]
+    assert set(filler) <= r4_stale, sorted(set(filler) - r4_stale)
+    assert set(filler) | set(R4_LEFTOVER) == r4_stale
+    assert filler == sorted(filler)  # deterministic: alphabetical
 
 
 def test_round_union_covers_every_registered_query():
     q = entry.queries()
     covered = (
         set(R1_WINDOW) | set(R2_WINDOW) | set(R3_WINDOW) | set(R4_WINDOW)
-        | set(R5_WINDOW) | set(entry.DRIVER_WINDOW)
+        | set(R5_WINDOW) | set(R6_WINDOW) | set(entry.DRIVER_WINDOW)
     )
     pending = set(q) - covered
-    assert pending <= R7_PENDING, sorted(pending - R7_PENDING)
+    # only round-7 registrations (NEXT_WINDOW) may lack driver evidence
+    assert pending <= set(entry.NEXT_WINDOW), sorted(
+        pending - set(entry.NEXT_WINDOW)
+    )
 
 
-def test_r7_pending_queries_sit_right_after_the_window():
+def test_next_window_queries_sit_right_after_the_window():
     names = list(entry.queries())
-    registered_pending = [n for n in names if n in R7_PENDING]
-    assert names[50:50 + len(registered_pending)] == registered_pending
+    registered_next = [n for n in names if n in set(entry.NEXT_WINDOW)]
+    assert names[50:50 + len(registered_next)] == registered_next
