@@ -821,7 +821,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # after the 50-slot driver window so the judge's HEAD oracle run sees
 # them and the round-8 rotation can front-load them, together with the
 # 15 round-4 leftovers (R4_LEFTOVER in tests/test_entry_contract.py).
-NEXT_WINDOW: list[str] = []
+NEXT_WINDOW: list[str] = [
+    "dp_ann_ivfpq_topk",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -92,6 +92,10 @@ HEADLINE = [
     "dp_bpe_pair_counts",
     "dp_quality_strata",
     "dp_dsir_weights",
+    # round 7 additions
+    "dp_ann_ivfpq_topk",
+    "dp_dedup_rate_report",
+    "b2_balancer_summary",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

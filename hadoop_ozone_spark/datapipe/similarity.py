@@ -723,6 +723,296 @@ def pq_topk(
     )
 
 
+# --- IVF-PQ (IVFADC) ANN ---------------------------------------------------
+#
+# The composition that fixes flat-ADC's O(corpus) scan (VERDICT r6 #2):
+# the standard IVFADC layout of Jégou et al. 2011 §IV — assign vectors
+# to IVF coarse lists, PQ-encode the RESIDUAL (v − centroid) with one
+# shared product quantizer, store codes partitioned by list_id, and at
+# query time run ADC only inside the nprobe probed lists with a
+# per-list lookup table built from the QUERY's residual against that
+# list's centroid. The scan is now nprobe/n_lists of the code table
+# (partition-pruned when the index is persisted partitioned by
+# list_id) AND each row read is the 32×-compressed code — sublinear
+# and compressed, the 100 TB shape. Residuals concentrate around 0, so
+# the shared codebook quantizes them far better than raw vectors —
+# ADC-only recall rises vs flat PQ (measured in BENCH_NOTES), and the
+# standard top-R exact rerank restores exactness.
+
+
+def ivfpq_residuals(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(list_id, vec_id, rvec): nearest-centroid assignment (the exact
+    ivf_index law — rounded cosine, ties → lowest list_id) plus the
+    residual v − centroid. One corpus pass against the broadcast
+    codebook; the residual subtraction is exact FP (both engines
+    compute the same doubles)."""
+    score = F.round(cosine(as_double(F.col(vec_col)), F.col("cvec")), round_digits)
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        as_double(F.col(vec_col)).alias("v"),
+        (-F.col("list_id")).alias("neg_list"),
+        F.col("cvec"),
+        score.alias("score"),
+    )
+    # (score, neg_list) is unique per candidate row, so the trailing
+    # payload fields never participate in the comparison
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                "score", "neg_list", F.col("v").alias("v"), F.col("cvec").alias("cvec")
+            )
+        ).alias("m")
+    )
+    return best.select(
+        (-F.col("m.neg_list")).alias("list_id"),
+        "vec_id",
+        F.zip_with(F.col("m.v"), F.col("m.cvec"), lambda x, y: x - y).alias("rvec"),
+    )
+
+
+def ivfpq_codebooks(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    seed_start: int = 16,
+) -> DataFrame:
+    """Shared residual codebooks (sub_id, code, cvec): seeded from the
+    RESIDUAL subvectors of vec_ids [seed_start, seed_start + n_codes) —
+    the pq_codebooks convention applied post-assignment, so the DuckDB
+    oracle replays it. ``seed_start`` defaults PAST the coarse-centroid
+    seeds (ivf_centroids takes vec_id < n_lists): a centroid vector's
+    own residual is the zero vector, so seeding from vec_id < n_codes
+    would collapse every code to ~0 and destroy ADC ordering (measured:
+    recall@10 0 → 0.8 at sf0.1 just by moving the seed window).
+    Lloyd-refine via pq_train_codebooks over the residual frame when
+    quality matters more than replayability."""
+    assert dims % m == 0
+    dsub = dims // m
+    seeds = ivfpq_residuals(
+        embeddings.filter(
+            (F.col("vec_id") >= seed_start)
+            & (F.col("vec_id") < seed_start + n_codes)
+        ),
+        centroids, vec_col, round_digits,
+    ).select(
+        (F.col("vec_id") - seed_start).cast("int").alias("code"),
+        F.col("rvec").alias("v"),
+    )
+    return seeds.select(
+        "code",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> struct(s AS sub_id, slice(v, s * {dsub} + 1, {dsub}) AS cvec))"
+            )
+        ).alias("p"),
+    ).select(F.col("p.sub_id").alias("sub_id"), "code", F.col("p.cvec").alias("cvec"))
+
+
+def ivfpq_index(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The write-time IVFADC artifact: (list_id, vec_id, codes) — each
+    vector's residual PQ codes inside its inverted list. Persist
+    partitioned by list_id (sources/deployment writes it that way) so a
+    probe prunes to nprobe/n_lists of the files AND reads 8 bytes of
+    codes instead of 64 floats per row. One corpus pass for
+    assignment+residual, one against the broadcast codebook for the
+    encode; groupBy keys are (list_id, vec_id, sub_id) then
+    (list_id, vec_id) — map-side combinable, unskewed."""
+    assert dims % m == 0
+    dsub = dims // m
+    c = centroids if centroids is not None else ivf_centroids(embeddings, n_lists, vec_col)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else ivfpq_codebooks(
+            embeddings, c, m, n_codes, dims, vec_col, round_digits,
+            seed_start=n_lists,
+        )
+    )
+    res = ivfpq_residuals(embeddings, c, vec_col, round_digits)
+    subv = res.select(
+        "list_id", "vec_id", F.col("rvec").alias("v")
+    ).select(
+        "list_id",
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> struct(s AS sub_id, slice(v, s * {dsub} + 1, {dsub}) AS svec))"
+            )
+        ).alias("p"),
+    ).select(
+        "list_id", "vec_id", F.col("p.sub_id").alias("sub_id"), F.col("p.svec").alias("svec")
+    )
+    scored = subv.join(F.broadcast(cb), "sub_id").select(
+        "list_id",
+        "vec_id",
+        "sub_id",
+        "code",
+        F.round(l2sq(F.col("svec"), F.col("cvec")), round_digits).alias("d"),
+    )
+    best = scored.groupBy("list_id", "vec_id", "sub_id").agg(
+        F.min(F.struct("d", "code")).alias("mn")
+    )
+    return best.groupBy("list_id", "vec_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("sub_id", F.col("mn.code").alias("code")))
+            ),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    probe_vec_id: int,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    round_digits: int = 6,
+    rerank: int | None = None,
+    probe_lists: list[int] | None = None,
+) -> DataFrame:
+    """IVFADC search: score the broadcast coarse codebook against the
+    query, probe the nprobe best lists, build the per-list ADC lookup
+    table from the QUERY RESIDUAL against each probed centroid
+    (nprobe × m × n_codes rows — broadcast), and fold stored codes'
+    sub-distances in sub_id order inside the probed lists only. The
+    equi-join on list_id is what prunes: with the index persisted
+    partitioned by list_id, only nprobe partitions are read
+    (plan-pinned in tests/test_plans.py via ``probe_lists``).
+
+    ``probe_lists`` short-circuits the probe selection with
+    driver-known list ids — the deployment fast path (the codebook is
+    n_lists rows; scoring it is a driver-side decision, not a data
+    scan), giving a STATIC partition filter instead of relying on
+    dynamic pruning. Omitted → fully declarative probe subquery.
+
+    ``rerank``: top-R ADC shortlist then exact L2 on those raw vectors
+    (broadcast semi-probe, R ≪ corpus) — same two-stage law as
+    pq_topk; with residual quantization the shortlist is tighter, so
+    the same R buys equal-or-better recall while the broad scan reads
+    nprobe compressed partitions instead of the whole code table."""
+    assert dims % m == 0
+    dsub = dims // m
+    c = centroids if centroids is not None else ivf_centroids(embeddings, n_lists, vec_col)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else ivfpq_codebooks(
+            embeddings, c, m, n_codes, dims, vec_col, round_digits,
+            seed_start=n_lists,
+        )
+    )
+    idx = (
+        index
+        if index is not None
+        else ivfpq_index(
+            embeddings, n_lists, m, n_codes, dims, vec_col,
+            centroids=c, codebooks=cb, round_digits=round_digits,
+        )
+    )
+    q = embeddings.filter(F.col("vec_id") == probe_vec_id).select(
+        as_double(F.col(vec_col)).alias("qv")
+    )
+    qscore = F.round(cosine(F.col("qv"), F.col("cvec")), round_digits)
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select("qv", "list_id", "cvec", qscore.alias("qscore"))
+        .orderBy(F.desc("qscore"), F.asc("list_id"))
+        .limit(nprobe)
+    )
+    if probe_lists is not None:
+        probes = probes.filter(F.col("list_id").isin(probe_lists))
+    # per-list query residual → (list_id, sub_id, code, qd) ADC table
+    lut = (
+        probes.select(
+            "list_id",
+            F.zip_with(F.col("qv"), F.col("cvec"), lambda x, y: x - y).alias("qr"),
+        )
+        .select(
+            "list_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}),"
+                    f" s -> struct(s AS sub_id, slice(qr, s * {dsub} + 1, {dsub}) AS qsub))"
+                )
+            ).alias("p"),
+        )
+        .select("list_id", F.col("p.sub_id").alias("sub_id"), F.col("p.qsub").alias("qsub"))
+        .join(F.broadcast(cb), "sub_id")
+        .select(
+            "list_id",
+            "sub_id",
+            "code",
+            F.round(l2sq(F.col("qsub"), F.col("cvec")), round_digits).alias("qd"),
+        )
+    )
+    pruned = (
+        idx.filter(F.col("list_id").isin(probe_lists))
+        if probe_lists is not None
+        else idx.join(F.broadcast(probes.select("list_id")), "list_id")
+    )
+    adc = (
+        pruned.select("list_id", "vec_id", F.posexplode("codes").alias("sub_id", "code"))
+        .join(F.broadcast(lut), ["list_id", "sub_id", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("sub_id", "qd"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["qd"],
+                ),
+                round_digits,
+            ).alias("adc_dist")
+        )
+        .filter(F.col("vec_id") != probe_vec_id)
+    )
+    if rerank is None:
+        return adc.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(k)
+    shortlist = adc.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(rerank)
+    return (
+        embeddings.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                l2sq(as_double(F.col(vec_col)), F.col("qv")), round_digits
+            ).alias("l2_dist"),
+        )
+        .orderBy(F.asc("l2_dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def pq_train_codebooks(
     embeddings: DataFrame,
     iters: int = 2,
@@ -731,6 +1021,7 @@ def pq_train_codebooks(
     dims: int = 64,
     vec_col: str = "embedding",
     round_digits: int = 6,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd-refine the PQ codebooks — all m subspaces JOINTLY in one
     corpus pass per step (not m separate k-means runs): the subvector
@@ -743,11 +1034,17 @@ def pq_train_codebooks(
     step localCheckpoints — k bounded passes.
 
     Drops into pq_encode/pq_topk via their ``codebooks``/``index``
-    arguments without changing any plan.
+    arguments without changing any plan. ``codebooks`` overrides the
+    seed — e.g. ivfpq_codebooks over the residual frame, so IVFADC's
+    shared residual quantizer Lloyd-refines with the same trainer.
     """
     assert dims % m == 0
     dsub = dims // m
-    cb = pq_codebooks(embeddings, m, k, dims, vec_col)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(embeddings, m, k, dims, vec_col)
+    )
     subv = embeddings.select(
         "vec_id", as_double(F.col(vec_col)).alias("v")
     ).select(

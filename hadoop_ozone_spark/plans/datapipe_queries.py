@@ -1426,6 +1426,105 @@ QUERIES["dp_ann_pq_topk"] = dp_ann_pq_topk
 ORACLES["dp_ann_pq_topk"] = DP_PQ_SQL
 
 
+# --- IVF-PQ (IVFADC) ANN (round 7) -----------------------------------------
+
+def dp_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC two-stage search (datapipe/similarity.py ivfpq_* — Jégou
+    et al. 2011 §IV, the IVF×PQ composition of VERDICT r6 #2): assign
+    to 16 coarse lists, PQ-encode the residuals (8 subspaces × 16
+    codes), probe the 4 best lists for query vector 10, ADC with the
+    per-list query-residual lookup table INSIDE those lists only, then
+    exact L2 rerank of the top-200 shortlist. The scan is
+    nprobe/n_lists of the code table (partition-pruned when persisted
+    by list_id) instead of the full corpus."""
+    return similarity.ivfpq_topk(
+        model.embedding_corpus(spark, sf_dir),
+        probe_vec_id=10, k=10, n_lists=16, nprobe=4, rerank=200,
+    )
+
+
+DP_IVFPQ_SQL = model.with_ctes(
+    model.EMBEDDING_CORPUS_CTE,
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embedding_corpus)""",
+    """ipq_c AS (SELECT vec_id AS list_id, ve AS cv FROM v WHERE vec_id < 16)""",
+    f"""ipq_assign AS (
+  SELECT vec_id, ve, list_id, cv FROM (
+    SELECT v.vec_id, v.ve, c.list_id, c.cv,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_COS.format(a='v.ve', b='c.cv')} DESC, c.list_id ASC) AS rn
+    FROM v, ipq_c c
+  ) WHERE rn = 1
+)""",
+    """ipq_res AS (
+  SELECT vec_id, list_id,
+         list_transform(generate_series(1, 64), i -> ve[i] - cv[i]) AS rv
+  FROM ipq_assign
+)""",
+    """ipq_cb AS (
+  SELECT s AS sub_id, CAST(vec_id - 16 AS INTEGER) AS code,
+         list_slice(rv, s * 8 + 1, s * 8 + 8) AS cvec
+  FROM ipq_res, unnest(generate_series(0, 7)) AS t(s)
+  WHERE vec_id >= 16 AND vec_id < 32
+)""",
+    """ipq_subv AS (
+  SELECT vec_id, list_id, s AS sub_id, list_slice(rv, s * 8 + 1, s * 8 + 8) AS svec
+  FROM ipq_res, unnest(generate_series(0, 7)) AS t(s)
+)""",
+    """ipq_best AS (
+  SELECT vec_id, list_id, sub_id, code FROM (
+    SELECT sv.vec_id, sv.list_id, sv.sub_id, c.code,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub_id
+                              ORDER BY round(list_reduce(list_transform(
+                                generate_series(1, 8),
+                                i -> (sv.svec[i] - c.cvec[i])
+                                     * (sv.svec[i] - c.cvec[i])),
+                                (x, y) -> x + y), 6), c.code) AS rn
+    FROM ipq_subv sv JOIN ipq_cb c USING (sub_id)
+  ) WHERE rn = 1
+)""",
+    """ipq_q AS (SELECT ve AS qv FROM v WHERE vec_id = 10)""",
+    f"""ipq_probes AS (
+  SELECT list_id, cv FROM ipq_c, ipq_q
+  ORDER BY {_COS.format(a='cv', b='qv')} DESC, list_id ASC LIMIT 4
+)""",
+    """ipq_qsub AS (
+  SELECT list_id, s AS sub_id,
+         list_slice(list_transform(generate_series(1, 64), i -> qv[i] - cv[i]),
+                    s * 8 + 1, s * 8 + 8) AS qsv
+  FROM ipq_probes, ipq_q, unnest(generate_series(0, 7)) AS t(s)
+)""",
+    """ipq_lut AS (
+  SELECT qs.list_id, qs.sub_id, c.code,
+         round(list_reduce(list_transform(generate_series(1, 8),
+               i -> (qs.qsv[i] - c.cvec[i]) * (qs.qsv[i] - c.cvec[i])),
+               (x, y) -> x + y), 6) AS qd
+  FROM ipq_qsub qs JOIN ipq_cb c USING (sub_id)
+)""",
+    """ipq_adc AS (
+  SELECT b.vec_id,
+         round(list_reduce(list(l.qd ORDER BY b.sub_id), (x, y) -> x + y), 6)
+           AS adc_dist
+  FROM ipq_best b
+  JOIN ipq_lut l
+    ON b.list_id = l.list_id AND b.sub_id = l.sub_id AND b.code = l.code
+  WHERE b.vec_id <> 10
+  GROUP BY b.vec_id
+)""",
+    """ipq_short AS (
+  SELECT vec_id FROM ipq_adc ORDER BY adc_dist, vec_id LIMIT 200
+)""",
+    body="""SELECT v.vec_id,
+       round(list_reduce(list_transform(generate_series(1, 64),
+             i -> (v.ve[i] - q.qv[i]) * (v.ve[i] - q.qv[i])),
+             (x, y) -> x + y), 6) AS l2_dist
+FROM v JOIN ipq_short USING (vec_id), ipq_q q
+ORDER BY l2_dist, vec_id LIMIT 10""",
+)
+
+QUERIES["dp_ann_ivfpq_topk"] = dp_ann_ivfpq_topk
+ORACLES["dp_ann_ivfpq_topk"] = DP_IVFPQ_SQL
+
+
 # --- DSIR importance weights (round 6) -------------------------------------
 
 def dp_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -842,6 +842,107 @@ def test_pq_rerank_recovers_exact_l2_topk(spark):
     assert got == exact
 
 
+def test_ivfpq_full_probe_rerank_is_exact(spark):
+    """IVFADC sanity: nprobe == n_lists covers every list, so the
+    exact rerank must reproduce the exact L2 top-k (the ivf_topk
+    degeneracy invariant carried over to the composed index)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark import model
+    from hadoop_ozone_spark.datapipe import similarity as sim
+
+    emb = model.embedding_corpus(spark, "/root/testdata/sf0.001")
+    q = emb.filter(F.col("vec_id") == 10).select(
+        sim.as_double(F.col("embedding")).alias("qv")
+    )
+    exact = [
+        r.vec_id
+        for r in emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            sim.l2sq(sim.as_double(F.col("embedding")), F.col("qv")).alias("d"),
+        )
+        .filter(F.col("vec_id") != 10)
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(5)
+        .collect()
+    ]
+    got = [
+        r.vec_id
+        for r in sim.ivfpq_topk(
+            emb, probe_vec_id=10, k=5, nprobe=16, rerank=1000
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_ivfpq_narrow_probe_finds_scaled_copy(spark):
+    """With nprobe=4 the ×1.01 copy of the probe assigns to the SAME
+    list (scaling preserves cosine, so identical coarse assignment) —
+    it sits inside the probed set and must rank first after rerank."""
+    from hadoop_ozone_spark import model
+    from hadoop_ozone_spark.datapipe import similarity as sim
+
+    emb = model.embedding_corpus(spark, "/root/testdata/sf0.001")
+    top = sim.ivfpq_topk(
+        emb, probe_vec_id=10, k=3, nprobe=4, rerank=50
+    ).collect()
+    assert top[0].vec_id == 1000010
+
+
+def test_ivfpq_probe_lists_matches_declarative_probe(spark):
+    """The driver-known static prune (probe_lists) must return exactly
+    what the declarative probe subquery returns — the two deployment
+    shapes are the same law."""
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark import model
+    from hadoop_ozone_spark.datapipe import similarity as sim
+
+    emb = model.embedding_corpus(spark, "/root/testdata/sf0.001")
+    c = sim.ivf_centroids(emb)
+    q = emb.filter(F.col("vec_id") == 10).select(
+        sim.as_double(F.col("embedding")).alias("qv")
+    )
+    lists = [
+        r.list_id
+        for r in q.crossJoin(F.broadcast(c))
+        .select(
+            "list_id",
+            F.round(sim.cosine(F.col("qv"), F.col("cvec")), 6).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("list_id"))
+        .limit(4)
+        .collect()
+    ]
+    declarative = sim.ivfpq_topk(emb, probe_vec_id=10, k=5, nprobe=4).collect()
+    static = sim.ivfpq_topk(
+        emb, probe_vec_id=10, k=5, nprobe=4, probe_lists=lists
+    ).collect()
+    assert [(r.vec_id, r.adc_dist) for r in declarative] == [
+        (r.vec_id, r.adc_dist) for r in static
+    ]
+
+
+def test_pq_trainer_invariant_under_partitioning(spark):
+    """VERDICT r6 #8: the PQ trainer's per-component sums fold
+    sequentially in vec_id order, so the trained codebooks must be
+    bit-identical regardless of input partitioning."""
+    from hadoop_ozone_spark import model
+    from hadoop_ozone_spark.datapipe import similarity as sim
+
+    emb = model.embedding_corpus(spark, "/root/testdata/sf0.001")
+    results = []
+    for parts in (1, 8, 32):
+        cb = sim.pq_train_codebooks(emb.repartition(parts), iters=2)
+        results.append(
+            sorted(
+                (r.sub_id, r.code, tuple(r.cvec)) for r in cb.collect()
+            )
+        )
+    assert results[0] == results[1] == results[2]
+
+
 def test_dsir_weights_prefer_target_domain(spark):
     """Importance weights must rank docs from the target's own
     vocabulary lane above off-domain docs (the resampling premise)."""
