@@ -823,6 +823,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # 15 round-4 leftovers (R4_LEFTOVER in tests/test_entry_contract.py).
 NEXT_WINDOW: list[str] = [
     "dp_ann_ivfpq_topk",
+    "s10_chunk_locations",
+    "fso_prefix_parse",
+    "s3_list_buckets",
 ]
 
 

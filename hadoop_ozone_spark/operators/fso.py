@@ -226,6 +226,100 @@ def rename_dir(
     )
 
 
+def prefix_parse(
+    dirs: DataFrame,
+    files: DataFrame,
+    path: str,
+    root_parent: int = ROOT_PARENT,
+) -> DataFrame:
+    """FSO prefix diagnostics — ``ozone debug prefix``
+    (tools/.../debug/PrefixParser.java:112-190): walk the path's
+    components down the directory table ((parentObjectID, name) links),
+    then report the parserStats rollup:
+
+    - VOLUME / BUCKET: 1 each (the tool validates both up front; the
+      planes passed in are already bucket-scoped, so both exist);
+    - INTERMEDIATE_DIRECTORY: one per RESOLVED component (dumpInfo per
+      walk step, :155-158);
+    - NON_EXISTENT_DIRECTORY: 1 when a component is missing — the walk
+      breaks at the first gap (:139-146);
+    - DIRECTORY / FILE: child entries of the LAST RESOLVED directory in
+      dirTable / fileTable (dumpTableInfo :195-208), capped at 1000
+      (getRangeKVs page size :201).
+
+    Spark shape: the components are driver-known literals, so each walk
+    level is a (parent ⋈ name) filter over the broadcast previous level
+    (≤1 row); emptiness cascades through the joins, so the whole walk +
+    stats is ONE lazy plan — no driver-side stepping. Child counts are
+    map-side aggregates behind a 1-row broadcast semi-probe.
+    """
+    comps = [c for c in path.strip("/").split("/") if c]
+    spark = dirs.sparkSession
+    levels: list[DataFrame] = []
+    cur = dirs.filter(
+        (F.col("parent_object_id") == root_parent) & (F.col("name") == comps[0])
+    ).select("object_id")
+    levels.append(cur)
+    for comp in comps[1:]:
+        prev = levels[-1].select(F.col("object_id").alias("parent_object_id"))
+        cur = (
+            dirs.filter(F.col("name") == comp)
+            .join(F.broadcast(prev), "parent_object_id")
+            .select("object_id")
+        )
+        levels.append(cur)
+    walk = spark.range(1).select(
+        F.lit(root_parent).cast("long").alias("object_id"),
+        F.lit(0).alias("depth"),
+    )
+    for i, lvl in enumerate(levels):
+        walk = walk.unionByName(
+            lvl.select(
+                F.col("object_id").cast("long"), F.lit(i + 1).alias("depth")
+            )
+        )
+    resolved = walk.filter(F.col("depth") > 0).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    last = walk.agg(F.max(F.struct("depth", "object_id")).alias("m")).select(
+        F.col("m.object_id").alias("last_id")
+    )
+
+    def child_count(table: DataFrame) -> DataFrame:
+        return (
+            table.join(
+                F.broadcast(last),
+                F.col("parent_object_id") == F.col("last_id"),
+                "left_semi",
+            )
+            .agg(F.least(F.count(F.lit(1)), F.lit(1000)).alias("cnt"))
+        )
+
+    one = spark.range(1).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = [
+        ("VOLUME", one),
+        ("BUCKET", one),
+        ("INTERMEDIATE_DIRECTORY", resolved),
+        (
+            "NON_EXISTENT_DIRECTORY",
+            resolved.select(
+                F.least(F.lit(len(comps)) - F.col("cnt"), F.lit(1)).alias("cnt")
+            ),
+        ),
+        ("DIRECTORY", child_count(dirs)),
+        ("FILE", child_count(files)),
+    ]
+    out = None
+    for label, frame in stats:
+        row = frame.select(
+            F.lit(path).alias("path"),
+            F.lit(label).alias("parse_type"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("path", "parse_type")
+
+
 def namespace_du_fso(dirs: DataFrame, files: DataFrame) -> DataFrame:
     """FSO-native du rollup — NSSummaryTask.java:82-230 walks
     parentObjectID chains to maintain per-directory (numOfFiles,

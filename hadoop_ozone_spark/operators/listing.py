@@ -201,6 +201,64 @@ def sorted_read_locations(
     )
 
 
+def chunk_locations(
+    keys_page: DataFrame,
+    replicas: DataFrame,
+    datanodes: DataFrame,
+    cluster_id: str = "CID-cluster",
+) -> DataFrame:
+    """S10 — the key→chunk-location debug map: ``ozone debug chunkinfo``
+    (tools/.../debug/ChunkKeyHandler.java:102-188: key → block
+    locations → per-datanode chunk file paths via getBlockFromAllNodes)
+    composed with fsck's ContainerMapper container→block rollup
+    (tools/.../fsck/ContainerMapper.java:45-80).
+
+    The chunk file path replays the datanode layout law exactly:
+    base = hddsVolumeDir/clusterId/current/containerDir<(id>>9)&0xFF>/<id>
+    (KeyValueContainerLocationUtil.java:78-103), chunks dir = base/chunks
+    (OzoneConsts STORAGE_DIR_CHUNKS), and the default FILE_PER_BLOCK
+    layout names the file <localID>.block (ChunkLayOutVersion.java:48-53).
+    The local block id is the key's object id (the model's id lane);
+    hddsVolumeDir is the node-local disk root /data/dn_<id>/hdds.
+
+    Plan: key page ⋈ replica plane on container_id (the page is tiny —
+    broadcast side), node dim broadcast; pure string/bit arithmetic per
+    row, no shuffle beyond the page join. One row per (key, replica):
+    the per-datanode file a debug/fsck operator would stat.
+    """
+    local_id = F.split(F.col("key"), "_").getItem(1).cast("long")
+    page = keys_page.select(
+        "row_key", "key", "container_id", local_id.alias("local_id")
+    )
+    sub_dir = F.concat(
+        F.lit("containerDir"),
+        F.shiftright(F.col("container_id"), 9).bitwiseAND(255),
+    )
+    chunk_file = F.concat(
+        F.lit("/data/dn_"), F.col("datanode_id"), F.lit("/hdds/"),
+        F.lit(cluster_id), F.lit("/current/"), sub_dir, F.lit("/"),
+        F.col("container_id"), F.lit("/chunks/"),
+        F.col("local_id"), F.lit(".block"),
+    )
+    return (
+        replicas.join(F.broadcast(page), "container_id")
+        .join(
+            F.broadcast(datanodes.select("datanode_id", "hostname")),
+            "datanode_id",
+            "left",
+        )
+        .select(
+            "row_key",
+            "container_id",
+            "local_id",
+            "datanode_id",
+            F.coalesce(F.col("hostname"), F.lit("UNKNOWN")).alias("hostname"),
+            chunk_file.alias("chunk_file"),
+        )
+        .orderBy("row_key", "datanode_id")
+    )
+
+
 def get_file_status(
     keys: DataFrame, probes: DataFrame, key_col: str = "row_key"
 ) -> DataFrame:

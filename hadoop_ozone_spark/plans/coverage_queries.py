@@ -267,6 +267,56 @@ ORACLES = {
 }
 
 
+# --- S10: key→chunk-location debug map (round 7) --------------------------
+
+def s10_chunk_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ozone debug chunkinfo`` ∘ fsck ContainerMapper (VERDICT r6 #3):
+    a 20-key page resolved to every replica-holding datanode's chunk
+    FILE path under the reference's exact layout law
+    (operators/listing.py chunk_locations —
+    KeyValueContainerLocationUtil.java:78-103 base dir,
+    ChunkLayOutVersion.java:48-53 FILE_PER_BLOCK naming)."""
+    from hadoop_ozone_spark.operators import listing as listing_ops
+
+    page = (
+        model.om_keys(spark, sf_dir)
+        .filter(F.col("row_key").startswith("/vol_r/bkt_o/dir3/"))
+        .orderBy("row_key")
+        .limit(20)
+    )
+    return listing_ops.chunk_locations(
+        page,
+        model.container_replicas(spark, sf_dir),
+        model.datanodes(spark, sf_dir),
+    )
+
+
+S10_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    model.DATANODES_CTE,
+    """s10_page AS (
+  SELECT row_key, key, container_id,
+         CAST(split_part(key, '_', 2) AS BIGINT) AS local_id
+  FROM om_keys
+  WHERE starts_with(row_key, '/vol_r/bkt_o/dir3/')
+  ORDER BY row_key LIMIT 20
+)""",
+    body="""SELECT p.row_key, p.container_id, p.local_id, r.datanode_id,
+       COALESCE(d.hostname, 'UNKNOWN') AS hostname,
+       concat('/data/dn_', r.datanode_id, '/hdds/CID-cluster/current/',
+              'containerDir', (p.container_id >> 9) & 255, '/',
+              p.container_id, '/chunks/', p.local_id, '.block') AS chunk_file
+FROM s10_page p
+JOIN container_replicas r USING (container_id)
+LEFT JOIN datanodes d ON r.datanode_id = d.datanode_id
+ORDER BY p.row_key, r.datanode_id""",
+)
+
+QUERIES["s10_chunk_locations"] = s10_chunk_locations
+ORACLES["s10_chunk_locations"] = S10_SQL
+
+
 # --- nested locations + metadata map (OmKeyInfo's nested model) -----------
 
 def nested_locations_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -421,10 +421,42 @@ W1_VOLUMES_SQL = model.with_ctes(
 FROM om_keys GROUP BY volume ORDER BY volume""",
 )
 
+def s3_list_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 ListBuckets (GET /) — s3gateway RootEndpoint.java:48-64
+    (VERDICT r6 #6): the caller's s3-volume buckets as BucketMetadata
+    rows (Name + CreationDate, the RESTServiceGET projection) under the
+    caller's Owner. The access id maps to its s3 volume (s3_user_1 →
+    vol_a here); semantics ≡ w1_list_buckets filtered to the caller,
+    reprojected to the S3 response shape."""
+    keys = model.om_keys(spark, sf_dir)
+    return (
+        keys.filter(F.col("volume") == "vol_a")
+        .groupBy("bucket")
+        .agg(F.min("creation_time").alias("creation_date"))
+        .select(
+            F.lit("s3_user_1").alias("owner"),
+            F.col("bucket").alias("name"),
+            "creation_date",
+        )
+        .orderBy("name")
+    )
+
+
+S3_LIST_BUCKETS_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    body="""SELECT 's3_user_1' AS owner, bucket AS name,
+       min(creation_time) AS creation_date
+FROM om_keys WHERE volume = 'vol_a'
+GROUP BY bucket ORDER BY name""",
+)
+
+
 QUERIES["w1_list_buckets"] = w1_list_buckets
 QUERIES["w1_list_volumes"] = w1_list_volumes
+QUERIES["s3_list_buckets"] = s3_list_buckets
 ORACLES["w1_list_buckets"] = W1_BUCKETS_SQL
 ORACLES["w1_list_volumes"] = W1_VOLUMES_SQL
+ORACLES["s3_list_buckets"] = S3_LIST_BUCKETS_SQL
 
 
 # --- J3b: FSO-native listStatus (parentObjectID seek) ---------------------
@@ -495,6 +527,86 @@ LIMIT 100""",
 
 QUERIES["j3_fso_list_status"] = j3_fso_list_status
 ORACLES["j3_fso_list_status"] = J3_LIST_SQL
+
+
+def fso_prefix_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ozone debug prefix`` diagnostics for bucket /vol_n/bkt_o
+    (VERDICT r6 #5 — PrefixParser.java parserStats rollup, re-expressed
+    in operators/fso.py prefix_parse): one fully-resolving path
+    (dir3/sub2 — FILE children) and one broken path (dir1/ghost —
+    NON_EXISTENT_DIRECTORY, DIRECTORY children dumped at the last
+    resolved level). The dir plane is bucket-scoped at the root level
+    (the model shares parent 0 across buckets; a real FSO DB scopes the
+    dir table by bucket prefix)."""
+    dirs = model.fso_dirs(spark, sf_dir).filter(
+        (F.col("parent_object_id") != 0)
+        | ((F.col("object_id") >= 4000) & (F.col("object_id") < 5000))
+    )
+    files = model.fso_files(spark, sf_dir)
+    a = fso.prefix_parse(dirs, files, "dir3/sub2")
+    b = fso.prefix_parse(dirs, files, "dir1/ghost")
+    return a.unionByName(b).orderBy("path", "parse_type")
+
+
+FSO_PREFIX_SQL = model.with_ctes(
+    FSO_DIRS_CTE,
+    FSO_FILES_CTE,
+    """pp_dirs AS (
+  SELECT * FROM fso_dirs
+  WHERE parent_object_id <> 0 OR (object_id >= 4000 AND object_id < 5000)
+)""",
+    """pa1 AS (SELECT object_id FROM pp_dirs
+  WHERE parent_object_id = 0 AND name = 'dir3')""",
+    """pa2 AS (SELECT d.object_id FROM pp_dirs d
+  JOIN pa1 p ON d.parent_object_id = p.object_id WHERE d.name = 'sub2')""",
+    """pa_walk AS (
+  SELECT CAST(0 AS BIGINT) AS object_id, 0 AS depth
+  UNION ALL SELECT object_id, 1 FROM pa1
+  UNION ALL SELECT object_id, 2 FROM pa2
+)""",
+    """pa_res AS (SELECT count(*) AS cnt FROM pa_walk WHERE depth > 0)""",
+    """pa_last AS (SELECT object_id FROM pa_walk ORDER BY depth DESC LIMIT 1)""",
+    """pa_cdirs AS (SELECT least(count(*), 1000) AS cnt FROM pp_dirs d
+  JOIN pa_last l ON d.parent_object_id = l.object_id)""",
+    """pa_cfiles AS (SELECT least(count(*), 1000) AS cnt FROM fso_files f
+  JOIN pa_last l ON f.parent_object_id = l.object_id)""",
+    """pb1 AS (SELECT object_id FROM pp_dirs
+  WHERE parent_object_id = 0 AND name = 'dir1')""",
+    """pb2 AS (SELECT d.object_id FROM pp_dirs d
+  JOIN pb1 p ON d.parent_object_id = p.object_id WHERE d.name = 'ghost')""",
+    """pb_walk AS (
+  SELECT CAST(0 AS BIGINT) AS object_id, 0 AS depth
+  UNION ALL SELECT object_id, 1 FROM pb1
+  UNION ALL SELECT object_id, 2 FROM pb2
+)""",
+    """pb_res AS (SELECT count(*) AS cnt FROM pb_walk WHERE depth > 0)""",
+    """pb_last AS (SELECT object_id FROM pb_walk ORDER BY depth DESC LIMIT 1)""",
+    """pb_cdirs AS (SELECT least(count(*), 1000) AS cnt FROM pp_dirs d
+  JOIN pb_last l ON d.parent_object_id = l.object_id)""",
+    """pb_cfiles AS (SELECT least(count(*), 1000) AS cnt FROM fso_files f
+  JOIN pb_last l ON f.parent_object_id = l.object_id)""",
+    body="""SELECT path, parse_type, CAST(cnt AS BIGINT) AS cnt FROM (
+  SELECT 'dir3/sub2' AS path, 'VOLUME' AS parse_type, 1 AS cnt
+  UNION ALL SELECT 'dir3/sub2', 'BUCKET', 1
+  UNION ALL SELECT 'dir3/sub2', 'INTERMEDIATE_DIRECTORY',
+    (SELECT cnt FROM pa_res)
+  UNION ALL SELECT 'dir3/sub2', 'NON_EXISTENT_DIRECTORY',
+    least(2 - (SELECT cnt FROM pa_res), 1)
+  UNION ALL SELECT 'dir3/sub2', 'DIRECTORY', (SELECT cnt FROM pa_cdirs)
+  UNION ALL SELECT 'dir3/sub2', 'FILE', (SELECT cnt FROM pa_cfiles)
+  UNION ALL SELECT 'dir1/ghost', 'VOLUME', 1
+  UNION ALL SELECT 'dir1/ghost', 'BUCKET', 1
+  UNION ALL SELECT 'dir1/ghost', 'INTERMEDIATE_DIRECTORY',
+    (SELECT cnt FROM pb_res)
+  UNION ALL SELECT 'dir1/ghost', 'NON_EXISTENT_DIRECTORY',
+    least(2 - (SELECT cnt FROM pb_res), 1)
+  UNION ALL SELECT 'dir1/ghost', 'DIRECTORY', (SELECT cnt FROM pb_cdirs)
+  UNION ALL SELECT 'dir1/ghost', 'FILE', (SELECT cnt FROM pb_cfiles)
+) ORDER BY path, parse_type""",
+)
+
+QUERIES["fso_prefix_parse"] = fso_prefix_parse
+ORACLES["fso_prefix_parse"] = FSO_PREFIX_SQL
 
 
 def m2_fso_rename_dir(spark: SparkSession, sf_dir: str) -> DataFrame:

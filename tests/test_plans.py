@@ -376,6 +376,23 @@ def test_bm1_moves_broadcast_dims_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_bm1_residual_smjs_are_container_keyed(spark, sf_dir):
+    """VERDICT r6 #4: the SMJs left in bm1's FINAL adaptive plan must
+    all be container-dim fact⋈fact joins keyed on container_id — the
+    shape that co-partitions for free under the bucketed layout v7 and
+    stays sub-linear at 20M replicas (scale-probe row in BENCH_NOTES).
+    A node-dim or unkeyed SMJ would mean a dim join missed its
+    broadcast — that is what this pin catches."""
+    df = entry.queries()["bm1_balancer_moves"](spark, sf_dir)
+    df.collect()  # run so AQE finalizes its conversions
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    assert "CartesianProduct" not in p
+    for line in p.splitlines():
+        if "SortMergeJoin" in line:
+            assert "container_id" in line, line
+
+
 def test_pp1_targets_broadcast_picks(spark, sf_dir):
     # the three member picks are 1-row broadcast joins over the viable
     # node dim; the only windows run on |nodes| rows

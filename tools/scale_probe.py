@@ -560,6 +560,11 @@ def scm_probe(n_replicas_m: float = 6.0, n_nodes: int = 1000) -> None:
         "rm3_close_actions": lambda: scm.close_actions(
             cdetails, rdetails
         ).count(),
+        # VERDICT r6 #4: the move planner's container-dim joins at 20M
+        # replicas — the residual SMJs must stay sub-linear wall
+        "bm1_balancer_moves": lambda: scm.balancer_moves(
+            datanodes, replicas, containers
+        ).count(),
     }
     for name, fn in cases.items():
         t0 = time.time()
