@@ -826,6 +826,7 @@ NEXT_WINDOW: list[str] = [
     "s10_chunk_locations",
     "fso_prefix_parse",
     "s3_list_buckets",
+    "s3_bucket_head_delete",
 ]
 
 

@@ -451,12 +451,74 @@ GROUP BY bucket ORDER BY name""",
 )
 
 
+def s3_bucket_head_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 HeadBucket + DeleteBucket eligibility — s3gateway
+    BucketEndpoint.java:291-339: HEAD answers 200 iff the bucket
+    resolves (404 otherwise); DELETE succeeds (204) only on an EMPTY
+    bucket, else BUCKET_NOT_EMPTY, and a missing bucket is
+    NO_SUCH_BUCKET. Every real bucket here holds keys (BucketNotEmpty
+    lane), link buckets own no keys (204 lane — deleting a link removes
+    the link row only), and the ghost probe exercises 404/NoSuchBucket."""
+    keys = model.om_keys(spark, sf_dir)
+    buckets = model.om_buckets(spark, sf_dir)
+    probes = buckets.select("volume", "bucket").unionByName(
+        spark.createDataFrame(
+            [("vol_a", "bkt_ghost")], "volume string, bucket string"
+        )
+    )
+    counts = keys.groupBy("volume", "bucket").agg(
+        F.count(F.lit(1)).alias("kc")
+    )
+    exists = buckets.select("volume", "bucket").withColumn("_ex", F.lit(1))
+    return (
+        probes.join(exists, ["volume", "bucket"], "left")
+        .join(counts, ["volume", "bucket"], "left")
+        .select(
+            "volume",
+            "bucket",
+            F.when(F.col("_ex").isNotNull(), 200)
+            .otherwise(404)
+            .cast("int")
+            .alias("head_status"),
+            F.coalesce(F.col("kc"), F.lit(0)).cast("bigint").alias("key_count"),
+            F.when(F.col("_ex").isNull(), F.lit("NoSuchBucket"))
+            .when(F.coalesce(F.col("kc"), F.lit(0)) > 0, F.lit("BucketNotEmpty"))
+            .otherwise(F.lit("204"))
+            .alias("delete_result"),
+        )
+        .orderBy("volume", "bucket")
+    )
+
+
+S3_HEAD_DELETE_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    model.OM_BUCKETS_CTE,
+    body="""SELECT p.volume, p.bucket,
+       CAST(CASE WHEN b.bucket IS NOT NULL THEN 200 ELSE 404 END AS INTEGER)
+         AS head_status,
+       CAST(COALESCE(k.kc, 0) AS BIGINT) AS key_count,
+       CASE WHEN b.bucket IS NULL THEN 'NoSuchBucket'
+            WHEN COALESCE(k.kc, 0) > 0 THEN 'BucketNotEmpty'
+            ELSE '204' END AS delete_result
+FROM (SELECT volume, bucket FROM om_buckets
+      UNION ALL SELECT 'vol_a', 'bkt_ghost') p
+LEFT JOIN (SELECT DISTINCT volume, bucket FROM om_buckets) b
+  ON p.volume = b.volume AND p.bucket = b.bucket
+LEFT JOIN (SELECT volume, bucket, count(*) AS kc FROM om_keys
+           GROUP BY volume, bucket) k
+  ON p.volume = k.volume AND p.bucket = k.bucket
+ORDER BY p.volume, p.bucket""",
+)
+
+
 QUERIES["w1_list_buckets"] = w1_list_buckets
 QUERIES["w1_list_volumes"] = w1_list_volumes
 QUERIES["s3_list_buckets"] = s3_list_buckets
+QUERIES["s3_bucket_head_delete"] = s3_bucket_head_delete
 ORACLES["w1_list_buckets"] = W1_BUCKETS_SQL
 ORACLES["w1_list_volumes"] = W1_VOLUMES_SQL
 ORACLES["s3_list_buckets"] = S3_LIST_BUCKETS_SQL
+ORACLES["s3_bucket_head_delete"] = S3_HEAD_DELETE_SQL
 
 
 # --- J3b: FSO-native listStatus (parentObjectID seek) ---------------------
