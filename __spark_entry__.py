@@ -426,43 +426,8 @@ def j2_container_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared classification body: replica counts + rack placement
 # (ContainerHealthStatus.java:52-113, ContainerPlacementStatusDefault.java)
-_J2_CLASSIFIED = """
-  SELECT c.container_id, c.state, c.replication_factor,
-         COALESCE(r.replica_count, 0) AS replica_count,
-         c.replication_factor - COALESCE(r.replica_count, 0) AS replica_delta,
-         COALESCE(r.distinct_racks, 0) AS actual_placement_count,
-         LEAST(c.replication_factor, t.total_racks) AS expected_placement_count,
-         (COALESCE(r.replica_count, 0) > 0 AND c.replication_factor > 1
-          AND COALESCE(r.distinct_racks, 0) < LEAST(c.replication_factor, t.total_racks))
-           AS is_mis_replicated,
-         CASE WHEN COALESCE(r.replica_count, 0) > 0 AND c.replication_factor > 1
-                   AND COALESCE(r.distinct_racks, 0) < LEAST(c.replication_factor, t.total_racks)
-              THEN LEAST(c.replication_factor, t.total_racks) - COALESCE(r.distinct_racks, 0)
-              ELSE 0 END AS mis_replicated_delta,
-         CASE WHEN COALESCE(r.replica_count, 0) > 0 AND c.replication_factor > 1
-                   AND COALESCE(r.distinct_racks, 0) < LEAST(c.replication_factor, t.total_racks)
-              THEN concat('The container is mis-replicated as it is on ',
-                          COALESCE(r.distinct_racks, 0),
-                          ' racks but should be on ',
-                          LEAST(c.replication_factor, t.total_racks), ' racks.')
-              END AS mis_replicated_reason,
-         CASE WHEN COALESCE(r.replica_count, 0) = 0 THEN 'MISSING'
-              WHEN COALESCE(r.replica_count, 0) < c.replication_factor THEN 'UNDER_REPLICATED'
-              WHEN COALESCE(r.replica_count, 0) > c.replication_factor THEN 'OVER_REPLICATED'
-              WHEN COALESCE(r.replica_count, 0) > 0 AND c.replication_factor > 1
-                   AND COALESCE(r.distinct_racks, 0) < LEAST(c.replication_factor, t.total_racks)
-              THEN 'MIS_REPLICATED'
-              ELSE 'HEALTHY' END AS health
-  FROM containers c
-  LEFT JOIN (SELECT cr.container_id, count(*) AS replica_count,
-                    count(DISTINCT d.rack) AS distinct_racks
-             FROM container_replicas cr
-             LEFT JOIN datanodes d ON cr.datanode_id = d.datanode_id
-             GROUP BY cr.container_id) r
-    ON c.container_id = r.container_id
-  CROSS JOIN (SELECT count(DISTINCT rack) AS total_racks FROM datanodes) t
-  WHERE c.state <> 'DELETED'
-"""
+# — one fragment in model.py, shared with the recon unhealthy page
+_J2_CLASSIFIED = model.J2_CLASSIFIED_SQL
 
 J2_SQL = model.with_ctes(
     model.CONTAINERS_CTE,
@@ -827,6 +792,7 @@ NEXT_WINDOW: list[str] = [
     "fso_prefix_parse",
     "s3_list_buckets",
     "s3_bucket_head_delete",
+    "c3_unhealthy_page",
 ]
 
 

@@ -1350,8 +1350,14 @@ def balancer_moves(
     Output: (container_id, source_datanode_id, target_datanode_id,
     used_bytes, source_rack, target_rack). Plan: the only fact-plane
     shuffles are the replica rollups (per-node used, per-container rack
-    facts); candidate moves are replicas semi-joined to the BROADCAST
-    source set; targets ride a broadcast; budgets are per-node windows
+    facts + per-container holder/covered-rack sets); candidate moves
+    are replicas semi-joined to the BROADCAST source set; the target
+    dim is pruned to each rack's top (max holders-per-rack + 1) by
+    headroom — value-identical (proof at the prune below) — and rides
+    a broadcast product whose exclusions are array probes and whose
+    pick is a map-side-combinable struct argmax, so the product never
+    shuffles (the 20M-replica saturated-budget probe GC-thrashed on
+    the old |cand|×|under| window); budgets are per-node windows
     (natural keys, no skew).
     """
     scratch.fresh("balancer_moves")
@@ -1372,6 +1378,34 @@ def balancer_moves(
             "bytes_over_upper",
         )
     )
+    rep_rack = replicas.join(F.broadcast(racks), "datanode_id")
+    cont_racks = scratch.keep(
+        "balancer_moves",
+        rep_rack.groupBy("container_id", "rack").agg(
+            F.count(F.lit(1)).alias("rack_cnt")
+        ),
+    )
+    # cov_before + the covered-rack SET in one rollup: the set (≤ one
+    # entry per rack a container touches) turns the post-product
+    # coverage join into an array_contains over the broadcast pair —
+    # the product side never shuffles
+    cov = cont_racks.groupBy("container_id").agg(
+        F.count(F.lit(1)).alias("cov_before"),
+        F.collect_list("rack").alias("covered_racks"),
+    )
+    # Per-rack target prune (the rm1 disaster-fix applied to the move
+    # planner — VERDICT r6 #4 scale probe exposed the unpruned
+    # |cand| × |under| product GC-thrashing at 20M replicas with
+    # saturated budgets). Value-identical: the pick law scans targets
+    # in (headroom desc, id asc) order and a container disqualifies
+    # (a) its holder nodes — at most max(rack_cnt) in any ONE rack —
+    # and (b) whole racks (the coverage law judges a rack uniformly),
+    # so the chosen target always sits inside its rack's top
+    # (max(rack_cnt) + 1) prefix; pruned rows can never be rank 1 for
+    # any container, and removing never-chosen rows cannot change an
+    # argmax. Fan-out: |cand| × |racks|·(rf+1) instead of
+    # |cand| × |under-nodes|.
+    kmax = cont_racks.agg((F.max("rack_cnt") + 1).alias("_keep"))
     targets = F.broadcast(
         util.filter(F.col("classification") == "UNDER_UTILIZED")
         .join(racks, "datanode_id")
@@ -1380,16 +1414,32 @@ def balancer_moves(
             F.col("rack").alias("target_rack"),
             "bytes_under_lower",
         )
+        .withColumn(
+            "_tr",
+            F.row_number().over(
+                Window.partitionBy("target_rack").orderBy(
+                    F.desc("bytes_under_lower"), F.asc("target_datanode_id")
+                )
+            ),
+        )
+        .crossJoin(F.broadcast(kmax))
+        .filter(F.col("_tr") <= F.col("_keep"))
+        .drop("_tr", "_keep")
     )
-    rep_rack = replicas.join(F.broadcast(racks), "datanode_id")
-    cont_racks = scratch.keep(
-        "balancer_moves",
-        rep_rack.groupBy("container_id", "rack").agg(
-            F.count(F.lit(1)).alias("rack_cnt")
-        ),
-    )
-    cov = cont_racks.groupBy("container_id").agg(
-        F.count(F.lit(1)).alias("cov_before")
+    # holder ids per container WITHIN the pruned target set (≤ rf
+    # entries): replaces the post-product anti-join, so the no-target-
+    # holds-a-replica exclusion is an array_contains too
+    tgt_holders = (
+        replicas.join(
+            F.broadcast(
+                targets.select(
+                    F.col("target_datanode_id").alias("datanode_id")
+                )
+            ),
+            "datanode_id",
+        )
+        .groupBy("container_id")
+        .agg(F.collect_list("datanode_id").alias("target_holder_ids"))
     )
     total_racks = datanodes_df.agg(
         F.countDistinct("rack").alias("total_racks")
@@ -1432,14 +1482,7 @@ def balancer_moves(
             ),
             ["container_id", "source_rack"],
         )
-    )
-    holders = replicas.select(
-        "container_id", F.col("datanode_id").alias("target_datanode_id")
-    )
-    covered = cont_racks.select(
-        "container_id",
-        F.col("rack").alias("target_rack"),
-        F.lit(True).alias("target_rack_covered"),
+        .join(tgt_holders, "container_id", "left")
     )
     # Same-rack move: the replica stays on its rack, so coverage is
     # unchanged — the src-rack decrement must NOT fire (otherwise a
@@ -1455,27 +1498,56 @@ def balancer_moves(
         + F.when(F.col("target_rack_covered"), 0).otherwise(1)
     )
     placement_min = F.least(F.col("replication_factor"), F.col("total_racks"))
-    paired = (
-        cand.crossJoin(targets)  # broadcast under-set product, |cand|×|under|
-        .join(holders, ["container_id", "target_datanode_id"], "left_anti")
-        .join(covered, ["container_id", "target_rack"], "left")
+    # The target pick is a pure map-side pass: the pruned target dim
+    # rides a broadcast product, the holder/coverage exclusions are
+    # array probes against per-container collected sets (no join after
+    # the product), and the argmax is a map-side-combinable struct max
+    # instead of a |cand|×|targets| row_number window — shuffle volume
+    # is |cand| rows, never the product.
+    safe = (
+        cand.crossJoin(targets)
+        .filter(
+            F.col("target_holder_ids").isNull()
+            | ~F.array_contains(
+                F.col("target_holder_ids"), F.col("target_datanode_id")
+            )
+        )
         .withColumn(
             "target_rack_covered",
-            F.coalesce(F.col("target_rack_covered"), F.lit(False)),
+            F.array_contains(F.col("covered_racks"), F.col("target_rack")),
         )
         .crossJoin(F.broadcast(total_racks))
         .filter(
             (cov_after >= placement_min) | (cov_after >= F.col("cov_before"))
         )
-        .withColumn(
-            "_t1",
-            F.row_number().over(
-                Window.partitionBy("container_id").orderBy(
-                    F.desc("bytes_under_lower"), F.asc("target_datanode_id")
+    )
+    picked = (
+        safe.groupBy("container_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("bytes_under_lower"),
+                    (-F.col("target_datanode_id")).alias("_neg_id"),
+                    F.col("target_datanode_id").alias("target_datanode_id"),
+                    F.col("target_rack").alias("target_rack"),
+                    F.col("source_datanode_id").alias("source_datanode_id"),
+                    F.col("source_rack").alias("source_rack"),
+                    F.col("used_bytes").alias("used_bytes"),
                 )
-            ),
+            ).alias("m")
         )
-        .filter(F.col("_t1") == 1)
+        .select(
+            "container_id",
+            F.col("m.source_datanode_id").alias("source_datanode_id"),
+            F.col("m.target_datanode_id").alias("target_datanode_id"),
+            F.col("m.used_bytes").alias("used_bytes"),
+            F.col("m.source_rack").alias("source_rack"),
+            F.col("m.target_rack").alias("target_rack"),
+            F.col("m.bytes_under_lower").alias("bytes_under_lower"),
+        )
+    )
+    paired = (
+        picked
         # target-side budget prefix
         .withColumn(
             "_tgt_cum",

@@ -1078,6 +1078,88 @@ QUERIES["c2_container_info"] = c2_container_info
 ORACLES["c2_container_info"] = C2_SQL
 
 
+def c3_unhealthy_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recon /containers/unhealthy/{state} page
+    (ContainerEndpoint.java:284-333): batch 2 of 50 UNDER_REPLICATED
+    containers — offset = (batchNum−1)·limit over the id-ordered
+    classified set — each as UnhealthyContainerMetadata: state,
+    expected/actual/delta replica counts, reason, the container's key
+    count (the endpoint reads containerInfo.getNumberOfKeys; here the
+    J4 rollup) and its pipeline id. The page is 50 rows, so the key
+    and pipeline joins ride a broadcast of the page."""
+    from hadoop_ozone_spark.operators import recon
+
+    classified = recon.container_health(
+        model.containers_bucketed(spark, sf_dir),
+        model.container_replicas_bucketed(spark, sf_dir),
+        model.datanodes(spark, sf_dir),
+    )
+    page = (
+        classified.filter(F.col("health") == "UNDER_REPLICATED")
+        .orderBy("container_id")
+        .offset(50)
+        .limit(50)
+        .select(
+            "container_id",
+            F.col("health").alias("container_state"),
+            F.col("replication_factor").cast("bigint").alias(
+                "expected_replica_count"
+            ),
+            F.col("replica_count").cast("bigint").alias("actual_replica_count"),
+            F.col("replica_delta").cast("bigint").alias("replica_delta_count"),
+        )
+    )
+    key_counts = recon.container_key_index(
+        model.om_keys_by_container(spark, sf_dir)
+    ).select("container_id", "num_keys")
+    pipe = model.containers(spark, sf_dir).select("container_id", "pipeline_id")
+    return (
+        page.join(key_counts, "container_id", "left")
+        .join(F.broadcast(pipe), "container_id")
+        .select(
+            "container_id",
+            "container_state",
+            "expected_replica_count",
+            "actual_replica_count",
+            "replica_delta_count",
+            F.coalesce(F.col("num_keys"), F.lit(0)).alias("keys"),
+            "pipeline_id",
+        )
+        .orderBy("container_id")
+    )
+
+
+C3_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    model.CONTAINERS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    model.DATANODES_CTE,
+    """c3_page AS (
+  SELECT container_id,
+         health AS container_state,
+         CAST(replication_factor AS BIGINT) AS expected_replica_count,
+         CAST(replica_count AS BIGINT) AS actual_replica_count,
+         CAST(replica_delta AS BIGINT) AS replica_delta_count
+  FROM (""" + model.J2_CLASSIFIED_SQL + """)
+  WHERE health = 'UNDER_REPLICATED'
+  ORDER BY container_id LIMIT 50 OFFSET 50
+)""",
+    body="""SELECT p.container_id, p.container_state,
+       p.expected_replica_count, p.actual_replica_count,
+       p.replica_delta_count,
+       CAST(COALESCE(k.num_keys, 0) AS BIGINT) AS keys,
+       c.pipeline_id
+FROM c3_page p
+LEFT JOIN (SELECT container_id, count(*) AS num_keys FROM om_keys
+           GROUP BY container_id) k ON p.container_id = k.container_id
+JOIN containers c ON p.container_id = c.container_id
+ORDER BY p.container_id""",
+)
+
+QUERIES["c3_unhealthy_page"] = c3_unhealthy_page
+ORACLES["c3_unhealthy_page"] = C3_SQL
+
+
 # --- N4: `ozone admin datanode list` (round 6) -----------------------------
 
 def n4_datanode_list(spark: SparkSession, sf_dir: str) -> DataFrame:
