@@ -931,14 +931,23 @@ def ivfpq_topk(
             seed_start=n_lists,
         )
     )
-    idx = (
-        index
-        if index is not None
-        else ivfpq_index(
-            embeddings, n_lists, m, n_codes, dims, vec_col,
-            centroids=c, codebooks=cb, round_digits=round_digits,
+    if index is not None:
+        idx = index
+    else:
+        # inline fallback: the code table is a WRITE-TIME artifact (the
+        # deployment persists it partitioned by list_id), so register
+        # the inline build in the scratch registry — repeated searches
+        # over the same corpus reuse one persisted build (plan-matched,
+        # the semantic_dedup_pairs pattern) instead of re-encoding the
+        # corpus per query
+        scratch.fresh("ivfpq_topk")
+        idx = scratch.keep(
+            "ivfpq_topk",
+            ivfpq_index(
+                embeddings, n_lists, m, n_codes, dims, vec_col,
+                centroids=c, codebooks=cb, round_digits=round_digits,
+            ),
         )
-    )
     q = embeddings.filter(F.col("vec_id") == probe_vec_id).select(
         as_double(F.col(vec_col)).alias("qv")
     )
