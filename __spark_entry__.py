@@ -793,6 +793,7 @@ NEXT_WINDOW: list[str] = [
     "s3_list_buckets",
     "s3_bucket_head_delete",
     "c3_unhealthy_page",
+    "dp_ann_ivfpq_knn_join",
 ]
 
 

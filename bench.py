@@ -94,6 +94,7 @@ HEADLINE = [
     "dp_dsir_weights",
     # round 7 additions
     "dp_ann_ivfpq_topk",
+    "dp_ann_ivfpq_knn_join",
     "dp_dedup_rate_report",
     "b2_balancer_summary",
 ]

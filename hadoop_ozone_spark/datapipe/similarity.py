@@ -1022,6 +1022,157 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    round_digits: int = 6,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Batch IVFADC — every query row (query_id, qvec) against the
+    residual-coded inverted lists: per-query probes (nprobe best lists
+    by centroid cosine), per-(query, list) residual ADC tables
+    (|queries|·nprobe·m·n_codes rows — broadcast), candidates via ONE
+    equi-join on list_id (partition-pruned to the union of probed
+    lists), per-query ADC fold, then optional exact top-R rerank.
+
+    The batch shape a curation pipeline runs: shuffle volume is the
+    probed code rows keyed (query_id, vec_id) — never |corpus| per
+    query, never a cross join of queries × corpus. At 10⁶+ queries the
+    LUT stops being broadcastable and the ADC join degrades gracefully
+    to a shuffle keyed (list_id, sub_id, code) — same plan family as
+    knn_join_bucketed's caveat."""
+    assert dims % m == 0
+    dsub = dims // m
+    c = centroids if centroids is not None else ivf_centroids(embeddings, n_lists, vec_col)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else ivfpq_codebooks(
+            embeddings, c, m, n_codes, dims, vec_col, round_digits,
+            seed_start=n_lists,
+        )
+    )
+    if index is not None:
+        idx = index
+    else:
+        # same write-time-artifact contract as ivfpq_topk's inline
+        # fallback: one persisted code-table build per corpus, reused
+        # across repeated joins via the plan-matched scratch registry
+        scratch.fresh("ivfpq_knn_join")
+        idx = scratch.keep(
+            "ivfpq_knn_join",
+            ivfpq_index(
+                embeddings, n_lists, m, n_codes, dims, vec_col,
+                centroids=c, codebooks=cb, round_digits=round_digits,
+            ),
+        )
+    q = queries.select(
+        "query_id", as_double(F.col("qvec")).alias("qv")
+    )
+    qscore = F.round(cosine(F.col("qv"), F.col("cvec")), round_digits)
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select("query_id", "qv", "list_id", "cvec", qscore.alias("qscore"))
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("qscore"), F.asc("list_id")
+                )
+            ),
+        )
+        .filter(F.col("_pr") <= nprobe)
+        .drop("_pr", "qscore")
+    )
+    lut = (
+        probes.select(
+            "query_id",
+            "list_id",
+            F.zip_with(F.col("qv"), F.col("cvec"), lambda x, y: x - y).alias("qr"),
+        )
+        .select(
+            "query_id",
+            "list_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}),"
+                    f" s -> struct(s AS sub_id, slice(qr, s * {dsub} + 1, {dsub}) AS qsub))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            "query_id", "list_id",
+            F.col("p.sub_id").alias("sub_id"), F.col("p.qsub").alias("qsub"),
+        )
+        .join(F.broadcast(cb), "sub_id")
+        .select(
+            "query_id",
+            "list_id",
+            "sub_id",
+            "code",
+            F.round(l2sq(F.col("qsub"), F.col("cvec")), round_digits).alias("qd"),
+        )
+    )
+    probed_lists = probes.select("list_id").distinct()
+    adc = (
+        idx.join(F.broadcast(probed_lists), "list_id")
+        .select("list_id", "vec_id", F.posexplode("codes").alias("sub_id", "code"))
+        .join(F.broadcast(lut), ["list_id", "sub_id", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("sub_id", "qd"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["qd"],
+                ),
+                round_digits,
+            ).alias("adc_dist")
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    if rerank is None:
+        return (
+            adc.withColumn("rank", F.row_number().over(w_adc))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "adc_dist")
+        )
+    shortlist = (
+        adc.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    w_l2 = Window.partitionBy("query_id").orderBy(
+        F.asc("l2_dist"), F.asc("vec_id")
+    )
+    return (
+        embeddings.join(shortlist, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                l2sq(as_double(F.col(vec_col)), F.col("qv")), round_digits
+            ).alias("l2_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w_l2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "l2_dist")
+    )
+
+
 def pq_train_codebooks(
     embeddings: DataFrame,
     iters: int = 2,

@@ -1443,8 +1443,9 @@ def dp_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DP_IVFPQ_SQL = model.with_ctes(
-    model.EMBEDDING_CORPUS_CTE,
+# assignment → residual → codebook → encode CTEs shared by the single-
+# probe (DP_IVFPQ_SQL) and batch-join (DP_IVFPQ_KNN_SQL) oracles
+_IPQ_BASE = (
     """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embedding_corpus)""",
     """ipq_c AS (SELECT vec_id AS list_id, ve AS cv FROM v WHERE vec_id < 16)""",
     f"""ipq_assign AS (
@@ -1482,6 +1483,11 @@ DP_IVFPQ_SQL = model.with_ctes(
     FROM ipq_subv sv JOIN ipq_cb c USING (sub_id)
   ) WHERE rn = 1
 )""",
+)
+
+DP_IVFPQ_SQL = model.with_ctes(
+    model.EMBEDDING_CORPUS_CTE,
+    *_IPQ_BASE,
     """ipq_q AS (SELECT ve AS qv FROM v WHERE vec_id = 10)""",
     f"""ipq_probes AS (
   SELECT list_id, cv FROM ipq_c, ipq_q
@@ -1523,6 +1529,86 @@ ORDER BY l2_dist, vec_id LIMIT 10""",
 
 QUERIES["dp_ann_ivfpq_topk"] = dp_ann_ivfpq_topk
 ORACLES["dp_ann_ivfpq_topk"] = DP_IVFPQ_SQL
+
+
+def dp_ann_ivfpq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVFADC kNN join (datapipe/similarity.py ivfpq_knn_join):
+    three corpus queries probe their 4 best residual-coded lists, ADC
+    with per-(query, list) lookup tables, exact top-100 rerank, top-5
+    per query — the batched-retrieval shape a curation pipeline runs
+    (shuffle keyed (query_id, vec_id), never queries × corpus)."""
+    emb = model.embedding_corpus(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id").isin(10, 20, 30)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivfpq_knn_join(
+        emb, qs, k=5, nprobe=4, rerank=100
+    ).orderBy("query_id", "rank")
+
+
+DP_IVFPQ_KNN_SQL = model.with_ctes(
+    model.EMBEDDING_CORPUS_CTE,
+    *_IPQ_BASE,
+    """kj_q AS (SELECT vec_id AS query_id, ve AS qv FROM v
+  WHERE vec_id IN (10, 20, 30))""",
+    f"""kj_probes AS (
+  SELECT query_id, list_id, cv, qv FROM (
+    SELECT q.query_id, c.list_id, c.cv, q.qv,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_COS.format(a='c.cv', b='q.qv')} DESC, c.list_id ASC) AS pr
+    FROM ipq_c c, kj_q q
+  ) WHERE pr <= 4
+)""",
+    """kj_qsub AS (
+  SELECT query_id, list_id, s AS sub_id,
+         list_slice(list_transform(generate_series(1, 64), i -> qv[i] - cv[i]),
+                    s * 8 + 1, s * 8 + 8) AS qsv
+  FROM kj_probes, unnest(generate_series(0, 7)) AS t(s)
+)""",
+    """kj_lut AS (
+  SELECT qs.query_id, qs.list_id, qs.sub_id, c.code,
+         round(list_reduce(list_transform(generate_series(1, 8),
+               i -> (qs.qsv[i] - c.cvec[i]) * (qs.qsv[i] - c.cvec[i])),
+               (x, y) -> x + y), 6) AS qd
+  FROM kj_qsub qs JOIN ipq_cb c USING (sub_id)
+)""",
+    """kj_adc AS (
+  SELECT l.query_id, b.vec_id,
+         round(list_reduce(list(l.qd ORDER BY b.sub_id), (x, y) -> x + y), 6)
+           AS adc_dist
+  FROM ipq_best b
+  JOIN kj_lut l
+    ON b.list_id = l.list_id AND b.sub_id = l.sub_id AND b.code = l.code
+  GROUP BY l.query_id, b.vec_id
+)""",
+    """kj_short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, vec_id) AS r
+    FROM kj_adc
+  ) WHERE r <= 100
+)""",
+    """kj_rr AS (
+  SELECT s.query_id, v.vec_id,
+         round(list_reduce(list_transform(generate_series(1, 64),
+               i -> (v.ve[i] - q.qv[i]) * (v.ve[i] - q.qv[i])),
+               (x, y) -> x + y), 6) AS l2_dist
+  FROM kj_short s
+  JOIN v USING (vec_id)
+  JOIN kj_q q ON s.query_id = q.query_id
+)""",
+    body="""SELECT query_id, rank, vec_id, l2_dist FROM (
+  SELECT query_id, vec_id, l2_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY l2_dist, vec_id) AS rank
+  FROM kj_rr
+) WHERE rank <= 5
+ORDER BY query_id, rank""",
+)
+
+QUERIES["dp_ann_ivfpq_knn_join"] = dp_ann_ivfpq_knn_join
+ORACLES["dp_ann_ivfpq_knn_join"] = DP_IVFPQ_KNN_SQL
 
 
 # --- DSIR importance weights (round 6) -------------------------------------

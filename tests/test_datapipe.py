@@ -924,6 +924,44 @@ def test_ivfpq_probe_lists_matches_declarative_probe(spark):
     ]
 
 
+def test_ivfpq_knn_join_full_probe_rerank_is_exact(spark):
+    """Batch IVFADC: with every list probed and the exact rerank, each
+    query's top-k must equal its exact L2 top-k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark import model
+    from hadoop_ozone_spark.datapipe import similarity as sim
+
+    emb = model.embedding_corpus(spark, "/root/testdata/sf0.001")
+    qs = emb.filter(F.col("vec_id").isin(10, 20)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact = [
+        (r.query_id, r.rank, r.vec_id)
+        for r in emb.crossJoin(
+            F.broadcast(qs.select("query_id", sim.as_double(F.col("qvec")).alias("qv")))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            sim.l2sq(sim.as_double(F.col("embedding")), F.col("qv")).alias("d"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    got = [
+        (r.query_id, r.rank, r.vec_id)
+        for r in sim.ivfpq_knn_join(
+            emb, qs, k=5, nprobe=16, rerank=1000
+        ).orderBy("query_id", "rank").collect()
+    ]
+    assert got == exact
+
+
 def test_pq_trainer_invariant_under_partitioning(spark):
     """VERDICT r6 #8: the PQ trainer's per-component sums fold
     sequentially in vec_id order, so the trained codebooks must be
