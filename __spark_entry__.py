@@ -794,6 +794,8 @@ NEXT_WINDOW: list[str] = [
     "s3_bucket_head_delete",
     "c3_unhealthy_page",
     "dp_ann_ivfpq_knn_join",
+    "dp_dup_spans",
+    "dp_dup_span_report",
 ]
 
 

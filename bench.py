@@ -97,6 +97,7 @@ HEADLINE = [
     "dp_ann_ivfpq_knn_join",
     "dp_dedup_rate_report",
     "b2_balancer_summary",
+    "dp_dup_spans",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

@@ -69,12 +69,23 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (map-only)."""
+    """Distinct word n-gram shingles as an array column (map-only).
+
+    Docs shorter than ``n`` tokens produce the EMPTY shingle set —
+    guarded explicitly because ``sequence(1, 0)`` counts DOWN in Spark
+    ([1, 0]) and ``slice(toks, 0, n)`` then throws
+    INVALID_PARAMETER_VALUE.START. The DuckDB oracles' twin
+    ``generate_series(1, n_tok - (n-1))`` is empty for the same docs,
+    so the guard is also the value-matching semantics.
+    """
     toks = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -110,10 +121,16 @@ def hashed_shingle_df(
         "doc_id",
         F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("th") - (n - 1), F.lit(0))),
-        lambda i: F.xxhash64(*[F.element_at(F.col("th"), i + j) for j in range(n)]),
-    )
+    # same short-doc guard as shingles(): sequence(1, 0) DESCENDS, and
+    # element_at(th, 0) on the spurious i=0 throws — short docs hash to
+    # the empty set in both families
+    grams = F.when(
+        F.size("th") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("th") - (n - 1)),
+            lambda i: F.xxhash64(*[F.element_at(F.col("th"), i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     return th.select("doc_id", F.array_distinct(grams).alias("h0"))
 
 
@@ -730,4 +747,175 @@ def dedup_rate_report(
             ),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplicate spans (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr
+# dedup family, public paper). The suffix-array construction in the
+# paper is single-machine; the distributed re-expression here is the
+# standard k-gram-seed form: a token position is "duplicated" when
+# some k-gram window covering it also occurs in ANOTHER document, and
+# maximal runs of covered positions form the duplicated spans.
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_K = 8           # seed gram width (tokens)
+DUP_SPAN_MIN_TOKENS = 15 # report spans at least this many tokens long
+
+
+def positional_gram_table(
+    docs: DataFrame, text_col: str = "text", k: int = DUP_SPAN_K,
+    portable: bool = False, scratch_tag: str | None = None,
+) -> DataFrame:
+    """(doc_id, pos, gram): ALL positional k-gram hashes, 1-based pos.
+
+    Unlike :func:`hashed_shingle_df` this keeps positions and does NOT
+    de-duplicate grams — span detection needs every occurrence. Same
+    dual hash family and the same short-doc guard (docs with fewer
+    than ``k`` tokens seed nothing).
+
+    ``scratch_tag`` persists the per-doc token(-hash) array frame
+    BEFORE the per-position gram projection. Without that barrier
+    Catalyst inlines the token transform into every slice/element_at
+    reference and the gram build re-evaluates the whole token array
+    per position — O(tokens² · k) per doc, measured 37s vs ~1s for
+    294k grams at sf0.1. Callers that loop (dup_spans) must own the
+    tag's :func:`scratch.fresh` cycle.
+    """
+    if portable:
+        base = docs.select("doc_id", tokens(F.col(text_col)).alias("tk"))
+    else:
+        base = docs.select(
+            "doc_id",
+            F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("tk"),
+        )
+    if scratch_tag is not None:
+        base = scratch.keep(scratch_tag, base)
+
+    def gram_at(i: Column) -> Column:
+        if portable:
+            return md5_lane(F.array_join(F.slice(F.col("tk"), i, k), " "))
+        return F.xxhash64(*[F.element_at(F.col("tk"), i + j) for j in range(k)])
+
+    grams = F.when(
+        F.size("tk") >= k,
+        F.transform(F.sequence(F.lit(1), F.size("tk") - (k - 1)), gram_at),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return base.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "gram")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+
+
+def dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = DUP_SPAN_K,
+    min_tokens: int = DUP_SPAN_MIN_TOKENS,
+    portable: bool = False,
+) -> DataFrame:
+    """Maximal cross-document duplicated substrings per doc.
+
+    (doc_id, span_start, span_end, span_tokens, n_seeds): token
+    positions [span_start, span_end] (1-based, inclusive) are covered
+    by k-gram seeds that occur in >= 2 DISTINCT documents; spans below
+    ``min_tokens`` are dropped. Within-doc repetition alone never
+    seeds a span (that signal is repetition_features).
+
+    Scale shape — three shuffles, all well-keyed, nothing quadratic:
+      1. seed sharing: groupBy(gram) with min/max(doc_id) — "occurs in
+         >= 2 docs" is min != max, a map-side-combinable pair (never a
+         COUNT DISTINCT);
+      2. the seed semi-join back, keyed by gram (AQE skew-split covers
+         boilerplate grams that occur in every doc);
+      3. interval merge per doc: windows partitioned by doc_id — the
+         classic running-max-end island merge, so overlapping seed
+         windows (pos gap <= k) coalesce into ONE maximal span.
+    At 100 TB each stage is linear in corpus grams; span state never
+    leaves the doc partition.
+    """
+    from pyspark.sql.window import Window
+
+    scratch.fresh("dup_spans")
+    # the gram table is consumed twice (sharing agg + the seed
+    # semi-join back) — persist it, and barrier the token arrays
+    # inside the build (see positional_gram_table)
+    grams = scratch.keep(
+        "dup_spans",
+        positional_gram_table(docs, text_col, k, portable, scratch_tag="dup_spans"),
+    )
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("gram")
+    )
+    seeds = grams.join(shared, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = seeds.select(
+        "doc_id",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1)
+        .otherwise(0)
+        .alias("_flag"),
+    )
+    islands = flagged.select(
+        "doc_id",
+        "pos",
+        F.sum("_flag").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_island"),
+    )
+    spans = (
+        islands.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_seeds"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_seeds",
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+    )
+    return spans.orderBy("doc_id", "span_start")
+
+
+def dup_span_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = DUP_SPAN_K,
+    min_tokens: int = DUP_SPAN_MIN_TOKENS,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document duplicated-text accounting over :func:`dup_spans`:
+    (doc_id, total_tokens, n_spans, dup_tokens, dup_frac). Docs with
+    no qualifying span report zeros — the frame a cleaning pass would
+    threshold on (e.g. drop docs with dup_frac > 0.8)."""
+    spans = dup_spans(docs, text_col, k, min_tokens, portable)
+    totals = docs.select(
+        "doc_id", F.size(tokens(F.col(text_col))).alias("total_tokens")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_tokens",
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            (
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("total_tokens")
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
     )

@@ -220,10 +220,16 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     toks = tokens(t)
     n_tok = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_tok - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-    )
+    # short-doc guard: sequence(1, 0) DESCENDS in Spark ([1, 0]) and
+    # slice(toks, 0, 3) throws — <3-token docs have zero trigrams, which
+    # is also the oracle's generate_series(1, n_tok-2) empty-set value
+    grams = F.when(
+        n_tok >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     n_grams = F.size(grams)
     dup_frac = F.when(n_grams > 0,
         1.0 - F.size(F.array_distinct(grams)).cast("double") / n_grams

@@ -1705,3 +1705,96 @@ FROM ddr GROUP BY source ORDER BY source""",
 
 QUERIES["dp_dedup_rate_report"] = dp_dedup_rate_report
 ORACLES["dp_dedup_rate_report"] = DP_DEDUP_RATE_SQL
+
+
+# --- substring-level duplicate spans (round 7) ------------------------------
+
+def dp_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated substrings (Lee et al. 2021
+    ExactSubstr family re-expressed as k-gram seeds + per-doc interval
+    merge — datapipe/dedup.py dup_spans). Portable md5 gram family so
+    the oracle replays seed sharing, the semi-join, and the island
+    merge value-for-value; the xxhash64 fast family shares the plan
+    (equality pinned in test_dup_spans_fast_matches_portable)."""
+    return dedup.dup_spans(model.dedup_corpus(spark, sf_dir), portable=True)
+
+
+_DUP_SEED_CTES = (
+    r"""toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM dedup_corpus
+)""",
+    """seeds0 AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS pos,
+         CAST(concat('0x', substring(md5(concat_ws(' ',
+           t[pos], t[pos+1], t[pos+2], t[pos+3],
+           t[pos+4], t[pos+5], t[pos+6], t[pos+7])), 1, 15)) AS BIGINT) AS gram
+  FROM toks
+)""",
+    """shared AS (
+  SELECT gram FROM seeds0 GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+)""",
+    """seeds AS (
+  SELECT s.doc_id, s.pos FROM seeds0 s JOIN shared USING (gram)
+)""",
+    """flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS flag
+  FROM seeds
+)""",
+    """islands AS (
+  SELECT doc_id, pos,
+         SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)""",
+    """spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+         count(*) AS n_seeds
+  FROM islands GROUP BY doc_id, island
+)""",
+)
+
+DP_DUP_SPANS_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    *_DUP_SEED_CTES,
+    body="""SELECT doc_id, span_start, span_end,
+       span_end - span_start + 1 AS span_tokens, n_seeds
+FROM spans WHERE span_end - span_start + 1 >= 15
+ORDER BY doc_id, span_start""",
+)
+
+QUERIES["dp_dup_spans"] = dp_dup_spans
+ORACLES["dp_dup_spans"] = DP_DUP_SPANS_SQL
+
+
+def dp_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text accounting over dp_dup_spans —
+    the dup_frac frame a cleaning pass thresholds on."""
+    return dedup.dup_span_report(model.dedup_corpus(spark, sf_dir), portable=True)
+
+
+DP_DUP_SPAN_REPORT_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    *_DUP_SEED_CTES,
+    """qualified AS (
+  SELECT doc_id, span_end - span_start + 1 AS span_tokens FROM spans
+  WHERE span_end - span_start + 1 >= 15
+)""",
+    """per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, SUM(span_tokens) AS dup_tokens
+  FROM qualified GROUP BY doc_id
+)""",
+    body="""SELECT t.doc_id, len(t.t) AS total_tokens,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(t.t) AS dup_frac
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id""",
+)
+
+QUERIES["dp_dup_span_report"] = dp_dup_span_report
+ORACLES["dp_dup_span_report"] = DP_DUP_SPAN_REPORT_SQL

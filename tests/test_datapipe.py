@@ -1022,6 +1022,37 @@ def test_dsir_weights_single_token_doc(spark):
     assert rows[3].n_grams == 1  # split('') -> [''] — one empty token
 
 
+def test_shingles_short_docs(spark):
+    """Regression: docs shorter than the shingle width n must produce
+    the EMPTY shingle set in every family (string, fast xxhash64,
+    portable md5) rather than crash — Spark's sequence(1, 0) DESCENDS
+    ([1, 0]) and slice(toks, 0, n) / element_at(th, 0) then throw.
+    The trigram repetition features share the same guard."""
+    from hadoop_ozone_spark.datapipe import dedup, text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello"),
+            (2, "two words"),
+            (3, "a full three plus tokens doc here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    # doc 3 has 7 tokens -> 5 trigram shingles; docs 1/2/4 contribute none
+    assert dedup.shingle_table(docs).count() == 5
+    for portable in (False, True):
+        sizes = {
+            r.doc_id: r.n
+            for r in dedup.hashed_shingle_df(docs, portable=portable)
+            .select("doc_id", F.size("h0").alias("n"))
+            .collect()
+        }
+        assert sizes == {1: 0, 2: 0, 3: 5, 4: 0}
+    rep = {r.doc_id: r for r in text_ops.repetition_features(docs).collect()}
+    assert rep[1].dup_3gram_frac == 0.0 and rep[4].dup_3gram_frac == 0.0
+
+
 def test_bpe_apply_merge_fold_property(spark):
     """Property check: the carry-fold _apply_merge equals the direct
     Python left-to-right merge for randomized symbol sequences and
@@ -1082,3 +1113,65 @@ def test_bpe_segment_corpus_counts(spark):
     # in-vocab words use their trained segmentation; OOV 'zzz' falls
     # back to its character count
     assert got[7] == (3, seg["low"] + seg["newest"] + 3)
+
+
+def _docs_from_tokens(spark, rows):
+    return spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in rows], "doc_id long, text string"
+    )
+
+
+def test_dup_spans_semantics(spark):
+    """dup_spans finds maximal cross-doc duplicated runs: a 16-token
+    shared run yields one span covering exactly that run in both docs;
+    within-doc repetition alone never seeds; runs shorter than
+    min_tokens are dropped."""
+    a = [f"a{i}" for i in range(1, 31)]                       # docA = a1..a30
+    b = [f"bp{i}" for i in range(1, 5)] + a[4:20] + [f"bq{i}" for i in range(1, 5)]
+    c = [f"c{i}" for i in range(1, 11)] * 2 + [f"cz{i}" for i in range(1, 11)]
+    d = [f"d{i}" for i in range(1, 9)] + [f"dx{i}" for i in range(1, 11)]
+    e = [f"e{i}" for i in range(1, 9)] + d[:8]                # shares 8-run with docD
+    docs = _docs_from_tokens(spark, [(1, a), (2, b), (3, c), (4, d), (5, e)])
+    for portable in (False, True):
+        spans = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_seeds)
+            for r in dedup.dup_spans(docs, portable=portable).collect()
+        }
+        # shared run a5..a20 sits at positions 5..20 in BOTH docs
+        assert spans == {(1, 5, 20, 16, 9), (2, 5, 20, 16, 9)}
+        # the 8-token docD/docE run surfaces once min_tokens admits it
+        low = dedup.dup_spans(docs, min_tokens=8, portable=portable)
+        got = {(r.doc_id, r.span_start, r.span_tokens) for r in low.collect()}
+        assert (4, 1, 8) in got and (5, 9, 8) in got
+
+
+def test_dup_spans_gap_and_report(spark):
+    """Two shared runs separated by a non-shared gap stay two distinct
+    spans (no island bleed), and dup_span_report accounts both."""
+    r1 = [f"s{i}" for i in range(1, 17)]     # 16-token shared run 1
+    r2 = [f"t{i}" for i in range(1, 17)]     # 16-token shared run 2
+    g = [f"g{i}" for i in range(1, 4)] + r1 + [f"gm{i}" for i in range(1, 4)] + r2
+    h = r1 + [f"hm{i}" for i in range(1, 6)] + r2 + [f"hz{i}" for i in range(1, 4)]
+    docs = _docs_from_tokens(spark, [(7, g), (8, h)])
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.dup_spans(docs).collect()
+    }
+    assert spans == {
+        (7, 4, 19), (7, 23, 38),   # runs at positions 4..19 and 23..38
+        (8, 1, 16), (8, 22, 37),
+    }
+    rep = {r.doc_id: r for r in dedup.dup_span_report(docs).collect()}
+    assert rep[7].n_spans == 2 and rep[7].dup_tokens == 32
+    assert rep[7].total_tokens == 38 and abs(rep[7].dup_frac - 32 / 38) < 1e-12
+    assert rep[8].n_spans == 2 and rep[8].dup_tokens == 32
+
+
+def test_dup_spans_fast_matches_portable(spark):
+    """The xxhash64 fast family and the md5 portable family share the
+    plan and must produce identical spans on a real corpus slice."""
+    docs = model.dedup_corpus(spark, "/root/testdata/sf0.001").limit(200)
+    fast = dedup.dup_spans(docs, portable=False).collect()
+    port = dedup.dup_spans(docs, portable=True).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, port))
+    assert len(fast) > 0
