@@ -796,6 +796,7 @@ NEXT_WINDOW: list[str] = [
     "dp_ann_ivfpq_knn_join",
     "dp_dup_spans",
     "dp_dup_span_report",
+    "c4_unhealthy_all",
 ]
 
 

@@ -1078,15 +1078,19 @@ QUERIES["c2_container_info"] = c2_container_info
 ORACLES["c2_container_info"] = C2_SQL
 
 
-def c3_unhealthy_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recon /containers/unhealthy/{state} page
-    (ContainerEndpoint.java:284-333): batch 2 of 50 UNDER_REPLICATED
-    containers — offset = (batchNum−1)·limit over the id-ordered
-    classified set — each as UnhealthyContainerMetadata: state,
-    expected/actual/delta replica counts, reason, the container's key
-    count (the endpoint reads containerInfo.getNumberOfKeys; here the
-    J4 rollup) and its pipeline id. The page is 50 rows, so the key
-    and pipeline joins ride a broadcast of the page."""
+def _unhealthy_page(
+    spark: SparkSession, sf_dir: str, state: str | None, batch_num: int, limit: int = 50
+) -> DataFrame:
+    """Recon unhealthy-containers page body shared by
+    /containers/unhealthy/{state} (state set) and /containers/unhealthy
+    (state None → every non-HEALTHY classification,
+    ContainerEndpoint.java:347-355 delegating with state=null):
+    offset = (batchNum−1)·limit over the id-ordered classified set —
+    each row an UnhealthyContainerMetadata: state, expected/actual/
+    delta replica counts, the container's key count (the endpoint
+    reads containerInfo.getNumberOfKeys; here the J4 rollup) and its
+    pipeline id. The page is ``limit`` rows, so the key and pipeline
+    joins ride a broadcast of the page."""
     from hadoop_ozone_spark.operators import recon
 
     classified = recon.container_health(
@@ -1094,11 +1098,16 @@ def c3_unhealthy_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         model.container_replicas_bucketed(spark, sf_dir),
         model.datanodes(spark, sf_dir),
     )
+    health_pred = (
+        (F.col("health") == state)
+        if state is not None
+        else (F.col("health") != "HEALTHY")
+    )
     page = (
-        classified.filter(F.col("health") == "UNDER_REPLICATED")
+        classified.filter(health_pred)
         .orderBy("container_id")
-        .offset(50)
-        .limit(50)
+        .offset((batch_num - 1) * limit)
+        .limit(limit)
         .select(
             "container_id",
             F.col("health").alias("container_state"),
@@ -1129,22 +1138,36 @@ def c3_unhealthy_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-C3_SQL = model.with_ctes(
-    model.OM_KEYS_CTE,
-    model.CONTAINERS_CTE,
-    model.CONTAINER_REPLICAS_CTE,
-    model.DATANODES_CTE,
-    """c3_page AS (
+def c3_unhealthy_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recon /containers/unhealthy/{state}: batch 2 of 50
+    UNDER_REPLICATED containers (ContainerEndpoint.java:284-333)."""
+    return _unhealthy_page(spark, sf_dir, "UNDER_REPLICATED", batch_num=2)
+
+
+def c4_unhealthy_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recon /containers/unhealthy (no state): batch 1 of 50 across
+    ALL non-HEALTHY classifications (ContainerEndpoint.java:347-355 —
+    the state=null delegation)."""
+    return _unhealthy_page(spark, sf_dir, None, batch_num=1)
+
+
+def _unhealthy_sql(where: str, limit: int, offset: int) -> str:
+    return model.with_ctes(
+        model.OM_KEYS_CTE,
+        model.CONTAINERS_CTE,
+        model.CONTAINER_REPLICAS_CTE,
+        model.DATANODES_CTE,
+        """c3_page AS (
   SELECT container_id,
          health AS container_state,
          CAST(replication_factor AS BIGINT) AS expected_replica_count,
          CAST(replica_count AS BIGINT) AS actual_replica_count,
          CAST(replica_delta AS BIGINT) AS replica_delta_count
-  FROM (""" + model.J2_CLASSIFIED_SQL + """)
-  WHERE health = 'UNDER_REPLICATED'
-  ORDER BY container_id LIMIT 50 OFFSET 50
+  FROM (""" + model.J2_CLASSIFIED_SQL + f""")
+  WHERE {where}
+  ORDER BY container_id LIMIT {limit} OFFSET {offset}
 )""",
-    body="""SELECT p.container_id, p.container_state,
+        body="""SELECT p.container_id, p.container_state,
        p.expected_replica_count, p.actual_replica_count,
        p.replica_delta_count,
        CAST(COALESCE(k.num_keys, 0) AS BIGINT) AS keys,
@@ -1154,10 +1177,16 @@ LEFT JOIN (SELECT container_id, count(*) AS num_keys FROM om_keys
            GROUP BY container_id) k ON p.container_id = k.container_id
 JOIN containers c ON p.container_id = c.container_id
 ORDER BY p.container_id""",
-)
+    )
+
+
+C3_SQL = _unhealthy_sql("health = 'UNDER_REPLICATED'", limit=50, offset=50)
+C4_SQL = _unhealthy_sql("health <> 'HEALTHY'", limit=50, offset=0)
 
 QUERIES["c3_unhealthy_page"] = c3_unhealthy_page
 ORACLES["c3_unhealthy_page"] = C3_SQL
+QUERIES["c4_unhealthy_all"] = c4_unhealthy_all
+ORACLES["c4_unhealthy_all"] = C4_SQL
 
 
 # --- N4: `ozone admin datanode list` (round 6) -----------------------------
