@@ -834,8 +834,6 @@ def dup_spans(
     At 100 TB each stage is linear in corpus grams; span state never
     leaves the doc partition.
     """
-    from pyspark.sql.window import Window
-
     scratch.fresh("dup_spans")
     # the gram table is consumed twice (sharing agg + the seed
     # semi-join back) — persist it, and barrier the token arrays
@@ -851,6 +849,18 @@ def dup_spans(
         .select("gram")
     )
     seeds = grams.join(shared, "gram").select("doc_id", "pos")
+    return _merge_seed_islands(seeds, k, min_tokens)
+
+
+def _merge_seed_islands(seeds: DataFrame, k: int, min_tokens: int) -> DataFrame:
+    """(doc_id, pos) duplicated seed positions → maximal covered spans.
+
+    Classic running-max-end interval merge: a seed at pos covers tokens
+    [pos, pos+k-1]; a new island starts when the seed's start exceeds
+    the running max covered end + 1. Windows partition by doc_id —
+    span state never leaves the doc's partition."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + (k - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -919,3 +929,68 @@ def dup_span_report(
         )
         .orderBy("doc_id")
     )
+
+
+def dup_spans_incremental(
+    corpus: DataFrame | None,
+    delta: DataFrame,
+    text_col: str = "text",
+    k: int = DUP_SPAN_K,
+    min_tokens: int = DUP_SPAN_MIN_TOKENS,
+    portable: bool = False,
+    corpus_grams: DataFrame | None = None,
+) -> DataFrame:
+    """Duplicated spans for DELTA docs only — the rolling-ingest shape
+    (yesterday's corpus is already span-cleaned; today's batch must be
+    checked against it and against itself, without re-scanning the
+    corpus). A delta position seeds when its k-gram occurs anywhere in
+    the corpus or in a DIFFERENT delta doc. Requires corpus and delta
+    doc_ids to be disjoint.
+
+    Scale shape: pass ``corpus_grams`` — exactly the frame
+    :func:`positional_gram_table` produces, persisted as a write-time
+    artifact (at scale: stored partitioned/bucketed by gram hash) —
+    and the per-batch cost is O(|delta grams| + matched grams): the
+    delta drives a distinct-gram semi-probe of the index, never a
+    corpus text re-scan. Without it, the index is derived from
+    ``corpus`` in-session (fine for one-shot use).
+
+    Law (pinned by test_dup_spans_incremental_matches_batch):
+    ``dup_spans(corpus ∪ delta) ⨝ delta_ids = dup_spans_incremental(...)``
+    for the same hash family — corpus-side spans newly created by the
+    delta are the corpus docs' own re-clean concern, exactly as in
+    :func:`minhash_incremental_pairs`.
+    """
+    scratch.fresh("dup_spans_incremental")
+    if corpus_grams is None:
+        if corpus is None:
+            raise ValueError("pass corpus or corpus_grams")
+        corpus_grams = scratch.keep(
+            "dup_spans_incremental",
+            positional_gram_table(
+                corpus, text_col, k, portable, scratch_tag="dup_spans_incremental"
+            ),
+        )
+    dg = scratch.keep(
+        "dup_spans_incremental",
+        positional_gram_table(
+            delta, text_col, k, portable, scratch_tag="dup_spans_incremental"
+        ),
+    )
+    # delta-internal sharing: gram seen in >= 2 distinct delta docs
+    delta_shared = (
+        dg.groupBy("gram")
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("gram")
+    )
+    # corpus sharing: the delta's distinct grams probe the index
+    corpus_hit = (
+        dg.select("gram")
+        .distinct()
+        .join(corpus_grams.select("gram"), "gram")
+        .distinct()
+    )
+    shared = delta_shared.unionByName(corpus_hit).distinct()
+    seeds = dg.join(shared, "gram").select("doc_id", "pos")
+    return _merge_seed_islands(seeds, k, min_tokens)

@@ -1,0 +1,134 @@
+"""Rolling-ingest duplicated-span detection: the streaming twin of
+``dedup.dup_spans_incremental``.
+
+Each micro-batch of documents is span-checked against the positional
+gram index accumulated from EARLIER batches plus the batch itself
+(delta-vs-corpus and delta-vs-delta sharing), then the batch's own
+grams are APPENDED to the index — per-batch cost is
+O(|batch grams| + matched grams), never a corpus re-scan, matching
+the repo's delta-driven doctrine (minhash delta probe, semantic-dedup
+stream, rolling IVFPQ encode).
+
+Stream≡batch (pinned by test_span_stream): for every batch i,
+
+    spans(batch_i) = dup_spans(docs of batches 0..i) ⨝ batch_i ids
+
+— the delta-perspective law of dup_spans_incremental. Later batches
+can still duplicate an EARLIER batch's text; re-cleaning old docs is
+the periodic full pass's concern, exactly as in minhash incremental.
+
+Crash-safety follows dedup_stream's recipe: per-batch landing zones
+keyed by batch subdirectory (replays rewrite, never double-append).
+The gram-index reader keeps only STRICTLY EARLIER batches' zones, so
+a batch never sees its own grams as corpus (a self-hit would mark
+every position shared) and a replayed batch recomputes against
+exactly the index it originally saw even when later batches have
+landed since — replay is bytewise idempotent (pinned).
+
+At 100 TB the gram index is the heavy state: land it bucketed by a
+gram-hash range (here: plain parquet per batch zone — the layout the
+sf-scale tests exercise; the partitioned write is a one-line
+``.partitionBy`` away and orthogonal to the law).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_ozone_spark.datapipe.dedup import (
+    DUP_SPAN_K,
+    DUP_SPAN_MIN_TOKENS,
+    dup_spans_incremental,
+    positional_gram_table,
+)
+
+GRAMS_SCHEMA = "doc_id long, pos int, gram long"
+
+
+def read_gram_index(
+    spark: SparkSession, state_dir: str, before_batch: int | None = None
+) -> DataFrame:
+    """The accumulated positional gram index (doc_id, pos, gram).
+    ``before_batch`` keeps only zones of STRICTLY EARLIER batches —
+    the processing view: a batch never sees its own grams as corpus
+    (a self-hit would mark every position shared), and a REPLAYED
+    batch recomputes against exactly the index it originally saw even
+    if later batches have landed since (replay idempotence pin)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = (
+            spark.read.option("basePath", f"{state_dir}/grams")
+            .parquet(f"{state_dir}/grams")
+        )
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], GRAMS_SCHEMA)
+        raise
+    if before_batch is not None:
+        df = df.filter(F.col("batch") < before_batch)
+    return df.select("doc_id", "pos", "gram")
+
+
+def process_doc_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    text_col: str = "text",
+    k: int = DUP_SPAN_K,
+    min_tokens: int = DUP_SPAN_MIN_TOKENS,
+    portable: bool = False,
+) -> None:
+    """One micro-batch: span-check the new docs against the
+    accumulated index, land the spans, append the batch's grams."""
+    index = read_gram_index(spark, state_dir, before_batch=batch_id)
+    spans = dup_spans_incremental(
+        None, batch, text_col, k, min_tokens, portable, corpus_grams=index
+    )
+    spans.write.mode("overwrite").parquet(f"{state_dir}/spans/batch={batch_id}")
+    grams = positional_gram_table(batch, text_col, k, portable)
+    grams.write.mode("overwrite").parquet(f"{state_dir}/grams/batch={batch_id}")
+
+
+def read_spans(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Every landed batch's delta-perspective spans."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return (
+            spark.read.option("basePath", f"{state_dir}/spans")
+            .parquet(f"{state_dir}/spans")
+            .select("doc_id", "span_start", "span_end", "span_tokens", "n_seeds")
+        )
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame(
+                [],
+                "doc_id long, span_start int, span_end int, "
+                "span_tokens int, n_seeds long",
+            )
+        raise
+
+
+def run_span_ingest_stream(
+    doc_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+):
+    """foreachBatch driver wiring ``process_doc_batch`` to a document
+    stream — the deployment entry point."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        process_doc_batch(
+            batch.sparkSession, batch, batch_id, state_dir, text_col
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1175,3 +1175,93 @@ def test_dup_spans_fast_matches_portable(spark):
     port = dedup.dup_spans(docs, portable=True).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, port))
     assert len(fast) > 0
+
+
+def test_dup_spans_incremental_matches_batch(spark):
+    """Law pin: dup_spans(corpus ∪ delta) restricted to delta doc_ids
+    equals dup_spans_incremental(corpus, delta) — for both hash
+    families, with and without a pre-built corpus gram index."""
+    full = model.dedup_corpus(spark, "/root/testdata/sf0.001").limit(300)
+    corpus = full.filter(F.col("doc_id") % 3 != 0)
+    delta = full.filter(F.col("doc_id") % 3 == 0)
+    delta_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+    batch = [
+        tuple(r)
+        for r in dedup.dup_spans(full.limit(300)).collect()
+        if r.doc_id in delta_ids
+    ]
+    inc = [tuple(r) for r in dedup.dup_spans_incremental(corpus, delta).collect()]
+    assert sorted(batch) == sorted(inc) and len(inc) > 0
+    # pre-built index path (the write-time artifact shape)
+    idx = dedup.positional_gram_table(corpus).persist()
+    idx.count()
+    inc2 = [
+        tuple(r)
+        for r in dedup.dup_spans_incremental(
+            None, delta, corpus_grams=idx
+        ).collect()
+    ]
+    idx.unpersist()
+    assert sorted(inc2) == sorted(inc)
+
+
+def test_dup_spans_randomized_python_replay(spark):
+    """Property: dup_spans equals a direct pure-Python reference
+    implementation of the law (k-gram in >=2 distinct docs → covered
+    positions → maximal interval merge → min-length filter) on
+    randomized corpora with planted shared runs."""
+    import random
+
+    rng = random.Random(11)
+    k, min_tokens = 4, 6
+    for trial in range(3):
+        vocab = [f"w{i}" for i in range(40)]
+        shared_runs = [
+            [f"r{t}_{trial}_{j}" for j in range(rng.randint(k, 12))]
+            for t in range(4)
+        ]
+        docs = []
+        for d in range(12):
+            toks: list = []
+            for _ in range(rng.randint(0, 4)):
+                if rng.random() < 0.5:
+                    toks += rng.choices(vocab, k=rng.randint(1, 6))
+                else:
+                    toks += rng.choice(shared_runs)
+            toks += rng.choices(vocab, k=rng.randint(0, 3))
+            docs.append((d, toks))
+
+        # pure-Python reference
+        from collections import defaultdict
+
+        gram_docs = defaultdict(set)
+        for d, toks in docs:
+            for i in range(len(toks) - k + 1):
+                gram_docs[tuple(toks[i:i + k])].add(d)
+        expected = set()
+        for d, toks in docs:
+            covered = sorted(
+                i
+                for i in range(len(toks) - k + 1)
+                if len(gram_docs[tuple(toks[i:i + k])]) >= 2
+            )
+            spans, cur = [], None
+            for i in covered:
+                if cur is not None and i <= cur[1] + 1:
+                    cur = (cur[0], max(cur[1], i + k - 1), cur[2] + 1)
+                else:
+                    if cur:
+                        spans.append(cur)
+                    cur = (i, i + k - 1, 1)
+            if cur:
+                spans.append(cur)
+            for s, e, nseeds in spans:
+                if e - s + 1 >= min_tokens:
+                    expected.add((d, s + 1, e + 1, e - s + 1, nseeds))
+
+        df = _docs_from_tokens(spark, docs)
+        got = {
+            tuple(r)
+            for r in dedup.dup_spans(df, k=k, min_tokens=min_tokens).collect()
+        }
+        assert got == expected, f"trial {trial}: {got ^ expected}"

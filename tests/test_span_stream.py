@@ -1,0 +1,91 @@
+"""Stream≡batch pins for the rolling duplicated-span detector
+(streaming/span_stream): every batch's landed spans equal the batch
+dup_spans over all docs seen so far restricted to that batch's ids,
+and replaying a batch is a no-op (landing-zone overwrite + self-zone
+exclusion in the index reader)."""
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hadoop_ozone_spark import model
+from hadoop_ozone_spark.datapipe import dedup
+from hadoop_ozone_spark.streaming import span_stream
+
+
+def _collect_spans(df):
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_seeds)
+        for r in df.collect()
+    )
+
+
+def test_span_stream_matches_batch_and_replays(spark):
+    corpus = model.dedup_corpus(spark, "/root/testdata/sf0.001").limit(240)
+    bounds = [(0, 40), (40, 120), (120, 10_000_000_000)]
+    batches = [
+        corpus.filter(
+            (F.col("doc_id") % 1_000_000 >= lo)
+            & (F.col("doc_id") % 1_000_000 < hi)
+        )
+        for lo, hi in bounds
+    ]
+    tmp = tempfile.mkdtemp(prefix="ozspark_spanstream_")
+    try:
+        seen = None
+        expected = []
+        for i, b in enumerate(batches):
+            span_stream.process_doc_batch(spark, b, i, tmp)
+            seen = b if seen is None else seen.unionByName(b)
+            ids = {r.doc_id for r in b.select("doc_id").collect()}
+            expected += [
+                t
+                for t in _collect_spans(dedup.dup_spans(seen))
+                if t[0] in ids
+            ]
+        got = _collect_spans(span_stream.read_spans(spark, tmp))
+        assert got == sorted(expected) and len(got) > 0
+
+        # replaying batch 1 must not change the union: its zone is
+        # overwritten and the index reader excludes its own grams
+        span_stream.process_doc_batch(spark, batches[1], 1, tmp)
+        replay = _collect_spans(span_stream.read_spans(spark, tmp))
+        assert replay == got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_span_stream_empty_state_reads_empty(spark):
+    import tempfile as _t
+
+    tmp = _t.mkdtemp(prefix="ozspark_spanstream_empty_")
+    try:
+        assert span_stream.read_spans(spark, tmp).count() == 0
+        assert span_stream.read_gram_index(spark, tmp).count() == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_span_stream_foreachbatch_end_to_end(spark):
+    """Drive the real writeStream/foreachBatch wiring (availableNow)
+    over a file stream of documents."""
+    import os
+
+    corpus = model.dedup_corpus(spark, "/root/testdata/sf0.001").limit(120)
+    tmp = tempfile.mkdtemp(prefix="ozspark_spanstream_e2e_")
+    try:
+        src = os.path.join(tmp, "src")
+        corpus.coalesce(1).write.parquet(src)  # one file → one batch
+        doc_stream = spark.readStream.schema(corpus.schema).parquet(src)
+        q = span_stream.run_span_ingest_stream(
+            doc_stream, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt")
+        )
+        q.awaitTermination(120)
+        got = _collect_spans(
+            span_stream.read_spans(spark, os.path.join(tmp, "state"))
+        )
+        expected = _collect_spans(dedup.dup_spans(corpus))
+        assert got == expected and len(got) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
