@@ -222,6 +222,64 @@ def docs_probe(n_docs: int, vocab: int = 20_000) -> None:
         spark.stop()
 
 
+def spans_probe(n_docs: int, vocab: int = 20_000) -> None:
+    """Duplicated-span probe: full-corpus ``dup_spans`` (fast family)
+    at N docs, then the incremental batch cost of
+    ``dup_spans_incremental`` against a PRE-BUILT positional gram
+    index persisted to parquet (the write-time artifact shape). The
+    full pass should scale ~linearly in corpus grams; the per-batch
+    incremental cost is the rolling-ingest claim — it reads the index
+    (columnar, gram column only for the probe side) but shuffles only
+    delta-driven rows."""
+    from hadoop_ozone_spark.datapipe import dedup
+
+    spark = get_spark("scale-probe-spans")
+    tmp = tempfile.mkdtemp(prefix="ozspark_spans_")
+    vocab_expr = (
+        f"transform(sequence(1, 150), i -> concat('w', pmod(hash(id * 1000 + i), {vocab})))"
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.expr(vocab_expr), " ").alias("text"),
+    )
+    dups = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + F.lit(n_docs)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.unionByName(dups).persist()
+    try:
+        n = corpus.count()
+        out = {"num_docs": n, "timings_sec": {}, "rows": {}}
+        t0 = time.time()
+        out["rows"]["full_dup_spans"] = dedup.dup_spans(corpus).count()
+        out["timings_sec"]["full_dup_spans"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        dedup.positional_gram_table(
+            corpus, scratch_tag="spans_probe_index"
+        ).write.mode("overwrite").parquet(f"{tmp}/gram_index")
+        out["timings_sec"]["index_build_write"] = round(time.time() - t0, 2)
+
+        idx = spark.read.parquet(f"{tmp}/gram_index")
+        delta = docs.filter(F.col("doc_id") % 100 == 1).select(
+            (F.col("doc_id") + F.lit(2 * n_docs)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+        t0 = time.time()
+        out["rows"]["incremental_delta_spans"] = dedup.dup_spans_incremental(
+            None, delta, corpus_grams=idx
+        ).count()
+        out["timings_sec"]["incremental_delta_spans"] = round(time.time() - t0, 2)
+        out["grams_per_sec_full"] = int(
+            n * 143 / max(out["timings_sec"]["full_dup_spans"], 0.01)
+        )
+        print(json.dumps(out))
+    finally:
+        corpus.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def incremental_probe(corpus_k: float = 6000.0, delta_k: float = 60.0) -> None:
     """Rolling-ingest probe: per-batch cost of
     ``minhash_incremental_pairs`` with PRE-BUILT corpus artifacts (the
@@ -849,6 +907,8 @@ if __name__ == "__main__":
         links_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 10_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--fso":
         fso_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 200.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--spans":
+        spans_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 60_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--semdedup":
         semdedup_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 50000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--vecs":
