@@ -506,30 +506,30 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     no commit/receipt dates), counted per EUROPE supplier.
 
     The textbook exists + not-exists double self-join on lineitem is
-    collapsed: aggregate once per (order, supplier) with a late flag,
-    then per-order window counts decide membership — the fact table
-    shuffles once; the window input is the small (order, supplier)
-    aggregate."""
+    collapsed into ONE per-order aggregate: collect the order's
+    distinct suppliers and its distinct LATE suppliers in a single
+    groupBy(l_orderkey) (both sets bounded by suppliers-per-order,
+    ≤7 in TPC-H — safe to collect at any corpus scale), then
+    membership is a set-size filter and the waiting supplier is the
+    singleton late set's element. The fact shuffles exactly once, on
+    l_orderkey, with map-side partial set-merge — the earlier
+    (order,supplier)-agg + per-order-window form paid a second
+    exchange because HashPartitioning(orderkey, suppkey) does not
+    satisfy the window's orderkey clustering."""
     orders = model.load(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
     li = model.load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    late = (
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    ).cast("int")
-    per_os = (
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("is_late"))
-    )
-    w = Window.partitionBy("l_orderkey")
-    flagged = per_os.select(
-        "l_suppkey",
-        "is_late",
-        F.count(F.lit(1)).over(w).alias("n_supps"),
-        F.sum("is_late").over(w).alias("n_late"),
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_set("l_suppkey").alias("supps"),
+            F.collect_set(F.when(late, F.col("l_suppkey"))).alias("late_supps"),
+        )
     )
     nation = model.load(spark, sf_dir, "nation")
     region = model.load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -546,9 +546,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        flagged.filter(
-            (F.col("is_late") == 1) & (F.col("n_supps") >= 2) & (F.col("n_late") == 1)
+        per_order.filter(
+            (F.size("late_supps") == 1) & (F.size("supps") >= 2)
         )
+        .select(F.element_at("late_supps", 1).alias("l_suppkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -99,12 +99,13 @@ def test_q19_part_filters_pushed_to_scan(spark, sf_dir):
 
 def test_q21_single_fact_shuffle(spark, sf_dir):
     p = plan_of(entry.queries()["q21_waiting_suppliers"](spark, sf_dir))
-    # orders broadcasts into lineitem; the only fact-sized shuffle is the
-    # (orderkey, suppkey) aggregate — the window and final agg reshuffle
-    # already-aggregated frames
+    # orders broadcasts into lineitem; the fact shuffles exactly once —
+    # the single groupBy(l_orderkey) collect_set aggregate (the old
+    # (orderkey,suppkey)-agg + orderkey-window form paid a second
+    # exchange); the only other exchange is the tiny s_name rollup
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
-    assert p.count("Exchange hashpartitioning") <= 3
+    assert p.count("Exchange hashpartitioning") <= 2
 
 
 def test_q2_groupwise_min_over_aggregate(spark, sf_dir):
