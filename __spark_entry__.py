@@ -797,6 +797,7 @@ NEXT_WINDOW: list[str] = [
     "dp_dup_spans",
     "dp_dup_span_report",
     "c4_unhealthy_all",
+    "dp_dup_span_clean",
 ]
 
 

@@ -852,22 +852,30 @@ def dup_spans(
     return _merge_seed_islands(seeds, k, min_tokens)
 
 
-def _merge_seed_islands(seeds: DataFrame, k: int, min_tokens: int) -> DataFrame:
+def _merge_seed_islands(
+    seeds: DataFrame, k: int, min_tokens: int, carry_lo: bool = False
+) -> DataFrame:
     """(doc_id, pos) duplicated seed positions → maximal covered spans.
 
     Classic running-max-end interval merge: a seed at pos covers tokens
     [pos, pos+k-1]; a new island starts when the seed's start exceeds
     the running max covered end + 1. Windows partition by doc_id —
-    span state never leaves the doc's partition."""
+    span state never leaves the doc's partition.
+
+    ``carry_lo`` folds min(_glo) per island into a ``span_lo`` column
+    (the smallest doc_id sharing any of the span's seed grams — the
+    canonical-owner law :func:`dup_span_clean` cuts against)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + (k - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
+    carry = ["_glo"] if carry_lo else []
     flagged = seeds.select(
         "doc_id",
         "pos",
+        *carry,
         F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1)
         .otherwise(0)
         .alias("_flag"),
@@ -875,14 +883,17 @@ def _merge_seed_islands(seeds: DataFrame, k: int, min_tokens: int) -> DataFrame:
     islands = flagged.select(
         "doc_id",
         "pos",
+        *carry,
         F.sum("_flag").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_island"),
     )
+    extra = [F.min("_glo").alias("span_lo")] if carry_lo else []
     spans = (
         islands.groupBy("doc_id", "_island")
         .agg(
             F.min("pos").alias("span_start"),
             (F.max("pos") + (k - 1)).alias("span_end"),
             F.count(F.lit(1)).alias("n_seeds"),
+            *extra,
         )
         .select(
             "doc_id",
@@ -890,10 +901,80 @@ def _merge_seed_islands(seeds: DataFrame, k: int, min_tokens: int) -> DataFrame:
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
             "n_seeds",
+            *(["span_lo"] if carry_lo else []),
         )
         .filter(F.col("span_tokens") >= min_tokens)
     )
     return spans.orderBy("doc_id", "span_start")
+
+
+def dup_span_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = DUP_SPAN_K,
+    min_tokens: int = DUP_SPAN_MIN_TOKENS,
+    portable: bool = False,
+) -> DataFrame:
+    """The cleaning transform over :func:`dup_spans`: cut every
+    qualifying duplicated span from every doc EXCEPT its canonical
+    owner, keeping exactly one copy of duplicated text corpus-wide
+    (Lee et al. 2021 §3's dedup step, distributed).
+
+    Canonical-owner law: a span's owner is the smallest doc_id that
+    shares any of its seed grams (``span_lo`` = min over the span's
+    grams of the min doc_id containing that gram). The owner keeps its
+    text; every other doc cuts the span's token range. Deterministic,
+    order-free, and computable in the same single seed pass — no
+    pairwise span alignment.
+
+    Output: (doc_id, total_tokens, removed_tokens, clean_text) for
+    EVERY doc (clean_text whitespace-normalized by the token join;
+    fully-duplicated non-canonical docs come out empty — the rows a
+    curation pass drops entirely).
+    """
+    scratch.fresh("dup_span_clean")
+    grams = scratch.keep(
+        "dup_span_clean",
+        positional_gram_table(
+            docs, text_col, k, portable, scratch_tag="dup_span_clean"
+        ),
+    )
+    shared_lo = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("_glo"), F.max("doc_id").alias("_ghi"))
+        .filter(F.col("_glo") != F.col("_ghi"))
+        .select("gram", "_glo")
+    )
+    seeds = grams.join(shared_lo, "gram").select("doc_id", "pos", "_glo")
+    spans = _merge_seed_islands(seeds, k, min_tokens, carry_lo=True)
+    cuts = (
+        spans.filter(F.col("span_lo") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            ).alias("_cuts")
+        )
+    )
+    toks = tokens(F.col(text_col))
+    base = docs.select("doc_id", toks.alias("_tk")).join(cuts, "doc_id", "left")
+    cut_arr = F.coalesce(
+        F.col("_cuts"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    kept = F.filter(
+        F.col("_tk"),
+        lambda x, i: ~F.exists(
+            cut_arr, lambda sp: (sp["s"] <= i + 1) & (i + 1 <= sp["e"])
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.size("_tk").alias("total_tokens"),
+        (F.size("_tk") - F.size(kept)).alias("removed_tokens"),
+        F.array_join(kept, " ").alias("clean_text"),
+    ).orderBy("doc_id")
 
 
 def dup_span_report(

@@ -1798,3 +1798,78 @@ ORDER BY t.doc_id""",
 
 QUERIES["dp_dup_span_report"] = dp_dup_span_report
 ORACLES["dp_dup_span_report"] = DP_DUP_SPAN_REPORT_SQL
+
+
+def dp_dup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup cleaning transform: cut every qualifying
+    duplicated span from every doc except its canonical owner (min
+    doc_id over the span's seed grams' sharers) — exactly one copy of
+    duplicated text survives corpus-wide. The oracle replays the full
+    lattice: seeds → owner law → islands → cut ranges → token-level
+    text reconstruction (value-hash covers the cleaned STRINGS)."""
+    return dedup.dup_span_clean(model.dedup_corpus(spark, sf_dir), portable=True)
+
+
+DP_DUP_SPAN_CLEAN_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    r"""toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM dedup_corpus
+)""",
+    """seeds0 AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS pos,
+         CAST(concat('0x', substring(md5(concat_ws(' ',
+           t[pos], t[pos+1], t[pos+2], t[pos+3],
+           t[pos+4], t[pos+5], t[pos+6], t[pos+7])), 1, 15)) AS BIGINT) AS gram
+  FROM toks
+)""",
+    """shared_lo AS (
+  SELECT gram, min(doc_id) AS glo FROM seeds0
+  GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+)""",
+    """seeds AS (
+  SELECT s.doc_id, s.pos, g.glo FROM seeds0 s JOIN shared_lo g USING (gram)
+)""",
+    """flagged AS (
+  SELECT doc_id, pos, glo,
+         CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS flag
+  FROM seeds
+)""",
+    """islands AS (
+  SELECT doc_id, pos, glo,
+         SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)""",
+    """spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+         min(glo) AS span_lo
+  FROM islands GROUP BY doc_id, island
+)""",
+    """cuts AS (
+  SELECT doc_id, span_start, span_end FROM spans
+  WHERE span_end - span_start + 1 >= 15 AND span_lo < doc_id
+)""",
+    """pos_tab AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM toks
+)""",
+    """kept AS (
+  SELECT p.doc_id, p.pos, p.t[p.pos] AS tok FROM pos_tab p
+  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+    WHERE c.doc_id = p.doc_id AND p.pos BETWEEN c.span_start AND c.span_end)
+)""",
+    body="""SELECT t.doc_id, len(t.t) AS total_tokens,
+       len(t.t) - CAST(COALESCE(k.cnt, 0) AS BIGINT) AS removed_tokens,
+       COALESCE(k.txt, '') AS clean_text
+FROM toks t LEFT JOIN (
+  SELECT doc_id, count(*) AS cnt, string_agg(tok, ' ' ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+ORDER BY t.doc_id""",
+)
+
+QUERIES["dp_dup_span_clean"] = dp_dup_span_clean
+ORACLES["dp_dup_span_clean"] = DP_DUP_SPAN_CLEAN_SQL

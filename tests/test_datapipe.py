@@ -1265,3 +1265,28 @@ def test_dup_spans_randomized_python_replay(spark):
             for r in dedup.dup_spans(df, k=k, min_tokens=min_tokens).collect()
         }
         assert got == expected, f"trial {trial}: {got ^ expected}"
+
+
+def test_dup_span_clean_canonical_law(spark):
+    """The canonical owner keeps its text; non-canonical docs cut the
+    shared range; exact +2M copies in the dedup corpus are cut to
+    empty while their originals are untouched."""
+    a = [f"a{i}" for i in range(1, 31)]
+    b = [f"bp{i}" for i in range(1, 5)] + a[4:20] + [f"bq{i}" for i in range(1, 5)]
+    crafted = _docs_from_tokens(spark, [(1, a), (2, b)])
+    rows = {r.doc_id: r for r in dedup.dup_span_clean(crafted).collect()}
+    assert rows[1].removed_tokens == 0 and rows[1].clean_text == " ".join(a)
+    assert rows[2].removed_tokens == 16
+    assert rows[2].clean_text == " ".join(b[:4] + b[20:])
+
+    corpus = model.dedup_corpus(spark, "/root/testdata/sf0.001").filter(
+        (F.col("doc_id") % 1_000_000) < 60
+    )
+    out = {r.doc_id: r for r in dedup.dup_span_clean(corpus).collect()}
+    ids = set(out)
+    exact_pairs = [(i, i + 2_000_000) for i in ids if i + 2_000_000 in ids]
+    assert exact_pairs
+    for orig, copy in exact_pairs:
+        if out[copy].total_tokens >= dedup.DUP_SPAN_MIN_TOKENS:
+            assert out[copy].clean_text == "" and out[copy].removed_tokens == out[copy].total_tokens
+            assert out[orig].removed_tokens == 0
