@@ -1290,3 +1290,62 @@ def test_dup_span_clean_canonical_law(spark):
         if out[copy].total_tokens >= dedup.DUP_SPAN_MIN_TOKENS:
             assert out[copy].clean_text == "" and out[copy].removed_tokens == out[copy].total_tokens
             assert out[orig].removed_tokens == 0
+
+
+def test_dup_span_clean_randomized_python_replay(spark):
+    """Property: dup_span_clean equals a pure-Python replay of the
+    canonical-owner law (span_lo = min doc over the span's seed grams'
+    sharers; owner keeps, others cut) on randomized corpora."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(23)
+    k, min_tokens = 4, 6
+    shared_runs = [[f"s{t}_{j}" for j in range(rng.randint(k, 10))] for t in range(3)]
+    vocab = [f"v{i}" for i in range(30)]
+    docs = []
+    for d in range(10):
+        toks: list = []
+        for _ in range(rng.randint(1, 4)):
+            toks += rng.choice(shared_runs) if rng.random() < 0.6 else rng.choices(
+                vocab, k=rng.randint(1, 5)
+            )
+        docs.append((d, toks))
+
+    gram_docs = defaultdict(set)
+    for d, toks in docs:
+        for i in range(len(toks) - k + 1):
+            gram_docs[tuple(toks[i:i + k])].add(d)
+    expected = {}
+    for d, toks in docs:
+        covered = sorted(
+            (i, min(gram_docs[tuple(toks[i:i + k])]))
+            for i in range(len(toks) - k + 1)
+            if len(gram_docs[tuple(toks[i:i + k])]) >= 2
+        )
+        spans, cur = [], None
+        for i, glo in covered:
+            if cur is not None and i <= cur[1] + 1:
+                cur = (cur[0], max(cur[1], i + k - 1), min(cur[2], glo))
+            else:
+                if cur:
+                    spans.append(cur)
+                cur = (i, i + k - 1, glo)
+        if cur:
+            spans.append(cur)
+        cut = [
+            (s, e) for s, e, glo in spans
+            if e - s + 1 >= min_tokens and glo < d
+        ]
+        kept = [
+            t for i, t in enumerate(toks)
+            if not any(s <= i <= e for s, e in cut)
+        ]
+        expected[d] = (len(toks), len(toks) - len(kept), " ".join(kept))
+
+    df = _docs_from_tokens(spark, docs)
+    got = {
+        r.doc_id: (r.total_tokens, r.removed_tokens, r.clean_text)
+        for r in dedup.dup_span_clean(df, k=k, min_tokens=min_tokens).collect()
+    }
+    assert got == expected
