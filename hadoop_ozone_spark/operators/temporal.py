@@ -109,6 +109,11 @@ def range_join_binned(
     ``bucket_width`` is small relative to the value spread (skewed hot
     buckets fall to AQE skew-split).
     """
+    # degenerate intervals (hi <= lo) make this sequence DESCEND,
+    # emitting a couple of spurious candidate buckets — harmless: the
+    # exact residual lo <= v < hi filter below rejects every candidate
+    # such an interval attracts, so correctness never depends on the
+    # bucket list being well-formed
     binned_intervals = intervals.withColumn(
         "_bucket",
         F.explode(
