@@ -798,6 +798,7 @@ NEXT_WINDOW: list[str] = [
     "dp_dup_span_report",
     "c4_unhealthy_all",
     "dp_dup_span_clean",
+    "dp_media_exact_dedup",
 ]
 
 

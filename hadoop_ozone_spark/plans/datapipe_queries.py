@@ -1873,3 +1873,58 @@ ORDER BY t.doc_id""",
 
 QUERIES["dp_dup_span_clean"] = dp_dup_span_clean
 ORACLES["dp_dup_span_clean"] = DP_DUP_SPAN_CLEAN_SQL
+
+
+# --- multimodal exact dedup (round 7) --------------------------------------
+
+def dp_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY media column: md5-groupBy of the
+    payload bytes (image PPM files, video PPM streams, audio PCM),
+    with planted byte-identical copies (+3M ids for doc_id % 5 == 0).
+    The DuckDB oracle reconstructs the same payload byte stream from
+    the synthesis law (ASCII corpus → chars == bytes) and must land on
+    the same md5 hex, canonical ids, and copy counts."""
+    media = multimodal.synthesize_media(model.load(spark, sf_dir, "documents"))
+    copies = media.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 3_000_000
+    )
+    corpus = media.unionByName(copies)
+    return dedup.exact_dedup_groups(corpus, text_col="content")
+
+
+DP_MEDIA_EXACT_DEDUP_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         doc_id % 4 + 1 AS w, doc_id % 5 + 1 AS h,
+         (doc_id % 4 + 1) * (doc_id % 5 + 1) * 3 AS npx
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN
+      'P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+        || chr(10) || '255' || chr(10)
+        || substring(text || repeat('=', 60), 1, npx)
+    WHEN doc_id % 3 = 1 THEN text
+    ELSE array_to_string(list_transform(
+        generate_series(0, CAST(doc_id % 30 AS BIGINT)),
+        f -> 'P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+             || chr(10) || '255' || chr(10)
+             || substring(text || repeat('=', 120), CAST(f + 1 AS INTEGER), npx)), '')
+    END AS payload
+  FROM base
+),
+media_corpus AS (
+  SELECT doc_id, payload FROM m
+  UNION ALL
+  SELECT doc_id + 3000000, payload FROM m WHERE doc_id % 5 = 0
+)
+SELECT content_hash, canonical_doc_id, n_copies FROM (
+  SELECT md5(payload) AS content_hash, min(doc_id) AS canonical_doc_id,
+         count(*) AS n_copies
+  FROM media_corpus GROUP BY 1
+) WHERE n_copies >= 2 ORDER BY canonical_doc_id
+"""
+
+QUERIES["dp_media_exact_dedup"] = dp_media_exact_dedup
+ORACLES["dp_media_exact_dedup"] = DP_MEDIA_EXACT_DEDUP_SQL
