@@ -98,6 +98,7 @@ HEADLINE = [
     "dp_dedup_rate_report",
     "b2_balancer_summary",
     "dp_dup_spans",
+    "dp_dup_spans_fast",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state
@@ -143,11 +144,19 @@ def main() -> None:
             model.dedup_corpus(spark, sf_dir), threshold=0.5
         )
 
+    def _dup_spans_fast(spark, sf_dir):
+        return _dedup.dup_spans(model.dedup_corpus(spark, sf_dir))
+
+    _FAST_TWINS = {
+        "dp_minhash_pairs_fast": _minhash_fast,
+        "dp_dup_spans_fast": _dup_spans_fast,
+    }
+
     timings: dict[str, float] = {}
     colds: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
-        fn = _minhash_fast if name == "dp_minhash_pairs_fast" else qs[name]
+        fn = _FAST_TWINS.get(name) or qs[name]
         runs = []
         for _ in range(RUNS_PER_QUERY):
             t0 = time.time()
