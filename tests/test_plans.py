@@ -400,3 +400,27 @@ def test_pp1_targets_broadcast_picks(spark, sf_dir):
     p = plan_of(entry.queries()["pp1_pipeline_targets"](spark, sf_dir))
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_dup_spans_plan_shape(spark, sf_dir):
+    """Span-family plan pins: (a) the token-array scratch barrier is
+    LIVE — the gram build must read an InMemoryTableScan, because
+    without the persist Catalyst inlines the token transform into
+    every per-position reference and the build is O(tokens²·k) per
+    doc (measured 78s vs 1.4s at sf0.1); (b) nothing quadratic — no
+    CartesianProduct / BroadcastNestedLoopJoin; (c) the sharing
+    aggregate is map-side partial (partial_min/partial_max), never a
+    COUNT DISTINCT expand."""
+    p = plan_of(entry.queries()["dp_dup_spans"](spark, sf_dir))
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_min" in p and "partial_max" in p
+    assert "Expand" not in p  # the count-distinct shape
+
+
+def test_dup_span_clean_plan_shape(spark, sf_dir):
+    p = plan_of(entry.queries()["dp_dup_span_clean"](spark, sf_dir))
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
