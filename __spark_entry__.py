@@ -799,6 +799,8 @@ NEXT_WINDOW: list[str] = [
     "c4_unhealthy_all",
     "dp_dup_span_clean",
     "dp_media_exact_dedup",
+    "acl_add_remove_plane",
+    "acl_set_plane",
 ]
 
 

@@ -184,3 +184,61 @@ def effective_key_access(
         allowed.alias("allowed"),
         deny.alias("deny_reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ACL mutation plane: addAcl / removeAcl / setAcl as dataset transforms
+# (OzoneAclUtil.java:215-236 addAcl, :244-269 removeAcl, :276-287
+# setAcl — the law behind `ozone sh volume|bucket|key|prefix
+# addacl/removeacl/setacl` and every OM Add/Remove/SetAcl request).
+#
+# Identity law: entries match on (object, type, name, scope).
+#   add    → matched entries OR the rights bitsets; unmatched patch
+#            rows append.
+#   remove → matched entries AND-NOT the patch bits; entries whose
+#            bitset empties are dropped (the reference's isEmpty()
+#            removal); unmatched patch rows are no-ops.
+#   set    → the target objects' entry lists are replaced wholesale.
+#
+# Scale shape: each transform is ONE equi-join keyed by the identity
+# columns — the patch side is an admin command batch (broadcast) in
+# the CLI case, or an arbitrary derived frame (shuffle join, AQE
+# skew-safe) for fleet-wide policy rollouts. No windows, no driver
+# loops.
+# ---------------------------------------------------------------------------
+
+
+def add_acls(acls: DataFrame, patch: DataFrame, obj_cols: list[str]) -> DataFrame:
+    """OzoneAclUtil.addAcl over a whole ACL plane: OR the rights of
+    matching (obj, type, name, scope) entries, append the rest."""
+    keys = [*obj_cols, "type", "name", "scope"]
+    merged = acls.alias("a").join(patch.alias("p"), keys, "full_outer")
+    rights = F.when(
+        F.col("a.rights").isNotNull() & F.col("p.rights").isNotNull(),
+        F.col("a.rights").bitwiseOR(F.col("p.rights")),
+    ).otherwise(F.coalesce(F.col("a.rights"), F.col("p.rights")))
+    return merged.select(*keys, rights.alias("rights"))
+
+
+def remove_acls(acls: DataFrame, patch: DataFrame, obj_cols: list[str]) -> DataFrame:
+    """OzoneAclUtil.removeAcl: AND-NOT the patch bits out of matching
+    entries; drop entries whose bitset empties; patch rows matching
+    nothing are no-ops."""
+    keys = [*obj_cols, "type", "name", "scope"]
+    merged = acls.alias("a").join(patch.alias("p"), keys, "left")
+    rights = F.when(
+        F.col("p.rights").isNotNull(),
+        F.col("a.rights").bitwiseAND(F.bitwise_not(F.col("p.rights"))),
+    ).otherwise(F.col("a.rights"))
+    return merged.select(*keys, rights.alias("rights")).filter(
+        F.col("rights") != 0
+    )
+
+
+def set_acls(acls: DataFrame, patch: DataFrame, obj_cols: list[str]) -> DataFrame:
+    """OzoneAclUtil.setAcl: replace the entry lists of every object
+    the patch touches; other objects keep theirs."""
+    targets = patch.select(*obj_cols).distinct()
+    kept = acls.join(targets, obj_cols, "left_anti")
+    cols = [*obj_cols, "type", "name", "scope", "rights"]
+    return kept.select(*cols).unionByName(patch.select(*cols))

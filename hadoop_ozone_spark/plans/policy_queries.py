@@ -483,3 +483,167 @@ ORDER BY volume, bucket, allowed, deny_reason""",
 
 QUERIES["acl_effective_access"] = acl_effective_access
 ORACLES["acl_effective_access"] = ACL_EFFECTIVE_SQL
+
+
+# --- ACL mutation plane (round 7): addAcl / removeAcl / setAcl --------------
+
+def acl_add_remove_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet-wide addAcl then removeAcl over the key ACL plane
+    (OzoneAclUtil.java:215-269 laws as dataset transforms,
+    operators/acl.py add_acls/remove_acls):
+
+    - add: WORLD LIST on every RF-1 key (append lane — RF-1 keys have
+      no WORLD entry) and READ_ACL for the owner of every
+      data_size%3==0 key (bit-OR lane: 17 | 32 = 49);
+    - remove: DELETE from every owner entry (17→1, 49→33) and READ
+      from every RF-3 WORLD entry (1 & ~1 = 0 → entry DROPPED — the
+      reference's isEmpty() removal).
+
+    Output: the (type, name, rights) census of the resulting plane —
+    any bit error or mis-dropped entry shifts the counts."""
+    keys = model.om_keys(spark, sf_dir)
+    owner = F.element_at(
+        F.array(F.lit("alice"), F.lit("bob"), F.lit("carol")),
+        (F.col("data_size") % 3 + 1).cast("int"),
+    )
+    base = model.key_acls(spark, sf_dir)
+    add_patch = (
+        keys.filter(F.col("replication_factor") == 1)
+        .select(
+            "row_key",
+            F.lit("WORLD").alias("type"),
+            F.lit("").alias("name"),
+            F.lit("ACCESS").alias("scope"),
+            F.lit(8).cast("long").alias("rights"),  # LIST
+        )
+        .unionByName(
+            keys.filter(F.col("data_size") % 3 == 0).select(
+                "row_key",
+                F.lit("USER").alias("type"),
+                owner.alias("name"),
+                F.lit("ACCESS").alias("scope"),
+                F.lit(32).cast("long").alias("rights"),  # READ_ACL
+            )
+        )
+    )
+    after_add = acl_ops.add_acls(base, add_patch, ["row_key"])
+    rm_patch = (
+        keys.select(
+            "row_key",
+            F.lit("USER").alias("type"),
+            owner.alias("name"),
+            F.lit("ACCESS").alias("scope"),
+            F.lit(16).cast("long").alias("rights"),  # DELETE
+        )
+        .unionByName(
+            keys.filter(F.col("replication_factor") == 3).select(
+                "row_key",
+                F.lit("WORLD").alias("type"),
+                F.lit("").alias("name"),
+                F.lit("ACCESS").alias("scope"),
+                F.lit(1).cast("long").alias("rights"),  # READ
+            )
+        )
+    )
+    final = acl_ops.remove_acls(after_add, rm_patch, ["row_key"])
+    return (
+        final.groupBy("type", "name", "rights")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.count_distinct("row_key").alias("n_objects"),
+        )
+        .orderBy("type", "name", "rights")
+    )
+
+
+ACL_ADD_REMOVE_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    model.KEY_ACLS_CTE,
+    """add_patch AS (
+  SELECT row_key, 'WORLD' AS type, '' AS name, 'ACCESS' AS scope,
+         8 AS rights
+  FROM om_keys WHERE replication_factor = 1
+  UNION ALL
+  SELECT row_key, 'USER',
+         ['alice', 'bob', 'carol'][CAST(data_size % 3 + 1 AS INTEGER)],
+         'ACCESS', 32
+  FROM om_keys WHERE data_size % 3 = 0
+)""",
+    """after_add AS (
+  SELECT COALESCE(a.row_key, p.row_key) AS row_key,
+         COALESCE(a.type, p.type) AS type,
+         COALESCE(a.name, p.name) AS name,
+         COALESCE(a.scope, p.scope) AS scope,
+         CASE WHEN a.rights IS NOT NULL AND p.rights IS NOT NULL
+              THEN a.rights | p.rights
+              ELSE COALESCE(a.rights, p.rights) END AS rights
+  FROM key_acls a FULL OUTER JOIN add_patch p
+    ON a.row_key = p.row_key AND a.type = p.type
+   AND a.name = p.name AND a.scope = p.scope
+)""",
+    """rm_patch AS (
+  SELECT row_key, 'USER' AS type,
+         ['alice', 'bob', 'carol'][CAST(data_size % 3 + 1 AS INTEGER)] AS name,
+         'ACCESS' AS scope, 16 AS rights
+  FROM om_keys
+  UNION ALL
+  SELECT row_key, 'WORLD', '', 'ACCESS', 1
+  FROM om_keys WHERE replication_factor = 3
+)""",
+    """acl_final AS (
+  SELECT a.row_key, a.type, a.name, a.scope,
+         CASE WHEN p.rights IS NOT NULL THEN a.rights & ~p.rights
+              ELSE a.rights END AS rights
+  FROM after_add a LEFT JOIN rm_patch p
+    ON a.row_key = p.row_key AND a.type = p.type
+   AND a.name = p.name AND a.scope = p.scope
+)""",
+    body="""SELECT type, name, rights, count(*) AS n_entries,
+       count(DISTINCT row_key) AS n_objects
+FROM acl_final WHERE rights <> 0
+GROUP BY type, name, rights
+ORDER BY type, name, rights""",
+)
+
+QUERIES["acl_add_remove_plane"] = acl_add_remove_plane
+ORACLES["acl_add_remove_plane"] = ACL_ADD_REMOVE_SQL
+
+
+def acl_set_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """setAcl (OzoneAclUtil.java:276-287): wholesale replacement of two
+    buckets' ACL lists; untouched buckets keep theirs."""
+    patch = spark.createDataFrame(
+        [
+            ("vol_a", "bkt_f", "USER", "alice", 128, "ACCESS"),
+            ("vol_r", "bkt_o", "GROUP", "eng", 3, "ACCESS"),
+        ],
+        "volume string, bucket string, type string, name string, "
+        "rights long, scope string",
+    )
+    out = acl_ops.set_acls(
+        model.bucket_acls(spark), patch, ["volume", "bucket"]
+    )
+    return out.orderBy("volume", "bucket", "type", "name")
+
+
+ACL_SET_SQL = (
+    "WITH bucket_acls"
+    + model._acl_values(
+        model.ACL_BUCKET_ROWS, "volume, bucket, type, name, rights, scope"
+    )
+    + """,
+set_patch(volume, bucket, type, name, rights, scope) AS (VALUES
+  ('vol_a', 'bkt_f', 'USER', 'alice', 128, 'ACCESS'),
+  ('vol_r', 'bkt_o', 'GROUP', 'eng', 3, 'ACCESS'))
+SELECT volume, bucket, type, name, scope, rights FROM (
+  SELECT b.* FROM bucket_acls b
+  WHERE NOT EXISTS (SELECT 1 FROM set_patch p
+    WHERE p.volume = b.volume AND p.bucket = b.bucket)
+  UNION ALL
+  SELECT volume, bucket, type, name, rights, scope FROM set_patch
+)
+ORDER BY volume, bucket, type, name"""
+)
+
+QUERIES["acl_set_plane"] = acl_set_plane
+ORACLES["acl_set_plane"] = ACL_SET_SQL

@@ -109,3 +109,59 @@ def test_registered_query_reasons(spark, sf_dir):
     assert ("vol_n", "bkt_f", True, None) in reasons
     assert any(v == "vol_r" and r == "volume" for v, _, a, r in reasons if not a)
     assert any(r == "key" for _, _, a, r in reasons if not a)
+
+
+def test_acl_mutation_laws(spark):
+    """OzoneAclUtil add/remove/set laws on a crafted plane: bit-OR on
+    match, append on miss, AND-NOT on remove with entry drop when the
+    bitset empties, no-op removes, wholesale set replacement."""
+    from hadoop_ozone_spark.operators import acl as acl_ops
+
+    schema = "obj string, type string, name string, scope string, rights long"
+    base = spark.createDataFrame(
+        [
+            ("o1", "USER", "alice", "ACCESS", 17),
+            ("o1", "WORLD", "", "ACCESS", 1),
+            ("o2", "USER", "bob", "ACCESS", 2),
+        ],
+        schema,
+    )
+    patch = spark.createDataFrame(
+        [
+            ("o1", "USER", "alice", "ACCESS", 16),   # subset: 17|16 = 17 (no change)
+            ("o1", "GROUP", "eng", "ACCESS", 3),     # append
+            ("o2", "USER", "bob", "ACCESS", 5),      # 2|5 = 7
+        ],
+        schema,
+    )
+    added = {
+        (r.obj, r.type, r.name, r.rights)
+        for r in acl_ops.add_acls(base, patch, ["obj"]).collect()
+    }
+    assert added == {
+        ("o1", "USER", "alice", 17),
+        ("o1", "WORLD", "", 1),
+        ("o1", "GROUP", "eng", 3),
+        ("o2", "USER", "bob", 7),
+    }
+    rm = spark.createDataFrame(
+        [
+            ("o1", "WORLD", "", "ACCESS", 1),      # empties -> dropped
+            ("o1", "USER", "alice", "ACCESS", 16), # 17 & ~16 = 1
+            ("o2", "USER", "carol", "ACCESS", 7),  # no match -> no-op
+        ],
+        schema,
+    )
+    removed = {
+        (r.obj, r.type, r.name, r.rights)
+        for r in acl_ops.remove_acls(base, rm, ["obj"]).collect()
+    }
+    assert removed == {("o1", "USER", "alice", 1), ("o2", "USER", "bob", 2)}
+    setp = spark.createDataFrame(
+        [("o1", "GROUP", "eng", "ACCESS", 128)], schema
+    )
+    after_set = {
+        (r.obj, r.type, r.name, r.rights)
+        for r in acl_ops.set_acls(base, setp, ["obj"]).collect()
+    }
+    assert after_set == {("o1", "GROUP", "eng", 128), ("o2", "USER", "bob", 2)}
