@@ -801,6 +801,7 @@ NEXT_WINDOW: list[str] = [
     "dp_media_exact_dedup",
     "acl_add_remove_plane",
     "acl_set_plane",
+    "dp_lm_perplexity",
 ]
 
 

@@ -782,3 +782,73 @@ def bpe_segment_corpus(
         )
         .orderBy("doc_id")
     )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    train_lang: str = "en",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Bigram-LM fluency scoring (the CCNet-style quality signal,
+    Wenzek et al. 2020 §4.3 — there a trained KenLM; here the honest
+    from-corpus equivalent): train add-1-smoothed bigram counts on the
+    ``train_lang`` slice, score EVERY doc's bigrams with
+    −ln((c(w1,w2)+1)/(c(w1)+V)), report per-doc mean NLL — high =
+    unlike the reference domain (the drop candidates).
+
+    Laws: tokens lowercased; c(w1) is w1's CONTEXT count (occurrences
+    as a bigram head — the same frame the numerators come from, so
+    probabilities normalize per context); V = distinct tokens of the
+    training slice's bigram frame; single-token docs have no bigrams
+    and are absent from the output.
+
+    Scale shape: the count tables are map-side-combinable groupBys
+    over one exploded bigram pass (write-time artifacts in a
+    deployment); scoring joins the corpus bigram stream to them keyed
+    by (w1,w2) then w1 — Zipf-hot heads (``the``) are the AQE
+    skew-join case; V rides a broadcast 1-row frame, never a driver
+    scalar.
+    """
+    from hadoop_ozone_spark import scratch
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    db = docs.select(
+        "doc_id", F.col(lang_col).alias("_lang"), F.explode(bigrams).alias("bg")
+    ).select("doc_id", "_lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # the bigram stream feeds four consumers (bigram counts, context
+    # counts, vocab, scoring) — one persisted text pass, not four
+    scratch.fresh("lm_perplexity")
+    db = scratch.keep("lm_perplexity", db)
+    train = db.filter(F.col("_lang") == train_lang)
+    bc = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        train.select(F.col("w1").alias("w"))
+        .unionByName(train.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").alias("vocab"))
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vocab"))
+    )
+    return (
+        db.join(bc, ["w1", "w2"], "left")
+        .join(uc, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+        .orderBy(F.desc("avg_nll"), "doc_id")
+    )

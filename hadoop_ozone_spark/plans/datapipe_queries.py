@@ -1928,3 +1928,51 @@ SELECT content_hash, canonical_doc_id, n_copies FROM (
 
 QUERIES["dp_media_exact_dedup"] = dp_media_exact_dedup
 ORACLES["dp_media_exact_dedup"] = DP_MEDIA_EXACT_DEDUP_SQL
+
+
+# --- bigram-LM fluency scoring (round 7) -----------------------------------
+
+def dp_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (datapipe/text.py lm_perplexity):
+    add-1 bigram LM trained on the corpus's 'en' slice scores every
+    doc; top-50 highest mean NLL = the least-domain-like drop
+    candidates. The oracle replays counts, vocab, smoothing, and the
+    log scoring end-to-end."""
+    return text.lm_perplexity(model.load(spark, sf_dir, "documents")).limit(50)
+
+
+DP_LM_PERPLEXITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+db0 AS (
+  SELECT doc_id, lang, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i, t
+  FROM toks
+),
+db AS (
+  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2 FROM db0
+),
+train AS (SELECT w1, w2 FROM db WHERE lang = 'en'),
+bc AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY 1, 2),
+uc AS (SELECT w1, count(*) AS c1 FROM train GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT w) AS vocab FROM (
+    SELECT w1 AS w FROM train UNION ALL SELECT w2 FROM train
+  )
+),
+scored AS (
+  SELECT d.doc_id,
+         -ln((COALESCE(bc.c2, 0) + 1.0) / (COALESCE(uc.c1, 0) + v.vocab)) AS nll
+  FROM db d
+  LEFT JOIN bc ON d.w1 = bc.w1 AND d.w2 = bc.w2
+  LEFT JOIN uc ON d.w1 = uc.w1
+  CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll
+FROM scored GROUP BY doc_id
+ORDER BY round(avg(nll), 6) DESC, doc_id LIMIT 50
+"""
+
+QUERIES["dp_lm_perplexity"] = dp_lm_perplexity
+ORACLES["dp_lm_perplexity"] = DP_LM_PERPLEXITY_SQL

@@ -1349,3 +1349,26 @@ def test_dup_span_clean_randomized_python_replay(spark):
         for r in dedup.dup_span_clean(df, k=k, min_tokens=min_tokens).collect()
     }
     assert got == expected
+
+
+def test_lm_perplexity_domain_signal(spark):
+    """The bigram LM trained on the 'en' slice must score en docs as
+    more fluent (lower mean NLL) than off-domain docs on average, and
+    single-token docs produce no bigrams (absent from the output)."""
+    docs = model.load(spark, "/root/testdata/sf0.001", "documents")
+    out = text.lm_perplexity(docs)
+    joined = out.join(docs.select("doc_id", "lang"), "doc_id")
+    rows = joined.collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.avg_nll)
+    en = sum(by_lang["en"]) / len(by_lang["en"])
+    off = [v for lang, vs in by_lang.items() if lang != "en" for v in vs]
+    assert en < sum(off) / len(off)
+
+    tiny = spark.createDataFrame(
+        [(1, "en", "hello"), (2, "en", "hello world")],
+        "doc_id long, lang string, text string",
+    )
+    got = {r.doc_id: r.n_bigrams for r in text.lm_perplexity(tiny).collect()}
+    assert got == {2: 1}  # the single-token doc has no bigrams
