@@ -165,3 +165,54 @@ def test_acl_mutation_laws(spark):
         for r in acl_ops.set_acls(base, setp, ["obj"]).collect()
     }
     assert after_set == {("o1", "GROUP", "eng", 128), ("o2", "USER", "bob", 2)}
+
+
+def test_acl_mutation_randomized_python_replay(spark):
+    """Randomized sweep: add_acls/remove_acls equal a pure-Python
+    replay of OzoneAclUtil.addAcl/removeAcl over random planes and
+    patches (random bitmasks, overlapping identities, multi-object)."""
+    import random
+
+    from hadoop_ozone_spark.operators import acl as acl_ops
+
+    rng = random.Random(31)
+    schema = "obj string, type string, name string, scope string, rights long"
+    idents = [
+        (o, t, nm, sc)
+        for o in ("o1", "o2", "o3")
+        for t, nm in (("USER", "u1"), ("USER", "u2"), ("GROUP", "g1"), ("WORLD", ""))
+        for sc in ("ACCESS", "DEFAULT")
+    ]
+    for trial in range(3):
+        base_rows = [
+            (*i, rng.randint(1, 511))
+            for i in rng.sample(idents, rng.randint(4, 12))
+        ]
+        patch_rows = [
+            (*i, rng.randint(1, 511))
+            for i in rng.sample(idents, rng.randint(4, 12))
+        ]
+        base_map = {r[:4]: r[4] for r in base_rows}
+        patch_map = {r[:4]: r[4] for r in patch_rows}
+
+        exp_add = dict(base_map)
+        for k, bits in patch_map.items():
+            exp_add[k] = exp_add.get(k, 0) | bits
+        exp_rm = {}
+        for k, bits in base_map.items():
+            left = bits & ~patch_map.get(k, 0)
+            if left:
+                exp_rm[k] = left
+
+        base = spark.createDataFrame(base_rows, schema)
+        patch = spark.createDataFrame(patch_rows, schema)
+        got_add = {
+            (r.obj, r.type, r.name, r.scope): r.rights
+            for r in acl_ops.add_acls(base, patch, ["obj"]).collect()
+        }
+        got_rm = {
+            (r.obj, r.type, r.name, r.scope): r.rights
+            for r in acl_ops.remove_acls(base, patch, ["obj"]).collect()
+        }
+        assert got_add == exp_add, f"trial {trial} add"
+        assert got_rm == exp_rm, f"trial {trial} remove"
