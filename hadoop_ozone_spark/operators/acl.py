@@ -208,10 +208,20 @@ def effective_key_access(
 # ---------------------------------------------------------------------------
 
 
+def _normalize_patch(patch: DataFrame, keys: list[str]) -> DataFrame:
+    """Collapse duplicate patch identities to their bit-union — the
+    reference applies ACLs one at a time, so N patch rows for one
+    (obj, type, name, scope) net to OR-ing all their bits (for add)
+    and removing all their bits (for remove). Without this, the merge
+    joins would FAN OUT duplicated identities into duplicate entries."""
+    return patch.groupBy(*keys).agg(F.bit_or("rights").alias("rights"))
+
+
 def add_acls(acls: DataFrame, patch: DataFrame, obj_cols: list[str]) -> DataFrame:
     """OzoneAclUtil.addAcl over a whole ACL plane: OR the rights of
     matching (obj, type, name, scope) entries, append the rest."""
     keys = [*obj_cols, "type", "name", "scope"]
+    patch = _normalize_patch(patch, keys)
     merged = acls.alias("a").join(patch.alias("p"), keys, "full_outer")
     rights = F.when(
         F.col("a.rights").isNotNull() & F.col("p.rights").isNotNull(),
@@ -225,6 +235,7 @@ def remove_acls(acls: DataFrame, patch: DataFrame, obj_cols: list[str]) -> DataF
     entries; drop entries whose bitset empties; patch rows matching
     nothing are no-ops."""
     keys = [*obj_cols, "type", "name", "scope"]
+    patch = _normalize_patch(patch, keys)
     merged = acls.alias("a").join(patch.alias("p"), keys, "left")
     rights = F.when(
         F.col("p.rights").isNotNull(),

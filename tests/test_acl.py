@@ -216,3 +216,37 @@ def test_acl_mutation_randomized_python_replay(spark):
         }
         assert got_add == exp_add, f"trial {trial} add"
         assert got_rm == exp_rm, f"trial {trial} remove"
+
+
+def test_acl_mutation_duplicate_patch_identities(spark):
+    """N patch rows for one identity net to their bit-union (the
+    reference applies ACLs one at a time) — never a fan-out into
+    duplicate entries."""
+    from hadoop_ozone_spark.operators import acl as acl_ops
+
+    schema = "obj string, type string, name string, scope string, rights long"
+    base = spark.createDataFrame([("o1", "USER", "u1", "ACCESS", 5)], schema)
+    patch = spark.createDataFrame(
+        [
+            ("o1", "USER", "u1", "ACCESS", 2),
+            ("o1", "USER", "u1", "ACCESS", 8),
+            ("o2", "USER", "u2", "ACCESS", 1),
+            ("o2", "USER", "u2", "ACCESS", 4),
+        ],
+        schema,
+    )
+    added = sorted(
+        (r.obj, r.type, r.name, r.rights)
+        for r in acl_ops.add_acls(base, patch, ["obj"]).collect()
+    )
+    assert added == [("o1", "USER", "u1", 15), ("o2", "USER", "u2", 5)]
+    rm = spark.createDataFrame(
+        [("o1", "USER", "u1", "ACCESS", 1), ("o1", "USER", "u1", "ACCESS", 4)],
+        schema,
+    )
+    removed = [
+        (r.obj, r.rights)
+        for r in acl_ops.remove_acls(base, rm, ["obj"]).collect()
+    ]
+    # 5 & ~(1|4) = 0 -> the entry is dropped entirely
+    assert removed == []
