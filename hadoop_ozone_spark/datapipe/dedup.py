@@ -1020,6 +1020,7 @@ def dup_spans_incremental(
     min_tokens: int = DUP_SPAN_MIN_TOKENS,
     portable: bool = False,
     corpus_grams: DataFrame | None = None,
+    delta_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicated spans for DELTA docs only — the rolling-ingest shape
     (yesterday's corpus is already span-cleaned; today's batch must be
@@ -1052,12 +1053,18 @@ def dup_spans_incremental(
                 corpus, text_col, k, portable, scratch_tag="dup_spans_incremental"
             ),
         )
-    dg = scratch.keep(
-        "dup_spans_incremental",
-        positional_gram_table(
-            delta, text_col, k, portable, scratch_tag="dup_spans_incremental"
-        ),
-    )
+    if delta_grams is not None:
+        # caller-supplied (already barriered/persisted) batch gram
+        # frame — the span_stream path, which also LANDS the same
+        # frame and must not pay the gram build twice
+        dg = delta_grams
+    else:
+        dg = scratch.keep(
+            "dup_spans_incremental",
+            positional_gram_table(
+                delta, text_col, k, portable, scratch_tag="dup_spans_incremental"
+            ),
+        )
     # delta-internal sharing: gram seen in >= 2 distinct delta docs
     delta_shared = (
         dg.groupBy("gram")

@@ -82,13 +82,26 @@ def process_doc_batch(
     portable: bool = False,
 ) -> None:
     """One micro-batch: span-check the new docs against the
-    accumulated index, land the spans, append the batch's grams."""
+    accumulated index, land the spans, append the batch's grams.
+
+    The batch's gram frame is built ONCE (scratch-barriered — see
+    positional_gram_table's O(tokens²·k) note) and shared by the span
+    check and the landing write."""
+    from hadoop_ozone_spark import scratch
+
+    scratch.fresh("span_stream_batch")
+    grams = scratch.keep(
+        "span_stream_batch",
+        positional_gram_table(
+            batch, text_col, k, portable, scratch_tag="span_stream_batch"
+        ),
+    )
     index = read_gram_index(spark, state_dir, before_batch=batch_id)
     spans = dup_spans_incremental(
-        None, batch, text_col, k, min_tokens, portable, corpus_grams=index
+        None, batch, text_col, k, min_tokens, portable,
+        corpus_grams=index, delta_grams=grams,
     )
     spans.write.mode("overwrite").parquet(f"{state_dir}/spans/batch={batch_id}")
-    grams = positional_gram_table(batch, text_col, k, portable)
     grams.write.mode("overwrite").parquet(f"{state_dir}/grams/batch={batch_id}")
 
 
