@@ -33,6 +33,7 @@ from hadoop_ozone_spark.plans import (
     parity_queries,
     policy_queries,
     scm_queries,
+    security_queries,
     temporal_queries,
     tpch_queries,
 )
@@ -779,6 +780,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **tpch_queries.QUERIES,
         **parity_queries.QUERIES,
         **scm_queries.QUERIES,
+        **security_queries.QUERIES,
     }
 
 
@@ -802,6 +804,10 @@ NEXT_WINDOW: list[str] = [
     "acl_add_remove_plane",
     "acl_set_plane",
     "dp_lm_perplexity",
+    "tok_renew_decisions",
+    "tok_cancel_decisions",
+    "tok_expiry_sweep",
+    "sec_s3_secret_plane",
 ]
 
 
@@ -868,4 +874,5 @@ def _all_oracles() -> dict[str, str]:
         **tpch_queries.ORACLES,
         **parity_queries.ORACLES,
         **scm_queries.ORACLES,
+        **security_queries.ORACLES,
     }
