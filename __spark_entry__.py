@@ -808,6 +808,8 @@ NEXT_WINDOW: list[str] = [
     "tok_cancel_decisions",
     "tok_expiry_sweep",
     "sec_s3_secret_plane",
+    "dp_nb_lang_model",
+    "dp_nb_lang_confusion",
 ]
 
 

@@ -852,3 +852,138 @@ def lm_perplexity(
         )
         .orderBy(F.desc("avg_nll"), "doc_id")
     )
+
+
+def nb_lang_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multinomial Naive-Bayes language model trained on the corpus's
+    own labels (the count-based analog of the fastText supervised
+    lang-id classifier CCNet ships, Joulin et al. 2017 — linear
+    log-count models are the published recipe; NB is its closed-form,
+    exactly-replayable variant).
+
+    Per (lang, token): logp = ln((c(token,lang)+1) / (n_lang + V)) with
+    V = the GLOBAL distinct-token vocabulary (so every class smooths
+    over the same event space and rows align across classes).
+
+    Scale shape: one exploded token pass collapsed by two map-side-
+    combinable groupBys ((lang,token) counts and per-lang totals); the
+    result is |langs| x V rows — a broadcast-sized model artifact that
+    ``nb_lang_scores`` ships to every executor. No window, no skew
+    (token keys are Zipf-hot but the groupBy partial-aggregates).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tt = docs.select(F.col(lang_col).alias("lang"), F.explode(toks).alias("token"))
+    counts = tt.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("token_cnt"))
+    totals = tt.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    vocab = tt.agg(F.count_distinct("token").alias("vocab"))
+    return (
+        counts.join(totals, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "token",
+            "token_cnt",
+            F.round(
+                F.log((F.col("token_cnt") + 1) / (F.col("n_lang") + F.col("vocab"))),
+                round_digits,
+            ).alias("logp"),
+        )
+        .orderBy("lang", "token")
+    )
+
+
+def nb_lang_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score every document against every candidate language under the
+    ``nb_lang_model`` and pick the argmax class:
+
+    score(d, l) = ln(d_l / D) + Σ_tok logp(tok | l), unseen (tok, l)
+    pairs falling back to the class's smoothing floor ln(1/(n_l+V)).
+    Prediction = highest score, ties to the lexicographically smallest
+    language (deterministic in both engines because every term is
+    rounded before the fold and the fold runs in token order — the
+    dsir_weights discipline).
+
+    Returns (doc_id, lang, pred_lang, score).  Scale shape: the model
+    and the per-class floor/prior dims are broadcast; the corpus is
+    exploded once and shuffled once (groupBy doc_id x |langs|); the
+    argmax is a size-|langs| array fold per doc, not a window over the
+    corpus.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    model_df = nb_lang_model(docs, text_col, lang_col, round_digits)
+    tt = docs.select(
+        "doc_id",
+        F.col(lang_col).alias("lang"),
+        F.posexplode(toks).alias("pos", "token"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    vocab = tt.agg(F.count_distinct("token").alias("vocab"))
+    classes = (
+        docs.groupBy(F.col(lang_col).alias("cand"))
+        .agg(F.count(F.lit(1)).alias("d_lang"))
+        .join(
+            tt.groupBy(F.col("lang").alias("cand")).agg(
+                F.count(F.lit(1)).alias("n_lang")
+            ),
+            "cand",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "cand",
+            F.round(F.log(F.col("d_lang") / F.col("n_docs")), round_digits).alias(
+                "prior"
+            ),
+            F.round(
+                F.log(F.lit(1.0) / (F.col("n_lang") + F.col("vocab"))), round_digits
+            ).alias("floor_lp"),
+        )
+    )
+    terms = (
+        tt.crossJoin(F.broadcast(classes))
+        .join(
+            F.broadcast(
+                model_df.select(
+                    F.col("lang").alias("cand"), "token", "logp"
+                )
+            ),
+            ["cand", "token"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "cand",
+            "prior",
+            "pos",
+            F.coalesce(F.col("logp"), F.col("floor_lp")).alias("lp"),
+        )
+    )
+    scored = terms.groupBy("doc_id", "lang", "cand").agg(
+        F.round(
+            F.first("prior")
+            + F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["lp"],
+            ),
+            round_digits,
+        ).alias("score")
+    )
+    best = scored.groupBy("doc_id", "lang").agg(
+        F.min(F.struct(-F.col("score"), F.col("cand"))).alias("b"),
+        F.max("score").alias("score"),
+    )
+    return best.select(
+        "doc_id", "lang", F.col("b.cand").alias("pred_lang"), "score"
+    ).orderBy("doc_id")

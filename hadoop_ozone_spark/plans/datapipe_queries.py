@@ -1976,3 +1976,101 @@ ORDER BY round(avg(nll), 6) DESC, doc_id LIMIT 50
 
 QUERIES["dp_lm_perplexity"] = dp_lm_perplexity
 ORACLES["dp_lm_perplexity"] = DP_LM_PERPLEXITY_SQL
+
+
+# --- Naive-Bayes language classifier (round 7) -----------------------------
+
+def dp_nb_lang_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained multinomial-NB language model (datapipe/text.py
+    nb_lang_model) — the count-based analog of the fastText lang-id
+    classifier a curation pipeline retrains on its own corpus. The
+    model artifact itself is the query result: per (lang, token)
+    counts + smoothed log-probability."""
+    return text.nb_lang_model(model.load(spark, sf_dir, "documents"))
+
+
+_NB_TT = r"""
+tt AS (
+  SELECT doc_id, lang, g.pos, g.token FROM (
+    SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+  ), LATERAL (
+    SELECT i - 1 AS pos, t[i] AS token
+    FROM unnest(generate_series(1, len(t))) AS s(i)
+  ) g
+),
+counts AS (SELECT lang, token, count(*) AS token_cnt FROM tt GROUP BY 1, 2),
+totals AS (SELECT lang, count(*) AS n_lang FROM tt GROUP BY 1),
+v AS (SELECT count(DISTINCT token) AS vocab FROM tt)
+"""
+
+DP_NB_MODEL_SQL = rf"""
+WITH {_NB_TT}
+SELECT c.lang, c.token, c.token_cnt,
+       round(ln((c.token_cnt + 1) / CAST(t.n_lang + v.vocab AS DOUBLE)), 6)
+         AS logp
+FROM counts c JOIN totals t USING (lang) CROSS JOIN v
+ORDER BY lang, token
+"""
+
+QUERIES["dp_nb_lang_model"] = dp_nb_lang_model
+ORACLES["dp_nb_lang_model"] = DP_NB_MODEL_SQL
+
+
+def dp_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the NB lang-id classifier scored back over
+    its own training corpus (datapipe/text.py nb_lang_scores): how
+    separable the language slices actually are — the acceptance check
+    a pipeline runs before trusting the classifier to route documents."""
+    scores = text.nb_lang_scores(model.load(spark, sf_dir, "documents"))
+    return (
+        scores.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+DP_NB_CONFUSION_SQL = rf"""
+WITH {_NB_TT},
+model AS (
+  SELECT c.lang AS cand, c.token,
+         round(ln((c.token_cnt + 1) / CAST(t.n_lang + v.vocab AS DOUBLE)), 6)
+           AS logp
+  FROM counts c JOIN totals t USING (lang) CROSS JOIN v
+),
+classes AS (
+  SELECT d.lang AS cand,
+         round(ln(d.d_lang / CAST(nd.n_docs AS DOUBLE)), 6) AS prior,
+         round(ln(1.0 / (t.n_lang + v.vocab)), 6) AS floor_lp
+  FROM (SELECT lang, count(*) AS d_lang FROM documents GROUP BY 1) d
+  JOIN totals t USING (lang)
+  CROSS JOIN (SELECT count(*) AS n_docs FROM documents) nd
+  CROSS JOIN v
+),
+terms AS (
+  SELECT tt.doc_id, tt.lang, c.cand, c.prior, tt.pos,
+         COALESCE(m.logp, c.floor_lp) AS lp
+  FROM tt CROSS JOIN classes c
+  LEFT JOIN model m ON m.cand = c.cand AND m.token = tt.token
+),
+scored AS (
+  SELECT doc_id, lang, cand,
+         round(any_value(prior)
+               + list_reduce(list(lp ORDER BY pos), (a, b) -> a + b), 6)
+           AS score
+  FROM terms GROUP BY doc_id, lang, cand
+),
+best AS (
+  SELECT doc_id, lang, cand AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rn
+  FROM scored
+)
+SELECT lang, pred_lang, count(*) AS cnt
+FROM best WHERE rn = 1
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""
+
+QUERIES["dp_nb_lang_confusion"] = dp_nb_lang_confusion
+ORACLES["dp_nb_lang_confusion"] = DP_NB_CONFUSION_SQL

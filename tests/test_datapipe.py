@@ -1372,3 +1372,74 @@ def test_lm_perplexity_domain_signal(spark):
     )
     got = {r.doc_id: r.n_bigrams for r in text.lm_perplexity(tiny).collect()}
     assert got == {2: 1}  # the single-token doc has no bigrams
+
+
+def test_nb_lang_classifier_pure_python_replay(spark):
+    """Replay nb_lang_model/nb_lang_scores in pure Python on a tiny
+    corpus: smoothed log-probs, per-class floors/priors, ordered fold,
+    argmax with lexicographic tie-break."""
+    import math
+
+    rows = [
+        (0, "en", "the cat sat"),
+        (1, "en", "the dog sat"),
+        (2, "fr", "le chat le chien"),
+        (3, "fr", "le chat"),
+        (4, "de", "der hund"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    toks = {d: t.lower().split() for d, _, t in rows}
+    langs = {l for _, l, _ in rows}
+    tok_cnt: dict = {}
+    n_lang: dict = {}
+    for d, l, _ in rows:
+        for w in toks[d]:
+            tok_cnt[(l, w)] = tok_cnt.get((l, w), 0) + 1
+            n_lang[l] = n_lang.get(l, 0) + 1
+    vocab = len({w for ws in toks.values() for w in ws})
+
+    got_model = {
+        (r.lang, r.token): (r.token_cnt, r.logp)
+        for r in text.nb_lang_model(docs).collect()
+    }
+    assert set(got_model) == set(tok_cnt)
+    for (l, w), c in tok_cnt.items():
+        want = round(math.log((c + 1) / (n_lang[l] + vocab)), 6)
+        assert got_model[(l, w)] == (c, want)
+
+    d_lang = {l: sum(1 for _, ll, _ in rows if ll == l) for l in langs}
+    def score(d, cand):
+        s = round(math.log(d_lang[cand] / len(rows)), 6)
+        for w in toks[d]:
+            c = tok_cnt.get((cand, w))
+            lp = (
+                round(math.log((c + 1) / (n_lang[cand] + vocab)), 6)
+                if c is not None
+                else round(math.log(1.0 / (n_lang[cand] + vocab)), 6)
+            )
+            s += lp
+        return round(s, 6)
+
+    got = {r.doc_id: r for r in text.nb_lang_scores(docs).collect()}
+    assert set(got) == set(toks)
+    for d, l, _ in rows:
+        scores = {cand: score(d, cand) for cand in langs}
+        best = min(sorted(scores), key=lambda c: (-scores[c], c))
+        assert got[d].pred_lang == best, (d, scores, got[d])
+        assert got[d].score == scores[best]
+        assert got[d].lang == l
+
+
+def test_nb_lang_scores_partition_invariant(spark):
+    """Same predictions and scores at 1 and 8 input partitions (the
+    ordered-fold discipline — no partial-sum order dependence)."""
+    docs = model.load(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    a = sorted(
+        (r.doc_id, r.pred_lang, r.score)
+        for r in text.nb_lang_scores(docs.repartition(1)).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.pred_lang, r.score)
+        for r in text.nb_lang_scores(docs.repartition(8)).collect()
+    )
+    assert a == b and len(a) == 60
