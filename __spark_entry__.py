@@ -810,6 +810,8 @@ NEXT_WINDOW: list[str] = [
     "sec_s3_secret_plane",
     "dp_nb_lang_model",
     "dp_nb_lang_confusion",
+    "m9_volume_lifecycle",
+    "m9_user_volume_list",
 ]
 
 

@@ -799,3 +799,290 @@ ORDER BY c."user", c.bucket_ts""",
 
 QUERIES["a10_rate_spikes"] = a10_rate_spikes
 ORACLES["a10_rate_spikes"] = A10_SQL
+
+
+# --- M9: volume lifecycle plane (round 7) ----------------------------------
+#
+# The OM volume write requests — the last uncovered OM mutation family:
+#   create: exists → VOLUME_ALREADY_EXISTS (OMVolumeCreateRequest.java:
+#     151-155), owner at max → USER_TOO_MANY_VOLUMES (OMVolumeRequest
+#     .java:104-108, default 1024 OMConfigKeys.java:82-84 — scaled to 8
+#     for the plane so both lanes populate at every sf), else CREATED
+#     with a set-add into the owner's userTable list (:111-120).
+#   delete: missing → VOLUME_NOT_FOUND, non-empty → VOLUME_NOT_EMPTY
+#     (OMVolumeDeleteRequest.java:110-112), else DELETED + list remove
+#     (OMVolumeRequest.java:63-85).
+#   setOwner: missing → VOLUME_NOT_FOUND; same owner → OK no-op
+#     (OMVolumeSetOwnerRequest.java:132-144); new owner at max →
+#     USER_TOO_MANY_VOLUMES (:152-155); else TRANSFERRED (old list
+#     remove + new list add).
+#
+# Plane: 37 owners (uid = c_custkey % 37), owner uid holds slots
+# 0..uid % 11 ('uvol_{uid}_{slot}'), slot non-empty iff
+# (uid + slot) % 3 == 0 — per-owner counts are 1..11 at EVERY sf, so
+# the max-volume lanes are sf-independent. Requests are evaluated
+# against the pre-state (one Raft batch, no intra-batch dependency).
+# Scale shape: the store is a dim by construction; every join
+# broadcasts.
+
+M9_MAX_USER_VOLUME = 8
+
+
+def _m9_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uids = (
+        model.load(spark, sf_dir, "customer")
+        .select((F.col("c_custkey") % 37).alias("uid"))
+        .distinct()
+    )
+    return uids.select(
+        "uid",
+        F.explode(F.sequence(F.lit(0), F.col("uid") % 11)).alias("slot"),
+    ).select(
+        F.concat(F.lit("uvol_"), F.col("uid"), F.lit("_"), F.col("slot")).alias(
+            "volume"
+        ),
+        F.concat(F.lit("user_"), F.col("uid")).alias("owner"),
+        F.col("uid"),
+        ((F.col("uid") + F.col("slot")) % 3 == 0).alias("non_empty"),
+    )
+
+
+def m9_volume_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision plane for a batch of volume create/delete/setOwner
+    requests against the synthesized volumeTable + userTable state."""
+    store = _m9_store(spark, sf_dir)
+    counts = store.groupBy("owner").agg(F.count(F.lit(1)).alias("own_cnt"))
+    uids = store.select("uid").distinct()
+    req = uids.select(
+        "uid",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("CREATE").alias("op"),
+                    F.concat(F.lit("uvol_"), F.col("uid"), F.lit("_new")).alias(
+                        "volume"
+                    ),
+                    F.lit(None).cast("string").alias("new_owner"),
+                ),
+                F.struct(
+                    F.lit("CREATE").alias("op"),
+                    F.concat(F.lit("uvol_"), F.col("uid"), F.lit("_0")).alias(
+                        "volume"
+                    ),
+                    F.lit(None).cast("string").alias("new_owner"),
+                ),
+                F.struct(
+                    F.lit("DELETE").alias("op"),
+                    F.concat(F.lit("uvol_"), F.col("uid"), F.lit("_0")).alias(
+                        "volume"
+                    ),
+                    F.lit(None).cast("string").alias("new_owner"),
+                ),
+                F.struct(
+                    F.lit("DELETE").alias("op"),
+                    F.concat(F.lit("uvol_"), F.col("uid"), F.lit("_ghost")).alias(
+                        "volume"
+                    ),
+                    F.lit(None).cast("string").alias("new_owner"),
+                ),
+                F.struct(
+                    F.lit("SET_OWNER").alias("op"),
+                    F.concat(F.lit("uvol_"), F.col("uid"), F.lit("_1")).alias(
+                        "volume"
+                    ),
+                    F.when(
+                        F.col("uid") % 5 == 0,
+                        F.concat(F.lit("user_"), F.col("uid")),
+                    )
+                    .otherwise(
+                        F.concat(F.lit("user_"), (F.col("uid") + 1) % 37)
+                    )
+                    .alias("new_owner"),
+                ),
+            )
+        ).alias("r"),
+    ).select("uid", "r.op", "r.volume", "r.new_owner")
+    requester = F.concat(F.lit("user_"), F.col("uid"))
+    j = (
+        req.join(F.broadcast(store.select("volume", "owner", "non_empty")),
+                 "volume", "left")
+        .join(
+            F.broadcast(counts.withColumnRenamed("owner", "req_owner")
+                        .withColumnRenamed("own_cnt", "req_cnt")),
+            requester == F.col("req_owner"),
+            "left",
+        )
+        .join(
+            F.broadcast(counts.withColumnRenamed("owner", "tgt_owner")
+                        .withColumnRenamed("own_cnt", "tgt_cnt")),
+            F.col("new_owner") == F.col("tgt_owner"),
+            "left",
+        )
+    )
+    exists = F.col("owner").isNotNull()
+    decision = (
+        F.when(
+            (F.col("op") == "CREATE") & exists, F.lit("VOLUME_ALREADY_EXISTS")
+        )
+        .when(
+            (F.col("op") == "CREATE")
+            & (F.coalesce(F.col("req_cnt"), F.lit(0)) >= M9_MAX_USER_VOLUME),
+            F.lit("USER_TOO_MANY_VOLUMES"),
+        )
+        .when(F.col("op") == "CREATE", F.lit("CREATED"))
+        .when((F.col("op") == "DELETE") & ~exists, F.lit("VOLUME_NOT_FOUND"))
+        .when(
+            (F.col("op") == "DELETE") & F.col("non_empty"),
+            F.lit("VOLUME_NOT_EMPTY"),
+        )
+        .when(F.col("op") == "DELETE", F.lit("DELETED"))
+        .when(~exists, F.lit("VOLUME_NOT_FOUND"))
+        .when(F.col("owner") == F.col("new_owner"), F.lit("OK_NOOP"))
+        .when(
+            F.coalesce(F.col("tgt_cnt"), F.lit(0)) >= M9_MAX_USER_VOLUME,
+            F.lit("USER_TOO_MANY_VOLUMES"),
+        )
+        .otherwise(F.lit("TRANSFERRED"))
+    )
+    return j.select(
+        "op", "volume", "new_owner", decision.alias("decision")
+    ).orderBy("op", "volume")
+
+
+M9_UIDS_CTE = """
+m9_uids AS (SELECT DISTINCT c_custkey % 37 AS uid FROM customer),
+m9_store AS (
+  SELECT concat('uvol_', uid, '_', s.slot) AS volume,
+         concat('user_', uid) AS owner, uid,
+         (uid + s.slot) % 3 = 0 AS non_empty
+  FROM m9_uids, LATERAL (
+    SELECT unnest(generate_series(0, uid % 11)) AS slot
+  ) s
+),
+m9_counts AS (SELECT owner, count(*) AS own_cnt FROM m9_store GROUP BY owner),
+m9_req AS (
+  SELECT uid, 'CREATE' AS op, concat('uvol_', uid, '_new') AS volume,
+         CAST(NULL AS VARCHAR) AS new_owner FROM m9_uids
+  UNION ALL
+  SELECT uid, 'CREATE', concat('uvol_', uid, '_0'), NULL FROM m9_uids
+  UNION ALL
+  SELECT uid, 'DELETE', concat('uvol_', uid, '_0'), NULL FROM m9_uids
+  UNION ALL
+  SELECT uid, 'DELETE', concat('uvol_', uid, '_ghost'), NULL FROM m9_uids
+  UNION ALL
+  SELECT uid, 'SET_OWNER', concat('uvol_', uid, '_1'),
+         CASE WHEN uid % 5 = 0 THEN concat('user_', uid)
+              ELSE concat('user_', (uid + 1) % 37) END
+  FROM m9_uids
+),
+m9_decisions AS (
+  SELECT r.op, r.volume, r.new_owner,
+    CASE
+      WHEN r.op = 'CREATE' AND s.owner IS NOT NULL
+        THEN 'VOLUME_ALREADY_EXISTS'
+      WHEN r.op = 'CREATE' AND COALESCE(rc.own_cnt, 0) >= 8
+        THEN 'USER_TOO_MANY_VOLUMES'
+      WHEN r.op = 'CREATE' THEN 'CREATED'
+      WHEN r.op = 'DELETE' AND s.owner IS NULL THEN 'VOLUME_NOT_FOUND'
+      WHEN r.op = 'DELETE' AND s.non_empty THEN 'VOLUME_NOT_EMPTY'
+      WHEN r.op = 'DELETE' THEN 'DELETED'
+      WHEN s.owner IS NULL THEN 'VOLUME_NOT_FOUND'
+      WHEN s.owner = r.new_owner THEN 'OK_NOOP'
+      WHEN COALESCE(tc.own_cnt, 0) >= 8 THEN 'USER_TOO_MANY_VOLUMES'
+      ELSE 'TRANSFERRED'
+    END AS decision,
+    s.owner AS cur_owner, concat('user_', r.uid) AS requester
+  FROM m9_req r
+  LEFT JOIN m9_store s ON r.volume = s.volume
+  LEFT JOIN m9_counts rc ON rc.owner = concat('user_', r.uid)
+  LEFT JOIN m9_counts tc ON tc.owner = r.new_owner
+)"""
+
+M9_SQL = model.with_ctes(
+    M9_UIDS_CTE,
+    body="""SELECT op, volume, new_owner, decision FROM m9_decisions
+ORDER BY op, volume""",
+)
+
+QUERIES["m9_volume_lifecycle"] = m9_volume_lifecycle
+ORACLES["m9_volume_lifecycle"] = M9_SQL
+
+
+def m9_user_volume_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """userTable maintenance law: per-owner volume count before and
+    after the request batch (accepted CREATEs add, DELETEs remove,
+    TRANSFERs move — the addVolumeToOwnerList/delVolumeFromOwnerList
+    pair, OMVolumeRequest.java:63-120)."""
+    store = _m9_store(spark, sf_dir)
+    decisions = m9_volume_lifecycle(spark, sf_dir)
+    # re-derive requester/current-owner context the same way the plane
+    # builds them (volume string encodes the requester uid)
+    uid_of = F.split(F.col("volume"), "_").getItem(1).cast("int")
+    d = decisions.select(
+        "op",
+        "volume",
+        "new_owner",
+        "decision",
+        F.concat(F.lit("user_"), uid_of).alias("requester"),
+    )
+    before = store.groupBy("owner").agg(F.count(F.lit(1)).alias("before_cnt"))
+    created = (
+        d.filter(F.col("decision") == "CREATED")
+        .groupBy(F.col("requester").alias("owner"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    deleted = (
+        d.filter(F.col("decision") == "DELETED")
+        .groupBy(F.col("requester").alias("owner"))
+        .agg(F.count(F.lit(1)).alias("dl"))
+    )
+    out_x = (
+        d.filter(F.col("decision") == "TRANSFERRED")
+        .groupBy(F.col("requester").alias("owner"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    in_x = (
+        d.filter(F.col("decision") == "TRANSFERRED")
+        .groupBy(F.col("new_owner").alias("owner"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        before.join(created, "owner", "left")
+        .join(deleted, "owner", "left")
+        .join(out_x, "owner", "left")
+        .join(in_x, "owner", "left")
+        .select(
+            "owner",
+            "before_cnt",
+            (
+                F.col("before_cnt")
+                + F.coalesce(F.col("c"), F.lit(0))
+                - F.coalesce(F.col("dl"), F.lit(0))
+                - F.coalesce(F.col("o"), F.lit(0))
+                + F.coalesce(F.col("i"), F.lit(0))
+            ).alias("after_cnt"),
+        )
+        .orderBy("owner")
+    )
+
+
+M9_LIST_SQL = model.with_ctes(
+    M9_UIDS_CTE,
+    body="""SELECT b.owner, b.before_cnt,
+  b.before_cnt
+    + COALESCE(c.c, 0) - COALESCE(dl.dl, 0)
+    - COALESCE(o.o, 0) + COALESCE(i.i, 0) AS after_cnt
+FROM (SELECT owner, count(*) AS before_cnt FROM m9_store GROUP BY owner) b
+LEFT JOIN (SELECT requester AS owner, count(*) AS c FROM m9_decisions
+           WHERE decision = 'CREATED' GROUP BY 1) c USING (owner)
+LEFT JOIN (SELECT requester AS owner, count(*) AS dl FROM m9_decisions
+           WHERE decision = 'DELETED' GROUP BY 1) dl USING (owner)
+LEFT JOIN (SELECT requester AS owner, count(*) AS o FROM m9_decisions
+           WHERE decision = 'TRANSFERRED' GROUP BY 1) o USING (owner)
+LEFT JOIN (SELECT new_owner AS owner, count(*) AS i FROM m9_decisions
+           WHERE decision = 'TRANSFERRED' GROUP BY 1) i USING (owner)
+ORDER BY b.owner""",
+)
+
+QUERIES["m9_user_volume_list"] = m9_user_volume_list
+ORACLES["m9_user_volume_list"] = M9_LIST_SQL

@@ -96,3 +96,69 @@ def test_upload_part_copy_range_clamp(spark):
     assert out[("u1", 1)] == 40    # bytes 10..49 inclusive
     assert out[("u1", 2)] == 50
     assert out[("u2", 1)] == 100
+
+
+def test_m9_volume_lifecycle_laws(spark):
+    """Volume request ladder (OMVolumeCreateRequest.java:151-162,
+    OMVolumeDeleteRequest.java:110-112, OMVolumeSetOwnerRequest.java:
+    132-155) replayed in pure Python against the synthesized plane."""
+    from hadoop_ozone_spark.plans import coverage_queries as cq
+
+    sf = "/root/testdata/sf0.001"
+    store = {r.volume: r for r in cq._m9_store(spark, sf).collect()}
+    counts: dict = {}
+    for r in store.values():
+        counts[r.owner] = counts.get(r.owner, 0) + 1
+    rows = cq.m9_volume_lifecycle(spark, sf).collect()
+    lanes = set()
+    for row in rows:
+        uid = int(row.volume.split("_")[1])
+        requester = f"user_{uid}"
+        s = store.get(row.volume)
+        if row.op == "CREATE":
+            if s is not None:
+                want = "VOLUME_ALREADY_EXISTS"
+            elif counts.get(requester, 0) >= cq.M9_MAX_USER_VOLUME:
+                want = "USER_TOO_MANY_VOLUMES"
+            else:
+                want = "CREATED"
+        elif row.op == "DELETE":
+            if s is None:
+                want = "VOLUME_NOT_FOUND"
+            elif s.non_empty:
+                want = "VOLUME_NOT_EMPTY"
+            else:
+                want = "DELETED"
+        else:
+            if s is None:
+                want = "VOLUME_NOT_FOUND"
+            elif s.owner == row.new_owner:
+                want = "OK_NOOP"
+            elif counts.get(row.new_owner, 0) >= cq.M9_MAX_USER_VOLUME:
+                want = "USER_TOO_MANY_VOLUMES"
+            else:
+                want = "TRANSFERRED"
+        assert row.decision == want, (row, want)
+        lanes.add((row.op, row.decision))
+    # every ladder lane occurs in the plane
+    assert {
+        ("CREATE", "CREATED"),
+        ("CREATE", "VOLUME_ALREADY_EXISTS"),
+        ("CREATE", "USER_TOO_MANY_VOLUMES"),
+        ("DELETE", "DELETED"),
+        ("DELETE", "VOLUME_NOT_EMPTY"),
+        ("DELETE", "VOLUME_NOT_FOUND"),
+        ("SET_OWNER", "TRANSFERRED"),
+        ("SET_OWNER", "OK_NOOP"),
+        ("SET_OWNER", "VOLUME_NOT_FOUND"),
+        ("SET_OWNER", "USER_TOO_MANY_VOLUMES"),
+    } <= lanes
+
+    # userTable rollup conserves volumes: Σ after == Σ before + ΣCREATED
+    # − ΣDELETED (transfers conserve)
+    lst = cq.m9_user_volume_list(spark, sf).collect()
+    created = sum(1 for r in rows if r.decision == "CREATED")
+    deleted = sum(1 for r in rows if r.decision == "DELETED")
+    assert sum(r.after_cnt for r in lst) == (
+        sum(r.before_cnt for r in lst) + created - deleted
+    )
