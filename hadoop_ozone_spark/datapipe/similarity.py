@@ -939,10 +939,12 @@ def ivfpq_topk(
         # the inline build in the scratch registry — repeated searches
         # over the same corpus reuse one persisted build (plan-matched,
         # the semantic_dedup_pairs pattern) instead of re-encoding the
-        # corpus per query
-        scratch.fresh("ivfpq_topk")
+        # corpus per query. The tag is shared with ivfpq_knn_join: both
+        # build the identical default-parameter code table, so single-
+        # probe searches and batch joins serve from ONE artifact.
+        scratch.fresh("ivfpq_index")
         idx = scratch.keep(
-            "ivfpq_topk",
+            "ivfpq_index",
             ivfpq_index(
                 embeddings, n_lists, m, n_codes, dims, vec_col,
                 centroids=c, codebooks=cb, round_digits=round_digits,
@@ -1066,11 +1068,12 @@ def ivfpq_knn_join(
         idx = index
     else:
         # same write-time-artifact contract as ivfpq_topk's inline
-        # fallback: one persisted code-table build per corpus, reused
-        # across repeated joins via the plan-matched scratch registry
-        scratch.fresh("ivfpq_knn_join")
+        # fallback — and the same TAG: the default-parameter code table
+        # is plan-identical across both entry points, so the registry
+        # serves one persisted build to searches and joins alike
+        scratch.fresh("ivfpq_index")
         idx = scratch.keep(
-            "ivfpq_knn_join",
+            "ivfpq_index",
             ivfpq_index(
                 embeddings, n_lists, m, n_codes, dims, vec_col,
                 centroids=c, codebooks=cb, round_digits=round_digits,
