@@ -99,6 +99,9 @@ HEADLINE = [
     "b2_balancer_summary",
     "dp_dup_spans",
     "dp_dup_spans_fast",
+    "dp_nb_lang_confusion",
+    "tok_renew_decisions",
+    "m9_volume_lifecycle",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

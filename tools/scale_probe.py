@@ -882,6 +882,50 @@ def fso_probe(n_dirs_k: float = 200.0, depth: int = 8) -> None:
     spark.stop()
 
 
+def nb_probe(n_docs: int, vocab: int = 5_000) -> None:
+    """NB lang-classifier scale probe: synthesize n_docs 80-token docs
+    across 5 languages whose token spaces overlap by half a vocab
+    (neighboring langs share ~50% of their words — signal without
+    separability), then time training (nb_lang_model) and full-corpus
+    scoring (nb_lang_scores: corpus x 5 candidate classes). The model
+    is |langs| x vocab rows; the probe documents where the broadcast
+    contract holds (25k rows at vocab 5k) — at 1M+ vocab the model
+    join degrades to a shuffle keyed (lang, token), same family as
+    knn_join_bucketed's caveat."""
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    spark = get_spark("scale-probe-nb")
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in ["de", "en", "es", "fr", "zh"]]),
+        (F.col("id") % 5 + 1).cast("int"),
+    )
+    tok = (
+        f"transform(sequence(1, 80), i -> concat('w',"
+        f" pmod(hash(id * 1000 + i), {vocab}) + (id % 5) * {vocab // 2}))"
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        lang.alias("lang"),
+        F.array_join(F.expr(tok), " ").alias("text"),
+    ).persist()
+    out = {"num_docs": docs.count(), "vocab": vocab, "timings_sec": {},
+           "rows_per_sec": {}}
+    t0 = time.time()
+    out["model_rows"] = text_ops.nb_lang_model(docs).count()
+    out["timings_sec"]["nb_lang_model"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    scored = text_ops.nb_lang_scores(docs)
+    n = scored.count()
+    dt = time.time() - t0
+    out["timings_sec"]["nb_lang_scores"] = round(dt, 2)
+    out["rows_per_sec"]["nb_lang_scores"] = int(n / dt)
+    acc = scored.filter(F.col("pred_lang") == F.col("lang")).count() / n
+    out["self_accuracy"] = round(acc, 4)
+    print(json.dumps(out))
+    docs.unpersist()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         if len(sys.argv) < 3:
@@ -911,6 +955,11 @@ if __name__ == "__main__":
         spans_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 60_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--semdedup":
         semdedup_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 50000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--nb":
+        nb_probe(
+            int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 100_000,
+            vocab=int(sys.argv[3]) if len(sys.argv) > 3 else 5_000,
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "--vecs":
         if len(sys.argv) < 3:
             raise SystemExit("usage: scale_probe.py --vecs <num_vecs_thousands>")
