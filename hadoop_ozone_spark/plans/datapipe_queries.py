@@ -2047,16 +2047,20 @@ classes AS (
   CROSS JOIN (SELECT count(*) AS n_docs FROM documents) nd
   CROSS JOIN v
 ),
+tc AS (
+  SELECT doc_id, lang, token, count(*) AS cnt
+  FROM tt GROUP BY doc_id, lang, token
+),
 terms AS (
-  SELECT tt.doc_id, tt.lang, c.cand, c.prior, tt.pos,
-         COALESCE(m.logp, c.floor_lp) AS lp
-  FROM tt CROSS JOIN classes c
-  LEFT JOIN model m ON m.cand = c.cand AND m.token = tt.token
+  SELECT tc.doc_id, tc.lang, c.cand, c.prior, tc.token,
+         tc.cnt * COALESCE(m.logp, c.floor_lp) AS term
+  FROM tc CROSS JOIN classes c
+  LEFT JOIN model m ON m.cand = c.cand AND m.token = tc.token
 ),
 scored AS (
   SELECT doc_id, lang, cand,
          round(any_value(prior)
-               + list_reduce(list(lp ORDER BY pos), (a, b) -> a + b), 6)
+               + list_reduce(list(term ORDER BY token), (a, b) -> a + b), 6)
            AS score
   FROM terms GROUP BY doc_id, lang, cand
 ),

@@ -1410,14 +1410,17 @@ def test_nb_lang_classifier_pure_python_replay(spark):
     d_lang = {l: sum(1 for _, ll, _ in rows if ll == l) for l in langs}
     def score(d, cand):
         s = round(math.log(d_lang[cand] / len(rows)), 6)
+        per_tok: dict = {}
         for w in toks[d]:
+            per_tok[w] = per_tok.get(w, 0) + 1
+        for w in sorted(per_tok):
             c = tok_cnt.get((cand, w))
             lp = (
                 round(math.log((c + 1) / (n_lang[cand] + vocab)), 6)
                 if c is not None
                 else round(math.log(1.0 / (n_lang[cand] + vocab)), 6)
             )
-            s += lp
+            s += per_tok[w] * lp
         return round(s, 6)
 
     got = {r.doc_id: r for r in text.nb_lang_scores(docs).collect()}
