@@ -1073,10 +1073,32 @@ def dup_spans_incremental(
         .select("gram")
     )
     # corpus sharing: the delta's distinct grams probe the index
+    cg = corpus_grams
+    if "gram_bucket" in cg.columns:
+        # bucket-pruned probe (span_stream lands each zone partitioned
+        # by gram_bucket = pmod(gram, SPAN_GRAM_BUCKETS)): the delta's
+        # grams hash into a BOUNDED set of buckets (≤ the constant
+        # SPAN_GRAM_BUCKETS), so collecting that set is bounded — the
+        # sources/upsert.py precedent — and pushing it into the index
+        # scan as a partition filter reads only matching bucket dirs
+        # instead of every zone's full gram table
+        from hadoop_ozone_spark.streaming import span_stream as _ss
+
+        bkts = [
+            r[0]
+            for r in dg.select(
+                F.pmod(F.col("gram"), F.lit(_ss.SPAN_GRAM_BUCKETS))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        cg = cg.filter(F.col("gram_bucket").isin(bkts))
     corpus_hit = (
         dg.select("gram")
         .distinct()
-        .join(corpus_grams.select("gram"), "gram")
+        .join(cg.select("gram"), "gram")
         .distinct()
     )
     shared = delta_shared.unionByName(corpus_hit).distinct()

@@ -25,10 +25,14 @@ every position shared) and a replayed batch recomputes against
 exactly the index it originally saw even when later batches have
 landed since — replay is bytewise idempotent (pinned).
 
-At 100 TB the gram index is the heavy state: land it bucketed by a
-gram-hash range (here: plain parquet per batch zone — the layout the
-sf-scale tests exercise; the partitioned write is a one-line
-``.partitionBy`` away and orthogonal to the law).
+At 100 TB the gram index is the heavy state: each batch zone lands
+PARTITIONED BY ``gram_bucket = pmod(gram, SPAN_GRAM_BUCKETS)``, so an
+incremental probe reads only the buckets the delta's grams hash into
+(static partition pruning — the bucket set is bounded by the constant
+SPAN_GRAM_BUCKETS, so deriving it is a bounded collect, the
+sources/upsert.py precedent). A small delta touches a few buckets; a
+corpus-wide delta touches all of them — either way the probe is
+index-subset-bounded, never an index re-scan.
 """
 
 from __future__ import annotations
@@ -43,7 +47,11 @@ from hadoop_ozone_spark.datapipe.dedup import (
     positional_gram_table,
 )
 
-GRAMS_SCHEMA = "doc_id long, pos int, gram long"
+GRAMS_SCHEMA = "doc_id long, pos int, gram long, gram_bucket int"
+
+# gram-hash partition fan-out of each landed batch zone; bounds both
+# the directory count per zone and the probe's bucket-list collect
+SPAN_GRAM_BUCKETS = 64
 
 
 def read_gram_index(
@@ -68,7 +76,7 @@ def read_gram_index(
         raise
     if before_batch is not None:
         df = df.filter(F.col("batch") < before_batch)
-    return df.select("doc_id", "pos", "gram")
+    return df.select("doc_id", "pos", "gram", "gram_bucket")
 
 
 def process_doc_batch(
@@ -102,7 +110,15 @@ def process_doc_batch(
         corpus_grams=index, delta_grams=grams,
     )
     spans.write.mode("overwrite").parquet(f"{state_dir}/spans/batch={batch_id}")
-    grams.write.mode("overwrite").parquet(f"{state_dir}/grams/batch={batch_id}")
+    (
+        grams.withColumn(
+            "gram_bucket",
+            F.pmod(F.col("gram"), F.lit(SPAN_GRAM_BUCKETS)).cast("int"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("gram_bucket")
+        .parquet(f"{state_dir}/grams/batch={batch_id}")
+    )
 
 
 def read_spans(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -89,3 +89,38 @@ def test_span_stream_foreachbatch_end_to_end(spark):
         assert got == expected and len(got) > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_gram_index_bucket_pruned_probe(spark):
+    """The landed gram index is partitioned by gram_bucket and the
+    incremental probe pushes the delta's bucket set into the scan as a
+    partition filter (reads only matching bucket dirs)."""
+    import tempfile, shutil, os
+
+    from hadoop_ozone_spark.datapipe.dedup import dup_spans_incremental
+
+    tmp = tempfile.mkdtemp(prefix="spanbkt_")
+    try:
+        base = spark.createDataFrame(
+            [(i, "alpha beta gamma delta " * 6 + f"tail{i}") for i in range(8)],
+            "doc_id long, text string",
+        )
+        span_stream.process_doc_batch(spark, base, 0, tmp)
+        # physical layout: bucket subdirectories under the zone
+        zone = os.path.join(tmp, "grams", "batch=0")
+        assert any(d.startswith("gram_bucket=") for d in os.listdir(zone))
+
+        delta = spark.createDataFrame(
+            [(100, "alpha beta gamma delta " * 6 + "fresh")],
+            "doc_id long, text string",
+        )
+        index = span_stream.read_gram_index(spark, tmp, before_batch=1)
+        assert "gram_bucket" in index.columns
+        spans = dup_spans_incremental(None, delta, corpus_grams=index)
+        plan = spans._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "gram_bucket" in plan
+        # and the law still holds: the delta duplicates the corpus text
+        got = spans.collect()
+        assert len(got) == 1 and got[0].doc_id == 100
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
