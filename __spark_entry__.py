@@ -812,6 +812,9 @@ NEXT_WINDOW: list[str] = [
     "dp_nb_lang_confusion",
     "m9_volume_lifecycle",
     "m9_user_volume_list",
+    "dp_decontaminate_spans",
+    "dp_embedding_dim_stats",
+    "dp_embedding_norms",
 ]
 
 

@@ -1104,3 +1104,46 @@ def dup_spans_incremental(
     shared = delta_shared.unionByName(corpus_hit).distinct()
     seeds = dg.join(shared, "gram").select("doc_id", "pos")
     return _merge_seed_islands(seeds, k, min_tokens)
+
+
+def contamination_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = DUP_SPAN_K,
+    min_tokens: int = 10,
+    portable: bool = False,
+) -> DataFrame:
+    """Span-level benchmark decontamination: the exact token ranges of
+    training documents that reproduce eval text (the ExactSubstr lens
+    applied to the GPT-3/PaLM leak check — :func:`text.decontaminate`
+    flags whole documents by shared shingle COUNT; this pins down the
+    leaked substrings themselves, so a cleaning pass can cut the span
+    instead of dropping the doc).
+
+    A corpus position seeds when its k-gram occurs anywhere in the
+    benchmark; corpus-internal sharing is deliberately NOT a seed
+    (that is :func:`dup_spans`' concern).  Islands merge and qualify
+    exactly like dup_spans (default min_tokens=10 — an eval prefix of
+    10 tokens must qualify, so the floor is the leak unit, not the
+    15-token dedup default).
+
+    Scale shape: the benchmark side is an eval set — its distinct-gram
+    frame BROADCASTS; the corpus gram stream joins map-side and never
+    shuffles on anything but the per-doc island window key. One corpus
+    text pass (the positional_gram_table barrier).
+    """
+    scratch.fresh("contamination_spans")
+    dg = positional_gram_table(
+        docs, text_col, k, portable, scratch_tag="contamination_spans"
+    )
+    bg = (
+        positional_gram_table(
+            benchmark, text_col, k, portable,
+            scratch_tag="contamination_spans",
+        )
+        .select("gram")
+        .distinct()
+    )
+    seeds = dg.join(F.broadcast(bg), "gram").select("doc_id", "pos")
+    return _merge_seed_islands(seeds, k, min_tokens)

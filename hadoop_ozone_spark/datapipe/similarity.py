@@ -1280,3 +1280,118 @@ def pq_train_codebooks(
             .localCheckpoint(eager=True)
         )
     return cb
+
+
+# ---------------------------------------------------------------------------
+# Embedding-table quality profiling (the acceptance checks a pipeline
+# runs before trusting an embedding column: dimension drift, norm
+# outliers, zero/NaN vectors).
+# ---------------------------------------------------------------------------
+
+_Q = 1_000_000  # component quantization: 6 decimal digits
+
+
+def _q_comp(x: Column) -> Column:
+    """Component → exact integer (round(x·1e6)): sums over the corpus
+    become INTEGER sums — order-independent, partition-independent,
+    overflow-guarded by the decimal(38) accumulator — the a10
+    exact-integer-moment discipline applied to float columns. (A plain
+    SUM over doubles adds in partition order and drifts run-to-run.)"""
+    return F.round(x * F.lit(_Q)).cast("long")
+
+
+def embedding_dim_stats(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-dimension profile of the embedding table: n, mean, variance,
+    std, min, max — from quantized exact integer moments, so the
+    result is bit-stable at any partitioning and replayable by the
+    DuckDB oracle. Vectors containing NaN components are excluded from
+    the moments (they are the norm profile's NAN lane).
+
+    Scale shape: one posexplode pass collapsed by a map-side-combinable
+    groupBy onto ``dims`` keys — no window, no skew, the 100 TB shape
+    of a column-profile job."""
+    v = as_double(F.col(vec_col))
+    clean = embeddings.filter(~F.exists(v, lambda x: F.isnan(x)))
+    comp = clean.select(F.posexplode(v).alias("pos", "x")).select(
+        "pos", _q_comp(F.col("x")).alias("q")
+    )
+    agg = comp.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("sum_q"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("sumsq_q"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+    )
+    mean0 = F.col("sum_q").cast("double") / (F.col("n") * F.lit(1_000_000.0))
+    var0 = F.greatest(
+        F.col("sumsq_q").cast("double")
+        / (F.col("n") * F.lit(1_000_000_000_000.0))
+        - mean0 * mean0,
+        F.lit(0.0),
+    )
+    return agg.select(
+        "pos",
+        "n",
+        F.round(mean0, round_digits).alias("mean"),
+        F.round(var0, round_digits).alias("variance"),
+        F.round(F.sqrt(var0), round_digits).alias("std"),
+        F.round(F.col("min_q") / F.lit(1_000_000.0), round_digits).alias("min_val"),
+        F.round(F.col("max_q") / F.lit(1_000_000.0), round_digits).alias("max_val"),
+    ).orderBy("pos")
+
+
+# norm² histogram bucket width, in quantized-component² units (0.25)
+_NORM_BUCKET_Q = 250_000_000_000
+
+
+def embedding_norm_profile(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Vector-norm histogram + degenerate-vector lanes: per vector the
+    exact quantized norm² (Σ q_i² — a per-row integer fold, no corpus
+    float sum), bucketed by integer division into 0.25-wide norm²
+    bins; NaN-bearing vectors land in the NAN lane, exact zero vectors
+    in ZERO. The frame a pipeline alerts on (collapsed embeddings,
+    un-normalized batches, dead encoder outputs).
+
+    Map-only per vector + one groupBy onto the bounded bucket key."""
+    v = as_double(F.col(vec_col))
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    nq = F.aggregate(
+        F.transform(v, lambda x: _q_comp(x) * _q_comp(x)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    rows = embeddings.select(
+        F.when(has_nan, F.lit("NAN"))
+        .when(nq == 0, F.lit("ZERO"))
+        .otherwise(F.lit("NORM"))
+        .alias("kind"),
+        F.when(~has_nan, nq).alias("nq"),
+    ).select(
+        "kind",
+        F.when(
+            F.col("kind") == "NORM",
+            F.expr(f"nq div {_NORM_BUCKET_Q}"),
+        ).alias("bucket"),
+    )
+    return (
+        rows.groupBy("kind", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            "kind",
+            "bucket",
+            F.round(F.col("bucket") * F.lit(0.25), round_digits).alias(
+                "norm_sq_lo"
+            ),
+            "n_vecs",
+        )
+        .orderBy("kind", "bucket")
+    )

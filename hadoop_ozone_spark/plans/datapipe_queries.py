@@ -2078,3 +2078,156 @@ ORDER BY lang, pred_lang
 
 QUERIES["dp_nb_lang_confusion"] = dp_nb_lang_confusion
 ORACLES["dp_nb_lang_confusion"] = DP_NB_CONFUSION_SQL
+
+
+# --- span-level benchmark decontamination (round 7) ------------------------
+
+def dp_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact leaked token ranges (datapipe/dedup.py
+    contamination_spans): eval set = first 10 tokens of every
+    doc_id % 97 == 0 document, corpus side = everything else; a
+    training position seeds when its 8-gram occurs in the benchmark,
+    islands merge and qualify at the 10-token leak unit. The corpus'
+    injected copies of bench docs are the flagged spans."""
+    corpus = model.dedup_corpus(spark, sf_dir)
+    bench = corpus.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(text.tokens(F.col("text")), 1, 10), " ").alias(
+            "text"
+        ),
+    )
+    return dedup.contamination_spans(
+        corpus.filter(F.col("doc_id") % 97 != 0), bench, portable=True
+    ).orderBy("doc_id", "span_start")
+
+
+DP_DECONTAM_SPANS_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    r"""toksc AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM dedup_corpus WHERE doc_id % 97 <> 0
+)""",
+    r"""btoks AS (
+  SELECT doc_id, list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 10) AS t
+  FROM dedup_corpus WHERE doc_id % 97 = 0
+)""",
+    """cseeds AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS pos,
+         CAST(concat('0x', substring(md5(concat_ws(' ',
+           t[pos], t[pos+1], t[pos+2], t[pos+3],
+           t[pos+4], t[pos+5], t[pos+6], t[pos+7])), 1, 15)) AS BIGINT) AS gram
+  FROM toksc
+)""",
+    """bgrams AS (
+  SELECT DISTINCT CAST(concat('0x', substring(md5(concat_ws(' ',
+           t[pos], t[pos+1], t[pos+2], t[pos+3],
+           t[pos+4], t[pos+5], t[pos+6], t[pos+7])), 1, 15)) AS BIGINT) AS gram
+  FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS pos
+        FROM btoks)
+)""",
+    """seeds AS (
+  SELECT s.doc_id, s.pos FROM cseeds s JOIN bgrams USING (gram)
+)""",
+    """flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS flag
+  FROM seeds
+)""",
+    """islands AS (
+  SELECT doc_id, pos,
+         SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)""",
+    """spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+         count(*) AS n_seeds
+  FROM islands GROUP BY doc_id, island
+)""",
+    body="""SELECT doc_id, span_start, span_end,
+       span_end - span_start + 1 AS span_tokens, n_seeds
+FROM spans WHERE span_end - span_start + 1 >= 10
+ORDER BY doc_id, span_start""",
+)
+
+QUERIES["dp_decontaminate_spans"] = dp_decontaminate_spans
+ORACLES["dp_decontaminate_spans"] = DP_DECONTAM_SPANS_SQL
+
+
+# --- embedding-table quality profile (round 7) -----------------------------
+
+def dp_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding corpus (datapipe/
+    similarity.py embedding_dim_stats) — quantized exact-integer
+    moments, one posexplode pass onto 64 keys."""
+    return similarity.embedding_dim_stats(model.embedding_corpus(spark, sf_dir))
+
+
+DP_EMB_DIM_SQL = model.with_ctes(
+    model.EMBEDDING_CORPUS_CTE,
+    """comp AS (
+  SELECT s.i - 1 AS pos,
+         CAST(round(CAST(embedding[s.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embedding_corpus, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) s
+  WHERE len(list_filter(embedding, x -> isnan(x))) = 0
+)""",
+    """dim_agg AS (
+  SELECT pos, count(*) AS n, SUM(q) AS sum_q, SUM(q * q) AS sumsq_q,
+         MIN(q) AS min_q, MAX(q) AS max_q
+  FROM comp GROUP BY pos
+)""",
+    body="""SELECT pos, n,
+  round(CAST(sum_q AS DOUBLE) / (n * 1000000.0), 6) AS mean,
+  round(greatest(CAST(sumsq_q AS DOUBLE) / (n * 1000000000000.0)
+        - (CAST(sum_q AS DOUBLE) / (n * 1000000.0))
+          * (CAST(sum_q AS DOUBLE) / (n * 1000000.0)), 0.0), 6) AS variance,
+  round(sqrt(greatest(CAST(sumsq_q AS DOUBLE) / (n * 1000000000000.0)
+        - (CAST(sum_q AS DOUBLE) / (n * 1000000.0))
+          * (CAST(sum_q AS DOUBLE) / (n * 1000000.0)), 0.0)), 6) AS std,
+  round(min_q / 1000000.0, 6) AS min_val,
+  round(max_q / 1000000.0, 6) AS max_val
+FROM dim_agg ORDER BY pos""",
+)
+
+QUERIES["dp_embedding_dim_stats"] = dp_embedding_dim_stats
+ORACLES["dp_embedding_dim_stats"] = DP_EMB_DIM_SQL
+
+
+def dp_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm histogram + degenerate-vector lanes
+    (similarity.embedding_norm_profile): exact per-row integer norm²
+    folds bucketed by integer division — the collapsed-embedding /
+    dead-encoder alert frame."""
+    return similarity.embedding_norm_profile(model.embedding_corpus(spark, sf_dir))
+
+
+DP_EMB_NORMS_SQL = model.with_ctes(
+    model.EMBEDDING_CORPUS_CTE,
+    """perv AS (
+  SELECT CASE
+    WHEN len(list_filter(embedding, x -> isnan(x))) > 0 THEN NULL
+    ELSE list_reduce(list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+           * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+         (a, b) -> a + b) END AS nq,
+    len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan
+  FROM embedding_corpus
+)""",
+    """kinds AS (
+  SELECT CASE WHEN has_nan THEN 'NAN'
+              WHEN nq = 0 THEN 'ZERO' ELSE 'NORM' END AS kind,
+         CASE WHEN NOT has_nan AND nq <> 0
+              THEN nq // 250000000000 END AS bucket
+  FROM perv
+)""",
+    body="""SELECT kind, bucket, round(bucket * 0.25, 6) AS norm_sq_lo,
+       count(*) AS n_vecs
+FROM kinds GROUP BY kind, bucket ORDER BY kind, bucket""",
+)
+
+QUERIES["dp_embedding_norms"] = dp_embedding_norms
+ORACLES["dp_embedding_norms"] = DP_EMB_NORMS_SQL

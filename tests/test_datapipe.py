@@ -1446,3 +1446,67 @@ def test_nb_lang_scores_partition_invariant(spark):
         for r in text.nb_lang_scores(docs.repartition(8)).collect()
     )
     assert a == b and len(a) == 60
+
+
+def test_contamination_spans_finds_planted_leak(spark):
+    """A train doc embedding the eval text mid-document is flagged with
+    the exact token range; clean docs and the leak unit floor hold."""
+    from hadoop_ozone_spark.datapipe import dedup
+
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    filler = "w%d " * 1
+    train = spark.createDataFrame(
+        [
+            # leak at positions 6..15 (1-based)
+            (1, "x1 x2 x3 x4 x5 alpha beta gamma delta epsilon zeta eta "
+                "theta iota kappa y1 y2"),
+            # clean doc
+            (2, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"),
+            # partial 9-token overlap -> span of 9 < 10, filtered
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    got = dedup.contamination_spans(train, bench, portable=True).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_id, r.span_start, r.span_end, r.span_tokens) == (1, 6, 15, 10)
+
+
+def test_embedding_norm_profile_lanes(spark):
+    """NAN / ZERO / NORM lanes and the exact integer bucket law."""
+    rows = [
+        (1, [0.5] * 64),                      # nq = 64*(5e5)^2 = 1.6e13 -> bucket 64
+        (2, [0.0] * 64),                      # ZERO
+        (3, [float("nan")] + [0.1] * 63),     # NAN
+        (4, [0.1] * 64),                      # nq = 64e10 -> bucket 2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from hadoop_ozone_spark.datapipe import similarity as sim
+
+    got = {(r.kind, r.bucket): r.n_vecs for r in
+           sim.embedding_norm_profile(emb).collect()}
+    assert got == {("NAN", None): 1, ("ZERO", None): 1,
+                   ("NORM", 64): 1, ("NORM", 2): 1}
+
+
+def test_embedding_dim_stats_excludes_nan_vectors(spark):
+    from hadoop_ozone_spark.datapipe import similarity as sim
+
+    rows = [
+        (1, [1.0, -1.0]),
+        (2, [3.0, 5.0]),
+        (3, [float("nan"), 7.0]),  # excluded entirely
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.pos: r for r in sim.embedding_dim_stats(emb, dims=2).collect()}
+    assert set(got) == {0, 1}
+    assert got[0].n == 2 and got[1].n == 2
+    assert got[0].mean == 2.0 and got[1].mean == 2.0
+    assert got[0].variance == 1.0 and got[1].variance == 9.0
+    assert got[1].std == 3.0
+    assert got[0].min_val == 1.0 and got[0].max_val == 3.0
+    assert got[1].min_val == -1.0 and got[1].max_val == 5.0
