@@ -102,6 +102,8 @@ HEADLINE = [
     "dp_nb_lang_confusion",
     "tok_renew_decisions",
     "m9_volume_lifecycle",
+    "dp_decontaminate_spans",
+    "dp_embedding_dim_stats",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state
