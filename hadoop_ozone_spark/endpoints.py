@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_ozone_spark.operators import cdc, listing, recon, s3, scm
+from hadoop_ozone_spark.operators import cdc, listing, recon, s3, scm, security
 
 
 class OzoneAnalytics:
@@ -318,6 +318,32 @@ class OzoneAnalytics:
         (OzoneManager.resolveBucketLink; loop pairs flagged instead of
         the DETECTED_LOOP_IN_BUCKET_LINKS throw)."""
         return listing.resolve_bucket_links(buckets)
+
+    # --- security RPCs ----------------------------------------------------
+
+    def renew_delegation_tokens(
+        self, token_store: DataFrame, requests: DataFrame,
+        now_ms: int, renew_interval_ms: int = 86_400_000,
+    ) -> DataFrame:
+        """RenewDelegationToken batched as a decision plane
+        (OzoneDelegationTokenSecretManager.renewToken:285-327)."""
+        return security.renew_decisions(
+            token_store, requests, now_ms, renew_interval_ms
+        )
+
+    def cancel_delegation_tokens(
+        self, token_store: DataFrame, requests: DataFrame
+    ) -> DataFrame:
+        """CancelDelegationToken batched
+        (OzoneDelegationTokenSecretManager.cancelToken:347-396)."""
+        return security.cancel_decisions(token_store, requests)
+
+    def expired_token_sweep(
+        self, token_store: DataFrame, now_ms: int
+    ) -> DataFrame:
+        """The background removeExpiredToken pass as a per-owner rollup
+        (OzoneDelegationTokenSecretManager:594-615)."""
+        return security.expiry_sweep(token_store, now_ms)
 
     # --- CDC --------------------------------------------------------------
 

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_ozone_spark import model
+from hadoop_ozone_spark.operators import security
 
 # Fixed evaluation instant (mid driver date range, orders span
 # 1995-01-01..2001-08-01, so expired, stale and live tokens all exist
@@ -72,8 +73,11 @@ def _day_ms(col):
     return F.datediff(col, F.lit("1970-01-01")).cast("long") * DAY_MS
 
 
-def _now_ms_expr():
-    return F.datediff(F.lit(NOW_DAY), F.lit("1970-01-01")).cast("long") * DAY_MS
+def _now_ms() -> int:
+    import datetime
+
+    d = datetime.date.fromisoformat(NOW_DAY) - datetime.date(1970, 1, 1)
+    return d.days * DAY_MS
 
 
 def token_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,7 +132,6 @@ def tok_renew_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token_id + 10M for token_id % 40 == 1) that present a live claimed
     maxDate and land in the INVALID_NOT_FOUND lane."""
     store = token_store(spark, sf_dir)
-    now = _now_ms_expr()
     base = store.select(
         "token_id",
         F.concat(F.lit("rn_"), (F.col("token_id") % 7) % 3).alias("caller"),
@@ -138,28 +141,10 @@ def tok_renew_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rn_0").alias("caller"),
     )
     req = base.unionByName(phantom)
-    j = req.join(store, "token_id", "left")
-    claimed_max = F.coalesce(F.col("max_ms"), now + F.lit(DAY_MS))
-    decision = (
-        F.when(claimed_max < now, F.lit("TOKEN_EXPIRED"))
-        .when(F.col("owner").isNull(), F.lit("INVALID_NOT_FOUND"))
-        .when(F.col("renew_ms") < now, F.lit("INVALID_EXPIRED"))
-        .when(F.col("renewer") == "", F.lit("ACCESS_DENIED_NO_RENEWER"))
-        .when(F.col("renewer") != F.col("caller"),
-              F.lit("ACCESS_DENIED_RENEWER_MISMATCH"))
-        .otherwise(F.lit("RENEWED"))
-    )
-    return (
-        j.select(
-            "token_id",
-            "caller",
-            decision.alias("decision"),
-            F.when(decision == "RENEWED",
-                   F.least(F.col("max_ms"), now + F.lit(RENEW_INTERVAL_MS)))
-            .alias("new_renew_ms"),
-        )
-        .orderBy("token_id", "caller")
-    )
+    return security.renew_decisions(
+        store, req, _now_ms(), RENEW_INTERVAL_MS,
+        default_claimed_max_ms=_now_ms() + DAY_MS,
+    ).orderBy("token_id", "caller")
 
 
 TOK_RENEW_SQL = model.with_ctes(
@@ -211,21 +196,7 @@ def tok_cancel_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("self_owner").alias("caller"),
     )
     req = base.unionByName(phantom)
-    j = req.join(store, "token_id", "left")
-    owner_c = F.coalesce(F.col("owner"), F.col("caller"))
-    renewer_c = F.coalesce(F.col("renewer"), F.lit(""))
-    decision = (
-        F.when(
-            (F.col("caller") != owner_c)
-            & ((renewer_c == "") | (F.col("caller") != renewer_c)),
-            F.lit("ACCESS_DENIED"),
-        )
-        .when(F.col("owner").isNull(), F.lit("INVALID_NOT_FOUND"))
-        .otherwise(F.lit("CANCELLED"))
-    )
-    return j.select("token_id", "caller", decision.alias("decision")).orderBy(
-        "token_id", "caller"
-    )
+    return security.cancel_decisions(store, req).orderBy("token_id", "caller")
 
 
 TOK_CANCEL_SQL = model.with_ctes(
@@ -260,17 +231,7 @@ def tok_expiry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the earliest surviving renewal deadline (the next sweep's
     candidate).  Map-side combinable groupBy on owner — no window."""
     store = token_store(spark, sf_dir)
-    now = _now_ms_expr()
-    swept = F.col("renew_ms") < now
-    return (
-        store.groupBy("owner")
-        .agg(
-            F.sum(swept.cast("long")).alias("swept_cnt"),
-            F.sum((~swept).cast("long")).alias("live_cnt"),
-            F.min(F.when(~swept, F.col("renew_ms"))).alias("next_deadline_ms"),
-        )
-        .orderBy("owner")
-    )
+    return security.expiry_sweep(store, _now_ms()).orderBy("owner")
 
 
 TOK_SWEEP_SQL = model.with_ctes(
