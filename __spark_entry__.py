@@ -815,6 +815,7 @@ NEXT_WINDOW: list[str] = [
     "dp_decontaminate_spans",
     "dp_embedding_dim_stats",
     "dp_embedding_norms",
+    "dn1_block_deletion_plan",
 ]
 
 

@@ -1575,3 +1575,48 @@ def balancer_moves(
         "source_rack",
         "target_rack",
     ).orderBy("container_id")
+
+
+def dn_block_deletion_plan(
+    candidates: DataFrame, block_limit_per_interval: int
+) -> DataFrame:
+    """Datanode BlockDeletingService interval plan — the TopN ordered
+    choosing policy under the per-interval block budget
+    (container-service/.../background/BlockDeletingService.java:140-188
+    service scan + isDeletionAllowed closed-only gate;
+    TopNOrderedContainerDeletionChoosingPolicy.java:47-85: sort by
+    pending-deletion count descending, walk greedily, the LAST chosen
+    container takes only the remaining budget — "there is no empty
+    container in this result").
+
+    ``candidates``: (datanode_id, container_id, pending) — closed
+    containers with pending > 0 on each datanode.  The reference's
+    equal-pending order is HashMap-iteration arbitrary; determinized
+    to container_id ascending (the BM1 precedent: a repo-defined total
+    order documented as the oracle of record).
+
+    Scale shape: one window per datanode_id over its candidate set —
+    the same per-node prefix-sum budget family as balancer_moves; no
+    global sort, no cross-node shuffle beyond the datanode_id key.
+    """
+    w = Window.partitionBy("datanode_id").orderBy(
+        F.desc("pending"), F.asc("container_id")
+    )
+    cum_prev = F.coalesce(
+        F.sum("pending").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        candidates.select(
+            "datanode_id",
+            "container_id",
+            "pending",
+            F.least(
+                F.col("pending"), F.lit(block_limit_per_interval) - cum_prev
+            ).alias("num_blocks_to_delete"),
+        )
+        .filter(F.col("num_blocks_to_delete") > 0)
+        .orderBy("datanode_id", F.desc("pending"), "container_id")
+    )

@@ -1333,3 +1333,68 @@ FROM b2_class""",
 
 QUERIES["b2_balancer_summary"] = b2_balancer_summary
 ORACLES["b2_balancer_summary"] = B2_SQL
+
+
+# --- DN1: datanode block-deleting service plan (round 7) -------------------
+
+DN1_BLOCK_LIMIT = 100
+
+
+def dn1_block_deletion_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-datanode BlockDeletingService interval plan (operators/scm.py
+    dn_block_deletion_plan): candidates = CLOSED containers (the
+    isDeletionAllowed gate) holding pending deletion blocks (D2's
+    deleted-block txn plane, retry_count >= 0 — failed txns at -1 are
+    the D2 report's concern, not the datanode's work queue) on each of
+    their replica datanodes; TopN by pending under a 100-block interval
+    budget, the last pick clamped to the remainder."""
+    txns = model.deleted_block_txns(spark, sf_dir)
+    pending = (
+        txns.filter(F.col("retry_count") >= 0)
+        .groupBy("container_id")
+        .agg(F.sum("block_count").alias("pending"))
+    )
+    closed = model.rm_container_details(spark, sf_dir).filter(
+        F.col("state") == "CLOSED"
+    ).select("container_id")
+    cands = (
+        model.container_replicas(spark, sf_dir)
+        .join(F.broadcast(closed), "container_id")
+        .join(pending, "container_id")
+        .select("datanode_id", "container_id", "pending")
+    )
+    return scm.dn_block_deletion_plan(cands, DN1_BLOCK_LIMIT)
+
+
+DN1_SQL = model.with_ctes(
+    model.DELETED_BLOCK_TXNS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    model.RM_CONTAINER_DETAILS_CTE,
+    """dn1_pending AS (
+  SELECT container_id, CAST(SUM(block_count) AS BIGINT) AS pending
+  FROM deleted_block_txns WHERE retry_count >= 0 GROUP BY container_id
+)""",
+    """dn1_cands AS (
+  SELECT r.datanode_id, r.container_id, p.pending
+  FROM container_replicas r
+  JOIN rm_container_details d
+    ON d.container_id = r.container_id AND d.state = 'CLOSED'
+  JOIN dn1_pending p ON p.container_id = r.container_id
+)""",
+    """dn1_plan AS (
+  SELECT datanode_id, container_id, pending,
+         CAST(least(pending,
+               100 - COALESCE(SUM(pending) OVER (
+                 PARTITION BY datanode_id
+                 ORDER BY pending DESC, container_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+           AS BIGINT) AS num_blocks_to_delete
+  FROM dn1_cands
+)""",
+    body="""SELECT datanode_id, container_id, pending, num_blocks_to_delete
+FROM dn1_plan WHERE num_blocks_to_delete > 0
+ORDER BY datanode_id, pending DESC, container_id""",
+)
+
+QUERIES["dn1_block_deletion_plan"] = dn1_block_deletion_plan
+ORACLES["dn1_block_deletion_plan"] = DN1_SQL

@@ -312,3 +312,37 @@ def test_decommission_zero_container_node_reports_complete(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.datanode_id, r.container_count, r.can_complete) == (1, 0, True)
+
+
+def test_dn_block_deletion_plan_greedy_law(spark):
+    """TopNOrderedContainerDeletionChoosingPolicy replayed in pure
+    Python: per datanode, sort by pending desc (container asc ties),
+    take greedily under the budget, clamp the last pick, drop
+    zero-allocation containers."""
+    from hadoop_ozone_spark.operators import scm as scm_ops
+
+    rows = [
+        # dn 1: 60 + 30 + clamp(25 -> 10) = budget 100; 5 excluded
+        (1, 101, 60), (1, 102, 30), (1, 103, 25), (1, 104, 5),
+        # dn 2: a single giant container clamps to the full budget
+        (2, 201, 400),
+        # dn 3: ties on pending broken by container_id ascending
+        (3, 301, 50), (3, 302, 50), (3, 303, 50),
+    ]
+    cands = spark.createDataFrame(
+        rows, "datanode_id long, container_id long, pending long"
+    )
+    got = {
+        (r.datanode_id, r.container_id): r.num_blocks_to_delete
+        for r in scm_ops.dn_block_deletion_plan(cands, 100).collect()
+    }
+    assert got == {
+        (1, 101): 60, (1, 102): 30, (1, 103): 10,
+        (2, 201): 100,
+        (3, 301): 50, (3, 302): 50,
+    }
+    # budget conservation: no datanode exceeds the interval limit
+    per_dn: dict = {}
+    for (dn, _), n in got.items():
+        per_dn[dn] = per_dn.get(dn, 0) + n
+    assert all(v <= 100 for v in per_dn.values())
