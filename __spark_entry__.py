@@ -816,6 +816,7 @@ NEXT_WINDOW: list[str] = [
     "dp_embedding_dim_stats",
     "dp_embedding_norms",
     "dn1_block_deletion_plan",
+    "q18_large_volume_customers",
 ]
 
 

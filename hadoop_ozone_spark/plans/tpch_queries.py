@@ -860,3 +860,51 @@ ORACLES.update({
     "q11_important_parts": Q11_SQL,
     "q20_surplus_suppliers": Q20_SQL,
 })
+
+
+# --- Q18: the last missing TPC-H shape (round 7 - full 22) -----------------
+# (Q4 and Q13 shapes already live in plans/policy_queries.py.)
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total lineitem quantity exceeds 150
+    (scaled to the 1-4-lineitem driver orders), top 100 by price. The
+    HAVING aggregate runs BEFORE the customer join, so only qualifying
+    orders (a tiny set) reach the dimension — the fact shuffles once
+    on l_orderkey."""
+    li = model.load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = model.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING CAST(SUM(l_quantity) AS BIGINT) > 150
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
+"""
+
+
+QUERIES.update({
+    "q18_large_volume_customers": q18_large_volume_customers,
+})
+ORACLES.update({
+    "q18_large_volume_customers": Q18_SQL,
+})
