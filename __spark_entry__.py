@@ -817,6 +817,7 @@ NEXT_WINDOW: list[str] = [
     "dp_embedding_norms",
     "dn1_block_deletion_plan",
     "q18_large_volume_customers",
+    "m10_bucket_create",
 ]
 
 

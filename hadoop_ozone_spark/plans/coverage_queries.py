@@ -1086,3 +1086,150 @@ ORDER BY b.owner""",
 
 QUERIES["m9_user_volume_list"] = m9_user_volume_list
 ORACLES["m9_user_volume_list"] = M9_LIST_SQL
+
+
+# --- M10: bucket create ladder (round 7) -----------------------------------
+#
+# OMBucketCreateRequest.validateAndUpdateCache: volume missing →
+# VOLUME_NOT_FOUND (:190-192); bucket exists → BUCKET_ALREADY_EXISTS
+# (:196-198); then checkQuotaBytesValid (:335-381) — only when the
+# REQUESTED bucket quota is positive (<=0 returns false, no check):
+# the volume's bucket-quota sum (existing positive quotas + the
+# request) must fit the volume byte quota unless that is unlimited
+# (-1); then checkQuotaInNamespace (:319-333) — positive volume
+# namespace quota must cover usedNamespace + 1; else CREATED. The
+# check ORDER (bytes before namespace, :202 vs :215) is part of the
+# law: a request failing both reports QUOTA_BYTES_INVALID.
+#
+# Plane: m9's volumes (uid-slot grid, sf-independent), each holding
+# 1..3 buckets ('b_0'..'b_2' by (uid+slot)%3); odd buckets carry a
+# 60-byte quota, volume byte quota 100 unless uid%5==0 (-1),
+# namespace quota -1/1/5 by uid%4, request quota -1/50 by uid%2.
+
+def m10_bucket_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _m9_store(spark, sf_dir)
+    vols = store.select(
+        "volume",
+        "uid",
+        F.element_at(
+            F.array(F.lit(-1), F.lit(1), F.lit(5), F.lit(5)),
+            (F.col("uid") % 4 + 1).cast("int"),
+        ).alias("quota_ns"),
+        F.when(F.col("uid") % 5 == 0, F.lit(-1)).otherwise(F.lit(100)).alias(
+            "quota_bytes"
+        ),
+    )
+    slot_of = F.split(F.col("volume"), "_").getItem(2).cast("int")
+    n_buckets = (F.col("uid") + slot_of) % 3 + 1
+    buckets = vols.select(
+        "volume",
+        F.explode(F.sequence(F.lit(0), n_buckets - 1)).alias("b"),
+    ).select(
+        "volume",
+        F.concat(F.lit("b_"), F.col("b")).alias("bucket"),
+        F.when(F.col("b") % 2 == 1, F.lit(60)).otherwise(F.lit(-1)).alias(
+            "bkt_quota"
+        ),
+    )
+    per_vol = buckets.groupBy("volume").agg(
+        F.count(F.lit(1)).alias("used_ns"),
+        F.sum(F.when(F.col("bkt_quota") > 0, F.col("bkt_quota")).otherwise(0)).alias(
+            "quota_sum"
+        ),
+    )
+    req_quota = F.when(F.col("uid") % 2 == 0, F.lit(-1)).otherwise(F.lit(50))
+    reqs = vols.select(
+        "volume", "uid", "quota_ns", "quota_bytes"
+    ).select(
+        "*",
+        F.explode(
+            F.array(
+                F.struct(F.lit("b_new").alias("bucket"), req_quota.alias("req_qb"),
+                         F.lit(False).alias("ghost")),
+                F.struct(F.lit("b_0").alias("bucket"), req_quota.alias("req_qb"),
+                         F.lit(False).alias("ghost")),
+                F.struct(F.lit("b_new").alias("bucket"), req_quota.alias("req_qb"),
+                         F.lit(True).alias("ghost")),
+            )
+        ).alias("r"),
+    ).select(
+        F.when(F.col("r.ghost"), F.concat(F.col("volume"), F.lit("_ghost")))
+        .otherwise(F.col("volume")).alias("volume"),
+        F.col("r.bucket").alias("bucket"),
+        F.col("r.req_qb").alias("req_qb"),
+        "quota_ns", "quota_bytes",
+        F.col("r.ghost").alias("ghost"),
+    )
+    j = reqs.join(F.broadcast(per_vol), "volume", "left")
+    decision = (
+        F.when(F.col("ghost"), F.lit("VOLUME_NOT_FOUND"))
+        .when(F.col("bucket") == "b_0", F.lit("BUCKET_ALREADY_EXISTS"))
+        .when(
+            (F.col("req_qb") > 0)
+            & (F.col("quota_bytes") != -1)
+            & (F.col("quota_sum") + F.col("req_qb") > F.col("quota_bytes")),
+            F.lit("QUOTA_BYTES_INVALID"),
+        )
+        .when(
+            (F.col("quota_ns") > 0)
+            & (F.col("used_ns") + 1 > F.col("quota_ns")),
+            F.lit("QUOTA_EXCEEDED"),
+        )
+        .otherwise(F.lit("CREATED"))
+    )
+    return j.select(
+        "volume", "bucket", "req_qb", decision.alias("decision")
+    ).orderBy("volume", "bucket", "req_qb")
+
+
+M10_SQL = model.with_ctes(
+    M9_UIDS_CTE,
+    """m10_vols AS (
+  SELECT volume, uid,
+         CASE uid % 4 WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 5 END AS quota_ns,
+         CASE WHEN uid % 5 = 0 THEN -1 ELSE 100 END AS quota_bytes,
+         CAST(string_split(volume, '_')[3] AS INT) AS slot
+  FROM m9_store
+)""",
+    """m10_buckets AS (
+  SELECT volume, concat('b_', s.b) AS bucket,
+         CASE WHEN s.b % 2 = 1 THEN 60 ELSE -1 END AS bkt_quota
+  FROM m10_vols, LATERAL (
+    SELECT unnest(generate_series(0, (uid + slot) % 3)) AS b
+  ) s
+)""",
+    """m10_per_vol AS (
+  SELECT volume, count(*) AS used_ns,
+         CAST(SUM(CASE WHEN bkt_quota > 0 THEN bkt_quota ELSE 0 END) AS BIGINT)
+           AS quota_sum
+  FROM m10_buckets GROUP BY volume
+)""",
+    """m10_reqs AS (
+  SELECT CASE WHEN r.ghost THEN concat(volume, '_ghost') ELSE volume END
+           AS volume,
+         r.bucket, r.req_qb, quota_ns, quota_bytes, r.ghost
+  FROM m10_vols, LATERAL (
+    SELECT * FROM (VALUES
+      ('b_new', CASE WHEN uid % 2 = 0 THEN -1 ELSE 50 END, false),
+      ('b_0',   CASE WHEN uid % 2 = 0 THEN -1 ELSE 50 END, false),
+      ('b_new', CASE WHEN uid % 2 = 0 THEN -1 ELSE 50 END, true)
+    ) AS t(bucket, req_qb, ghost)
+  ) r
+)""",
+    body="""SELECT r.volume, r.bucket, r.req_qb,
+  CASE
+    WHEN r.ghost THEN 'VOLUME_NOT_FOUND'
+    WHEN r.bucket = 'b_0' THEN 'BUCKET_ALREADY_EXISTS'
+    WHEN r.req_qb > 0 AND r.quota_bytes <> -1
+         AND p.quota_sum + r.req_qb > r.quota_bytes
+      THEN 'QUOTA_BYTES_INVALID'
+    WHEN r.quota_ns > 0 AND p.used_ns + 1 > r.quota_ns
+      THEN 'QUOTA_EXCEEDED'
+    ELSE 'CREATED'
+  END AS decision
+FROM m10_reqs r LEFT JOIN m10_per_vol p USING (volume)
+ORDER BY r.volume, r.bucket, r.req_qb""",
+)
+
+QUERIES["m10_bucket_create"] = m10_bucket_create
+ORACLES["m10_bucket_create"] = M10_SQL

@@ -162,3 +162,40 @@ def test_m9_volume_lifecycle_laws(spark):
     assert sum(r.after_cnt for r in lst) == (
         sum(r.before_cnt for r in lst) + created - deleted
     )
+
+
+def test_m10_bucket_create_ladder(spark):
+    """Bucket-create ladder (OMBucketCreateRequest.java:190-215,
+    checkQuotaBytesValid :335-381, checkQuotaInNamespace :319-333)
+    replayed in pure Python, including the bytes-before-namespace
+    check order."""
+    from hadoop_ozone_spark.plans import coverage_queries as cq
+
+    sf = "/root/testdata/sf0.001"
+    rows = cq.m10_bucket_create(spark, sf).collect()
+    lanes = {r.decision for r in rows}
+    assert lanes == {
+        "VOLUME_NOT_FOUND", "BUCKET_ALREADY_EXISTS",
+        "QUOTA_BYTES_INVALID", "QUOTA_EXCEEDED", "CREATED",
+    }
+    store = {r.volume: r for r in cq._m9_store(spark, sf).collect()}
+    for r in rows:
+        uid = int(r.volume.split("_")[1])
+        if r.volume.endswith("_ghost"):
+            assert r.decision == "VOLUME_NOT_FOUND"
+            continue
+        slot = int(r.volume.split("_")[2])
+        assert r.volume in store
+        n_b = (uid + slot) % 3 + 1
+        quota_sum = 60 * sum(1 for b in range(n_b) if b % 2 == 1)
+        quota_bytes = -1 if uid % 5 == 0 else 100
+        quota_ns = [-1, 1, 5, 5][uid % 4]
+        if r.bucket == "b_0":
+            want = "BUCKET_ALREADY_EXISTS"
+        elif r.req_qb > 0 and quota_bytes != -1 and quota_sum + r.req_qb > quota_bytes:
+            want = "QUOTA_BYTES_INVALID"
+        elif quota_ns > 0 and n_b + 1 > quota_ns:
+            want = "QUOTA_EXCEEDED"
+        else:
+            want = "CREATED"
+        assert r.decision == want, (r, want)
