@@ -424,3 +424,50 @@ def test_dup_span_clean_plan_shape(spark, sf_dir):
     assert "InMemoryTableScan" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_token_ladder_no_smj_no_window(spark, sf_dir):
+    """The renew/cancel ladders are single equi-joins on token_id —
+    AQE-broadcast at bench scale, never a window, never a sort-merge."""
+    for name in ("tok_renew_decisions", "tok_cancel_decisions"):
+        df = entry.queries()[name](spark, sf_dir)
+        df.collect()  # let AQE finalize
+        p = plan_of(df)
+        assert "Window" not in p, name
+        assert "SortMergeJoin" not in p, name
+
+
+def test_dn1_window_keyed_by_datanode(spark, sf_dir):
+    """The block-deletion plan's prefix-sum windows are ALL keyed by
+    datanode_id (never an unpartitioned all-to-one window — Catalyst
+    may duplicate the window node for the filter branch, but every
+    instance must carry the per-node key), and the candidate joins
+    never degrade to sort-merge."""
+    df = entry.queries()["dn1_block_deletion_plan"](spark, sf_dir)
+    df.collect()
+    p = plan_of(df)
+    assert "Window" in p
+    for frag in p.split("windowspecdefinition(")[1:]:
+        assert frag.startswith("datanode_id"), frag[:80]
+    assert "SortMergeJoin" not in p
+
+
+def test_m9_m10_planes_broadcast_only(spark, sf_dir):
+    """The volume/bucket request ladders evaluate against broadcast
+    dims — no shuffle join anywhere in the decision path."""
+    for name in ("m9_volume_lifecycle", "m10_bucket_create"):
+        df = entry.queries()[name](spark, sf_dir)
+        df.collect()
+        p = plan_of(df)
+        assert "SortMergeJoin" not in p, name
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, name
+
+
+def test_nb_scoring_model_broadcasts(spark, sf_dir):
+    """The NB model/class dims ride broadcasts into the scoring pass;
+    the corpus shuffles only on the per-doc aggregate keys."""
+    df = entry.queries()["dp_nb_lang_confusion"](spark, sf_dir)
+    df.collect()
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
