@@ -818,6 +818,8 @@ NEXT_WINDOW: list[str] = [
     "dn1_block_deletion_plan",
     "q18_large_volume_customers",
     "m10_bucket_create",
+    "m11_dir_create",
+    "m12_file_create",
 ]
 
 

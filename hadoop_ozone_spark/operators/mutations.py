@@ -226,3 +226,86 @@ def trash_checkpoint_status(
         )
         .orderBy("volume", "bucket", "trash_user", "checkpoint")
     )
+
+
+# ---------------------------------------------------------------------------
+# M11/M12: the OBS-layout path walk behind createDirectory / createFile
+# (OMFileRequest.verifyFilesInPath, request/file/OMFileRequest.java:80-149).
+# ---------------------------------------------------------------------------
+
+def ancestor_walk(
+    requests: DataFrame, file_keys: DataFrame, dir_keys: DataFrame
+) -> DataFrame:
+    """Deepest-entry classification of a requested path's ancestor chain.
+
+    The reference walks the path from leaf to root, probing the keyTable
+    for a file entry then a dir entry at each level, and returns at the
+    FIRST (deepest) hit — files win depth ties because they are probed
+    first (``OMFileRequest.verifyFilesInPath``, OMFileRequest.java:80-149).
+    Levels visited before the hit, excluding the requested path itself,
+    are the "missing parents" (:139-141), later materialized by
+    ``OMDirectoryCreateRequest.getAllParentInfo`` (:250-290).
+
+    Relationally: explode each request into its (depth, ancestor-path)
+    chain and take per-request ``max(depth)`` over inner joins against
+    the file and dir entry planes:
+
+    - ``hit_depth``   deepest existing entry (0 = chain is all-fresh)
+    - ``hit_is_file`` the entry at ``hit_depth`` is a file (tie → file)
+    - ``n_missing``   ``max(n_comp - 1 - hit_depth, 0)`` — the strict
+      ancestors between the hit and the requested leaf
+
+    Scale shape: the exploded chain is |requests| × path-depth rows and
+    is the broadcast build side of both joins — the keyTable plane is
+    streamed once per probe and never shuffled; the per-request
+    aggregates are broadcast back onto the request grid.
+
+    ``requests``: (req_id, volume, bucket, path); ``file_keys`` /
+    ``dir_keys``: (volume, bucket, key) — dir entries WITHOUT the
+    trailing slash the RocksDB encoding adds.
+    """
+    comps = F.split(F.col("path"), "/")
+    anc = (
+        requests.select("req_id", "volume", "bucket", comps.alias("comps"))
+        .select(
+            "req_id",
+            "volume",
+            "bucket",
+            "comps",
+            F.explode(F.sequence(F.lit(1), F.size("comps"))).alias("depth"),
+        )
+        .select(
+            "req_id",
+            "volume",
+            "bucket",
+            "depth",
+            F.concat_ws("/", F.slice("comps", F.lit(1), F.col("depth"))).alias(
+                "anc_path"
+            ),
+        )
+    )
+
+    def deepest(entries: DataFrame, out_col: str) -> DataFrame:
+        hits = F.broadcast(anc).join(
+            entries.select("volume", "bucket", F.col("key").alias("anc_path")),
+            ["volume", "bucket", "anc_path"],
+        )
+        return hits.groupBy("req_id").agg(F.max("depth").alias(out_col))
+
+    file_d = deepest(file_keys, "file_depth")
+    dir_d = deepest(dir_keys, "dir_depth")
+    fd = F.coalesce(F.col("file_depth"), F.lit(0))
+    dd = F.coalesce(F.col("dir_depth"), F.lit(0))
+    hit = F.greatest(fd, dd)
+    n_comp = F.size(F.split(F.col("path"), "/"))
+    return (
+        requests.join(F.broadcast(file_d), "req_id", "left")
+        .join(F.broadcast(dir_d), "req_id", "left")
+        .select(
+            *requests.columns,
+            hit.alias("hit_depth"),
+            ((fd >= dd) & (fd > 0)).alias("hit_is_file"),
+            F.greatest(n_comp - 1 - hit, F.lit(0)).alias("n_missing"),
+            n_comp.alias("n_comp"),
+        )
+    )

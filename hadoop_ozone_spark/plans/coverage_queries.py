@@ -1233,3 +1233,385 @@ ORDER BY r.volume, r.bucket, r.req_qb""",
 
 QUERIES["m10_bucket_create"] = m10_bucket_create
 ORACLES["m10_bucket_create"] = M10_SQL
+
+
+# --- M11/M12: OBS createDirectory / createFile walk planes (round 7) -------
+#
+# OMDirectoryCreateRequest.validateAndUpdateCache (:125-230): empty key
+# → CANNOT_CREATE_DIRECTORY_AT_ROOT (:164-167, checked before the
+# bucket probe); missing volume/bucket → VOLUME_NOT_FOUND /
+# BUCKET_NOT_FOUND; then the verifyFilesInPath walk
+# (OMFileRequest.java:80-149): deepest FILE on the ancestor chain →
+# FILE_ALREADY_EXISTS (:186-190), dir entry AT the requested leaf →
+# DIRECTORY_ALREADY_EXISTS (:211-218); otherwise the missing parents
+# materialize under the per-txn objId budget — more than
+# MAX_NUM_OF_RECURSIVE_DIRS=255 of them → INVALID_KEY_NAME
+# (getAllParentInfo :261-275; parents take baseObjId+1.., so the 256th
+# parent overflows the budget).
+#
+# OMFileCreateRequest (:214-218; checkDirectoryResult :353-369;
+# checkAllParentsExist :378-388): empty key → NOT_A_FILE (before the
+# bucket probe); leaf FILE → FILE_ALREADY_EXISTS unless overWrite;
+# leaf DIR or mid-chain FILE → NOT_A_FILE; missing direct parent
+# without recursive → DIRECTORY_NOT_FOUND; else created (recursive
+# materializes the chain like mkdir).
+#
+# Plane: sampled om_keys rows (container %200 ∧ datanode %5 — 60 rows
+# at sf0.01, sf-proportional) × request lanes. Explicit-dir entries —
+# the OBS keyTable stores explicitly-created dirs as their own rows —
+# are the deterministic subset dirK (K even) and dirK/subJ ((K+J)%3=0)
+# of the implied tree, so every walk outcome appears in the plane.
+
+def _m11_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return model.om_keys(spark, sf_dir).filter(
+        (F.col("container_id") % 200 == 0) & (F.col("datanode_id") % 5 == 0)
+    )
+
+
+def _m11_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = model.om_keys(spark, sf_dir)
+    c = F.split(F.col("key"), "/")
+    top = (
+        keys.select("volume", "bucket", c.getItem(0).alias("key"))
+        .distinct()
+        .filter(F.substring("key", 4, 10).cast("int") % 2 == 0)
+    )
+    sub = (
+        keys.select(
+            "volume",
+            "bucket",
+            F.concat_ws("/", F.slice(c, F.lit(1), F.lit(2))).alias("key"),
+            (
+                F.substring(c.getItem(0), 4, 10).cast("int")
+                + F.substring(c.getItem(1), 4, 10).cast("int")
+            ).alias("kj"),
+        )
+        .distinct()
+        .filter(F.col("kj") % 3 == 0)
+        .select("volume", "bucket", "key")
+    )
+    return top.unionByName(sub)
+
+
+def _deep_path():
+    return F.concat_ws(
+        "/",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(257)),
+            lambda i: F.concat(F.lit("d"), i.cast("string")),
+        ),
+    )
+
+
+def _lane(name: str, vol, bkt, path) -> F.Column:
+    return F.struct(
+        F.lit(name).alias("lane"),
+        vol.alias("rvol"),
+        bkt.alias("rbkt"),
+        path.alias("path"),
+    )
+
+
+def _walk_requests(spark: SparkSession, sf_dir: str, lanes) -> DataFrame:
+    s = _m11_sample(spark, sf_dir)
+    return s.select(
+        "row_key",
+        "container_id",
+        "data_size",
+        F.explode(lanes).alias("r"),
+    ).select(
+        F.concat_ws("#", "row_key", "r.lane").alias("req_id"),
+        F.col("r.lane").alias("lane"),
+        F.col("r.rvol").alias("volume"),
+        F.col("r.rbkt").alias("bucket"),
+        F.col("r.path").alias("path"),
+        "container_id",
+        "data_size",
+    )
+
+
+def _m11_lanes():
+    vol, bkt = F.col("volume"), F.col("bucket")
+    c = F.split(F.col("key"), "/")
+    top = c.getItem(0)
+    sub = F.concat_ws("/", F.slice(c, F.lit(1), F.lit(2)))
+    uniq = F.concat_ws("_", "container_id", "datanode_id", "data_size")
+    return F.array(
+        _lane("self", vol, bkt, F.col("key")),
+        _lane("under_file", vol, bkt, F.concat(F.col("key"), F.lit("/x"))),
+        _lane("top", vol, bkt, top),
+        _lane("fresh", vol, bkt, F.concat(sub, F.lit("/nd_"), uniq)),
+        _lane("ghost_vol", F.concat(vol, F.lit("_ghost")), bkt, top),
+        _lane("ghost_bkt", vol, F.concat(bkt, F.lit("_ghost")), top),
+        _lane("root", vol, bkt, F.lit("")),
+        _lane("deep", vol, bkt, _deep_path()),
+    )
+
+
+def m11_dir_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: the createDirectory decision plane over the walked chain."""
+    reqs = _walk_requests(spark, sf_dir, _m11_lanes()).drop(
+        "container_id", "data_size"
+    )
+    keys = model.om_keys(spark, sf_dir).select("volume", "bucket", "key")
+    walked = mutations.ancestor_walk(reqs, keys, _m11_dirs(spark, sf_dir))
+    decision = (
+        F.when(F.col("lane") == "root", F.lit("CANNOT_CREATE_DIRECTORY_AT_ROOT"))
+        .when(F.col("lane") == "ghost_vol", F.lit("VOLUME_NOT_FOUND"))
+        .when(F.col("lane") == "ghost_bkt", F.lit("BUCKET_NOT_FOUND"))
+        .when(F.col("hit_is_file"), F.lit("FILE_ALREADY_EXISTS"))
+        .when(
+            (~F.col("hit_is_file"))
+            & (F.col("hit_depth") > 0)
+            & (F.col("hit_depth") == F.col("n_comp")),
+            F.lit("DIRECTORY_ALREADY_EXISTS"),
+        )
+        .when(F.col("n_missing") > 255, F.lit("INVALID_KEY_NAME"))
+        .otherwise(F.lit("CREATED"))
+    )
+    return (
+        walked.select(
+            "req_id",
+            "lane",
+            "volume",
+            "bucket",
+            "path",
+            decision.alias("decision"),
+            F.when(decision == "CREATED", F.col("n_missing"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("created_parents"),
+        )
+        .orderBy("req_id")
+    )
+
+
+def _m12_lanes():
+    vol, bkt = F.col("volume"), F.col("bucket")
+    c = F.split(F.col("key"), "/")
+    top = c.getItem(0)
+    sub = F.concat_ws("/", F.slice(c, F.lit(1), F.lit(2)))
+    uniq = F.concat_ws("_", "container_id", "datanode_id", "data_size")
+    fresh = F.concat(sub, F.lit("/nf_"), uniq)
+    return F.array(
+        _lane("self", vol, bkt, F.col("key")),
+        _lane("under_file", vol, bkt, F.concat(F.col("key"), F.lit("/x"))),
+        _lane("dir_target", vol, bkt, top),
+        _lane("fresh", vol, bkt, fresh),
+        _lane("fresh_deep", vol, bkt, F.concat(fresh, F.lit("/leaf"))),
+        _lane("ghost_vol", F.concat(vol, F.lit("_ghost")), bkt, top),
+        _lane("ghost_bkt", vol, F.concat(bkt, F.lit("_ghost")), top),
+        _lane("empty", vol, bkt, F.lit("")),
+    )
+
+
+def m12_file_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12: the createFile decision plane (overWrite/recursive flags)."""
+    reqs = _walk_requests(spark, sf_dir, _m12_lanes()).select(
+        "req_id",
+        "lane",
+        "volume",
+        "bucket",
+        "path",
+        (F.col("container_id") % 400 == 0).alias("overwrite"),
+        (F.col("data_size") % 2 == 0).alias("recursive"),
+    )
+    keys = model.om_keys(spark, sf_dir).select("volume", "bucket", "key")
+    walked = mutations.ancestor_walk(reqs, keys, _m11_dirs(spark, sf_dir))
+    leaf_file = F.col("hit_is_file") & (F.col("hit_depth") == F.col("n_comp"))
+    decision = (
+        F.when(F.col("lane") == "empty", F.lit("NOT_A_FILE"))
+        .when(F.col("lane") == "ghost_vol", F.lit("VOLUME_NOT_FOUND"))
+        .when(F.col("lane") == "ghost_bkt", F.lit("BUCKET_NOT_FOUND"))
+        .when(leaf_file & F.col("overwrite"), F.lit("OVERWRITTEN"))
+        .when(leaf_file, F.lit("FILE_ALREADY_EXISTS"))
+        .when(F.col("hit_is_file"), F.lit("NOT_A_FILE"))
+        .when(
+            (F.col("hit_depth") > 0) & (F.col("hit_depth") == F.col("n_comp")),
+            F.lit("NOT_A_FILE"),
+        )
+        .when(
+            (F.col("n_missing") > 0) & (~F.col("recursive")),
+            F.lit("DIRECTORY_NOT_FOUND"),
+        )
+        .otherwise(F.lit("CREATED"))
+    )
+    created = decision.isin("CREATED", "OVERWRITTEN")
+    return (
+        walked.select(
+            "req_id",
+            "lane",
+            "volume",
+            "bucket",
+            "path",
+            "overwrite",
+            "recursive",
+            decision.alias("decision"),
+            F.when(created, F.col("n_missing"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("created_parents"),
+        )
+        .orderBy("req_id")
+    )
+
+
+_M11_SAMPLE_CTE = """m11_sample AS (
+  SELECT * FROM om_keys
+  WHERE container_id % 200 = 0 AND datanode_id % 5 = 0
+)"""
+
+_M11_DIRS_CTE = """m11_dirs AS (
+  SELECT DISTINCT volume, bucket, string_split(key, '/')[1] AS key
+  FROM om_keys
+  WHERE CAST(substr(string_split(key, '/')[1], 4) AS INT) % 2 = 0
+  UNION ALL
+  SELECT DISTINCT volume, bucket,
+         array_to_string((string_split(key, '/'))[1:2], '/') AS key
+  FROM om_keys
+  WHERE (CAST(substr(string_split(key, '/')[1], 4) AS INT)
+       + CAST(substr(string_split(key, '/')[2], 4) AS INT)) % 3 = 0
+)"""
+
+_DEEP_PATH_SQL = (
+    "array_to_string(list_transform(generate_series(1, 257), i -> 'd' || i), '/')"
+)
+
+
+def _walk_ctes(reqs_cte: str) -> list[str]:
+    """anc/walk CTEs shared by the M11 and M12 oracles (the reqs CTE
+    must expose req_id, lane, volume, bucket, path)."""
+    return [
+        reqs_cte,
+        """walk_anc AS (
+  SELECT req_id, volume, bucket, d.depth,
+         array_to_string((string_split(path, '/'))[1:d.depth], '/') AS anc_path
+  FROM walk_reqs, LATERAL (
+    SELECT unnest(generate_series(1, len(string_split(path, '/')))) AS depth
+  ) d
+)""",
+        """walk AS (
+  SELECT r.*,
+         GREATEST(COALESCE(f.fd, 0), COALESCE(dd.dd, 0)) AS hit_depth,
+         (COALESCE(f.fd, 0) >= COALESCE(dd.dd, 0)
+          AND COALESCE(f.fd, 0) > 0) AS hit_is_file,
+         GREATEST(len(string_split(r.path, '/')) - 1
+                  - GREATEST(COALESCE(f.fd, 0), COALESCE(dd.dd, 0)), 0)
+           AS n_missing,
+         len(string_split(r.path, '/')) AS n_comp
+  FROM walk_reqs r
+  LEFT JOIN (SELECT a.req_id, max(a.depth) AS fd FROM walk_anc a
+             JOIN om_keys k ON k.volume = a.volume AND k.bucket = a.bucket
+                           AND k.key = a.anc_path
+             GROUP BY a.req_id) f USING (req_id)
+  LEFT JOIN (SELECT a.req_id, max(a.depth) AS dd FROM walk_anc a
+             JOIN m11_dirs k ON k.volume = a.volume AND k.bucket = a.bucket
+                            AND k.key = a.anc_path
+             GROUP BY a.req_id) dd USING (req_id)
+)""",
+    ]
+
+
+_M11_REQS_CTE = f"""walk_reqs AS (
+  SELECT concat(row_key, '#', r.lane) AS req_id, r.lane,
+         r.rvol AS volume, r.rbkt AS bucket, r.path
+  FROM m11_sample s, LATERAL (
+    SELECT * FROM (VALUES
+      ('self',       s.volume, s.bucket, s.key),
+      ('under_file', s.volume, s.bucket, concat(s.key, '/x')),
+      ('top',        s.volume, s.bucket, string_split(s.key, '/')[1]),
+      ('fresh',      s.volume, s.bucket,
+         concat(array_to_string((string_split(s.key, '/'))[1:2], '/'),
+                '/nd_', s.container_id, '_', s.datanode_id, '_', s.data_size)),
+      ('ghost_vol',  concat(s.volume, '_ghost'), s.bucket,
+         string_split(s.key, '/')[1]),
+      ('ghost_bkt',  s.volume, concat(s.bucket, '_ghost'),
+         string_split(s.key, '/')[1]),
+      ('root',       s.volume, s.bucket, ''),
+      ('deep',       s.volume, s.bucket, {_DEEP_PATH_SQL})
+    ) AS t(lane, rvol, rbkt, path)
+  ) r
+)"""
+
+M11_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    _M11_SAMPLE_CTE,
+    _M11_DIRS_CTE,
+    *_walk_ctes(_M11_REQS_CTE),
+    body="""SELECT req_id, lane, volume, bucket, path,
+  decision,
+  CAST(CASE WHEN decision = 'CREATED' THEN n_missing ELSE 0 END AS BIGINT)
+    AS created_parents
+FROM (
+  SELECT *,
+    CASE
+      WHEN lane = 'root' THEN 'CANNOT_CREATE_DIRECTORY_AT_ROOT'
+      WHEN lane = 'ghost_vol' THEN 'VOLUME_NOT_FOUND'
+      WHEN lane = 'ghost_bkt' THEN 'BUCKET_NOT_FOUND'
+      WHEN hit_is_file THEN 'FILE_ALREADY_EXISTS'
+      WHEN NOT hit_is_file AND hit_depth > 0 AND hit_depth = n_comp
+        THEN 'DIRECTORY_ALREADY_EXISTS'
+      WHEN n_missing > 255 THEN 'INVALID_KEY_NAME'
+      ELSE 'CREATED'
+    END AS decision
+  FROM walk
+) ORDER BY req_id""",
+)
+
+_M12_REQS_CTE = """walk_reqs AS (
+  SELECT concat(row_key, '#', r.lane) AS req_id, r.lane,
+         r.rvol AS volume, r.rbkt AS bucket, r.path,
+         s.container_id % 400 = 0 AS overwrite,
+         s.data_size % 2 = 0 AS recursive
+  FROM m11_sample s, LATERAL (
+    SELECT * FROM (VALUES
+      ('self',       s.volume, s.bucket, s.key),
+      ('under_file', s.volume, s.bucket, concat(s.key, '/x')),
+      ('dir_target', s.volume, s.bucket, string_split(s.key, '/')[1]),
+      ('fresh',      s.volume, s.bucket,
+         concat(array_to_string((string_split(s.key, '/'))[1:2], '/'),
+                '/nf_', s.container_id, '_', s.datanode_id, '_', s.data_size)),
+      ('fresh_deep', s.volume, s.bucket,
+         concat(array_to_string((string_split(s.key, '/'))[1:2], '/'),
+                '/nf_', s.container_id, '_', s.datanode_id, '_', s.data_size,
+                '/leaf')),
+      ('ghost_vol',  concat(s.volume, '_ghost'), s.bucket,
+         string_split(s.key, '/')[1]),
+      ('ghost_bkt',  s.volume, concat(s.bucket, '_ghost'),
+         string_split(s.key, '/')[1]),
+      ('empty',      s.volume, s.bucket, '')
+    ) AS t(lane, rvol, rbkt, path)
+  ) r
+)"""
+
+M12_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    _M11_SAMPLE_CTE,
+    _M11_DIRS_CTE,
+    *_walk_ctes(_M12_REQS_CTE),
+    body="""SELECT req_id, lane, volume, bucket, path, overwrite, recursive,
+  decision,
+  CAST(CASE WHEN decision IN ('CREATED', 'OVERWRITTEN') THEN n_missing
+            ELSE 0 END AS BIGINT) AS created_parents
+FROM (
+  SELECT *,
+    CASE
+      WHEN lane = 'empty' THEN 'NOT_A_FILE'
+      WHEN lane = 'ghost_vol' THEN 'VOLUME_NOT_FOUND'
+      WHEN lane = 'ghost_bkt' THEN 'BUCKET_NOT_FOUND'
+      WHEN hit_is_file AND hit_depth = n_comp AND overwrite
+        THEN 'OVERWRITTEN'
+      WHEN hit_is_file AND hit_depth = n_comp THEN 'FILE_ALREADY_EXISTS'
+      WHEN hit_is_file THEN 'NOT_A_FILE'
+      WHEN hit_depth > 0 AND hit_depth = n_comp THEN 'NOT_A_FILE'
+      WHEN n_missing > 0 AND NOT recursive THEN 'DIRECTORY_NOT_FOUND'
+      ELSE 'CREATED'
+    END AS decision
+  FROM walk
+) ORDER BY req_id""",
+)
+
+QUERIES["m11_dir_create"] = m11_dir_create
+ORACLES["m11_dir_create"] = M11_SQL
+QUERIES["m12_file_create"] = m12_file_create
+ORACLES["m12_file_create"] = M12_SQL

@@ -199,3 +199,137 @@ def test_m10_bucket_create_ladder(spark):
         else:
             want = "CREATED"
         assert r.decision == want, (r, want)
+
+
+# --- M11/M12: ancestor walk + create ladders (round 7) ---------------------
+
+
+def _walk_frames(spark):
+    files = spark.createDataFrame(
+        [("v", "b", "a/b/f"), ("v", "b", "t")], ["volume", "bucket", "key"]
+    )
+    dirs = spark.createDataFrame(
+        [("v", "b", "a"), ("v", "b", "a/b"), ("v", "b", "x"), ("v", "b", "t")],
+        ["volume", "bucket", "key"],
+    )
+    return files, dirs
+
+
+def test_ancestor_walk_classification(spark):
+    """The deepest entry wins; files win depth ties; missing parents are
+    the strict ancestors between hit and leaf (OMFileRequest.java:80-149)."""
+    from hadoop_ozone_spark.operators.mutations import ancestor_walk
+
+    files, dirs = _walk_frames(spark)
+    reqs = spark.createDataFrame(
+        [
+            ("r1", "v", "b", "a/b/f"),      # leaf file
+            ("r2", "v", "b", "a/b/f/c"),    # file mid-chain
+            ("r3", "v", "b", "a/b"),        # leaf dir
+            ("r4", "v", "b", "a/b/c/d"),    # dir at depth 2, 1 missing
+            ("r5", "v", "b", "z/y/w"),      # all fresh, 2 missing
+            ("r6", "v", "b", "x"),          # top-level dir hit
+            ("r7", "v", "b", "t"),          # file AND dir at leaf: file wins
+            ("r8", "v2", "b", "a/b"),       # other volume: no hits
+        ],
+        ["req_id", "volume", "bucket", "path"],
+    )
+    got = {
+        r.req_id: (r.hit_depth, r.hit_is_file, r.n_missing)
+        for r in ancestor_walk(reqs, files, dirs).collect()
+    }
+    assert got == {
+        "r1": (3, True, 0),
+        "r2": (3, True, 0),
+        "r3": (2, False, 0),
+        "r4": (2, False, 1),
+        "r5": (0, False, 2),
+        "r6": (1, False, 0),
+        "r7": (1, True, 0),
+        "r8": (0, False, 1),
+    }
+
+
+def _kj(path):
+    parts = path.split("/")
+    k = int(parts[0][3:])
+    j = int(parts[1][3:]) if len(parts) > 1 and parts[1].startswith("sub") else None
+    return k, j
+
+
+def test_m11_dir_create_lane_outcomes(spark, sf_dir):
+    """Pure-Python replay of the mkdir ladder per lane
+    (OMDirectoryCreateRequest.java:125-230, :261-275)."""
+    from hadoop_ozone_spark.plans.coverage_queries import m11_dir_create
+
+    rows = m11_dir_create(spark, sf_dir).collect()
+    assert rows
+    lanes = {r.lane for r in rows}
+    assert lanes == {
+        "self", "under_file", "top", "fresh", "ghost_vol", "ghost_bkt",
+        "root", "deep",
+    }
+    for r in rows:
+        if r.lane == "root":
+            want, parents = "CANNOT_CREATE_DIRECTORY_AT_ROOT", 0
+        elif r.lane == "ghost_vol":
+            want, parents = "VOLUME_NOT_FOUND", 0
+        elif r.lane == "ghost_bkt":
+            want, parents = "BUCKET_NOT_FOUND", 0
+        elif r.lane in ("self", "under_file"):
+            want, parents = "FILE_ALREADY_EXISTS", 0
+        elif r.lane == "deep":
+            want, parents = "INVALID_KEY_NAME", 0  # 256 missing > 255
+        elif r.lane == "top":
+            k, _ = _kj(r.path)
+            want = "DIRECTORY_ALREADY_EXISTS" if k % 2 == 0 else "CREATED"
+            parents = 0
+        else:  # fresh: dirK/subJ/nd_*
+            k, j = _kj(r.path)
+            want = "CREATED"
+            parents = 0 if (k + j) % 3 == 0 else (1 if k % 2 == 0 else 2)
+        assert (r.decision, r.created_parents) == (want, parents), r
+
+
+def test_m12_file_create_lane_outcomes(spark, sf_dir):
+    """Pure-Python replay of the createFile ladder with the
+    overWrite/recursive flags (OMFileCreateRequest.java:214-218,
+    :353-369, :378-388)."""
+    from hadoop_ozone_spark.plans.coverage_queries import m12_file_create
+
+    rows = m12_file_create(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        if r.lane == "empty":
+            want, parents = "NOT_A_FILE", 0
+        elif r.lane == "ghost_vol":
+            want, parents = "VOLUME_NOT_FOUND", 0
+        elif r.lane == "ghost_bkt":
+            want, parents = "BUCKET_NOT_FOUND", 0
+        elif r.lane == "self":
+            want = "OVERWRITTEN" if r.overwrite else "FILE_ALREADY_EXISTS"
+            parents = 0
+        elif r.lane == "under_file":
+            want, parents = "NOT_A_FILE", 0
+        elif r.lane == "dir_target":
+            k, _ = _kj(r.path)
+            want = "NOT_A_FILE" if k % 2 == 0 else "CREATED"
+            parents = 0
+        else:  # fresh / fresh_deep under dirK/subJ
+            k, j = _kj(r.path)
+            missing = 0 if (k + j) % 3 == 0 else (1 if k % 2 == 0 else 2)
+            if r.lane == "fresh_deep":
+                missing += 1
+            if missing == 0:
+                want, parents = "CREATED", 0
+            elif r.recursive:
+                want, parents = "CREATED", missing
+            else:
+                want, parents = "DIRECTORY_NOT_FOUND", 0
+        seen.add((r.lane, r.decision))
+        assert (r.decision, r.created_parents) == (want, parents), r
+    # the flag plane actually exercises both flag branches
+    decisions = {d for _, d in seen}
+    assert "DIRECTORY_NOT_FOUND" in decisions
+    assert "CREATED" in decisions

@@ -382,6 +382,14 @@ def vecs_probe(n_vecs: int, dims: int = 64, k: int = 50) -> None:
         t0 = time.time()
         exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, query, k=k).collect()]
         out["timings_sec"]["brute_topk"] = round(time.time() - t0, 2)
+        # embedding-table QC: per-dim moments + norm histogram (map-side
+        # passes — should stay linear with n_vecs)
+        t0 = time.time()
+        similarity.embedding_dim_stats(emb, dims=dims).collect()
+        out["timings_sec"]["dim_stats"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        similarity.embedding_norm_profile(emb).collect()
+        out["timings_sec"]["norm_profile"] = round(time.time() - t0, 2)
         for radius in (0, 1, 2):
             t0 = time.time()
             approx = [
