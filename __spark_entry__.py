@@ -820,6 +820,7 @@ NEXT_WINDOW: list[str] = [
     "m10_bucket_create",
     "m11_dir_create",
     "m12_file_create",
+    "m13_bucket_set_property",
 ]
 
 

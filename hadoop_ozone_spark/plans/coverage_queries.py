@@ -1615,3 +1615,156 @@ QUERIES["m11_dir_create"] = m11_dir_create
 ORACLES["m11_dir_create"] = M11_SQL
 QUERIES["m12_file_create"] = m12_file_create
 ORACLES["m12_file_create"] = M12_SQL
+
+
+# --- M13: bucket setProperty ladder (round 7) ------------------------------
+#
+# OMBucketSetPropertyRequest.validateAndUpdateCache (:128-190): bucket
+# missing → BUCKET_NOT_FOUND (:135-136); checkQuotaBytesValid
+# (:247-288) — clearing the bucket byte quota (-1) while the VOLUME
+# byte quota is set → QUOTA_ERROR (:252-257); quota <-1 or absent (0)
+# → keep the stored value (:259-261); a positive request must fit the
+# volume byte quota against the OTHER buckets' positive-quota sum
+# (:263-286, strict `<` — equality fits); checkQuotaNamespaceValid
+# (:289-297) — <-1 or 0 keeps, anything else (incl. -1 clear)
+# applies. storageType / versioning apply iff present in the request
+# (:147-166); any quota exception aborts the whole request, so error
+# rows keep every stored value. Store: the m10 bucket grid (target
+# b_0 carries quota -1, namespace quota -1, versioning off, DISK).
+
+def m13_bucket_set_property(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _m9_store(spark, sf_dir)
+    slot_of = F.split(F.col("volume"), "_").getItem(2).cast("int")
+    vols = store.select(
+        "volume",
+        "uid",
+        F.when(F.col("uid") % 5 == 0, F.lit(-1)).otherwise(F.lit(100)).alias(
+            "vol_qb"
+        ),
+        slot_of.alias("slot"),
+    )
+    n_buckets = (F.col("uid") + F.col("slot")) % 3 + 1
+    buckets = vols.select(
+        "volume", F.explode(F.sequence(F.lit(0), n_buckets - 1)).alias("b")
+    ).select(
+        "volume",
+        F.when(F.col("b") % 2 == 1, F.lit(60)).otherwise(F.lit(-1)).alias(
+            "bkt_quota"
+        ),
+    )
+    per_vol = buckets.groupBy("volume").agg(
+        F.sum(
+            F.when(F.col("bkt_quota") > 0, F.col("bkt_quota")).otherwise(0)
+        ).alias("other_quota_sum")  # target b_0 holds -1, contributes 0
+    )
+    req_qb = F.element_at(
+        F.array(F.lit(-1), F.lit(0), F.lit(50), F.lit(200)),
+        (F.col("uid") % 4 + 1).cast("int"),
+    )
+    req_qns = F.element_at(
+        F.array(F.lit(-1), F.lit(0), F.lit(7)), (F.col("uid") % 3 + 1).cast("int")
+    )
+    reqs = vols.select(
+        "volume",
+        "uid",
+        "vol_qb",
+        F.explode(F.array(F.lit("b_0"), F.lit("b_ghost"))).alias("bucket"),
+        req_qb.alias("req_qb"),
+        req_qns.alias("req_qns"),
+        (F.col("uid") % 2 == 0).alias("set_vers"),
+        (F.col("uid") % 3 == 0).alias("set_storage"),
+    )
+    j = reqs.join(F.broadcast(per_vol), "volume", "left")
+    decision = (
+        F.when(F.col("bucket") == "b_ghost", F.lit("BUCKET_NOT_FOUND"))
+        .when(
+            (F.col("req_qb") == -1) & (F.col("vol_qb") != -1),
+            F.lit("QUOTA_ERROR"),
+        )
+        .when(
+            (F.col("req_qb") > 0)
+            & (F.col("vol_qb") != -1)
+            & (F.col("other_quota_sum") + F.col("req_qb") > F.col("vol_qb")),
+            F.lit("QUOTA_BYTES_INVALID"),
+        )
+        .otherwise(F.lit("SET"))
+    )
+    applied = decision == "SET"
+    qb_applies = (F.col("req_qb") > 0) | (
+        (F.col("req_qb") == -1) & (F.col("vol_qb") == -1)
+    )
+    qns_applies = (F.col("req_qns") >= -1) & (F.col("req_qns") != 0)
+    return j.select(
+        "volume",
+        "bucket",
+        F.col("req_qb").cast("long").alias("req_qb"),
+        F.col("req_qns").cast("long").alias("req_qns"),
+        decision.alias("decision"),
+        F.when(applied & qb_applies, F.col("req_qb"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("qb_after"),
+        F.when(applied & qns_applies, F.col("req_qns"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("qns_after"),
+        (applied & F.col("set_vers")).alias("versioning_after"),
+        F.when(applied & F.col("set_storage"), F.lit("SSD"))
+        .otherwise(F.lit("DISK"))
+        .alias("storage_after"),
+    ).orderBy("volume", "bucket")
+
+
+M13_SQL = model.with_ctes(
+    M9_UIDS_CTE,
+    """m13_vols AS (
+  SELECT volume, uid,
+         CASE WHEN uid % 5 = 0 THEN -1 ELSE 100 END AS vol_qb,
+         CAST(string_split(volume, '_')[3] AS INT) AS slot
+  FROM m9_store
+)""",
+    """m13_per_vol AS (
+  SELECT volume,
+         CAST(SUM(CASE WHEN s.b % 2 = 1 THEN 60 ELSE 0 END) AS BIGINT)
+           AS other_quota_sum
+  FROM m13_vols, LATERAL (
+    SELECT unnest(generate_series(0, (uid + slot) % 3)) AS b
+  ) s
+  GROUP BY volume
+)""",
+    """m13_reqs AS (
+  SELECT volume, uid, vol_qb, t.bucket,
+         CASE uid % 4 WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 2 THEN 50
+              ELSE 200 END AS req_qb,
+         CASE uid % 3 WHEN 0 THEN -1 WHEN 1 THEN 0 ELSE 7 END AS req_qns,
+         uid % 2 = 0 AS set_vers,
+         uid % 3 = 0 AS set_storage
+  FROM m13_vols, LATERAL (VALUES ('b_0'), ('b_ghost')) AS t(bucket)
+)""",
+    body="""SELECT volume, bucket,
+  CAST(req_qb AS BIGINT) AS req_qb, CAST(req_qns AS BIGINT) AS req_qns,
+  decision,
+  CAST(CASE WHEN decision = 'SET'
+             AND (req_qb > 0 OR (req_qb = -1 AND vol_qb = -1))
+        THEN req_qb ELSE -1 END AS BIGINT) AS qb_after,
+  CAST(CASE WHEN decision = 'SET' AND req_qns >= -1 AND req_qns <> 0
+        THEN req_qns ELSE -1 END AS BIGINT) AS qns_after,
+  decision = 'SET' AND set_vers AS versioning_after,
+  CASE WHEN decision = 'SET' AND set_storage THEN 'SSD' ELSE 'DISK' END
+    AS storage_after
+FROM (
+  SELECT r.*, p.other_quota_sum,
+    CASE
+      WHEN r.bucket = 'b_ghost' THEN 'BUCKET_NOT_FOUND'
+      WHEN r.req_qb = -1 AND r.vol_qb <> -1 THEN 'QUOTA_ERROR'
+      WHEN r.req_qb > 0 AND r.vol_qb <> -1
+           AND p.other_quota_sum + r.req_qb > r.vol_qb
+        THEN 'QUOTA_BYTES_INVALID'
+      ELSE 'SET'
+    END AS decision
+  FROM m13_reqs r LEFT JOIN m13_per_vol p USING (volume)
+) ORDER BY volume, bucket""",
+)
+
+QUERIES["m13_bucket_set_property"] = m13_bucket_set_property
+ORACLES["m13_bucket_set_property"] = M13_SQL

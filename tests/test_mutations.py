@@ -333,3 +333,41 @@ def test_m12_file_create_lane_outcomes(spark, sf_dir):
     decisions = {d for _, d in seen}
     assert "DIRECTORY_NOT_FOUND" in decisions
     assert "CREATED" in decisions
+
+
+def test_m13_bucket_set_property_replay(spark, sf_dir):
+    """Pure-Python replay of the setBucketProperty ladder
+    (OMBucketSetPropertyRequest.java:128-190, :247-297)."""
+    from hadoop_ozone_spark.plans.coverage_queries import m13_bucket_set_property
+
+    rows = m13_bucket_set_property(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        uid = int(r.volume.split("_")[1])
+        slot = int(r.volume.split("_")[2])
+        vol_qb = -1 if uid % 5 == 0 else 100
+        n_b = (uid + slot) % 3 + 1
+        others = 60 * sum(1 for b in range(n_b) if b % 2 == 1)
+        req_qb = [-1, 0, 50, 200][uid % 4]
+        req_qns = [-1, 0, 7][uid % 3]
+        if r.bucket == "b_ghost":
+            want = "BUCKET_NOT_FOUND"
+        elif req_qb == -1 and vol_qb != -1:
+            want = "QUOTA_ERROR"
+        elif req_qb > 0 and vol_qb != -1 and others + req_qb > vol_qb:
+            want = "QUOTA_BYTES_INVALID"
+        else:
+            want = "SET"
+        assert r.decision == want, (r, want)
+        if want == "SET":
+            assert r.qb_after == (
+                req_qb if (req_qb > 0 or (req_qb == -1 and vol_qb == -1)) else -1
+            )
+            assert r.qns_after == (req_qns if req_qns != 0 else -1)
+            assert r.versioning_after == (uid % 2 == 0)
+            assert r.storage_after == ("SSD" if uid % 3 == 0 else "DISK")
+        else:
+            assert (r.qb_after, r.qns_after, r.versioning_after,
+                    r.storage_after) == (-1, -1, False, "DISK")
+    decisions = {r.decision for r in rows}
+    assert {"BUCKET_NOT_FOUND", "QUOTA_ERROR", "SET"} <= decisions
