@@ -821,6 +821,8 @@ NEXT_WINDOW: list[str] = [
     "m11_dir_create",
     "m12_file_create",
     "m13_bucket_set_property",
+    "m14_bulk_rename",
+    "m15_bulk_delete",
 ]
 
 

@@ -1768,3 +1768,265 @@ FROM (
 
 QUERIES["m13_bucket_set_property"] = m13_bucket_set_property
 ORACLES["m13_bucket_set_property"] = M13_SQL
+
+
+# --- M14/M15: bulk rename / bulk delete planes (round 7) -------------------
+#
+# OMKeysRenameRequest.validateAndUpdateCache: per entry — empty from/to
+# name → recorded un-renamed; toKey already present → recorded
+# un-renamed BUT (faithful reference quirk — no `continue` after the
+# to-exists branch) the rename still applies when fromKey exists, and
+# when fromKey is ALSO missing the entry lands in unRenamedKeys twice
+# (the to-exists add then the from-missing add); fromKey missing →
+# un-renamed. Batch status OK only when every entry renamed, else
+# PARTIAL_RENAME (:212).
+#
+# OMKeysDeleteRequest.validateAndUpdateCache (:54-104): per key —
+# missing → unDeletedKeys; present → deleted, releasing its byte size
+# from the bucket's usedBytes and one row of usedNamespace; batch
+# status OK / PARTIAL_DELETE.
+
+def m14_bulk_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _m11_sample(spark, sf_dir)
+    entries = s.select(
+        "volume",
+        "bucket",
+        "row_key",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("plain").alias("lane"),
+                    F.col("key").alias("from_key"),
+                    F.concat(F.col("key"), F.lit(".renamed")).alias("to_key"),
+                ),
+                F.struct(
+                    F.lit("to_exists").alias("lane"),
+                    F.col("key").alias("from_key"),
+                    F.col("key").alias("to_key"),  # self-rename: to present
+                ),
+                F.struct(
+                    F.lit("from_missing").alias("lane"),
+                    F.concat(F.col("key"), F.lit(".missing")).alias("from_key"),
+                    F.concat(F.col("key"), F.lit(".new")).alias("to_key"),
+                ),
+                F.struct(
+                    F.lit("empty").alias("lane"),
+                    F.lit("").alias("from_key"),
+                    F.concat(F.col("key"), F.lit(".x")).alias("to_key"),
+                ),
+                F.struct(
+                    F.lit("both").alias("lane"),
+                    F.concat(F.col("key"), F.lit(".gone")).alias("from_key"),
+                    F.col("key").alias("to_key"),  # to exists, from missing
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        "volume", "bucket", "row_key",
+        F.col("e.lane").alias("lane"),
+        F.col("e.from_key").alias("from_key"),
+        F.col("e.to_key").alias("to_key"),
+    )
+    keys = model.om_keys(spark, sf_dir).select(
+        "volume", "bucket", F.col("key").alias("k"), F.lit(True).alias("present")
+    )
+    probed = (
+        entries.join(
+            keys.withColumnRenamed("k", "from_key").withColumnRenamed(
+                "present", "from_present"
+            ),
+            ["volume", "bucket", "from_key"],
+            "left",
+        )
+        .join(
+            keys.withColumnRenamed("k", "to_key").withColumnRenamed(
+                "present", "to_present"
+            ),
+            ["volume", "bucket", "to_key"],
+            "left",
+        )
+        .select(
+            "volume", "bucket", "row_key", "lane", "from_key", "to_key",
+            F.coalesce(F.col("from_present"), F.lit(False)).alias("from_present"),
+            F.coalesce(F.col("to_present"), F.lit(False)).alias("to_present"),
+        )
+    )
+    empty = (F.length("from_key") == 0) | (F.length("to_key") == 0)
+    decision = (
+        F.when(empty, F.lit("UNRENAMED_EMPTY"))
+        .when(
+            F.col("to_present") & F.col("from_present"),
+            F.lit("UNRENAMED_BUT_APPLIED"),
+        )
+        .when(
+            F.col("to_present") & ~F.col("from_present"), F.lit("UNRENAMED_BOTH")
+        )
+        .when(~F.col("from_present"), F.lit("UNRENAMED_FROM_MISSING"))
+        .otherwise(F.lit("RENAMED"))
+    )
+    unrenamed = (
+        F.when(empty, F.lit(1))
+        .when(F.col("to_present") & ~F.col("from_present"), F.lit(2))
+        .when(F.col("to_present") | ~F.col("from_present"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    applied = (~empty) & F.col("from_present")
+    return probed.select(
+        F.concat_ws("#", "row_key", "lane").alias("req_id"),
+        "volume",
+        "bucket",
+        "lane",
+        "from_key",
+        "to_key",
+        decision.alias("decision"),
+        unrenamed.cast("long").alias("unrenamed_entries"),
+        applied.alias("applied"),
+    ).orderBy("req_id")
+
+
+def m15_bulk_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _m11_sample(spark, sf_dir)
+    entries = s.select(
+        "volume",
+        "bucket",
+        "data_size",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("all_present").alias("batch_id"),
+                    F.col("key").alias("del_key"),
+                ),
+                F.struct(
+                    F.lit("with_ghosts").alias("batch_id"),
+                    F.col("key").alias("del_key"),
+                ),
+                F.struct(
+                    F.lit("with_ghosts").alias("batch_id"),
+                    F.concat(F.col("key"), F.lit(".ghost")).alias("del_key"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        "volume", "bucket", "data_size",
+        F.col("e.batch_id").alias("batch_id"),
+        F.col("e.del_key").alias("del_key"),
+    )
+    keys = model.om_keys(spark, sf_dir).select(
+        "volume", "bucket", F.col("key").alias("del_key"),
+        F.lit(True).alias("present"),
+    )
+    probed = entries.join(keys, ["volume", "bucket", "del_key"], "left").select(
+        "volume", "bucket", "batch_id", "data_size",
+        F.coalesce(F.col("present"), F.lit(False)).alias("present"),
+    )
+    return (
+        probed.groupBy("volume", "bucket", "batch_id")
+        .agg(
+            F.sum(F.when(F.col("present"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_deleted"),
+            F.sum(F.when(~F.col("present"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_undeleted"),
+            F.sum(F.when(F.col("present"), F.col("data_size")).otherwise(0))
+            .cast("long")
+            .alias("bytes_released"),
+        )
+        .select(
+            "volume",
+            "bucket",
+            "batch_id",
+            "n_deleted",
+            "n_undeleted",
+            "bytes_released",
+            (-F.col("n_deleted")).alias("used_ns_delta"),
+            F.when(F.col("n_undeleted") == 0, F.lit("OK"))
+            .otherwise(F.lit("PARTIAL_DELETE"))
+            .alias("status"),
+        )
+        .orderBy("volume", "bucket", "batch_id")
+    )
+
+
+_M14_ENTRIES_CTE = """m14_entries AS (
+  SELECT volume, bucket, row_key, e.lane, e.from_key, e.to_key
+  FROM m11_sample s, LATERAL (
+    SELECT * FROM (VALUES
+      ('plain',        s.key, concat(s.key, '.renamed')),
+      ('to_exists',    s.key, s.key),
+      ('from_missing', concat(s.key, '.missing'), concat(s.key, '.new')),
+      ('empty',        '', concat(s.key, '.x')),
+      ('both',         concat(s.key, '.gone'), s.key)
+    ) AS t(lane, from_key, to_key)
+  ) e
+)"""
+
+M14_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    _M11_SAMPLE_CTE,
+    _M14_ENTRIES_CTE,
+    """m14_probed AS (
+  SELECT e.*, f.key IS NOT NULL AS from_present, t.key IS NOT NULL AS to_present
+  FROM m14_entries e
+  LEFT JOIN om_keys f ON f.volume = e.volume AND f.bucket = e.bucket
+                     AND f.key = e.from_key
+  LEFT JOIN om_keys t ON t.volume = e.volume AND t.bucket = e.bucket
+                     AND t.key = e.to_key
+)""",
+    body="""SELECT concat(row_key, '#', lane) AS req_id,
+  volume, bucket, lane, from_key, to_key,
+  CASE
+    WHEN len(from_key) = 0 OR len(to_key) = 0 THEN 'UNRENAMED_EMPTY'
+    WHEN to_present AND from_present THEN 'UNRENAMED_BUT_APPLIED'
+    WHEN to_present AND NOT from_present THEN 'UNRENAMED_BOTH'
+    WHEN NOT from_present THEN 'UNRENAMED_FROM_MISSING'
+    ELSE 'RENAMED'
+  END AS decision,
+  CAST(CASE
+    WHEN len(from_key) = 0 OR len(to_key) = 0 THEN 1
+    WHEN to_present AND NOT from_present THEN 2
+    WHEN to_present OR NOT from_present THEN 1
+    ELSE 0
+  END AS BIGINT) AS unrenamed_entries,
+  len(from_key) > 0 AND len(to_key) > 0 AND from_present AS applied
+FROM m14_probed
+ORDER BY req_id""",
+)
+
+M15_SQL = model.with_ctes(
+    model.OM_KEYS_CTE,
+    _M11_SAMPLE_CTE,
+    """m15_entries AS (
+  SELECT volume, bucket, data_size, e.batch_id, e.del_key
+  FROM m11_sample s, LATERAL (
+    SELECT * FROM (VALUES
+      ('all_present', s.key),
+      ('with_ghosts', s.key),
+      ('with_ghosts', concat(s.key, '.ghost'))
+    ) AS t(batch_id, del_key)
+  ) e
+)""",
+    """m15_probed AS (
+  SELECT e.volume, e.bucket, e.batch_id, e.data_size,
+         k.key IS NOT NULL AS present
+  FROM m15_entries e
+  LEFT JOIN om_keys k ON k.volume = e.volume AND k.bucket = e.bucket
+                     AND k.key = e.del_key
+)""",
+    body="""SELECT volume, bucket, batch_id,
+  CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+  CAST(SUM(CASE WHEN present THEN 0 ELSE 1 END) AS BIGINT) AS n_undeleted,
+  CAST(SUM(CASE WHEN present THEN data_size ELSE 0 END) AS BIGINT)
+    AS bytes_released,
+  -CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS used_ns_delta,
+  CASE WHEN SUM(CASE WHEN present THEN 0 ELSE 1 END) = 0
+       THEN 'OK' ELSE 'PARTIAL_DELETE' END AS status
+FROM m15_probed
+GROUP BY volume, bucket, batch_id
+ORDER BY volume, bucket, batch_id""",
+)
+
+QUERIES["m14_bulk_rename"] = m14_bulk_rename
+ORACLES["m14_bulk_rename"] = M14_SQL
+QUERIES["m15_bulk_delete"] = m15_bulk_delete
+ORACLES["m15_bulk_delete"] = M15_SQL

@@ -371,3 +371,48 @@ def test_m13_bucket_set_property_replay(spark, sf_dir):
                     r.storage_after) == (-1, -1, False, "DISK")
     decisions = {r.decision for r in rows}
     assert {"BUCKET_NOT_FOUND", "QUOTA_ERROR", "SET"} <= decisions
+
+
+def test_m14_bulk_rename_lane_replay(spark, sf_dir):
+    """Per-entry replay of the bulk-rename law, including the reference
+    quirk that a to-exists entry is recorded un-renamed but still
+    applied when the from key exists, and double-recorded when the from
+    key is also missing (OMKeysRenameRequest.java — no `continue` after
+    the to-exists branch)."""
+    from hadoop_ozone_spark.plans.coverage_queries import m14_bulk_rename
+
+    rows = m14_bulk_rename(spark, sf_dir).collect()
+    assert rows
+    want = {
+        "plain": ("RENAMED", 0, True),
+        "to_exists": ("UNRENAMED_BUT_APPLIED", 1, True),
+        "from_missing": ("UNRENAMED_FROM_MISSING", 1, False),
+        "empty": ("UNRENAMED_EMPTY", 1, False),
+        "both": ("UNRENAMED_BOTH", 2, False),
+    }
+    for r in rows:
+        assert (r.decision, r.unrenamed_entries, r.applied) == want[r.lane], r
+    assert {r.lane for r in rows} == set(want)
+
+
+def test_m15_bulk_delete_batches(spark, sf_dir):
+    """The all-present batch reports OK and releases every sampled
+    byte; the ghost-laced batch reports PARTIAL_DELETE with one
+    undeleted row per sampled key (OMKeysDeleteRequest.java:54-104)."""
+    from hadoop_ozone_spark.plans.coverage_queries import m15_bulk_delete
+
+    rows = m15_bulk_delete(spark, sf_dir).collect()
+    assert rows
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    for r in by_batch["all_present"]:
+        assert r.status == "OK" and r.n_undeleted == 0
+        assert r.used_ns_delta == -r.n_deleted
+    for r in by_batch["with_ghosts"]:
+        assert r.status == "PARTIAL_DELETE"
+        assert r.n_undeleted == r.n_deleted  # one ghost per sampled key
+    ok = {(r.volume, r.bucket): r for r in by_batch["all_present"]}
+    for r in by_batch["with_ghosts"]:
+        twin = ok[(r.volume, r.bucket)]
+        assert r.bytes_released == twin.bytes_released
