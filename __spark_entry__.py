@@ -823,6 +823,7 @@ NEXT_WINDOW: list[str] = [
     "m13_bucket_set_property",
     "m14_bulk_rename",
     "m15_bulk_delete",
+    "dn2_scanner_rollup",
 ]
 
 

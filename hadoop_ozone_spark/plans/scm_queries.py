@@ -1398,3 +1398,78 @@ ORDER BY datanode_id, pending DESC, container_id""",
 
 QUERIES["dn1_block_deletion_plan"] = dn1_block_deletion_plan
 ORACLES["dn1_block_deletion_plan"] = DN1_SQL
+
+
+# --- DN2: container scanner pass (round 7) --------------------------------
+#
+# The datanode's two scrubber threads re-expressed as one rollup over
+# the replica plane:
+#  - metadata scanner: EVERY onDisk container is fast-checked each
+#    iteration regardless of state (ContainerMetadataScanner.java:
+#    99-116 runIteration, :118-128 scrub — a failed scanMetaData marks
+#    the container unhealthy);
+#  - data scanner: only CLOSED / QUASI_CLOSED containers are eligible
+#    (KeyValueContainer.shouldScanData, KeyValueContainer.java:742-746);
+#    a failed fullCheck marks unhealthy, success refreshes the
+#    dataScanTimestamp (ContainerDataScanner.java:95-121 runIteration).
+# A replica's local state is what the datanode consults, so
+# rm_replica_details supplies the state vocabulary. Corruption is a
+# deterministic synthesis (the reference's is a real checksum walk):
+# fastCheck fails iff (cid*31 + dn) % 101 == 0, fullCheck fails iff
+# (cid*17 + dn) % 53 == 0 — both engines replay the same arithmetic.
+
+def dn2_scanner_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reps = model.rm_replica_details(spark, sf_dir)
+    cid, dn = F.col("container_id"), F.col("datanode_id")
+    meta_bad = (cid * 31 + dn) % 101 == 0
+    data_eligible = F.col("replica_state").isin("CLOSED", "QUASI_CLOSED")
+    data_bad = (cid * 17 + dn) % 53 == 0
+    return (
+        reps.select(
+            dn.alias("datanode_id"),
+            meta_bad.alias("meta_bad"),
+            data_eligible.alias("data_eligible"),
+            (data_eligible & data_bad).alias("data_unhealthy"),
+            (data_eligible & ~data_bad).alias("ts_updated"),
+        )
+        .groupBy("datanode_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_meta_scanned"),
+            F.sum(F.when(F.col("meta_bad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_meta_unhealthy"),
+            F.sum(F.when(F.col("data_eligible"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_data_scanned"),
+            F.sum(F.when(F.col("data_unhealthy"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_data_unhealthy"),
+            F.sum(F.when(F.col("ts_updated"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ts_updated"),
+        )
+        .orderBy("datanode_id")
+    )
+
+
+DN2_SQL = model.with_ctes(
+    model.RM_REPLICAS_CTE,
+    model.RM_REPLICA_DETAILS_CTE,
+    body="""SELECT datanode_id,
+  count(*) AS n_meta_scanned,
+  CAST(SUM(CASE WHEN (container_id * 31 + datanode_id) % 101 = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_meta_unhealthy,
+  CAST(SUM(CASE WHEN replica_state IN ('CLOSED', 'QUASI_CLOSED')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_data_scanned,
+  CAST(SUM(CASE WHEN replica_state IN ('CLOSED', 'QUASI_CLOSED')
+             AND (container_id * 17 + datanode_id) % 53 = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_data_unhealthy,
+  CAST(SUM(CASE WHEN replica_state IN ('CLOSED', 'QUASI_CLOSED')
+             AND (container_id * 17 + datanode_id) % 53 <> 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_updated
+FROM rm_replica_details
+GROUP BY datanode_id ORDER BY datanode_id""",
+)
+
+QUERIES["dn2_scanner_rollup"] = dn2_scanner_rollup
+ORACLES["dn2_scanner_rollup"] = DN2_SQL

@@ -346,3 +346,38 @@ def test_dn_block_deletion_plan_greedy_law(spark):
     for (dn, _), n in got.items():
         per_dn[dn] = per_dn.get(dn, 0) + n
     assert all(v <= 100 for v in per_dn.values())
+
+
+def test_dn2_scanner_rollup_invariants(spark, sf_dir):
+    """Data-scan eligibility is a subset of metadata scans, and every
+    eligible container either fails the full check or gets its scan
+    timestamp refreshed (ContainerDataScanner.java:95-121)."""
+    from hadoop_ozone_spark import model
+    from hadoop_ozone_spark.plans.scm_queries import dn2_scanner_rollup
+
+    rows = dn2_scanner_rollup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_data_scanned <= r.n_meta_scanned
+        assert r.n_data_unhealthy + r.n_ts_updated == r.n_data_scanned
+        assert r.n_meta_unhealthy <= r.n_meta_scanned
+    # pure-Python replay over the replica plane
+    reps = model.rm_replica_details(spark, sf_dir).collect()
+    want = {}
+    for rep in reps:
+        d = want.setdefault(rep.datanode_id, [0, 0, 0, 0, 0])
+        d[0] += 1
+        if (rep.container_id * 31 + rep.datanode_id) % 101 == 0:
+            d[1] += 1
+        if rep.replica_state in ("CLOSED", "QUASI_CLOSED"):
+            d[2] += 1
+            if (rep.container_id * 17 + rep.datanode_id) % 53 == 0:
+                d[3] += 1
+            else:
+                d[4] += 1
+    got = {
+        r.datanode_id: [r.n_meta_scanned, r.n_meta_unhealthy, r.n_data_scanned,
+                        r.n_data_unhealthy, r.n_ts_updated]
+        for r in rows
+    }
+    assert got == want
