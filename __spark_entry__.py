@@ -824,6 +824,9 @@ NEXT_WINDOW: list[str] = [
     "m14_bulk_rename",
     "m15_bulk_delete",
     "dn2_scanner_rollup",
+    "dp_cdc_chunks",
+    "dp_cdc_source_matrix",
+    "dp_tfidf_topk",
 ]
 
 

@@ -1147,3 +1147,129 @@ def contamination_spans(
     )
     seeds = dg.join(F.broadcast(bg), "gram").select("doc_id", "pos")
     return _merge_seed_islands(seeds, k, min_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (LBFS lineage: Muthitacharoen et al. 2001
+# §3.1; FastCDC, Xia et al. 2016 — token-granular variant). A token
+# ENDS a chunk iff its portable hash ≡ 0 (mod boundary_mod), so chunk
+# boundaries depend only on local content: an insertion shifts
+# positions but the boundary stream re-synchronizes at the next
+# boundary token, unlike fixed-width windows where one shifted token
+# changes every downstream chunk (the weakness of chunk_dedup's
+# aligned windows, text.py chunk_dedup).
+# ---------------------------------------------------------------------------
+
+def cdc_chunk_table(
+    docs: DataFrame, text_col: str = "text", boundary_mod: int = 8
+) -> DataFrame:
+    """Per (doc_id, chunk_idx): the chunk text and its md5.
+
+    Scale shape: one posexplode pass; the running boundary count is a
+    window partitioned by doc_id (unskewed — docs are the unit), and
+    the chunk regroup shares that partitioning (grouping keys extend
+    the window key, no second shuffle of the token stream).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    exploded = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    boundary = (md5_lane(F.col("tok")) % boundary_mod == 0).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = exploded.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum(boundary).over(w), F.lit(0)).alias("chunk_idx"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("chunk_text")
+        )
+        .select(
+            "doc_id", "chunk_idx", "chunk_text", F.md5("chunk_text").alias("chunk_hash")
+        )
+    )
+
+
+def cdc_dedup_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    boundary_mod: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-doc CDC dedup report: how many of the doc's content-defined
+    chunks also appear (by hash) in ≥ ``min_docs`` distinct docs.
+
+    The near-duplicate with appended tokens shares every chunk except
+    the final one — the re-synchronization property fixed-width
+    windows lack.
+    """
+    ct = cdc_chunk_table(docs, text_col, boundary_mod)
+    shared = (
+        ct.select("chunk_hash", "doc_id")
+        .distinct()
+        .groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chunk_hash")
+    )
+    flagged = ct.join(F.broadcast(shared), "chunk_hash", "left_semi").groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+    per_doc = ct.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        per_doc.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("n_shared_chunks"), F.lit(0)).alias("n_shared_chunks"),
+            (
+                F.coalesce(F.col("n_shared_chunks"), F.lit(0))
+                / F.col("n_chunks")
+            ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def cdc_source_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Cross-source shared-chunk matrix: for every (source_a ≤
+    source_b) pair, how many distinct CDC chunk hashes occur in both —
+    the mirror-/syndication-detection rollup of corpus curation.
+
+    Scale shape: the self-join runs on the (chunk_hash, source)
+    DISTINCT frame, which is bounded by |distinct chunks| × |sources|,
+    not the corpus; the pair explosion per chunk is |sources|² at
+    worst (sources are a small dimension).
+    """
+    occ = (
+        cdc_chunk_table(docs, text_col, boundary_mod)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("chunk_hash", "source")
+        .distinct()
+    )
+    a = occ.select("chunk_hash", F.col("source").alias("source_a"))
+    b = occ.select("chunk_hash", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "chunk_hash")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+        .orderBy("source_a", "source_b")
+    )

@@ -1021,3 +1021,58 @@ def nb_lang_scores(
     return best.select(
         "doc_id", "lang", F.col("b.cand").alias("pred_lang"), "score"
     ).orderBy("doc_id")
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    report_mod: int = 20,
+) -> DataFrame:
+    """Per-doc top-k tf-idf keyword extraction (Sparck Jones 1972
+    lineage; smooth idf = ln((N+1)/(df+1)) + 1, the scikit-learn
+    convention).
+
+    Global statistics (term df, corpus size N) are computed over the
+    FULL corpus; only docs with ``doc_id % report_mod == 0`` are
+    reported, keeping the emitted frame bounded while the statistics
+    stay corpus-wide. Ties rank deterministically (score desc, term
+    asc).
+
+    Scale shape: tf is one map-side-combinable groupBy; df folds tf
+    (already distinct per doc-term); N is a 1-row broadcast; the df
+    join is keyed by term (Zipf-head skew → AQE skew-join case, same
+    as lm_perplexity's count joins). All score arithmetic is the same
+    IEEE op sequence in Spark and the DuckDB oracle.
+    """
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    tok = docs.select("doc_id", F.explode(toks).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(
+        1.0
+    )
+    scored = (
+        tf.filter(F.col("doc_id") % report_mod == 0)
+        .join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (F.col("tf") * idf).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.select(
+            "doc_id", "term", "tf", "score", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= k)
+        .orderBy("doc_id", "rank")
+    )

@@ -2231,3 +2231,123 @@ FROM kinds GROUP BY kind, bucket ORDER BY kind, bucket""",
 
 QUERIES["dp_embedding_norms"] = dp_embedding_norms
 ORACLES["dp_embedding_norms"] = DP_EMB_NORMS_SQL
+
+
+# --- CDC chunking + tf-idf (round 7) ---------------------------------------
+
+_CDC_CHUNKS_CTE = [
+    r"""cdc_tok AS (
+  SELECT doc_id, t[s.pos] AS tok, s.pos
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS t
+        FROM dedup_corpus),
+       LATERAL (SELECT unnest(generate_series(1, len(t))) AS pos) s
+)""",
+    f"""cdc_idx AS (
+  SELECT doc_id, tok, pos,
+         COALESCE(SUM(CASE WHEN {dedup.md5_lane_sql('tok')} % 8 = 0
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk_idx
+  FROM cdc_tok
+)""",
+    """cdc_chunks AS (
+  SELECT doc_id, chunk_idx,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+  FROM cdc_idx GROUP BY doc_id, chunk_idx
+)""",
+]
+
+
+def dp_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup report over the dedup corpus
+    (datapipe/dedup.py cdc_dedup_report): boundaries re-synchronize
+    after insertions, so the planted near-duplicates share every chunk
+    but the tail one."""
+    return dedup.cdc_dedup_report(model.dedup_corpus(spark, sf_dir))
+
+
+DP_CDC_CHUNKS_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    *_CDC_CHUNKS_CTE,
+    """cdc_shared AS (
+  SELECT chunk_hash FROM (
+    SELECT chunk_hash, count(*) AS n_docs
+    FROM (SELECT DISTINCT chunk_hash, doc_id FROM cdc_chunks)
+    GROUP BY chunk_hash
+  ) WHERE n_docs >= 2
+)""",
+    body="""SELECT p.doc_id, p.n_chunks,
+  COALESCE(s.n_shared, 0) AS n_shared_chunks,
+  COALESCE(s.n_shared, 0) / p.n_chunks AS shared_frac
+FROM (SELECT doc_id, count(*) AS n_chunks FROM cdc_chunks GROUP BY doc_id) p
+LEFT JOIN (SELECT doc_id, count(*) AS n_shared FROM cdc_chunks
+           WHERE chunk_hash IN (SELECT chunk_hash FROM cdc_shared)
+           GROUP BY doc_id) s USING (doc_id)
+ORDER BY p.doc_id""",
+)
+
+
+def dp_cdc_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shared-CDC-chunk matrix (mirror/syndication
+    detection rollup, datapipe/dedup.py cdc_source_matrix)."""
+    return dedup.cdc_source_matrix(model.dedup_corpus(spark, sf_dir))
+
+
+DP_CDC_MATRIX_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    *_CDC_CHUNKS_CTE,
+    """cdc_occ AS (
+  SELECT DISTINCT c.chunk_hash, d.source
+  FROM cdc_chunks c JOIN dedup_corpus d USING (doc_id)
+)""",
+    body="""SELECT a.source AS source_a, b.source AS source_b,
+  count(*) AS n_shared_chunks
+FROM cdc_occ a JOIN cdc_occ b USING (chunk_hash)
+WHERE a.source <= b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b""",
+)
+
+
+def dp_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 tf-idf keywords with corpus-wide statistics
+    (datapipe/text.py tfidf_topk); reported docs subsampled
+    (doc_id % 20 == 0), statistics full-corpus."""
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    return text_ops.tfidf_topk(model.load(spark, sf_dir, "documents"))
+
+
+DP_TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(t) AS term
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS t
+        FROM documents)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0) AS score
+  FROM tf t JOIN df d USING (term), n
+  WHERE t.doc_id % 20 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
+"""
+
+QUERIES["dp_cdc_chunks"] = dp_cdc_chunks
+ORACLES["dp_cdc_chunks"] = DP_CDC_CHUNKS_SQL
+QUERIES["dp_cdc_source_matrix"] = dp_cdc_source_matrix
+ORACLES["dp_cdc_source_matrix"] = DP_CDC_MATRIX_SQL
+QUERIES["dp_tfidf_topk"] = dp_tfidf_topk
+ORACLES["dp_tfidf_topk"] = DP_TFIDF_SQL

@@ -1510,3 +1510,83 @@ def test_embedding_dim_stats_excludes_nan_vectors(spark):
     assert got[1].std == 3.0
     assert got[0].min_val == 1.0 and got[0].max_val == 3.0
     assert got[1].min_val == -1.0 and got[1].max_val == 5.0
+
+
+# --- CDC chunking + tf-idf (round 7) ---------------------------------------
+
+
+def test_cdc_chunks_resync_after_insertion(spark):
+    """Content-defined boundaries re-synchronize: a prefix insertion
+    changes only chunks up to the first boundary after the edit, so a
+    long shared tail keeps identical chunk hashes (the property
+    fixed-width windows lack; Muthitacharoen et al. 2001 §3.1)."""
+    from hadoop_ozone_spark.datapipe import dedup
+
+    base = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "inserted " + base)], ["doc_id", "text"]
+    )
+    ct = dedup.cdc_chunk_table(docs).collect()
+    h1 = {r.chunk_hash for r in ct if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in ct if r.doc_id == 2}
+    shared = h1 & h2
+    # everything after the first boundary is identical
+    assert len(shared) >= len(h1) - 1
+    assert len(shared) > 0
+    # and chunks concatenated in order reconstruct the doc
+    rows = sorted(
+        (r for r in ct if r.doc_id == 1), key=lambda r: r.chunk_idx
+    )
+    assert " ".join(r.chunk_text for r in rows) == base
+
+
+def test_cdc_fixed_width_comparison(spark):
+    """The same prefix-shifted pair under FIXED windows shares almost
+    nothing — documenting why CDC earns its place next to
+    chunk_dedup."""
+    from hadoop_ozone_spark.datapipe import dedup, text as text_ops
+
+    base = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "inserted " + base)], ["doc_id", "text"]
+    )
+    cdc = dedup.cdc_dedup_report(docs, min_docs=2).collect()
+    assert all(r.shared_frac > 0.5 for r in cdc)
+    fixed = text_ops.chunk_dedup(docs, chunk_tokens=20, min_docs=2).collect()
+    # one-token shift misaligns every 20-token window
+    assert all(r.boilerplate_chunks == 0 for r in fixed)
+
+
+def test_cdc_source_matrix_symmetric_bound(spark, sf_dir):
+    from hadoop_ozone_spark.datapipe import dedup
+    from hadoop_ozone_spark import model
+
+    m = dedup.cdc_source_matrix(model.dedup_corpus(spark, sf_dir)).collect()
+    assert m
+    for r in m:
+        assert r.source_a <= r.source_b
+        assert r.n_shared_chunks > 0
+    # diagonal cells exist (a source always shares chunks with itself
+    # once any chunk repeats within it or across its planted copies)
+    assert any(r.source_a == r.source_b for r in m)
+
+
+def test_tfidf_topk_ranks_and_determinism(spark, sf_dir):
+    from hadoop_ozone_spark.datapipe import text as text_ops
+    from hadoop_ozone_spark import model
+
+    docs = model.load(spark, sf_dir, "documents")
+    out = text_ops.tfidf_topk(docs).collect()
+    assert out
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        assert doc_id % 20 == 0
+        ranks = [r.rank for r in sorted(rows, key=lambda r: r.rank)]
+        assert ranks == list(range(1, len(ranks) + 1))
+        scores = [r.score for r in sorted(rows, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+    # repartition invariance: same frame at a different parallelism
+    again = text_ops.tfidf_topk(docs.repartition(7)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
