@@ -1216,7 +1216,9 @@ def cdc_dedup_report(
     the final one — the re-synchronization property fixed-width
     windows lack.
     """
-    ct = cdc_chunk_table(docs, text_col, boundary_mod)
+    # three consumers (per-doc counts, shared set, flagged counts) —
+    # keep one materialized chunk table instead of three token passes
+    ct = scratch.keep("cdc_chunks", cdc_chunk_table(docs, text_col, boundary_mod))
     shared = (
         ct.select("chunk_hash", "doc_id")
         .distinct()
@@ -1259,7 +1261,7 @@ def cdc_source_matrix(
     worst (sources are a small dimension).
     """
     occ = (
-        cdc_chunk_table(docs, text_col, boundary_mod)
+        scratch.keep("cdc_chunks", cdc_chunk_table(docs, text_col, boundary_mod))
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("chunk_hash", "source")
         .distinct()
