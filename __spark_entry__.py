@@ -827,6 +827,8 @@ NEXT_WINDOW: list[str] = [
     "dp_cdc_chunks",
     "dp_cdc_source_matrix",
     "dp_tfidf_topk",
+    "dp_split_leakage",
+    "dp_quality_sweep",
 ]
 
 

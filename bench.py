@@ -104,6 +104,11 @@ HEADLINE = [
     "m9_volume_lifecycle",
     "dp_decontaminate_spans",
     "dp_embedding_dim_stats",
+    "dp_cdc_chunks",
+    "dp_tfidf_topk",
+    "m11_dir_create",
+    "dp_split_leakage",
+    "dp_quality_sweep",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

@@ -179,6 +179,58 @@ def split_assign(
     )
 
 
+def split_leakage(
+    docs: DataFrame,
+    train: float = 0.8,
+    val: float = 0.1,
+    seed: str = "split42",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-split exact-duplicate leakage report: fingerprints
+    (md5 of whitespace-normalized lowercase text — text.fingerprint's
+    key) that land in MORE THAN ONE split under the split_assign law.
+    A train/test-straddling duplicate is benchmark contamination the
+    split hash cannot prevent (it keys on doc_id, not content) — this
+    is the audit a dataset card runs after splitting.
+
+    Output: one row per split combination ('train+val', 'test+train+val',
+    ...) with the number of leaked fingerprints and the docs involved.
+
+    Scale: one corpus pass projects (fingerprint, split); the only
+    shuffle is the map-side-combinable groupBy on fingerprint (md5 —
+    uniform, unskewed); split sets per fingerprint are <= 3 elements;
+    the combo rollup is a second tiny aggregate.
+    """
+    u = _uniform01(F.concat(F.lit(seed), F.lit("#"), F.col("doc_id").cast("string")))
+    split = (
+        F.when(u < train, F.lit("train"))
+        .when(u < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    per_fp = (
+        docs.select(F.md5(norm).alias("fingerprint"), split.alias("split"))
+        .groupBy("fingerprint")
+        .agg(
+            F.array_sort(F.collect_set("split")).alias("split_set"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return (
+        per_fp.filter(F.size("split_set") >= 2)
+        .select(
+            F.array_join("split_set", "+").alias("splits"),
+            "n_docs",
+        )
+        .groupBy("splits")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+        .orderBy("splits")
+    )
+
+
 def budget_sample(
     docs: DataFrame,
     token_budgets: dict[str, int],

@@ -9,7 +9,7 @@ corpus scan, no shuffle, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # deterministic stopword votes per language (tiny on purpose — the
@@ -58,6 +58,87 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(F.regexp_replace(t, "[A-Za-z0-9\\s]", "")).alias("n_punct"),
         stop_hits.alias("stopword_hits"),
         (stop_hits.cast("double") / n_tok).alias("stopword_ratio"),
+    )
+
+
+def quality_threshold_sweep(
+    docs: DataFrame,
+    text_col: str = "text",
+    step_ppm: int = 20_000,
+    n_steps: int = 10,
+) -> DataFrame:
+    """Filter-tuning sweep: how many docs/tokens survive a minimum
+    stopword-ratio gate, at every rung of a ppm threshold ladder
+    (0, step, ..., (n_steps-1)*step) — the curve a pipeline operator
+    reads before fixing a quality cutoff (the Gopher/C4 recipe tunes
+    exactly this family of gates; Rae et al. 2021 §A1.1).
+
+    Shape — deliberately NOT a threshold×corpus fan-out: ONE corpus
+    pass buckets each doc to the highest rung it clears (exact
+    integer arithmetic: stop_hits*1e6 DIV (n_tokens*step), so no
+    float compare can disagree with the oracle), a map-side
+    combinable groupBy over <= n_steps buckets, then a descending
+    cumulative sum over that constant-size frame —
+    kept_at(t) = sum of buckets >= t. The single-partition window
+    runs on <= n_steps rows regardless of corpus size.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*LANG_STOPWORDS["en"])))
+    staged = docs.select(
+        (stop_hits.cast("long") * 1_000_000).alias("num"),
+        n_tok.cast("long").alias("den"),
+    )
+    bucketed = (
+        staged.select(
+            (
+                F.least(
+                    F.expr(f"num DIV (den * {step_ppm})"), F.lit(n_steps - 1)
+                )
+                * step_ppm
+            ).alias("bucket_ppm"),
+            F.col("den").alias("n_tokens"),
+        )
+        .groupBy("bucket_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("b_docs"),
+            F.sum("n_tokens").alias("b_tokens"),
+        )
+    )
+    ladder = docs.sparkSession.range(n_steps).select(
+        (F.col("id") * step_ppm).alias("threshold_ppm")
+    )
+    joined = ladder.join(
+        bucketed, ladder.threshold_ppm == bucketed.bucket_ppm, "left"
+    ).select(
+        "threshold_ppm",
+        F.coalesce("b_docs", F.lit(0)).alias("b_docs"),
+        F.coalesce("b_tokens", F.lit(0)).alias("b_tokens"),
+    )
+    w = (
+        Window.orderBy(F.desc("threshold_ppm"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.orderBy("threshold_ppm").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        joined.select(
+            "threshold_ppm",
+            F.sum("b_docs").over(w).alias("n_docs_kept"),
+            F.sum("b_tokens").over(w).alias("n_tokens_kept"),
+            F.sum("b_docs").over(w_all).alias("total_docs"),
+        )
+        .select(
+            "threshold_ppm",
+            "n_docs_kept",
+            "n_tokens_kept",
+            F.expr("(n_docs_kept * 1000000) DIV total_docs").alias(
+                "docs_kept_ppm"
+            ),
+        )
+        .orderBy("threshold_ppm")
     )
 
 

@@ -1066,6 +1066,92 @@ QUERIES["dp_split_assign"] = dp_split_assign
 ORACLES["dp_split_assign"] = DP_SPLIT_SQL
 
 
+def dp_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split exact-duplicate contamination audit
+    (datapipe/packing.py split_leakage — fingerprints straddling the
+    split_assign hash-lane law). Runs on dedup_corpus: the injected
+    exact twins (doc_id%7 → +2e6) get independent split lanes, so a
+    third of them straddle — the driver corpus itself is all-distinct."""
+    from hadoop_ozone_spark.datapipe import packing
+
+    return packing.split_leakage(model.dedup_corpus(spark, sf_dir))
+
+
+DP_SPLIT_LEAKAGE_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    body=r""", lanes AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+    CASE
+      WHEN (CAST(concat('0x', substring(md5(concat('split42#', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+            % 1000000) / 1000000.0 < 0.8 THEN 'train'
+      WHEN (CAST(concat('0x', substring(md5(concat('split42#', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+            % 1000000) / 1000000.0 < 0.9 THEN 'val'
+      ELSE 'test'
+    END AS split
+  FROM dedup_corpus
+),
+per_fp AS (
+  SELECT fingerprint,
+         array_to_string(list_sort(list(DISTINCT split)), '+') AS splits,
+         count(DISTINCT split) AS n_splits,
+         count(*) AS n_docs
+  FROM lanes GROUP BY fingerprint
+)
+SELECT splits,
+       count(*) AS n_fingerprints,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs
+FROM per_fp WHERE n_splits >= 2
+GROUP BY splits ORDER BY splits
+""",
+)
+
+QUERIES["dp_split_leakage"] = dp_split_leakage
+ORACLES["dp_split_leakage"] = DP_SPLIT_LEAKAGE_SQL
+
+
+def dp_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio filter threshold sweep — docs/tokens kept per
+    ppm rung (datapipe/text.py quality_threshold_sweep; one corpus
+    pass + constant-size ladder window)."""
+    return text.quality_threshold_sweep(model.load(spark, sf_dir, "documents"))
+
+
+DP_QUALITY_SWEEP_SQL = r"""
+WITH scored AS (
+  SELECT
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    x -> x IN ('the', 'and', 'of'))) * 1000000 AS num,
+    len(regexp_split_to_array(trim(text), '\s+')) AS den
+  FROM documents
+),
+bucketed AS (
+  SELECT LEAST(num // (den * 20000), 9) * 20000 AS bucket_ppm,
+         count(*) AS b_docs,
+         SUM(den) AS b_tokens
+  FROM scored GROUP BY 1
+),
+ladder AS (SELECT i * 20000 AS threshold_ppm FROM range(0, 10) t(i)),
+joined AS (
+  SELECT threshold_ppm,
+         COALESCE(b_docs, 0) AS b_docs,
+         COALESCE(b_tokens, 0) AS b_tokens
+  FROM ladder LEFT JOIN bucketed ON bucket_ppm = threshold_ppm
+)
+SELECT CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+       CAST(SUM(b_docs) OVER w AS BIGINT) AS n_docs_kept,
+       CAST(SUM(b_tokens) OVER w AS BIGINT) AS n_tokens_kept,
+       CAST((SUM(b_docs) OVER w) * 1000000 // (SUM(b_docs) OVER ()) AS BIGINT)
+         AS docs_kept_ppm
+FROM joined
+WINDOW w AS (ORDER BY threshold_ppm DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY threshold_ppm
+"""
+
+QUERIES["dp_quality_sweep"] = dp_quality_sweep
+ORACLES["dp_quality_sweep"] = DP_QUALITY_SWEEP_SQL
+
+
 def dp_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection: within each transitive
     duplicate group, keep the member with the highest unigram

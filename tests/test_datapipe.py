@@ -511,6 +511,76 @@ def test_split_assign_is_disjoint_and_stratified(spark):
     assert rows == packing.split_assign(docs, train=0.8, val=0.1).collect()
 
 
+def test_split_leakage_matches_python_replay(spark):
+    # pure-Python replay of both laws (split lane + fingerprint) on a
+    # corpus with planted exact twins across many doc_id lanes
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from hadoop_ozone_spark.datapipe import packing
+
+    rows = []
+    for i in range(300):
+        rows.append((i, "dup text %d" % (i % 50)))  # 50 texts × 6 copies
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py_split(doc_id: int) -> str:
+        lane = int(hashlib.md5(f"split42#{doc_id}".encode()).hexdigest()[:15], 16)
+        u = (lane % 1_000_000) / 1_000_000.0
+        return "train" if u < 0.8 else ("val" if u < 0.9 else "test")
+
+    per_fp = defaultdict(lambda: (set(), 0))
+    for doc_id, txt in rows:
+        fp = hashlib.md5(txt.encode()).hexdigest()
+        s, n = per_fp[fp]
+        per_fp[fp] = (s | {py_split(doc_id)}, n + 1)
+    expect_fps, expect_docs = Counter(), Counter()
+    for s, n in per_fp.values():
+        if len(s) >= 2:
+            combo = "+".join(sorted(s))
+            expect_fps[combo] += 1
+            expect_docs[combo] += n
+
+    got = packing.split_leakage(docs).collect()
+    assert {r.splits: r.n_fingerprints for r in got} == dict(expect_fps)
+    assert {r.splits: r.n_docs for r in got} == dict(expect_docs)
+    assert got  # 6 copies per text make straddling certain somewhere
+
+
+def test_split_leakage_empty_on_distinct_corpus(spark):
+    from hadoop_ozone_spark.datapipe import packing
+
+    docs = spark.createDataFrame(
+        [(i, "unique text %d" % i) for i in range(100)],
+        "doc_id long, text string",
+    )
+    assert packing.split_leakage(docs).count() == 0
+
+
+def test_quality_sweep_ladder_and_monotone(spark):
+    # 3 stopword-free docs + 2 all-stopword docs: rung 0 keeps all,
+    # every rung >= 1 keeps exactly the all-stopword docs
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "omega psi chi"),
+            (3, "zeta eta theta iota"),
+            (4, "the and of the"),
+            (5, "the the and and of"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.quality_threshold_sweep(docs).collect()
+    assert [r.threshold_ppm for r in out] == [i * 20_000 for i in range(10)]
+    assert (out[0].n_docs_kept, out[0].n_tokens_kept) == (5, 20)
+    assert out[0].docs_kept_ppm == 1_000_000
+    for r in out[1:]:
+        assert (r.n_docs_kept, r.n_tokens_kept) == (2, 9)
+        assert r.docs_kept_ppm == 400_000
+    kept = [r.n_docs_kept for r in out]
+    assert kept == sorted(kept, reverse=True)  # monotone non-increasing
+
+
 def test_dedup_keep_best_one_winner_per_group(spark, sf_dir):
     import __spark_entry__ as entry
 
