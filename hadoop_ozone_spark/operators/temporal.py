@@ -135,3 +135,75 @@ def range_join_binned(
         .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
         .drop("_bucket")
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of one key merge
+    into a session while each gap is < ``gap_minutes``; a gap >= the
+    threshold starts a new session (the classic web-analytics law, and
+    the batch twin of Structured Streaming's session windows).
+
+    Built on Spark's native ``F.session_window`` — the merge runs
+    inside the aggregate (one shuffle on the key, codegen'd, and the
+    identical expression works under ``readStream`` with a watermark:
+    streaming/session_stream.py is that twin). Session end is
+    ``last_event_ts + gap`` (Spark's window-end convention), and the
+    boundary is INCLUSIVE: adjacent windows merge, so an event exactly
+    ``gap`` after its predecessor still merges — the same ``diff >
+    gap``-starts-new law as ev_sessionization's lag/cumsum form
+    (plans/policy_queries.py); the two are pinned equal in
+    tests/test_session_stream.py. Values accumulate in decimal(18,2)
+    — exact, so the sum is engine-
+    and order-independent (the ev_range_join discipline).
+    ``session_seq`` (the key's nth session) is a row_number over the
+    AGGREGATED frame — that second exchange moves sessions, not
+    events (bounded by distinct sessions per key).
+    """
+    agg = session_agg(events, key_col, ts_col, gap_minutes, value_col)
+    w = Window.partitionBy(key_col).orderBy("session_start")
+    return agg.select(
+        F.col(key_col),
+        "session_start",
+        "session_end",
+        F.row_number().over(w).cast("long").alias("session_seq"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    value_col: str = "value",
+) -> DataFrame:
+    """The shared session aggregate — identical expression in batch
+    ``sessionize`` and the streaming twin (a watermarked input makes
+    it incremental with per-open-session state; see
+    streaming/session_stream.py)."""
+    return (
+        events.groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
