@@ -829,6 +829,7 @@ NEXT_WINDOW: list[str] = [
     "dp_tfidf_topk",
     "dp_split_leakage",
     "dp_quality_sweep",
+    "ev_cohort_retention",
 ]
 
 

@@ -109,6 +109,7 @@ HEADLINE = [
     "m11_dir_create",
     "dp_split_leakage",
     "dp_quality_sweep",
+    "ev_cohort_retention",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

@@ -99,12 +99,97 @@ ORDER BY tier_id
 """
 
 
+# --- cohort retention: weekly first-event cohorts × activity offset ------
+
+
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users cohort by the Monday week
+    of their FIRST event; each later active week increments
+    (cohort_week, week_offset). retention_ppm is exact-integer against
+    the offset-0 row (= cohort size: the first week is active by
+    construction).
+
+    Shape: ONE user-keyed corpus shuffle does all the heavy lifting —
+    the cohort week is a min() window over the same user partition
+    (no second events pass, no join), and the following distinct on
+    (user, cohort, week) reuses that partitioning (hash(user)
+    satisfies the wider clustering — the subset rule). The retention
+    matrix itself is cohorts x weeks — tiny; the ppm ratio is a
+    first_value window over that tiny frame. Plan-pinned to exactly
+    one corpus exchange.
+    """
+    from pyspark.sql import Window
+
+    ev = model.load(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id")
+    active = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.date_trunc("week", F.min("ts").over(uw)).alias("cohort_week"),
+    ).distinct()
+    matrix = (
+        active.select(
+            "cohort_week",
+            (
+                F.datediff(F.to_date("week"), F.to_date("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return (
+        matrix.select(
+            "cohort_week",
+            "week_offset",
+            "n_active_users",
+            F.first("n_active_users").over(w).alias("_cohort_size"),
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active_users",
+            F.expr("(n_active_users * 1000000) DIV _cohort_size").alias(
+                "retention_ppm"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EV_COHORT_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT e.user_id, f.cohort_week, date_trunc('week', e.ts) AS week
+  FROM events e JOIN firsts f USING (user_id)
+), m AS (
+  SELECT cohort_week,
+         CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(week AS DATE)) / 7 AS BIGINT)
+           AS week_offset,
+         count(*) AS n_active_users
+  FROM act GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active_users,
+       CAST((n_active_users * 1000000) //
+            first_value(n_active_users) OVER (PARTITION BY cohort_week ORDER BY week_offset)
+            AS BIGINT) AS retention_ppm
+FROM m
+ORDER BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
     "ev_asof_join": ev_asof_join,
     "ev_range_join_binned": ev_range_join_binned,
+    "ev_cohort_retention": ev_cohort_retention,
 }
 
 ORACLES = {
     "ev_asof_join": EV_ASOF_SQL,
     "ev_range_join_binned": EV_RANGE_SQL,
+    "ev_cohort_retention": EV_COHORT_SQL,
 }

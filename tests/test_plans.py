@@ -471,3 +471,30 @@ def test_nb_scoring_model_broadcasts(spark, sf_dir):
     p = plan_of(df)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_quality_sweep_no_threshold_fanout(spark, sf_dir):
+    """The sweep buckets docs in ONE corpus pass (two-phase agg, single
+    shuffle on bucket_ppm); the threshold ladder joins as a broadcast —
+    never a threshold x corpus product or explode."""
+    p = plan_of(entry.queries()["dp_quality_sweep"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "Generate" not in p
+    assert p.count("FileScan parquet") == 1  # one corpus read
+    assert "Exchange hashpartitioning(bucket_ppm" in p
+    assert p.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_split_leakage_single_corpus_shuffle(spark, sf_dir):
+    """Corpus rows shuffle once, keyed on the md5 fingerprint (uniform);
+    the combo rollup reshuffles only the leaked set."""
+    p = plan_of(entry.queries()["dp_split_leakage"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "Exchange hashpartitioning(fingerprint" in p
+    # no other corpus-carrying exchange: the remaining ones key the
+    # tiny splits-combo frame
+    import re
+
+    corpus_exchanges = [
+        m for m in re.findall(r"Exchange hashpartitioning\((\w+)", p)
+    ]
+    assert set(corpus_exchanges) <= {"fingerprint", "splits"}

@@ -88,3 +88,58 @@ def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_matches_python_replay(spark):
+    # three cohorts with planted churn; replay both laws in Python
+    from collections import defaultdict
+    from datetime import date, timedelta
+
+    base = date(2024, 1, 1)  # a Monday
+    rows = []
+    eid = 0
+    # user u starts in week u%3; is active in weeks start..start+(u%4)
+    for u in range(40):
+        start = u % 3
+        for wk in range(start, start + (u % 4) + 1):
+            eid += 1
+            d = base + timedelta(weeks=wk, days=u % 5, hours=u % 7)
+            rows.append((eid, str(d), u, "click", 1.0))
+    sch = "event_id long, ts string, user_id long, event_type string, value double"
+    ev = spark.createDataFrame(rows, sch).withColumn("ts", F.to_timestamp("ts"))
+
+    first_week = {}
+    active = defaultdict(set)
+    for _eid, ts, u, _t, _v in rows:
+        wk = (date.fromisoformat(ts[:10]) - base).days // 7
+        first_week[u] = min(first_week.get(u, 99), wk)
+        active[u].add(wk)
+    expect = defaultdict(int)
+    for u, weeks in active.items():
+        for wk in weeks:
+            expect[(first_week[u], wk - first_week[u])] += 1
+
+    # drive the query body directly on the constructed frame
+    import hadoop_ozone_spark.model as m
+    import hadoop_ozone_spark.plans.temporal_queries as tq
+
+    orig_load = m.load
+    try:
+        m.load = lambda s, sf, t: ev  # the query reads only events
+        got = {
+            ((date.fromisoformat(str(r.cohort_week)[:10]) - base).days // 7,
+             r.week_offset): r.n_active_users
+            for r in tq.ev_cohort_retention(spark, "unused").collect()
+        }
+    finally:
+        m.load = orig_load
+    assert got == dict(expect)
+
+
+def test_cohort_retention_single_corpus_shuffle(spark, sf_dir):
+    df = entry.queries()["ev_cohort_retention"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus shuffles once, keyed on user_id; the firsts dim rides a
+    # broadcast into the join; no sort-merge join anywhere
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
