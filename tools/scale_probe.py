@@ -934,6 +934,62 @@ def nb_probe(n_docs: int, vocab: int = 5_000) -> None:
     spark.stop()
 
 
+def events_probe(n_events_m: float = 1.0, n_users: int = 50_000) -> None:
+    """Temporal-family scale probe: synthesize n million events whose
+    per-user cadence is deterministic (13-minute steps with a 2-hour
+    jump every 7th event -> sessions of <= 7 events; users start
+    staggered across 10 weeks -> 10 cohorts), then time the native
+    session_window sessionization and the cohort-retention matrix.
+    Near-constant events/s across n = the linear-scaling property
+    (both plans are one user-keyed corpus shuffle)."""
+    from hadoop_ozone_spark import model
+    from hadoop_ozone_spark.operators import temporal as temporal_ops
+    from hadoop_ozone_spark.plans import temporal_queries
+
+    spark = get_spark("scale-probe-events")
+    n = int(n_events_m * 1_000_000)
+    base = 1_704_067_200  # 2024-01-01
+    k = F.expr(f"id DIV {n_users}")  # per-user event ordinal
+    u = F.col("id") % n_users
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        u.alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(base) + (u % 10) * 604_800 + k * 780 + (k / 7).cast("long") * 7_200
+        ).alias("ts"),
+        F.lit("click").alias("event_type"),
+        ((F.col("id") % 100) / 10.0).alias("value"),
+    ).persist()
+    out = {"num_events": ev.count(), "num_users": n_users,
+           "timings_sec": {}, "rows_per_sec": {}}
+    for name, fn in (
+        ("sessionize", lambda: temporal_ops.sessionize(ev).count()),
+        ("cohort_retention", lambda: _cohort_on(spark, ev).count()),
+    ):
+        t0 = time.time()
+        rows = fn()
+        dt = time.time() - t0
+        out["timings_sec"][name] = round(dt, 2)
+        out["rows_per_sec"][name] = int(n / dt)
+        out[f"{name}_rows"] = rows
+    print(json.dumps(out))
+    ev.unpersist()
+    spark.stop()
+
+
+def _cohort_on(spark, ev):
+    """Run the registered cohort query body against a synthetic frame."""
+    from hadoop_ozone_spark import model
+    from hadoop_ozone_spark.plans import temporal_queries
+
+    orig = model.load
+    try:
+        model.load = lambda s, sf, t: ev
+        return temporal_queries.ev_cohort_retention(spark, "synthetic")
+    finally:
+        model.load = orig
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         if len(sys.argv) < 3:
@@ -963,6 +1019,8 @@ if __name__ == "__main__":
         spans_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 60_000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--semdedup":
         semdedup_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 50000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--events":
+        events_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 1.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--nb":
         nb_probe(
             int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 100_000,
