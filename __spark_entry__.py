@@ -830,6 +830,7 @@ NEXT_WINDOW: list[str] = [
     "dp_split_leakage",
     "dp_quality_sweep",
     "ev_cohort_retention",
+    "ev_funnel",
 ]
 
 

@@ -110,6 +110,7 @@ HEADLINE = [
     "dp_split_leakage",
     "dp_quality_sweep",
     "ev_cohort_retention",
+    "ev_funnel",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

@@ -182,14 +182,118 @@ ORDER BY cohort_week, week_offset
 """
 
 
+# --- conversion funnel: click → purchase within the attribution window ---
+
+
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step conversion funnel with a 1-hour attribution window:
+    all users → users with a click → users whose first click is
+    followed by a purchase within 1h. Exact-ppm rates vs the top of
+    the funnel.
+
+    Shape: the first-click anchor is a min() window over the user
+    partition, the conversion flag folds per user in the SAME
+    clustered pass (one corpus shuffle), and the funnel itself is a
+    1-row total stacked to 3 — nothing after the per-user fold is
+    corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    ev = model.load(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id")
+    fc = F.min(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(uw)
+    flags = ev.select(
+        "user_id",
+        fc.alias("fc"),
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= fc)
+            & (F.col("ts") <= fc + F.expr("INTERVAL 1 HOUR")),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv"),
+    )
+    per_user = flags.groupBy("user_id").agg(
+        F.max(F.col("fc").isNotNull().cast("int")).alias("clicked"),
+        F.max("conv").alias("converted"),
+    )
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("clicked").cast("long").alias("n_clicked"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    return totals.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("step_no"),
+                    F.lit("all_users").alias("step"),
+                    F.col("n_all").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("step_no"),
+                    F.lit("clicked").alias("step"),
+                    F.col("n_clicked").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("step_no"),
+                    F.lit("purchased_within_1h").alias("step"),
+                    F.col("n_converted").alias("n_users"),
+                ),
+            )
+        ).alias("s"),
+        "n_all",
+    ).select(
+        F.col("s.step_no").alias("step_no"),
+        F.col("s.step").alias("step"),
+        F.col("s.n_users").alias("n_users"),
+        F.expr("(s.n_users * 1000000) DIV n_all").alias("rate_ppm"),
+    ).orderBy("step_no")
+
+
+EV_FUNNEL_SQL = """
+WITH fc AS (
+  SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS first_click
+  FROM events GROUP BY user_id
+), per_user AS (
+  SELECT e.user_id,
+         CAST(max(CASE WHEN f.first_click IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+           AS clicked,
+         max(CASE WHEN e.event_type = 'purchase'
+                   AND e.ts >= f.first_click
+                   AND e.ts <= f.first_click + INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events e JOIN fc f USING (user_id)
+  GROUP BY e.user_id
+), totals AS (
+  SELECT count(*) AS n_all,
+         CAST(SUM(clicked) AS BIGINT) AS n_clicked,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM per_user
+)
+SELECT step_no, step, n_users,
+       CAST((n_users * 1000000) // n_all AS BIGINT) AS rate_ppm
+FROM totals, (VALUES (1, 'all_users'), (2, 'clicked'), (3, 'purchased_within_1h'))
+     AS s(step_no, step),
+LATERAL (SELECT CASE step_no WHEN 1 THEN n_all WHEN 2 THEN n_clicked
+                ELSE n_converted END AS n_users) n
+ORDER BY step_no
+"""
+
+
 QUERIES = {
     "ev_asof_join": ev_asof_join,
     "ev_range_join_binned": ev_range_join_binned,
     "ev_cohort_retention": ev_cohort_retention,
+    "ev_funnel": ev_funnel,
 }
 
 ORACLES = {
     "ev_asof_join": EV_ASOF_SQL,
     "ev_range_join_binned": EV_RANGE_SQL,
     "ev_cohort_retention": EV_COHORT_SQL,
+    "ev_funnel": EV_FUNNEL_SQL,
 }

@@ -143,3 +143,46 @@ def test_cohort_retention_single_corpus_shuffle(spark, sf_dir):
     # broadcast into the join; no sort-merge join anywhere
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_funnel_matches_python_replay(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(u, minutes, typ):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, str(base + timedelta(minutes=minutes)), u, typ, 1.0))
+
+    ev(1, 0, "click"); ev(1, 30, "purchase")          # converts
+    ev(2, 0, "click"); ev(2, 90, "purchase")          # too late (>1h)
+    ev(3, 0, "view")                                   # never clicked
+    ev(4, 0, "purchase"); ev(4, 10, "click"); ev(4, 60, "purchase")  # converts
+    ev(5, 0, "click"); ev(5, 60, "purchase")          # exactly 1h → converts
+    sch = "event_id long, ts string, user_id long, event_type string, value double"
+    frame = spark.createDataFrame(rows, sch).withColumn("ts", F.to_timestamp("ts"))
+
+    import hadoop_ozone_spark.model as m
+    import hadoop_ozone_spark.plans.temporal_queries as tq
+
+    orig_load = m.load
+    try:
+        m.load = lambda s, sf, t: frame
+        got = [(r.step_no, r.step, r.n_users, r.rate_ppm)
+               for r in tq.ev_funnel(spark, "unused").collect()]
+    finally:
+        m.load = orig_load
+    assert got == [
+        (1, "all_users", 5, 1_000_000),
+        (2, "clicked", 4, 800_000),
+        (3, "purchased_within_1h", 3, 600_000),
+    ]
+
+
+def test_funnel_single_corpus_shuffle(spark, sf_dir):
+    df = entry.queries()["ev_funnel"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
