@@ -1217,7 +1217,11 @@ def cdc_dedup_report(
     windows lack.
     """
     # three consumers (per-doc counts, shared set, flagged counts) —
-    # keep one materialized chunk table instead of three token passes
+    # keep one materialized chunk table instead of three token passes;
+    # fresh() resets the slot cursor so changed inputs RELEASE the
+    # previous generation (and identical plans reuse it, including
+    # across cdc_source_matrix)
+    scratch.fresh("cdc_chunks")
     ct = scratch.keep("cdc_chunks", cdc_chunk_table(docs, text_col, boundary_mod))
     shared = (
         ct.select("chunk_hash", "doc_id")
@@ -1260,6 +1264,7 @@ def cdc_source_matrix(
     not the corpus; the pair explosion per chunk is |sources|² at
     worst (sources are a small dimension).
     """
+    scratch.fresh("cdc_chunks")
     occ = (
         scratch.keep("cdc_chunks", cdc_chunk_table(docs, text_col, boundary_mod))
         .join(docs.select("doc_id", "source"), "doc_id")

@@ -38,6 +38,18 @@ def _uniform01(col: Column) -> Column:
     return (_lane(col) % _GRAIN) / F.lit(float(_GRAIN))
 
 
+def _split_of(train: float, val: float, seed: str) -> Column:
+    """THE split law — the single definition split_assign assigns with
+    and split_leakage audits against (a drifted copy would make the
+    contamination report silently audit a different law)."""
+    u = _uniform01(F.concat(F.lit(seed), F.lit("#"), F.col("doc_id").cast("string")))
+    return (
+        F.when(u < train, F.lit("train"))
+        .when(u < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     weights: dict[str, float],
@@ -159,12 +171,7 @@ def split_assign(
 
     Scale: map-only decision + one combinable groupBy.
     """
-    u = _uniform01(F.concat(F.lit(seed), F.lit("#"), F.col("doc_id").cast("string")))
-    split = (
-        F.when(u < train, F.lit("train"))
-        .when(u < train + val, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    split = _split_of(train, val, seed)
     n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     return (
         docs.select(
@@ -201,15 +208,13 @@ def split_leakage(
     uniform, unskewed); split sets per fingerprint are <= 3 elements;
     the combo rollup is a second tiny aggregate.
     """
-    u = _uniform01(F.concat(F.lit(seed), F.lit("#"), F.col("doc_id").cast("string")))
-    split = (
-        F.when(u < train, F.lit("train"))
-        .when(u < train + val, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    from hadoop_ozone_spark.datapipe.text import fingerprint_col
+
+    split = _split_of(train, val, seed)
     per_fp = (
-        docs.select(F.md5(norm).alias("fingerprint"), split.alias("split"))
+        docs.select(
+            fingerprint_col(text_col).alias("fingerprint"), split.alias("split")
+        )
         .groupBy("fingerprint")
         .agg(
             F.array_sort(F.collect_set("split")).alias("split_set"),

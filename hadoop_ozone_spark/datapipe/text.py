@@ -85,7 +85,7 @@ def quality_threshold_sweep(
     t = F.col(text_col)
     toks = tokens(t)
     n_tok = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*LANG_STOPWORDS["en"])))
+    stop_hits = _stopword_hits(toks, LANG_STOPWORDS["en"])
     staged = docs.select(
         (stop_hits.cast("long") * 1_000_000).alias("num"),
         n_tok.cast("long").alias("den"),
@@ -254,13 +254,26 @@ def curation_pipeline(
     )
 
 
+def _norm_text(text_col: str) -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+
+
+def fingerprint_col(text_col: str = "text") -> Column:
+    """THE canonical exact-dedup fingerprint expression — shared by
+    fingerprint() and packing.split_leakage so the leakage audit can
+    never key on a drifted normalization."""
+    return F.md5(_norm_text(text_col))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text — the exact-dedup key (a rolling-hash shingle fingerprint is
     minhash's job, datapipe/dedup.py)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    norm = _norm_text(text_col)
     return docs.select(
-        "doc_id", F.md5(norm).alias("fingerprint"), F.length(norm).alias("norm_len")
+        "doc_id",
+        fingerprint_col(text_col).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
     )
 
 

@@ -19,12 +19,12 @@ def _rows(df):
     }
 
 
-def test_session_stream_equals_batch_on_real_events(spark):
+def test_session_stream_equals_batch_on_real_events(spark, sf_dir):
     # append mode (the only mode session windows support when
     # streaming): a far-future sentinel pushes the watermark so the
     # trailing no-data batch flushes every real session — compared
     # against the batch reprocess of the same law
-    ev = model.load(spark, "/root/testdata/sf0.001", "events")
+    ev = model.load(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="ozspark_sess_")
     try:
         ev.select("event_id", "ts", "user_id", "event_type", "value").write.mode(

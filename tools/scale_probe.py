@@ -942,9 +942,7 @@ def events_probe(n_events_m: float = 1.0, n_users: int = 50_000) -> None:
     session_window sessionization and the cohort-retention matrix.
     Near-constant events/s across n = the linear-scaling property
     (both plans are one user-keyed corpus shuffle)."""
-    from hadoop_ozone_spark import model
     from hadoop_ozone_spark.operators import temporal as temporal_ops
-    from hadoop_ozone_spark.plans import temporal_queries
 
     spark = get_spark("scale-probe-events")
     n = int(n_events_m * 1_000_000)
