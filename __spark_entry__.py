@@ -831,6 +831,7 @@ NEXT_WINDOW: list[str] = [
     "dp_quality_sweep",
     "ev_cohort_retention",
     "ev_funnel",
+    "ev_transition_matrix",
 ]
 
 

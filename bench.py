@@ -111,6 +111,7 @@ HEADLINE = [
     "dp_quality_sweep",
     "ev_cohort_retention",
     "ev_funnel",
+    "ev_transition_matrix",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

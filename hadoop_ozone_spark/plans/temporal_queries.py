@@ -284,11 +284,76 @@ ORDER BY step_no
 """
 
 
+# --- event-type transition matrix: per-user next-event Markov counts -----
+
+
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event transition matrix (the Markov-chain view of
+    clickstream paths): count (event_type → next_event_type) over each
+    user's time-ordered stream, with the exact-ppm transition
+    probability within each source type.
+
+    Shape: one user-keyed corpus shuffle (the lead() window), then the
+    matrix is |types|² — tiny; the ppm normalizer is a window over
+    that tiny frame.
+    """
+    from pyspark.sql import Window
+
+    ev = model.load(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type"),
+        F.lead("event_type").over(uw).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    matrix = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tw = Window.partitionBy("event_type")
+    return (
+        matrix.select(
+            "event_type",
+            "next_type",
+            "n_transitions",
+            F.sum("n_transitions").over(tw).alias("_row_total"),
+        )
+        .select(
+            "event_type",
+            "next_type",
+            "n_transitions",
+            F.expr("(n_transitions * 1000000) DIV _row_total").alias(
+                "prob_ppm"
+            ),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+EV_TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), m AS (
+  SELECT event_type, next_type, count(*) AS n_transitions
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n_transitions,
+       CAST((n_transitions * 1000000) //
+            SUM(n_transitions) OVER (PARTITION BY event_type) AS BIGINT)
+         AS prob_ppm
+FROM m
+ORDER BY event_type, next_type
+"""
+
+
 QUERIES = {
     "ev_asof_join": ev_asof_join,
     "ev_range_join_binned": ev_range_join_binned,
     "ev_cohort_retention": ev_cohort_retention,
     "ev_funnel": ev_funnel,
+    "ev_transition_matrix": ev_transition_matrix,
 }
 
 ORACLES = {
@@ -296,4 +361,5 @@ ORACLES = {
     "ev_range_join_binned": EV_RANGE_SQL,
     "ev_cohort_retention": EV_COHORT_SQL,
     "ev_funnel": EV_FUNNEL_SQL,
+    "ev_transition_matrix": EV_TRANSITION_SQL,
 }

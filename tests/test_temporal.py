@@ -186,3 +186,49 @@ def test_funnel_single_corpus_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_transition_matrix_matches_python_replay(spark):
+    from collections import Counter, defaultdict
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    # user 1: a->b->a->c ; user 2: b->b ; user 3: single event (no pair)
+    seq = {1: ["a", "b", "a", "c"], 2: ["b", "b"], 3: ["a"]}
+    rows, eid = [], 0
+    for u, types in seq.items():
+        for i, t in enumerate(types):
+            eid += 1
+            rows.append((eid, str(base + timedelta(minutes=i)), u, t, 1.0))
+    sch = "event_id long, ts string, user_id long, event_type string, value double"
+    frame = spark.createDataFrame(rows, sch).withColumn("ts", F.to_timestamp("ts"))
+
+    expect = Counter()
+    for types in seq.values():
+        for a, b in zip(types, types[1:]):
+            expect[(a, b)] += 1
+    row_tot = defaultdict(int)
+    for (a, _b), n in expect.items():
+        row_tot[a] += n
+
+    import hadoop_ozone_spark.model as m
+    import hadoop_ozone_spark.plans.temporal_queries as tq
+
+    orig_load = m.load
+    try:
+        m.load = lambda s, sf, t: frame
+        got = {(r.event_type, r.next_type): (r.n_transitions, r.prob_ppm)
+               for r in tq.ev_transition_matrix(spark, "unused").collect()}
+    finally:
+        m.load = orig_load
+    assert got == {
+        pair: (n, n * 1_000_000 // row_tot[pair[0]])
+        for pair, n in expect.items()
+    }
+
+
+def test_transition_matrix_single_corpus_shuffle(spark, sf_dir):
+    df = entry.queries()["ev_transition_matrix"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
