@@ -672,70 +672,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Registration order. The driver's correctness artifact covers the FIRST
-# 50 entries of queries() each round. After round 6 every registered
-# query had driver evidence EXCEPT the 15 registered during round 6
-# (they sat after the r6 window; judge-verified at HEAD only). Round 7
-# (VERDICT r6 #1): front-load those 15, then fill the remaining 35 slots
-# with the stalest driver rows — the round-4-evidence set, alphabetical.
-# The 15 round-4 rows that don't fit (m5_etag_check .. x13, listed in
-# R4_LEFTOVER in tests/test_entry_contract.py) are the r8 front-runners,
-# together with queries registered NEW this round (NEXT_WINDOW below).
-# Tracked in tests/test_entry_contract.py.
+# 50 entries of queries() each round. Round 8 (VERDICT r7 #1): the 43
+# queries registered during round 7 have judge evidence only — they
+# front-load this window; the remaining 7 slots take the stalest driver
+# rows, the first 7 (alphabetical) of the 15 round-4 leftovers tracked
+# as R4_LEFTOVER in tests/test_entry_contract.py. The 8 that don't fit
+# (s8_freon_generator, sm1_safemode_status, t1_trash_status,
+# w4_list_parts, w5_topk_containers, w6_latest_version,
+# x12_sorted_locations, x13_get_file_status — R4_LEFTOVER_R9 in the
+# contract test) are the round-9 front-runners, together with queries
+# registered NEW this round (NEXT_WINDOW below).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
-    # registered during round 6 — first-ever driver check (15)
-    "pp1_pipeline_targets",
-    "s3_bucket_acl",
-    "bm1_balancer_moves",
-    "dp_bpe_pair_counts",
-    "dp_quality_strata",
-    "u1_file_counts_filtered",
-    "n3_topology",
-    "c2_container_info",
-    "n4_datanode_list",
-    "dp_ann_pq_topk",
-    "dp_dsir_weights",
-    "a10_rate_spikes",
-    "b2_balancer_summary",
-    "w2_list_objects_v1",
-    "dp_dedup_rate_report",
-    # round-4 evidence (stalest driver rows — first 35, alphabetical)
-    "a3_fso_namespace_du",
-    "a9_distinct_dirs",
-    "b1_balancer_utilization",
-    "c1_list_containers",
-    "d1_decommission_status",
-    "d2_failed_txns",
-    "d2_pending_deletion",
-    "dp_ann_bucket_histogram",
-    "dp_ann_bucketed_topk",
-    "dp_ann_ivf_topk",
-    "dp_ann_multiprobe_topk",
-    "dp_budget_sample",
-    "dp_chunk_dedup",
-    "dp_curation_pipeline",
-    "dp_dedup_keep_best",
-    "dp_fingerprint",
-    "dp_lang_id",
-    "dp_media_features",
-    "dp_media_frame_sample",
-    "dp_media_resize_plan",
-    "dp_minhash_pairs",
-    "dp_ngram_jaccard",
-    "dp_simhash_pairs",
-    "dp_split_assign",
-    "dp_token_stats",
-    "dp_train_order",
-    "dp_unigram_quality",
-    "dp_vocabulary",
-    "f5_slim_projection",
-    "h1_access_heatmap",
-    "j1_replica_history",
-    "j2_missing_containers",
-    "j3_fso_list_status",
-    "m1_open_key_commit",
-    "m2_fso_rename_dir",
+    # registered during round 7 — first-ever driver check (43)
+    "dp_ann_ivfpq_topk",
+    "s10_chunk_locations",
+    "fso_prefix_parse",
+    "s3_list_buckets",
+    "s3_bucket_head_delete",
+    "c3_unhealthy_page",
+    "dp_ann_ivfpq_knn_join",
+    "dp_dup_spans",
+    "dp_dup_span_report",
+    "c4_unhealthy_all",
+    "dp_dup_span_clean",
+    "dp_media_exact_dedup",
+    "acl_add_remove_plane",
+    "acl_set_plane",
+    "dp_lm_perplexity",
+    "tok_renew_decisions",
+    "tok_cancel_decisions",
+    "tok_expiry_sweep",
+    "sec_s3_secret_plane",
+    "dp_nb_lang_model",
+    "dp_nb_lang_confusion",
+    "m9_volume_lifecycle",
+    "m9_user_volume_list",
+    "dp_decontaminate_spans",
+    "dp_embedding_dim_stats",
+    "dp_embedding_norms",
+    "dn1_block_deletion_plan",
+    "q18_large_volume_customers",
+    "m10_bucket_create",
+    "m11_dir_create",
+    "m12_file_create",
+    "m13_bucket_set_property",
+    "m14_bulk_rename",
+    "m15_bulk_delete",
+    "dn2_scanner_rollup",
+    "dp_cdc_chunks",
+    "dp_cdc_source_matrix",
+    "dp_tfidf_topk",
+    "dp_split_leakage",
+    "dp_quality_sweep",
+    "ev_cohort_retention",
+    "ev_funnel",
+    "ev_transition_matrix",
+    # round-4 evidence leftovers (stalest driver rows — first 7, alphabetical)
+    "m5_etag_check",
+    "m6_copy_part",
+    "n1_datanodes",
+    "p1_pipelines",
+    "p2_pipeline_rack_spread",
+    "q15_top_supplier",
+    "s7_audit_roundtrip",
 ]
 
 
@@ -784,55 +785,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Queries registered NEW this round (round 7) — placed immediately
+# Queries registered NEW this round (round 8) — placed immediately
 # after the 50-slot driver window so the judge's HEAD oracle run sees
-# them and the round-8 rotation can front-load them, together with the
-# 15 round-4 leftovers (R4_LEFTOVER in tests/test_entry_contract.py).
-NEXT_WINDOW: list[str] = [
-    "dp_ann_ivfpq_topk",
-    "s10_chunk_locations",
-    "fso_prefix_parse",
-    "s3_list_buckets",
-    "s3_bucket_head_delete",
-    "c3_unhealthy_page",
-    "dp_ann_ivfpq_knn_join",
-    "dp_dup_spans",
-    "dp_dup_span_report",
-    "c4_unhealthy_all",
-    "dp_dup_span_clean",
-    "dp_media_exact_dedup",
-    "acl_add_remove_plane",
-    "acl_set_plane",
-    "dp_lm_perplexity",
-    "tok_renew_decisions",
-    "tok_cancel_decisions",
-    "tok_expiry_sweep",
-    "sec_s3_secret_plane",
-    "dp_nb_lang_model",
-    "dp_nb_lang_confusion",
-    "m9_volume_lifecycle",
-    "m9_user_volume_list",
-    "dp_decontaminate_spans",
-    "dp_embedding_dim_stats",
-    "dp_embedding_norms",
-    "dn1_block_deletion_plan",
-    "q18_large_volume_customers",
-    "m10_bucket_create",
-    "m11_dir_create",
-    "m12_file_create",
-    "m13_bucket_set_property",
-    "m14_bulk_rename",
-    "m15_bulk_delete",
-    "dn2_scanner_rollup",
-    "dp_cdc_chunks",
-    "dp_cdc_source_matrix",
-    "dp_tfidf_topk",
-    "dp_split_leakage",
-    "dp_quality_sweep",
-    "ev_cohort_retention",
-    "ev_funnel",
-    "ev_transition_matrix",
-]
+# them and the round-9 rotation can front-load them, together with the
+# 8 remaining round-4 leftovers (R4_LEFTOVER_R9 in
+# tests/test_entry_contract.py).
+NEXT_WINDOW: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

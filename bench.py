@@ -1,6 +1,9 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}}.
+compact JSON line (<1900 bytes — the driver parses the last ~2000 chars
+of stdout): {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"calibration_sec": ...}. The FULL per-query payload (3-decimal timings,
+cold/spread, calibration pair) lands in artifacts/bench_headline.json.
 
 Deployment read path (VERDICT r3 #1): the warmup phase materializes the
 namespace/corpora planes ONCE as the partitioned, key-sorted snapshot
@@ -117,6 +120,31 @@ HEADLINE = [
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state
 
 
+def calibration_run(spark) -> float:
+    """Fixed synthetic reference job (VERDICT r7 #5): time a constant
+    range→sort→hash-agg pipeline so cross-round bench totals can be
+    normalized for tenant contention. The job is data-independent
+    (spark.range), so its wall time moves ONLY with box load. Two
+    passes, min kept — the first pass on a fresh session pays JIT /
+    codegen warmup (measured 2.6s vs 0.9s steady), which would read
+    as phantom contention."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        (
+            spark.range(50_000_000)
+            .withColumn("h", F.pmod(F.hash("id"), F.lit(4096)))
+            .sort("h", "id")
+            .groupBy("h")
+            .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+            .count()
+        )
+        runs.append(time.time() - t0)
+    return round(min(runs), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -144,6 +172,11 @@ def main() -> None:
         model.om_events(spark, sf_dir).count()
         model.dedup_corpus(spark, sf_dir).count()
     warmup = round(time.time() - t_w, 3)
+
+    # Contention calibration (VERDICT r7 #5): run the fixed reference
+    # job at start AND end; the pair lets judges normalize the headline
+    # total for tenant load instead of eyeballing "uniform inflation".
+    calib_start = calibration_run(spark)
 
     # The registered dp_minhash_pairs runs the engine-portable md5 hash
     # family (DuckDB-replayable correctness twin). The xxhash64 family —
@@ -188,17 +221,26 @@ def main() -> None:
             f"{spreads[name]:.0f}% repeat spread, {n} rows)",
             file=sys.stderr,
         )
+    calib_end = calibration_run(spark)
     total = round(sum(timings.values()), 3)
-    # Artifact robustness (VERDICT r4 #8): the driver's stdout capture
-    # is tail-bounded, so stdout carries ONLY one compact JSON line
-    # (progress already went to stderr). The per-query cold/spread
-    # detail lands in bench_details.json next to the repo root.
+    # Artifact robustness (VERDICT r7 #2): the driver parses a JSON line
+    # out of the LAST ~2000 chars of stdout — round 7's 70-query line
+    # overflowed that window and left BENCH_r07 `parsed: null`. So:
+    # (a) the FULL headline payload (3-decimals, cold, spread,
+    #     calibration) is written to artifacts/bench_headline.json, and
+    # (b) stdout carries ONE compact JSON line guaranteed < 1900 bytes:
+    #     2-decimal timings, and if the headline set ever outgrows the
+    #     budget the FASTEST queries are trimmed from the line (never
+    #     the file), with queries_omitted recording the trim.
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "warmup_sec": warmup,
+        "calibration_sec": round((calib_start + calib_end) / 2, 3),
+        "calibration_start_sec": calib_start,
+        "calibration_end_sec": calib_end,
         "snapshot_read_path": use_snapshot,
         "cold_sec": colds,
         "spread_pct": spreads,
@@ -212,18 +254,36 @@ def main() -> None:
     os.makedirs(art, exist_ok=True)
     with open(os.path.join(art, "bench_details.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "warmup_sec": warmup,
-                "sf": sf,
-            }
+    with open(os.path.join(art, "bench_headline.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    def _stdout_line(n_keep: int) -> str:
+        kept = set(
+            k for k, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:n_keep]
         )
-    )
+        payload = {
+            "metric": "headline_queries_total_sec",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": {
+                k: round(v, 2) for k, v in timings.items() if k in kept
+            },
+            "warmup_sec": round(warmup, 2),
+            "calibration_sec": detail["calibration_sec"],
+            "sf": sf,
+        }
+        omitted = len(timings) - len(kept)
+        if omitted:
+            payload["queries_omitted"] = omitted
+            payload["full"] = "artifacts/bench_headline.json"
+        return json.dumps(payload, separators=(",", ":"))
+
+    n_keep = len(timings)
+    line = _stdout_line(n_keep)
+    while len(line) > 1900 and n_keep > 10:
+        n_keep -= 5
+        line = _stdout_line(n_keep)
+    print(line)
     spark.stop()
 
 

@@ -81,8 +81,13 @@ def quality_threshold_sweep(
     cumulative sum over that constant-size frame —
     kept_at(t) = sum of buckets >= t. The single-partition window
     runs on <= n_steps rows regardless of corpus size.
+
+    NULL text coalesces to '' (ADVICE r7: without it, NULL-text docs
+    got a NULL bucket and silently vanished from every rung including
+    total_docs) — matching the sibling operators tfidf_topk /
+    cdc_chunk_table and DP_QUALITY_SWEEP_SQL.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens(t)
     n_tok = F.size(toks)
     stop_hits = _stopword_hits(toks, LANG_STOPWORDS["en"])

@@ -1119,9 +1119,9 @@ def dp_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 DP_QUALITY_SWEEP_SQL = r"""
 WITH scored AS (
   SELECT
-    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+    len(list_filter(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
                     x -> x IN ('the', 'and', 'of'))) * 1000000 AS num,
-    len(regexp_split_to_array(trim(text), '\s+')) AS den
+    len(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) AS den
   FROM documents
 ),
 bucketed AS (

@@ -76,6 +76,14 @@ def read_gram_index(
         raise
     if before_batch is not None:
         df = df.filter(F.col("batch") < before_batch)
+    if "gram_bucket" not in df.columns:
+        # State dirs written before the bucketed zone format (round 7)
+        # carry no gram_bucket column/partition — derive it so replay
+        # over an old state dir stays bytewise-idempotent (ADVICE r7).
+        df = df.withColumn(
+            "gram_bucket",
+            F.pmod(F.col("gram"), F.lit(SPAN_GRAM_BUCKETS)).cast("int"),
+        )
     return df.select("doc_id", "pos", "gram", "gram_bucket")
 
 

@@ -581,6 +581,21 @@ def test_quality_sweep_ladder_and_monotone(spark):
     assert kept == sorted(kept, reverse=True)  # monotone non-increasing
 
 
+def test_quality_sweep_counts_null_text_docs(spark):
+    # ADVICE r7: NULL-text docs must land in rung 0 (coalesced to ''),
+    # not silently vanish from total_docs
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "the and of")],
+        "doc_id long, text string",
+    )
+    out = text.quality_threshold_sweep(docs).collect()
+    assert out[0].n_docs_kept == 3  # rung 0 keeps ALL docs, NULL included
+    for r in out[1:]:
+        assert r.n_docs_kept == 1  # only the all-stopword doc clears
+    # total_docs denominator includes the NULL doc: 1/3 surviving
+    assert out[1].docs_kept_ppm == 333_333
+
+
 def test_dedup_keep_best_one_winner_per_group(spark, sf_dir):
     import __spark_entry__ as entry
 

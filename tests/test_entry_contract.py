@@ -1,11 +1,12 @@
 """Driver-contract invariants: the correctness window (first 50
 queries() entries) must stay complete — every entry oracle-backed, no
-duplicates, and the union of the frozen round-1..6 windows
-(CORRECTNESS_r01..r06.json) plus the current window must cover every
+duplicates, and the union of the frozen round-1..7 windows
+(CORRECTNESS_r01..r07.json) plus the current window must cover every
 registered query except those registered this round (which sit
-immediately after the window for the round-8 rotation). The round-7
-window front-loads the 15 round-6 registrations (first driver check)
-and fills with the 35 stalest (round-4-evidence) rows."""
+immediately after the window for the round-9 rotation). The round-8
+window front-loads the 43 round-7 registrations (first driver check)
+and fills with the 7 stalest (round-4-evidence) rows; the 8 leftovers
+that don't fit (R4_LEFTOVER_R9) lead the round-9 queue."""
 
 from __future__ import annotations
 
@@ -165,6 +166,51 @@ R4_LEFTOVER = [
     "x12_sorted_locations", "x13_get_file_status",
 ]
 
+# the 50 keys the driver hash-checked in round 7 (CORRECTNESS_r07.json):
+# the 15 round-6 registrations + 35 stalest round-4 rows
+R7_WINDOW = R6_REGISTRATIONS + [
+    "a3_fso_namespace_du", "a9_distinct_dirs", "b1_balancer_utilization",
+    "c1_list_containers", "d1_decommission_status", "d2_failed_txns",
+    "d2_pending_deletion", "dp_ann_bucket_histogram",
+    "dp_ann_bucketed_topk", "dp_ann_ivf_topk", "dp_ann_multiprobe_topk",
+    "dp_budget_sample", "dp_chunk_dedup", "dp_curation_pipeline",
+    "dp_dedup_keep_best", "dp_fingerprint", "dp_lang_id",
+    "dp_media_features", "dp_media_frame_sample", "dp_media_resize_plan",
+    "dp_minhash_pairs", "dp_ngram_jaccard", "dp_simhash_pairs",
+    "dp_split_assign", "dp_token_stats", "dp_train_order",
+    "dp_unigram_quality", "dp_vocabulary", "f5_slim_projection",
+    "h1_access_heatmap", "j1_replica_history", "j2_missing_containers",
+    "j3_fso_list_status", "m1_open_key_commit", "m2_fso_rename_dir",
+]
+
+# registered during round 7 — zero driver evidence until the r8 window
+R7_REGISTRATIONS = [
+    "dp_ann_ivfpq_topk", "s10_chunk_locations", "fso_prefix_parse",
+    "s3_list_buckets", "s3_bucket_head_delete", "c3_unhealthy_page",
+    "dp_ann_ivfpq_knn_join", "dp_dup_spans", "dp_dup_span_report",
+    "c4_unhealthy_all", "dp_dup_span_clean", "dp_media_exact_dedup",
+    "acl_add_remove_plane", "acl_set_plane", "dp_lm_perplexity",
+    "tok_renew_decisions", "tok_cancel_decisions", "tok_expiry_sweep",
+    "sec_s3_secret_plane", "dp_nb_lang_model", "dp_nb_lang_confusion",
+    "m9_volume_lifecycle", "m9_user_volume_list",
+    "dp_decontaminate_spans", "dp_embedding_dim_stats",
+    "dp_embedding_norms", "dn1_block_deletion_plan",
+    "q18_large_volume_customers", "m10_bucket_create", "m11_dir_create",
+    "m12_file_create", "m13_bucket_set_property", "m14_bulk_rename",
+    "m15_bulk_delete", "dn2_scanner_rollup", "dp_cdc_chunks",
+    "dp_cdc_source_matrix", "dp_tfidf_topk", "dp_split_leakage",
+    "dp_quality_sweep", "ev_cohort_retention", "ev_funnel",
+    "ev_transition_matrix",
+]
+
+# the 8 round-4-evidence rows that did not fit in the r8 window
+# (7 slots after the 43 round-7 registrations) — front of the r9 queue
+R4_LEFTOVER_R9 = [
+    "s8_freon_generator", "sm1_safemode_status", "t1_trash_status",
+    "w4_list_parts", "w5_topk_containers", "w6_latest_version",
+    "x12_sorted_locations", "x13_get_file_status",
+]
+
 
 def test_window_is_first_50_and_oracle_backed():
     q, o = entry.queries(), entry.oracle_sql()
@@ -179,28 +225,32 @@ def test_every_query_has_an_oracle():
     assert set(q) == set(o)  # no rows-only checks remain
 
 
-def test_round7_window_frontloads_round6_registrations():
-    # VERDICT r6 #1: the 15 queries registered during round 6 have zero
-    # driver evidence — they lead the r7 window
-    assert entry.DRIVER_WINDOW[:15] == R6_REGISTRATIONS
+def test_round8_window_frontloads_round7_registrations():
+    # VERDICT r7 #1: the 43 queries registered during round 7 have zero
+    # driver evidence — they lead the r8 window; the remaining 7 slots
+    # take the stalest (round-4-evidence) rows, alphabetical
+    assert entry.DRIVER_WINDOW[:43] == R7_REGISTRATIONS
+    assert entry.DRIVER_WINDOW[43:] == R4_LEFTOVER[:7]
+    assert R4_LEFTOVER[7:] == R4_LEFTOVER_R9
 
 
-def test_round7_window_fills_with_stalest_rows():
+def test_round8_window_fills_with_stalest_rows():
     # the remaining 35 slots hold round-4-evidence rows (the stalest);
-    # together with R4_LEFTOVER they exactly exhaust the r4 set
+    # together with R4_LEFTOVER_R9 they exactly exhaust the still-stale
+    # round-4-evidence set
     last_checked = {}
     for rnd, window in (
         (1, R1_WINDOW), (2, R2_WINDOW), (3, R3_WINDOW),
-        (4, R4_WINDOW), (5, R5_WINDOW), (6, R6_WINDOW),
+        (4, R4_WINDOW), (5, R5_WINDOW), (6, R6_WINDOW), (7, R7_WINDOW),
     ):
         for name in window:
             last_checked[name] = rnd
     r4_stale = {
         n for n in entry.queries() if last_checked.get(n, 0) == 4
     }
-    filler = entry.DRIVER_WINDOW[15:]
+    filler = entry.DRIVER_WINDOW[43:]
     assert set(filler) <= r4_stale, sorted(set(filler) - r4_stale)
-    assert set(filler) | set(R4_LEFTOVER) == r4_stale
+    assert set(filler) | set(R4_LEFTOVER_R9) == r4_stale
     assert filler == sorted(filler)  # deterministic: alphabetical
 
 
@@ -208,10 +258,11 @@ def test_round_union_covers_every_registered_query():
     q = entry.queries()
     covered = (
         set(R1_WINDOW) | set(R2_WINDOW) | set(R3_WINDOW) | set(R4_WINDOW)
-        | set(R5_WINDOW) | set(R6_WINDOW) | set(entry.DRIVER_WINDOW)
+        | set(R5_WINDOW) | set(R6_WINDOW) | set(R7_WINDOW)
+        | set(entry.DRIVER_WINDOW)
     )
     pending = set(q) - covered
-    # only round-7 registrations (NEXT_WINDOW) may lack driver evidence
+    # only round-8 registrations (NEXT_WINDOW) may lack driver evidence
     assert pending <= set(entry.NEXT_WINDOW), sorted(
         pending - set(entry.NEXT_WINDOW)
     )

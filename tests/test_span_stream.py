@@ -56,6 +56,31 @@ def test_span_stream_matches_batch_and_replays(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_gram_index_reads_pre_bucketed_state_dirs(spark):
+    # ADVICE r7: state dirs written before the round-7 bucketed zone
+    # format carry no gram_bucket partition — the reader must derive
+    # it (pmod law) instead of failing the select on replay
+    tmp = tempfile.mkdtemp(prefix="ozspark_spanstream_legacy_")
+    try:
+        legacy = spark.createDataFrame(
+            [(1, 0, 7), (1, 1, -3), (2, 0, 64)],
+            "doc_id long, pos int, gram long",
+        )
+        legacy.write.parquet(f"{tmp}/grams/batch=0")
+        got = {
+            (r.doc_id, r.pos, r.gram): r.gram_bucket
+            for r in span_stream.read_gram_index(spark, tmp).collect()
+        }
+        n = span_stream.SPAN_GRAM_BUCKETS
+        assert got == {
+            (1, 0, 7): 7 % n,
+            (1, 1, -3): (-3) % n,  # pmod: non-negative for negative grams
+            (2, 0, 64): 64 % n,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_span_stream_empty_state_reads_empty(spark):
     import tempfile as _t
 
