@@ -790,7 +790,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # them and the round-9 rotation can front-load them, together with the
 # 8 remaining round-4 leftovers (R4_LEFTOVER_R9 in
 # tests/test_entry_contract.py).
-NEXT_WINDOW: list[str] = []
+NEXT_WINDOW: list[str] = [
+    "x15_list_tables",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

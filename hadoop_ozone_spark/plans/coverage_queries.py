@@ -2030,3 +2030,36 @@ QUERIES["m14_bulk_rename"] = m14_bulk_rename
 ORACLES["m14_bulk_rename"] = M14_SQL
 QUERIES["m15_bulk_delete"] = m15_bulk_delete
 ORACLES["m15_bulk_delete"] = M15_SQL
+
+
+def x15_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: catalog enumeration — every base table (the engine's
+    "column families") with its row count, the `ozone debug ldb
+    list_column_families` listing (ref tools/.../debug/
+    ListTables.java:49-54) plus the row-count pass an operator reads
+    before a DropTable.java drop. Each leg is a parquet metadata count
+    (aggregate pushdown — footer statistics, no data read); the union
+    is len(TABLES) one-row frames, constant regardless of SF."""
+    parts = [
+        model.load(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(t).alias("table_name"), "n_rows")
+        for t in model.TABLES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+X15_SQL = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}"
+        for t in model.TABLES
+    )
+    + ") ORDER BY table_name"
+)
+
+QUERIES["x15_list_tables"] = x15_list_tables
+ORACLES["x15_list_tables"] = X15_SQL
