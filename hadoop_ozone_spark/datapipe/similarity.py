@@ -140,34 +140,6 @@ def ivf_centroids(
     )
 
 
-def _centroid_array(centroids: DataFrame) -> DataFrame:
-    """ONE row holding the whole coarse codebook as an array sorted by
-    list_id. Broadcast-crossJoined onto the corpus, assignment becomes a
-    map-only inline argmax instead of an n_lists× row blowup +
-    re-aggregation — the shape that OOMed the 1M-vector probe leg
-    (VERDICT r7 #3) and that would shuffle the corpus at 100 TB."""
-    return centroids.agg(
-        F.sort_array(F.collect_list(F.struct("list_id", "cvec"))).alias("cents")
-    )
-
-
-def _nearest_centroid(vec: Column, round_digits: int) -> Column:
-    """struct(score, neg_list, cvec) of the nearest centroid in the
-    one-row ``cents`` array: lexicographic array_max = argmax(rounded
-    cosine) with lowest-list tie-break — (score, neg_list) is unique per
-    entry, so the trailing cvec payload never participates."""
-    return F.array_max(
-        F.transform(
-            F.col("cents"),
-            lambda ce: F.struct(
-                F.round(cosine(vec, ce["cvec"]), round_digits).alias("score"),
-                (-ce["list_id"]).alias("neg_list"),
-                ce["cvec"].alias("cvec"),
-            ),
-        )
-    )
-
-
 def ivf_index(
     embeddings: DataFrame,
     n_lists: int = 16,
@@ -178,15 +150,28 @@ def ivf_index(
     """Write-time artifact: (list_id, vec_id, vec) — each vector in its
     nearest-centroid list (cosine, rounded; ties → lowest list_id).
 
-    Map-ONLY: the codebook rides in as a one-row broadcast array and the
-    argmax is computed inline per vector — no row inflation and no
-    shuffle at all (the pre-r8 crossJoin×n_lists + groupBy(vec_id)
-    re-aggregation shuffled the corpus once per build). Persist
-    partitioned by list_id so probes prune partitions."""
+    One broadcast (the codebook) + one map-side-combinable groupBy on
+    vec_id: the corpus shuffles once, at index build, never at query.
+    Persist partitioned by list_id so probes prune partitions. (An
+    all-HOF map-only variant — centroids as a one-row broadcast array,
+    inline array_max — benched 1.6× SLOWER here: higher-order functions
+    evaluate interpreted with boxing, and the n_lists× codegen blowup +
+    struct-max agg is cheap at assignment fan-out, unlike the encode's
+    m·n_codes× blowup; see _pq_encode_select for that fix.)"""
     c = centroids if centroids is not None else ivf_centroids(embeddings, n_lists, vec_col)
-    best = _nearest_centroid(as_double(F.col(vec_col)), round_digits)
-    return embeddings.crossJoin(F.broadcast(_centroid_array(c))).select(
-        (-best["neg_list"]).alias("list_id"), "vec_id", F.col(vec_col)
+    score = F.round(cosine(as_double(F.col(vec_col)), F.col("cvec")), round_digits)
+    scored = embeddings.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        F.col(vec_col),
+        (-F.col("list_id")).alias("neg_list"),
+        score.alias("score"),
+    )
+    # lexicographic struct max = argmax(score) with lowest-list tie-break
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct("score", "neg_list", F.col(vec_col).alias("vec"))).alias("m")
+    )
+    return best.select(
+        (-F.col("m.neg_list")).alias("list_id"), "vec_id", F.col("m.vec").alias(vec_col)
     )
 
 
@@ -612,16 +597,6 @@ def pq_codebooks(
     ).select(F.col("p.sub_id").alias("sub_id"), "code", F.col("p.cvec").alias("cvec"))
 
 
-def _codebook_array(codebooks: DataFrame) -> DataFrame:
-    """ONE row: ``subs[s+1].entries`` = subspace s's (code, cvec) table,
-    both levels sorted — the broadcast shape for the map-only encode."""
-    return (
-        codebooks.groupBy("sub_id")
-        .agg(F.sort_array(F.collect_list(F.struct("code", "cvec"))).alias("entries"))
-        .agg(F.sort_array(F.collect_list(F.struct("sub_id", "entries"))).alias("subs"))
-    )
-
-
 def _l2sq_unrolled(a: Column, b: Column, n: int) -> Column:
     """l2sq with the fold statically unrolled for a known length:
     identical doubles (same left-associated j=0..n-1 accumulation as
@@ -840,19 +815,30 @@ def ivfpq_residuals(
 ) -> DataFrame:
     """(list_id, vec_id, rvec): nearest-centroid assignment (the exact
     ivf_index law — rounded cosine, ties → lowest list_id) plus the
-    residual v − centroid. Map-ONLY: one corpus pass against the one-row
-    broadcast centroid array (_nearest_centroid), no row inflation, no
-    shuffle; the residual subtraction is exact FP (both engines compute
-    the same doubles)."""
-    assigned = embeddings.crossJoin(F.broadcast(_centroid_array(centroids))).select(
+    residual v − centroid. One corpus pass against the broadcast
+    codebook; the residual subtraction is exact FP (both engines
+    compute the same doubles)."""
+    score = F.round(cosine(as_double(F.col(vec_col)), F.col("cvec")), round_digits)
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         as_double(F.col(vec_col)).alias("v"),
-        _nearest_centroid(as_double(F.col(vec_col)), round_digits).alias("m"),
+        (-F.col("list_id")).alias("neg_list"),
+        F.col("cvec"),
+        score.alias("score"),
     )
-    return assigned.select(
+    # (score, neg_list) is unique per candidate row, so the trailing
+    # payload fields never participate in the comparison
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                "score", "neg_list", F.col("v").alias("v"), F.col("cvec").alias("cvec")
+            )
+        ).alias("m")
+    )
+    return best.select(
         (-F.col("m.neg_list")).alias("list_id"),
         "vec_id",
-        F.zip_with(F.col("v"), F.col("m.cvec"), lambda x, y: x - y).alias("rvec"),
+        F.zip_with(F.col("m.v"), F.col("m.cvec"), lambda x, y: x - y).alias("rvec"),
     )
 
 

@@ -934,6 +934,92 @@ def nb_probe(n_docs: int, vocab: int = 5_000) -> None:
     spark.stop()
 
 
+def lm_probe(n_docs: int, vocab: int = 20_000, hot_pct: int = 0) -> None:
+    """Bigram-LM skew probe (VERDICT r7 #6): lm_perplexity's scoring
+    joins the corpus bigram stream to the count tables keyed (w1,w2)
+    then w1 — the w1 leg is the Zipf-head skew case ('the' heads a
+    constant fraction of all bigrams). Synthesize docs whose tokens are
+    Zipf(s≈1)-distributed via the inverse-CDF on a hash-uniform lane
+    (rank = floor(exp(u·ln V)) → P(rank) ∝ 1/rank, so rank 1 alone
+    heads ~1/ln(V) ≈ 10% of the stream), time the full scoring pass,
+    and record whether AQE actually split the skewed partitions
+    (`skew=true` markers in the final adaptive plan). ``hot_pct``
+    overrides the Zipf head: that percentage of ALL tokens becomes the
+    single token 'w1' — the dial that pushes the hot partition past
+    AQE's 5×-median split trigger."""
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    spark = get_spark("scale-probe-lm")
+    zipf = (
+        f"concat('w', cast(exp((pmod(hash(id * 1000 + i), 1000000)"
+        f" / 1000000.0d) * ln({vocab})) as int))"
+    )
+    if hot_pct:
+        tok_body = (
+            f"if(pmod(hash(id * 7919 + i), 100) < {hot_pct}, 'w1', {zipf})"
+        )
+    else:
+        tok_body = zipf
+    tok = f"transform(sequence(1, 100), i -> {tok_body})"
+    lang = F.when(F.col("id") % 5 < 4, F.lit("en")).otherwise(F.lit("xx"))
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            lang.alias("lang"),
+            F.array_join(F.expr(tok), " ").alias("text"),
+        )
+        .persist()
+    )
+    out = {"num_docs": docs.count(), "vocab": vocab, "timings_sec": {}}
+    t0 = time.time()
+    scored = text_ops.lm_perplexity(docs)
+    n = scored.count()
+    dt = time.time() - t0
+    out["timings_sec"]["lm_perplexity"] = round(dt, 2)
+    out["docs_per_sec"] = int(n / dt)
+    # Forced-SMJ leg: at probe vocab the count tables broadcast, so no
+    # shuffle is token-keyed at all and the "Zipf-head skew" can't
+    # exist. At 100 TB the bigram table outgrows broadcast — simulate
+    # by disabling broadcast joins and measure whether AQE's skew-split
+    # actually fires on the hot (w1, w2) partition.
+    for key in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        spark.conf.set(key, "-1")
+    try:
+        t0 = time.time()
+        scored_smj = text_ops.lm_perplexity(docs)
+        scored_smj.count()
+        out["timings_sec"]["lm_perplexity_smj"] = round(time.time() - t0, 2)
+        plan_smj = scored_smj._jdf.queryExecution().toString()
+        out["aqe_skew_splits_smj"] = plan_smj.count("skew=true")
+    finally:
+        for key in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        ):
+            spark.conf.unset(key)
+    # hot-head share: what fraction of the bigram stream the single
+    # hottest w1 heads — the skew magnitude the join actually saw
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    heads = (
+        docs.select(F.explode(F.slice(toks, 1, F.size(toks) - 1)).alias("w1"))
+        .groupBy("w1")
+        .count()
+    )
+    tot = heads.agg(F.sum("count").alias("t"), F.max("count").alias("m")).first()
+    out["hottest_w1_share_pct"] = round(100.0 * tot["m"] / tot["t"], 1)
+    # AQE skew-split evidence: the final adaptive plan marks split SMJ
+    # legs with skew=true
+    plan = scored._jdf.queryExecution().toString()
+    out["aqe_skew_splits"] = plan.count("skew=true")
+    print(json.dumps(out))
+    docs.unpersist()
+    spark.stop()
+
+
 def events_probe(n_events_m: float = 1.0, n_users: int = 50_000) -> None:
     """Temporal-family scale probe: synthesize n million events whose
     per-user cadence is deterministic (13-minute steps with a 2-hour
@@ -1019,6 +1105,12 @@ if __name__ == "__main__":
         semdedup_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 50000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--events":
         events_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 1.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--lm":
+        lm_probe(
+            int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 100_000,
+            vocab=int(sys.argv[3]) if len(sys.argv) > 3 else 20_000,
+            hot_pct=int(sys.argv[4]) if len(sys.argv) > 4 else 0,
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "--nb":
         nb_probe(
             int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 100_000,
