@@ -792,6 +792,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # tests/test_entry_contract.py).
 NEXT_WINDOW: list[str] = [
     "x15_list_tables",
+    "dp_dedup_clusters",
 ]
 
 

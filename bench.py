@@ -115,6 +115,9 @@ HEADLINE = [
     "ev_cohort_retention",
     "ev_funnel",
     "ev_transition_matrix",
+    # round 8 additions
+    "dp_dedup_clusters",
+    "x15_list_tables",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

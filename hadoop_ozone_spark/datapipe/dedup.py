@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hadoop_ozone_spark import scratch
 from hadoop_ozone_spark.datapipe.text import tokens
@@ -715,6 +716,80 @@ def connected_dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (doc_id, cluster_id, cluster_size, keep) with cluster_id = the
+    component's minimum doc_id and keep marking the canonical doc.
+
+    This is the step that turns pair-level detectors (minhash/simhash
+    output is EDGES) into the keep-one-per-CLUSTER delete list a
+    curation run actually executes: transitivity matters — A~B and B~C
+    must land A, B, C in one cluster even though the detector never
+    scored (A, C).
+
+    Algorithm: min-label propagation (the label-propagation /
+    Hash-to-Min CC family — Rastogi et al. 2013; also how GraphFrames'
+    connectedComponents is built): label(v) = min(v, neighbors), then
+    each round folds min over neighbors' labels until no label changes.
+    Every round is ONE node-keyed join + a map-side-combinable min —
+    the 100 TB-safe CC shape (no all-pairs stage, no vertex state off
+    the node partition). Rounds ≤ component diameter; near-dup
+    components are star-like (canonical + variants), so 2-3 rounds
+    converge. The driver sees one changed-count per round (bounded by
+    ``max_iters``, never data-sized) — the standard iterative-algorithm
+    exception to the no-driver-loop rule; each round's labels are
+    localCheckpoint-ed — persist alone caches blocks but keeps the
+    LINEAGE, and the self-referential step doubles the plan tree per
+    round (a 9-round chain OOMed the driver in generateTreeString
+    before the checkpoint). On a cluster with executor churn, point
+    sparkContext.setCheckpointDir at durable storage and swap in
+    .checkpoint(); the law is identical."""
+    scratch.fresh("dedup_clusters")
+    sym = pairs.select(
+        F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr"))
+    )
+    edges = scratch.keep("dedup_clusters", sym)
+    labels = scratch.keep(
+        "dedup_clusters",
+        edges.groupBy("node").agg(
+            F.least(F.col("node"), F.min("nbr")).alias("label")
+        ),
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+                ),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nbr_label").alias("nbr_label"))
+        )
+        stepped = labels.join(prop, "node", "left").select(
+            "node",
+            "label",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("new_label"),
+        ).localCheckpoint()
+        changed = stepped.filter(F.col("new_label") < F.col("label")).count()
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("cluster_id", "doc_id")
+    )
 
 
 def dedup_rate_report(

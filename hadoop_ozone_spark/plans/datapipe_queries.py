@@ -231,6 +231,19 @@ FROM reach GROUP BY src ORDER BY doc_id"""
 )
 
 
+def dp_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components (min-label
+    propagation, datapipe/dedup.py dedup_clusters) over the verified
+    minhash pair graph — the transitive keep-one-per-cluster delete
+    list, which pair output alone cannot produce (A~B, B~C must group
+    A, C). Oracle replays the fixpoint with a recursive CTE."""
+    return dedup.dedup_clusters(
+        dedup.minhash_dedup_pairs(
+            model.dedup_corpus(spark, sf_dir), threshold=0.5, portable=True
+        )
+    )
+
+
 def dp_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with the engine-portable md5 hash family, so the
     DuckDB oracle replays signatures, banding, and verification
@@ -262,7 +275,7 @@ def dp_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(model.dedup_corpus(spark, sf_dir), max_hamming=4)
 
 
-def _minhash_sql(incremental: bool = False) -> str:
+def _minhash_sql(incremental: bool = False, clusters: bool = False) -> str:
     """DuckDB replay of the portable minhash pipeline, generated from
     the same constants as the Spark plan (NUM_HASHES/BANDS/ROWS_PER_BAND;
     affine lanes (a_k·x + b_k) mod p with the same seeded coefficients,
@@ -308,7 +321,39 @@ WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
         cand = """  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
-        out = """SELECT doc_a, doc_b, n_common, size_a, size_b, jaccard FROM (
+        if clusters:
+            # transitive closure over the verified pairs: recursive
+            # min-label propagation — DuckDB's WITH RECURSIVE fixpoint
+            # (UNION dedup) IS the convergence loop dedup_clusters runs
+            out = """SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS cluster_size,
+       doc_id = cluster_id AS keep
+FROM (
+  WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(ha.h0, hb.h0)) AS DOUBLE)
+               / (len(ha.h0) + len(hb.h0) - len(list_intersect(ha.h0, hb.h0)))
+               AS jaccard
+      FROM cand
+      JOIN hs ha ON cand.doc_a = ha.doc_id
+      JOIN hs hb ON cand.doc_b = hb.doc_id
+    ) WHERE jaccard >= 0.5
+  ), sym AS (
+    SELECT doc_a AS node, doc_b AS nbr FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+  ), lbl(node, label) AS (
+      SELECT node, LEAST(node, MIN(nbr)) FROM sym GROUP BY node
+    UNION
+      SELECT s.node, l.label FROM sym s JOIN lbl l ON l.node = s.nbr
+  )
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM lbl GROUP BY node
+)
+ORDER BY cluster_id, doc_id"""
+        else:
+            out = """SELECT doc_a, doc_b, n_common, size_a, size_b, jaccard FROM (
   SELECT doc_a, doc_b,
          len(list_intersect(ha.h0, hb.h0)) AS n_common,
          len(ha.h0) AS size_a, len(hb.h0) AS size_b,
@@ -413,6 +458,7 @@ WHERE hamming <= {max_hamming} ORDER BY doc_a, doc_b""",
 
 
 DP_MINHASH_SQL = _minhash_sql()
+DP_DEDUP_CLUSTERS_SQL = _minhash_sql(clusters=True)
 DP_MINHASH_INCR_SQL = _minhash_sql(incremental=True)
 DP_SIMHASH_SQL = _simhash_sql(max_hamming=4)
 
@@ -665,6 +711,7 @@ QUERIES = {
     "dp_vocabulary": dp_vocabulary,
     "dp_dedup_groups": dp_dedup_groups,
     "dp_minhash_pairs": dp_minhash_pairs,
+    "dp_dedup_clusters": dp_dedup_clusters,
     "dp_minhash_incremental": dp_minhash_incremental,
     "dp_simhash_pairs": dp_simhash_pairs,
     "dp_ann_brute_topk": dp_ann_brute_topk,
@@ -694,6 +741,7 @@ ORACLES = {
     "dp_media_resize_plan": DP_MEDIA_RESIZE_SQL,
     "dp_media_frame_sample": DP_FRAME_SAMPLE_SQL,
     "dp_minhash_pairs": DP_MINHASH_SQL,
+    "dp_dedup_clusters": DP_DEDUP_CLUSTERS_SQL,
     "dp_minhash_incremental": DP_MINHASH_INCR_SQL,
     "dp_simhash_pairs": DP_SIMHASH_SQL,
     "dp_media_features": DP_MEDIA_FEATURES_SQL,

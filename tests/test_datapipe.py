@@ -596,6 +596,55 @@ def test_quality_sweep_counts_null_text_docs(spark):
     assert out[1].docs_kept_ppm == 333_333
 
 
+def test_dedup_clusters_transitive_chain(spark):
+    from hadoop_ozone_spark.datapipe import dedup
+
+    # path graph 1-2-3-...-10 (diameter 9): pair-level grouping can't
+    # see 1~10; CC must put all ten in cluster 1 and converge within
+    # the iteration budget
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)] + [(20, 21)],
+        "doc_a long, doc_b long",
+    )
+    rows = dedup.dedup_clusters(pairs).collect()
+    got = {r.doc_id: (r.cluster_id, r.cluster_size, r.keep) for r in rows}
+    assert {d for d, v in got.items() if v[0] == 1} == set(range(1, 11))
+    assert all(got[d] == (1, 10, d == 1) for d in range(1, 11))
+    assert got[20] == (20, 2, True) and got[21] == (20, 2, False)
+
+
+def test_dedup_clusters_matches_union_find_replay(spark, sf_dir):
+    from hadoop_ozone_spark.datapipe import dedup
+    from hadoop_ozone_spark import model
+
+    pairs_df = dedup.minhash_dedup_pairs(
+        model.dedup_corpus(spark, sf_dir), threshold=0.5, portable=True
+    )
+    pairs = [(r.doc_a, r.doc_b) for r in pairs_df.collect()]
+    assert pairs  # injected twins guarantee a non-trivial graph
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for node in parent:
+        expected.setdefault(find(node), set()).add(node)
+    got = {}
+    for r in dedup.dedup_clusters(pairs_df).collect():
+        got.setdefault(r.cluster_id, set()).add(r.doc_id)
+        assert r.keep == (r.doc_id == r.cluster_id)
+        assert r.cluster_size == len(expected[r.cluster_id])
+    assert got == {min(m): m for m in expected.values()}
+
+
 def test_dedup_keep_best_one_winner_per_group(spark, sf_dir):
     import __spark_entry__ as entry
 
