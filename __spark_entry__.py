@@ -793,6 +793,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 NEXT_WINDOW: list[str] = [
     "x15_list_tables",
     "dp_dedup_clusters",
+    "dp_bm25_topk",
 ]
 
 

@@ -1175,3 +1175,100 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .orderBy("doc_id", "rank")
     )
+
+
+# The standing BM25 benchmark queries (dp_bm25_topk): deterministic,
+# hitting the corpus vocabulary; a deployment swaps in its own query
+# table — the plan is query-count-independent (queries broadcast).
+BM25_QUERIES: tuple[tuple[str, str], ...] = (
+    ("q_hash_join", "hash join"),
+    ("q_fast_scan", "fast scan filter"),
+    ("q_batch_merge", "table merge batch"),
+)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: tuple[tuple[str, str], ...] = BM25_QUERIES,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval (Robertson et al., TREC-3 lineage —
+    the classic lexical ranker; the retrieval side of a RAG/dataset-
+    search pipeline): per (query, doc),
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Engine-portability discipline: each TERM's contribution is
+    quantized to integer ppm (round(score·1e6) as long) and the
+    per-(query, doc) total is a LONG sum — order-independent, so the
+    float fold order can't diverge between engines (the embedding-QC
+    integer-moment rule applied to retrieval). avgdl enters as the
+    exact integer pair (N, total_len), never a pre-divided double.
+
+    Scale shape: ONE corpus token pass; the query-term dim (a few rows)
+    broadcasts into a semi-filter, so tf/df/postings are built over the
+    matching slice only; corpus stats (N, total_len) ride a broadcast
+    1-row frame; the final top-k is a per-query window over ≤ |hits|
+    rows. No corpus shuffle at query time beyond the (doc, term)
+    combine."""
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        sorted(
+            {(qid, t) for qid, qtext in queries for t in qtext.lower().split()}
+        ),
+        "query_id string, term string",
+    )
+    toks = tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    tok = docs.select("doc_id", F.explode(toks).alias("term"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_len"),
+    )
+    dl = docs.select("doc_id", F.size(toks).alias("dl"))
+    hits = tok.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "leftsemi"
+    )
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b)
+        * F.col("dl").cast("double")
+        * F.col("n_docs")
+        / F.col("total_len")
+    )
+    term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + norm)
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(term_score * 1_000_000).cast("long").alias("ppm"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("ppm").alias("score_ppm"), F.count(F.lit(1)).alias("n_terms"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_ppm").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            "doc_id",
+            "score_ppm",
+            "n_terms",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

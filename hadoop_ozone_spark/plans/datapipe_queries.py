@@ -2485,3 +2485,78 @@ QUERIES["dp_cdc_source_matrix"] = dp_cdc_source_matrix
 ORACLES["dp_cdc_source_matrix"] = DP_CDC_MATRIX_SQL
 QUERIES["dp_tfidf_topk"] = dp_tfidf_topk
 ORACLES["dp_tfidf_topk"] = DP_TFIDF_SQL
+
+
+def dp_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for the standing query set
+    (datapipe/text.py bm25_topk) — the lexical-ranking side of a
+    RAG/dataset-search pipeline; per-term contributions quantized to
+    integer ppm so the cross-engine sum is order-independent."""
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    return text_ops.bm25_topk(model.load(spark, sf_dir, "documents"))
+
+
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB replay of bm25_topk, generated from the same query set
+    and constants as the Spark plan."""
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, qtext in text_ops.BM25_QUERIES
+        for t in sorted(set(qtext.lower().split()))
+    )
+    toks = r"regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\s+')"
+    return rf"""
+WITH qterms(query_id, term) AS (VALUES {qvals}),
+tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, SUM(len({toks})) AS total_len FROM documents
+),
+dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(round(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * {k1 + 1.0!r}) /
+             (tf.tf + {k1!r} * ({1.0 - b!r}
+                + {b!r} * CAST(dl.dl AS DOUBLE) * s.n_docs / s.total_len))
+           * 1000000) AS BIGINT) AS ppm
+  FROM tf
+  JOIN dft d USING (term)
+  JOIN qterms q USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_id, doc_id, SUM(ppm) AS score_ppm, COUNT(*) AS n_terms
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_ppm, n_terms,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_ppm DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT query_id, doc_id,
+       CAST(score_ppm AS BIGINT) AS score_ppm,
+       CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+DP_BM25_SQL = _bm25_sql()
+
+QUERIES["dp_bm25_topk"] = dp_bm25_topk
+ORACLES["dp_bm25_topk"] = DP_BM25_SQL

@@ -645,6 +645,55 @@ def test_dedup_clusters_matches_union_find_replay(spark, sf_dir):
     assert got == {min(m): m for m in expected.values()}
 
 
+def test_bm25_matches_python_replay(spark):
+    import math
+
+    corpus = [
+        (1, "hash join hash join hash"),
+        (2, "hash join scan"),
+        (3, "scan filter fast fast"),
+        (4, "table merge batch batch table"),
+        (5, "the quick brown fox"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    queries = (("qa", "hash join"), ("qb", "fast scan"))
+    got = [
+        (r.query_id, r.doc_id, r.score_ppm, r.n_terms, r.rank)
+        for r in text.bm25_topk(docs, queries=queries, k=3).collect()
+    ]
+    # pure-Python BM25 with the same ppm quantization law
+    k1, b = 1.2, 0.75
+    toks = {d: t.split() for d, t in corpus}
+    n, total = len(corpus), sum(len(t) for t in toks.values())
+    df = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    expected = []
+    for qid, qtext in queries:
+        scores = {}
+        for d, t in toks.items():
+            ppm = 0
+            hits = 0
+            for term in sorted(set(qtext.split())):
+                tf = t.count(term)
+                if not tf:
+                    continue
+                hits += 1
+                idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+                norm = k1 * (1.0 - b + b * len(t) * n / total)
+                ppm += round(idf * tf * (k1 + 1.0) / (tf + norm) * 1_000_000)
+            if hits:
+                scores[d] = (ppm, hits)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:3]
+        expected += [
+            (qid, d, p, h, i + 1) for i, (d, (p, h)) in enumerate(ranked)
+        ]
+    assert got == expected
+    # doc 1 (densest in both query terms) must lead qa
+    assert got[0][:2] == ("qa", 1)
+
+
 def test_dedup_keep_best_one_winner_per_group(spark, sf_dir):
     import __spark_entry__ as entry
 
