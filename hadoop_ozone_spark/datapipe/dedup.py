@@ -729,15 +729,19 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     must land A, B, C in one cluster even though the detector never
     scored (A, C).
 
-    Algorithm: min-label propagation (the label-propagation /
-    Hash-to-Min CC family — Rastogi et al. 2013; also how GraphFrames'
-    connectedComponents is built): label(v) = min(v, neighbors), then
-    each round folds min over neighbors' labels until no label changes.
-    Every round is ONE node-keyed join + a map-side-combinable min —
+    Algorithm: min-label propagation WITH pointer jumping (the
+    Hash-to-Min / two-phase CC family — Rastogi et al. 2013; also how
+    GraphFrames' connectedComponents is built): each round sets
+    label(v) ← min(label(v), min_{u∈N(v)} label(u), label(label(v))).
+    The neighbor fold alone moves a label ONE hop per round (rounds =
+    component diameter — a 40-diameter chain probe measured 40 rounds,
+    58s for 1M edges); the label(label(v)) path-halving join cuts that
+    to O(log diameter) (same probe: 7 rounds, see BENCH_NOTES). Every
+    round is two node-keyed equi-joins + a map-side-combinable min —
     the 100 TB-safe CC shape (no all-pairs stage, no vertex state off
-    the node partition). Rounds ≤ component diameter; near-dup
-    components are star-like (canonical + variants), so 2-3 rounds
-    converge. The driver sees one changed-count per round (bounded by
+    the node partition); labels only decrease, and every label IS a
+    node id, so the jump join always resolves. The driver sees one
+    changed-count per round (bounded by
     ``max_iters``, never data-sized) — the standard iterative-algorithm
     exception to the no-driver-loop rule; each round's labels are
     localCheckpoint-ed — persist alone caches blocks but keeps the
@@ -770,11 +774,23 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("node")
             .agg(F.min("nbr_label").alias("nbr_label"))
         )
-        stepped = labels.join(prop, "node", "left").select(
+        folded = labels.join(prop, "node", "left").select(
             "node",
             "label",
             F.least(
                 F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("mid_label"),
+        )
+        # pointer jumping: label(label(v)) — one equi-join of the round's
+        # label map with itself (mid_label is always a node id)
+        lmap = folded.select(
+            F.col("node").alias("mid_label"), F.col("mid_label").alias("jump")
+        )
+        stepped = folded.join(lmap, "mid_label", "left").select(
+            "node",
+            "label",
+            F.least(
+                F.col("mid_label"), F.coalesce("jump", F.col("mid_label"))
             ).alias("new_label"),
         ).localCheckpoint()
         changed = stepped.filter(F.col("new_label") < F.col("label")).count()

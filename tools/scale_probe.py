@@ -1020,6 +1020,48 @@ def lm_probe(n_docs: int, vocab: int = 20_000, hot_pct: int = 0) -> None:
     spark.stop()
 
 
+def cc_probe(n_edges_m: float = 1.0) -> None:
+    """Connected-components scale probe (dedup_clusters): a realistic
+    near-dup pair graph is mostly stars (canonical + variants) with a
+    tail of chains (A~B~C transitive bridges). Synthesize n_edges
+    split 90% star edges (hub = id - id%10) / 10% chain edges
+    (id ↔ id+1 inside 32-node runs), which welds consecutive stars
+    into components of diameter ~40; time dedup_clusters and record
+    rounds implied by the diameter vs wall."""
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark.datapipe import dedup
+
+    spark = get_spark("scale-probe-cc")
+    n_edges = int(n_edges_m * 1_000_000)
+    star = spark.range(n_edges * 9 // 10).select(
+        (F.col("id") - F.col("id") % 10).alias("doc_a"),
+        F.col("id").alias("doc_b"),
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+    chain = spark.range(n_edges // 10).select(
+        (F.col("id") * 10).alias("doc_a"),
+        F.when(F.col("id") % 32 != 31, F.col("id") * 10 + 10)
+        .otherwise(F.col("id") * 10)
+        .alias("doc_b"),
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+    pairs = star.unionByName(chain).persist()
+    n = pairs.count()
+    t0 = time.time()
+    out = dedup.dedup_clusters(pairs, max_iters=64)
+    comps = out.filter(F.col("keep")).count()
+    dt = time.time() - t0
+    biggest = out.agg(F.max("cluster_size")).first()[0]
+    print(json.dumps({
+        "num_edges": n,
+        "timings_sec": {"dedup_clusters": round(dt, 2)},
+        "edges_per_sec": int(n / dt),
+        "n_components": comps,
+        "max_cluster_size": biggest,
+    }))
+    pairs.unpersist()
+    spark.stop()
+
+
 def events_probe(n_events_m: float = 1.0, n_users: int = 50_000) -> None:
     """Temporal-family scale probe: synthesize n million events whose
     per-user cadence is deterministic (13-minute steps with a 2-hour
@@ -1105,6 +1147,8 @@ if __name__ == "__main__":
         semdedup_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 50000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--events":
         events_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 1.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cc":
+        cc_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 1.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--lm":
         lm_probe(
             int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 100_000,
