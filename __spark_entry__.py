@@ -794,6 +794,7 @@ NEXT_WINDOW: list[str] = [
     "x15_list_tables",
     "dp_dedup_clusters",
     "dp_bm25_topk",
+    "dp_dedup_clusters_incr",
 ]
 
 

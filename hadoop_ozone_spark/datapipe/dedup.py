@@ -808,6 +808,32 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
 
 
+def dedup_clusters_incremental(
+    prior_labels: DataFrame, new_pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Rolling-ingest clustering: yesterday's (doc_id, cluster_id)
+    labels + today's delta pairs → updated clusters, WITHOUT re-running
+    CC over the corpus pair graph.
+
+    Law: a label table is a CONTRACTION of the old graph — each
+    non-canonical row is the edge (doc_id, cluster_id), and contraction
+    preserves both membership and the component minimum (cluster ids
+    are component minima, and delta ids are new). So
+    clusters(old_pairs ∪ new_pairs) ==
+    clusters_incremental(clusters(old_pairs), new_pairs) — pinned in
+    tests. Cost: CC over |prior labels| + |delta pairs| STAR-SHAPED
+    edges (the contraction is depth-1 by construction), converging in
+    2-3 rounds regardless of how chain-y the original graph was."""
+    prior_edges = prior_labels.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(
+        F.col("cluster_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    return dedup_clusters(
+        prior_edges.unionByName(new_pairs.select("doc_a", "doc_b")), max_iters
+    )
+
+
 def dedup_rate_report(
     docs: DataFrame,
     text_col: str = "text",

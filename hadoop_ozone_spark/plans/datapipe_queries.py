@@ -244,6 +244,30 @@ def dp_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dp_dedup_clusters_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest clustering: CC over yesterday's labels (corpus
+    pairs only, doc_id < 1e6) contracted to star edges + today's
+    delta-involving pairs (minhash_incremental_pairs). The oracle is
+    the BATCH recursive-CTE fixpoint over the full pair graph — the
+    incremental path must land on the identical hash (the contraction
+    law, also pinned in tests)."""
+    corpus = model.dedup_corpus(spark, sf_dir)
+    prior = dedup.dedup_clusters(
+        dedup.minhash_dedup_pairs(
+            corpus.filter(F.col("doc_id") < 1_000_000),
+            threshold=0.5,
+            portable=True,
+        )
+    )
+    delta_pairs = dedup.minhash_incremental_pairs(
+        corpus.filter(F.col("doc_id") < 1_000_000),
+        corpus.filter(F.col("doc_id") >= 1_000_000),
+        threshold=0.5,
+        portable=True,
+    )
+    return dedup.dedup_clusters_incremental(prior, delta_pairs)
+
+
 def dp_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with the engine-portable md5 hash family, so the
     DuckDB oracle replays signatures, banding, and verification
@@ -712,6 +736,7 @@ QUERIES = {
     "dp_dedup_groups": dp_dedup_groups,
     "dp_minhash_pairs": dp_minhash_pairs,
     "dp_dedup_clusters": dp_dedup_clusters,
+    "dp_dedup_clusters_incr": dp_dedup_clusters_incr,
     "dp_minhash_incremental": dp_minhash_incremental,
     "dp_simhash_pairs": dp_simhash_pairs,
     "dp_ann_brute_topk": dp_ann_brute_topk,
@@ -742,6 +767,7 @@ ORACLES = {
     "dp_media_frame_sample": DP_FRAME_SAMPLE_SQL,
     "dp_minhash_pairs": DP_MINHASH_SQL,
     "dp_dedup_clusters": DP_DEDUP_CLUSTERS_SQL,
+    "dp_dedup_clusters_incr": DP_DEDUP_CLUSTERS_SQL,
     "dp_minhash_incremental": DP_MINHASH_INCR_SQL,
     "dp_simhash_pairs": DP_SIMHASH_SQL,
     "dp_media_features": DP_MEDIA_FEATURES_SQL,

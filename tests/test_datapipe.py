@@ -645,6 +645,27 @@ def test_dedup_clusters_matches_union_find_replay(spark, sf_dir):
     assert got == {min(m): m for m in expected.values()}
 
 
+def test_dedup_clusters_incremental_equals_batch(spark, sf_dir):
+    from hadoop_ozone_spark.datapipe import dedup
+    from hadoop_ozone_spark import model
+
+    corpus = model.dedup_corpus(spark, sf_dir)
+    old = corpus.filter(F.col("doc_id") < 1_000_000)
+    delta = corpus.filter(F.col("doc_id") >= 1_000_000)
+    batch = dedup.dedup_clusters(
+        dedup.minhash_dedup_pairs(corpus, threshold=0.5, portable=True)
+    )
+    prior = dedup.dedup_clusters(
+        dedup.minhash_dedup_pairs(old, threshold=0.5, portable=True)
+    )
+    incr = dedup.dedup_clusters_incremental(
+        prior,
+        dedup.minhash_incremental_pairs(old, delta, threshold=0.5, portable=True),
+    )
+    key = lambda r: (r.doc_id, r.cluster_id, r.cluster_size, r.keep)
+    assert sorted(map(key, incr.collect())) == sorted(map(key, batch.collect()))
+
+
 def test_bm25_matches_python_replay(spark):
     import math
 
