@@ -117,6 +117,7 @@ HEADLINE = [
     "ev_transition_matrix",
     # round 8 additions
     "dp_dedup_clusters",
+    "dp_dedup_clusters_incr",
     "dp_bm25_topk",
     "x15_list_tables",
 ]

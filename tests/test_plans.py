@@ -498,3 +498,33 @@ def test_split_leakage_single_corpus_shuffle(spark, sf_dir):
         m for m in re.findall(r"Exchange hashpartitioning\((\w+)", p)
     ]
     assert set(corpus_exchanges) <= {"fingerprint", "splits"}
+
+
+def test_bm25_query_terms_broadcast_semi_filter(spark, sf_dir):
+    # the standing-query term dim must ride a broadcast LEFT-SEMI into
+    # the token stream (postings build over the matching slice only),
+    # and no join in the plan may fall to sort-merge
+    p = plan_of(entry.queries()["dp_bm25_topk"](spark, sf_dir))
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pq_encode_argmin_is_fixed_width_hash_agg(spark, sf_dir):
+    # VERDICT r7 #3 regression pin: the per-(vec, sub) argmin must stay
+    # a plain long min inside codegen HashAggregate — min(struct) routes
+    # through ObjectHashAggregate, whose sort fallback materializes the
+    # m*n_codes blowup per task and OOMed the 1M-vector encode
+    from hadoop_ozone_spark.datapipe import similarity as sim
+
+    emb = model.load(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebooks(emb)
+    p = plan_of(sim.pq_encode(emb, cb))
+    argmin = [
+        line
+        for line in p.splitlines()
+        if "min(_pk" in line and "Aggregate" in line
+    ]
+    assert argmin, p
+    assert all("ObjectHashAggregate" not in line for line in argmin)
+    assert "partial_min" in p  # map-side combine before the shuffle
+    # the per-vector codes fold (8 rows/group post-min) MAY be object agg
