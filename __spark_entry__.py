@@ -795,6 +795,7 @@ NEXT_WINDOW: list[str] = [
     "dp_dedup_clusters",
     "dp_bm25_topk",
     "dp_dedup_clusters_incr",
+    "ev_conversion_latency",
 ]
 
 

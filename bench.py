@@ -119,6 +119,7 @@ HEADLINE = [
     "dp_dedup_clusters",
     "dp_dedup_clusters_incr",
     "dp_bm25_topk",
+    "ev_conversion_latency",
     "x15_list_tables",
 ]
 

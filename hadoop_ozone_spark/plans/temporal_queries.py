@@ -348,12 +348,110 @@ ORDER BY event_type, next_type
 """
 
 
+# --- conversion latency histogram: first click → first purchase ----------
+
+# pow2 second-bins 1s..2^20s (~12 days), overflow Long.MAX — the same
+# generated-CASE-ladder discipline as functions/binning (no log2 floats)
+_LAT_BOUNDS = [2**e for e in range(0, 21)]
+_LAT_LONG_MAX = 9223372036854775807
+
+
+def _lat_bin(col):
+    expr = F.lit(_LAT_LONG_MAX)
+    for ub in reversed(_LAT_BOUNDS):
+        expr = F.when(col < F.lit(ub), F.lit(ub)).otherwise(expr)
+    return expr
+
+
+def ev_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion-latency histogram: per user, the gap
+    between the FIRST click and the first purchase at-or-after it,
+    power-of-two-binned in whole seconds with the exact-ppm share of
+    conversions per bin — the time-to-convert curve next to ev_funnel's
+    fixed 1h window.
+
+    Portability: latency is the exact integer microsecond difference
+    (unix_micros / epoch_us — never second-truncated timestamps, whose
+    boundary-crossing semantics differ between engines), floored to
+    seconds by integer DIV; bins are a generated CASE ladder (the
+    functions/binning discipline — no log2 floats).
+
+    Shape: ONE user-keyed corpus shuffle (the first-click window; the
+    per-user fold reuses the partitioning by the subset rule), then
+    every later frame is ≤ 22 bins."""
+    from pyspark.sql import Window
+
+    ev = model.load(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id")
+    fc = F.min(F.when(F.col("event_type") == "click", F.col("ts"))).over(uw)
+    staged = ev.select(
+        "user_id",
+        fc.alias("fc"),
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= fc),
+            F.unix_micros(F.col("ts")),
+        ).alias("p_us"),
+    ).filter(F.col("fc").isNotNull())
+    per_user = staged.groupBy("user_id").agg(
+        (F.min("p_us") - F.min(F.unix_micros(F.col("fc")))).alias("lat_us")
+    )
+    lat = per_user.filter(F.col("lat_us").isNotNull()).select(
+        F.expr("lat_us DIV 1000000").alias("lat_s")
+    )
+    binned = lat.groupBy(_lat_bin(F.col("lat_s")).alias("latency_ub_s")).agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+    return (
+        binned.select(
+            "latency_ub_s",
+            "n_conversions",
+            F.expr(
+                "n_conversions * 1000000 DIV sum(n_conversions) OVER ()"
+            ).alias("share_ppm"),
+        )
+        .orderBy("latency_ub_s")
+    )
+
+
+_LAT_LADDER_SQL = (
+    "CASE "
+    + " ".join(f"WHEN lat_s < {ub} THEN CAST({ub} AS BIGINT)" for ub in _LAT_BOUNDS)
+    + f" ELSE CAST({_LAT_LONG_MAX} AS BIGINT) END"
+)
+
+EV_LATENCY_SQL = f"""
+WITH fc AS (
+  SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS fc
+  FROM events GROUP BY user_id
+), per_user AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= f.fc
+                  THEN epoch_us(e.ts) END)
+           - min(epoch_us(f.fc)) AS lat_us
+  FROM events e JOIN fc f USING (user_id)
+  WHERE f.fc IS NOT NULL
+  GROUP BY e.user_id
+), lat AS (
+  SELECT lat_us // 1000000 AS lat_s FROM per_user WHERE lat_us IS NOT NULL
+), binned AS (
+  SELECT {_LAT_LADDER_SQL} AS latency_ub_s, count(*) AS n_conversions
+  FROM lat GROUP BY 1
+)
+SELECT CAST(latency_ub_s AS BIGINT) AS latency_ub_s,
+       CAST(n_conversions AS BIGINT) AS n_conversions,
+       CAST(n_conversions * 1000000 // SUM(n_conversions) OVER () AS BIGINT)
+         AS share_ppm
+FROM binned ORDER BY latency_ub_s
+"""
+
+
 QUERIES = {
     "ev_asof_join": ev_asof_join,
     "ev_range_join_binned": ev_range_join_binned,
     "ev_cohort_retention": ev_cohort_retention,
     "ev_funnel": ev_funnel,
     "ev_transition_matrix": ev_transition_matrix,
+    "ev_conversion_latency": ev_conversion_latency,
 }
 
 ORACLES = {
@@ -362,4 +460,5 @@ ORACLES = {
     "ev_cohort_retention": EV_COHORT_SQL,
     "ev_funnel": EV_FUNNEL_SQL,
     "ev_transition_matrix": EV_TRANSITION_SQL,
+    "ev_conversion_latency": EV_LATENCY_SQL,
 }

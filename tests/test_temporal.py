@@ -232,3 +232,49 @@ def test_transition_matrix_single_corpus_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "Join" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_conversion_latency_matches_python_replay(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(u, seconds, typ):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, str(base + timedelta(seconds=seconds)), u, typ, 1.0))
+
+    ev(1, 0, "click"); ev(1, 0, "purchase")       # 0s → bin 1
+    ev(2, 0, "click"); ev(2, 3, "purchase")       # 3s → bin 4
+    ev(3, 10, "click"); ev(3, 5, "purchase")      # purchase BEFORE click → no conversion
+    ev(4, 0, "click"); ev(4, 4, "purchase"); ev(4, 2, "purchase")  # first-after = 2s → bin 2
+    ev(5, 0, "view")                               # never clicked
+    ev(6, 0, "click"); ev(6, 2_000_000, "purchase")  # > 2^20 s → overflow bin
+    sch = "event_id long, ts string, user_id long, event_type string, value double"
+    frame = spark.createDataFrame(rows, sch).withColumn("ts", F.to_timestamp("ts"))
+
+    import hadoop_ozone_spark.model as m
+    import hadoop_ozone_spark.plans.temporal_queries as tq
+
+    orig_load = m.load
+    try:
+        m.load = lambda s, sf, t: frame
+        got = [(r.latency_ub_s, r.n_conversions, r.share_ppm)
+               for r in tq.ev_conversion_latency(spark, "unused").collect()]
+    finally:
+        m.load = orig_load
+    # bin = smallest power of two STRICTLY greater (the binning.py law):
+    # 0s → 1, {2s, 3s} → 4, 2e6 s (≥ 2^20) → overflow
+    assert got == [
+        (1, 1, 250_000),
+        (4, 2, 500_000),
+        (9223372036854775807, 1, 250_000),
+    ]
+
+
+def test_conversion_latency_single_corpus_shuffle(spark, sf_dir):
+    df = entry.queries()["ev_conversion_latency"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
