@@ -796,6 +796,7 @@ NEXT_WINDOW: list[str] = [
     "dp_bm25_topk",
     "dp_dedup_clusters_incr",
     "ev_conversion_latency",
+    "dp_winnow_report",
 ]
 
 

@@ -120,6 +120,7 @@ HEADLINE = [
     "dp_dedup_clusters_incr",
     "dp_bm25_topk",
     "ev_conversion_latency",
+    "dp_winnow_report",
     "x15_list_tables",
 ]
 

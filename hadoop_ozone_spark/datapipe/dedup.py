@@ -808,6 +808,111 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    portable: bool = False,
+    scratch_tag: str | None = None,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    algorithm): slide a window of ``w`` consecutive k-gram hashes over
+    each doc and select each window's MINIMUM hash, ties → RIGHTMOST
+    position (robust winnowing, §4 of the paper). Guarantee: any match
+    of length ≥ k + w − 1 tokens shares at least one fingerprint, and
+    density is ~2/(w+1) of all grams.
+
+    (doc_id, pos, fp) — distinct selected positions. One window pass:
+    the per-window argmin with rightmost tie-break is
+    min(struct(gram, −pos)) over a ``w``-row trailing frame
+    (lexicographic struct min — the engine-portable argmin idiom);
+    prefix-partial windows (pos < w) are excluded, so selection starts
+    at the first FULL window, matching the paper's definition."""
+    grams = positional_gram_table(docs, text_col, k, portable, scratch_tag)
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    )
+    sel = F.min(
+        F.struct(F.col("gram").alias("g"), (-F.col("pos")).alias("np"))
+    ).over(win)
+    return (
+        grams.select("doc_id", "pos", sel.alias("m"))
+        .filter(F.col("pos") >= w)
+        .select(
+            "doc_id", (-F.col("m.np")).alias("pos"), F.col("m.g").alias("fp")
+        )
+        .distinct()
+    )
+
+
+def winnow_similarity_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    portable: bool = False,
+    max_df: int = 50,
+    min_shared: int = 3,
+) -> DataFrame:
+    """MOSS-style overlap report over winnowing fingerprints: doc pairs
+    sharing ≥ ``min_shared`` distinct selected hashes, with each side's
+    fingerprint count and overlap_ppm = shared·1e6 DIV min(side sizes).
+
+    Fingerprints selected in more than ``max_df`` docs are culled
+    BEFORE pairing (MOSS's too-common filter — boilerplate shared by
+    everyone identifies no one), which also bounds the self-join:
+    ≤ max_df² pairs per fingerprint, the LSH-band cost law. No other
+    stage is pair-shaped; everything else is fingerprint- or doc-keyed
+    map-side-combinable aggregation."""
+    scratch.fresh("winnow_report")
+    fpd = scratch.keep(
+        "winnow_report",
+        winnow_fingerprints(
+            docs, text_col, k, w, portable, scratch_tag="winnow_report"
+        )
+        .select("doc_id", "fp")
+        .distinct(),
+    )
+    dft = (
+        fpd.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("fp")
+    )
+    rare = fpd.join(dft, "fp")
+    pairs = (
+        rare.select(F.col("doc_id").alias("doc_a"), "fp")
+        .join(rare.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sizes = fpd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr("n_shared * 1000000 DIV least(n_fp_a, n_fp_b)").alias(
+                "overlap_ppm"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def dedup_clusters_incremental(
     prior_labels: DataFrame, new_pairs: DataFrame, max_iters: int = 20
 ) -> DataFrame:

@@ -2586,3 +2586,63 @@ DP_BM25_SQL = _bm25_sql()
 
 QUERIES["dp_bm25_topk"] = dp_bm25_topk
 ORACLES["dp_bm25_topk"] = DP_BM25_SQL
+
+
+def dp_winnow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing overlap report (datapipe/dedup.py
+    winnow_fingerprints + winnow_similarity_report, Schleimer et al.
+    2003): robust-winnowed k=4/w=4 fingerprints over the dedup corpus,
+    pairs sharing >= 3 rare fingerprints with exact-ppm overlap."""
+    return dedup.winnow_similarity_report(
+        model.dedup_corpus(spark, sf_dir), portable=True
+    )
+
+
+DP_WINNOW_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    r"""toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM dedup_corpus
+)""",
+    """g AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS pos,
+         CAST(concat('0x', substring(md5(concat_ws(' ',
+           t[pos], t[pos+1], t[pos+2], t[pos+3])), 1, 15)) AS BIGINT) AS gram
+  FROM toks
+)""",
+    """sel AS (
+  SELECT doc_id, pos,
+         min(struct_pack(g := gram, np := -pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+  FROM g
+)""",
+    """fpd AS (
+  SELECT DISTINCT doc_id, struct_extract(m, 'g') AS fp
+  FROM sel WHERE pos >= 4
+)""",
+    """dft AS (
+  SELECT fp FROM fpd GROUP BY fp HAVING count(*) BETWEEN 2 AND 50
+)""",
+    """rare AS (SELECT doc_id, fp FROM fpd JOIN dft USING (fp))""",
+    """wpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 3
+)""",
+    """sizes AS (SELECT doc_id, count(*) AS n_fp FROM fpd GROUP BY doc_id)""",
+    body="""SELECT doc_a, doc_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n_fp AS BIGINT) AS n_fp_a,
+       CAST(sb.n_fp AS BIGINT) AS n_fp_b,
+       CAST(n_shared * 1000000 // LEAST(sa.n_fp, sb.n_fp) AS BIGINT)
+         AS overlap_ppm
+FROM wpairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+ORDER BY doc_a, doc_b""",
+)
+
+QUERIES["dp_winnow_report"] = dp_winnow_report
+ORACLES["dp_winnow_report"] = DP_WINNOW_SQL

@@ -666,6 +666,51 @@ def test_dedup_clusters_incremental_equals_batch(spark, sf_dir):
     assert sorted(map(key, incr.collect())) == sorted(map(key, batch.collect()))
 
 
+def test_winnow_matches_python_replay_and_guarantee(spark):
+    import hashlib
+
+    def lane(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # two docs sharing a 7-token run (= k + w - 1, the guarantee
+    # threshold) plus unique tails; a third unrelated doc
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    corpus = [
+        (1, shared + " one two three four five"),
+        (2, "x1 x2 x3 " + shared + " y1 y2"),
+        (3, "p q r s t u v w"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    k, w = 4, 4
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in dedup.winnow_fingerprints(docs, k=k, w=w, portable=True).collect()
+    }
+    expected = set()
+    for d, txt in corpus:
+        t = txt.split()
+        grams = [
+            (i + 1, lane(" ".join(t[i : i + k])))
+            for i in range(len(t) - k + 1)
+        ]
+        for i in range(w - 1, len(grams)):
+            window = grams[i - w + 1 : i + 1]
+            m = min(h for _, h in window)
+            pos = max(p for p, h in window if h == m)  # rightmost tie
+            expected.add((d, pos, m))
+    assert got == expected
+    # the (k + w - 1)-token guarantee: docs 1 and 2 share a fingerprint
+    fps = {d: {fp for dd, _, fp in got if dd == d} for d in (1, 2, 3)}
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # and the pair report surfaces exactly the (1, 2) pair
+    rep = dedup.winnow_similarity_report(
+        docs, k=k, w=w, portable=True, min_shared=1
+    ).collect()
+    assert [(r.doc_a, r.doc_b) for r in rep] == [(1, 2)]
+    assert rep[0].n_shared == len(fps[1] & fps[2])
+
+
 def test_bm25_matches_python_replay(spark):
     import math
 
