@@ -797,6 +797,7 @@ NEXT_WINDOW: list[str] = [
     "dp_dedup_clusters_incr",
     "ev_conversion_latency",
     "dp_winnow_report",
+    "dp_pmi_collocations",
 ]
 
 

@@ -121,6 +121,7 @@ HEADLINE = [
     "dp_bm25_topk",
     "ev_conversion_latency",
     "dp_winnow_report",
+    "dp_pmi_collocations",
     "x15_list_tables",
 ]
 

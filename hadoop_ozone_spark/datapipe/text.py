@@ -1272,3 +1272,69 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top-N bigram collocations by pointwise mutual information
+    (Church & Hanks 1990): PMI(w1, w2) = ln(c12 · T / (c1 · c2)) over
+    corpus bigram/unigram counts with T = total bigram tokens — the
+    phrase-mining pass a tokenizer-training or phrase-vocab pipeline
+    runs (word2phrase / Mikolov et al. 2013 use the same count shape).
+
+    Portability: PMI is quantized to integer ppm; the ln() argument is
+    assembled from exact integer counts in one multiplication order on
+    both engines. Rare-pair noise is gated by ``min_count`` (PMI's
+    known low-frequency bias — the standard cure).
+
+    Scale shape: one exploded bigram pass (shared via one persisted
+    frame), two map-side-combinable groupBys (bigram and unigram-head
+    counts), unigram counts broadcast onto the bigram table twice
+    (w1/w2 joins — vocab-sized builds), a 1-row total, then a global
+    top-N over the min_count-filtered survivors."""
+    from hadoop_ozone_spark import scratch
+
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    scratch.fresh("pmi_collocations")
+    bg = scratch.keep(
+        "pmi_collocations",
+        docs.select(F.explode(bigrams).alias("bg")).select("bg.w1", "bg.w2"),
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # unigram counts over the SAME event space: occurrences as bigram
+    # head (w1) resp. tail (w2), so probabilities normalize against T
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    total = bg.agg(F.count(F.lit(1)).alias("t"))
+    pmi = F.log(
+        (F.col("c12").cast("double") * F.col("t"))
+        / (F.col("c1").cast("double") * F.col("c2"))
+    )
+    scored = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(pmi * 1_000_000).cast("long").alias("pmi_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_ppm"), F.asc("w1"), F.asc("w2")
+    ).limit(top_n)

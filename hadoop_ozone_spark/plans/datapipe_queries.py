@@ -2646,3 +2646,38 @@ ORDER BY doc_a, doc_b""",
 
 QUERIES["dp_winnow_report"] = dp_winnow_report
 ORACLES["dp_winnow_report"] = DP_WINNOW_SQL
+
+
+def dp_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI bigram collocations (datapipe/text.py
+    pmi_collocations) over the documents table — the phrase-mining
+    count shape; PMI quantized to integer ppm."""
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    return text_ops.pmi_collocations(model.load(spark, sf_dir, "documents"))
+
+
+DP_PMI_SQL = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\s+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+c2 AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY w2),
+total AS (SELECT count(*) AS t FROM bg)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       CAST(round(ln((CAST(c12 AS DOUBLE) * t) / (CAST(c1 AS DOUBLE) * c2))
+            * 1000000) AS BIGINT) AS pmi_ppm
+FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN total
+WHERE c12 >= 5
+ORDER BY pmi_ppm DESC, w1, w2
+LIMIT 50
+"""
+
+QUERIES["dp_pmi_collocations"] = dp_pmi_collocations
+ORACLES["dp_pmi_collocations"] = DP_PMI_SQL

@@ -666,6 +666,37 @@ def test_dedup_clusters_incremental_equals_batch(spark, sf_dir):
     assert sorted(map(key, incr.collect())) == sorted(map(key, batch.collect()))
 
 
+def test_pmi_collocations_matches_python_replay(spark):
+    import math
+    from collections import Counter
+
+    corpus = [
+        (1, "new york new york city"),
+        (2, "new york is a city"),
+        (3, "york new haven city new"),
+        (4, "a b a b a b a b"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [
+        (r.w1, r.w2, r.c12, r.pmi_ppm)
+        for r in text.pmi_collocations(docs, min_count=2, top_n=5).collect()
+    ]
+    bg = []
+    for _, t in corpus:
+        w = t.split()
+        bg += list(zip(w, w[1:]))
+    c12, c1, c2, t = Counter(bg), Counter(a for a, _ in bg), Counter(
+        b for _, b in bg
+    ), len(bg)
+    exp = [
+        (w1, w2, n, round(math.log(n * t / (c1[w1] * c2[w2])) * 1_000_000))
+        for (w1, w2), n in c12.items()
+        if n >= 2
+    ]
+    exp.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == exp[:5]
+
+
 def test_winnow_matches_python_replay_and_guarantee(spark):
     import hashlib
 
