@@ -134,3 +134,53 @@ def run_dedup_stream(
 
 def read_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(f"{state_dir}/pairs")
+
+
+LABELS_SCHEMA = "doc_id long, cluster_id long, cluster_size long, keep boolean"
+
+
+def update_clusters(spark: SparkSession, state_dir: str, batch_id: int) -> None:
+    """Roll the cluster-label state: labels(N) = incremental CC over
+    labels(latest zone < N) contracted to star edges + batch N's landed
+    pairs (dedup.dedup_clusters_incremental). Replay-idempotent — both
+    inputs are stable zones, so re-running batch N rewrites
+    labels/batch=N with identical rows; stream ≡ batch is the
+    contraction law applied inductively (pinned in
+    test_streaming_clusters_match_batch)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        landed = (
+            spark.read.option("basePath", f"{state_dir}/labels")
+            .parquet(f"{state_dir}/labels")
+            .filter(F.col("batch") < batch_id)
+        )
+        mx = landed.agg(F.max("batch").alias("_mx"))
+        prior = (
+            landed.crossJoin(F.broadcast(mx))
+            .filter(F.col("batch") == F.col("_mx"))
+            .select("doc_id", "cluster_id", "cluster_size", "keep")
+        )
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            prior = spark.createDataFrame([], LABELS_SCHEMA)
+        else:
+            raise
+    pairs = spark.read.parquet(f"{state_dir}/pairs/batch={batch_id}").select(
+        "doc_a", "doc_b"
+    )
+    labels = dedup.dedup_clusters_incremental(prior, pairs)
+    labels.write.mode("overwrite").parquet(f"{state_dir}/labels/batch={batch_id}")
+
+
+def read_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The latest landed cluster-label table."""
+    landed = spark.read.option("basePath", f"{state_dir}/labels").parquet(
+        f"{state_dir}/labels"
+    )
+    mx = landed.agg(F.max("batch").alias("_mx"))
+    return (
+        landed.crossJoin(F.broadcast(mx))
+        .filter(F.col("batch") == F.col("_mx"))
+        .select("doc_id", "cluster_id", "cluster_size", "keep")
+    )

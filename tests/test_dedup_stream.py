@@ -80,3 +80,39 @@ def test_run_dedup_stream_wiring(spark, corpus):
         assert got == want and want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_clusters_match_batch_and_replay(spark, corpus):
+    """Rolling cluster labels: after the last batch the label state must
+    equal batch CC over ALL pairs (the contraction law, inductively),
+    and replaying a mid-stream batch's cluster update rewrites its zone
+    with identical rows."""
+    tmp = tempfile.mkdtemp(prefix="ozspark_clusterstream_")
+    try:
+        for i, batch in enumerate(_splits(corpus)):
+            dedup_stream.process_batch(spark, batch, i, tmp)
+            dedup_stream.update_clusters(spark, tmp, i)
+        key = lambda r: (r.doc_id, r.cluster_id, r.cluster_size, r.keep)
+        got = sorted(map(key, dedup_stream.read_clusters(spark, tmp).collect()))
+        want = sorted(
+            map(
+                key,
+                dedup.dedup_clusters(
+                    dedup_stream.read_pairs(spark, tmp).select("doc_a", "doc_b")
+                ).collect(),
+            )
+        )
+        assert got == want and got
+        mid = sorted(
+            map(key, spark.read.parquet(f"{tmp}/labels/batch=1").collect())
+        )
+        dedup_stream.update_clusters(spark, tmp, 1)  # replay
+        assert sorted(
+            map(key, spark.read.parquet(f"{tmp}/labels/batch=1").collect())
+        ) == mid
+        # the replay must not disturb the final state either
+        assert sorted(
+            map(key, dedup_stream.read_clusters(spark, tmp).collect())
+        ) == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
