@@ -798,6 +798,7 @@ NEXT_WINDOW: list[str] = [
     "ev_conversion_latency",
     "dp_winnow_report",
     "dp_pmi_collocations",
+    "dp_datasheet",
 ]
 
 

@@ -122,6 +122,7 @@ HEADLINE = [
     "ev_conversion_latency",
     "dp_winnow_report",
     "dp_pmi_collocations",
+    "dp_datasheet",
     "x15_list_tables",
 ]
 

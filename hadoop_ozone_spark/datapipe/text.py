@@ -1338,3 +1338,82 @@ def pmi_collocations(
     return scored.orderBy(
         F.desc("pmi_ppm"), F.asc("w1"), F.asc("w2")
     ).limit(top_n)
+
+
+def dataset_datasheet(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source dataset-card rollup (the Datasheets-for-Datasets /
+    Gebru et al. 2021 summary a curation run publishes): docs, tokens,
+    distinct languages, exact-duplicate rate, stopword-quality mean,
+    and exact integer token-count percentiles.
+
+    Percentile law (engine-portable, no float interpolation): p50/p90 =
+    the token count at 1-based rank ceil(q·n) under (token_count,
+    doc_id) ordering — a deterministic order statistic both engines
+    compute identically. Quality mean is integer-ppm: per-doc
+    stop_hits·1e6 DIV n_tokens, averaged as a long sum DIV count.
+
+    Scale shape: ONE corpus pass stages per-doc features (token count,
+    md5, stopword ppm), then everything is source-keyed: the
+    percentile window and the rollups share one source-partitioned
+    shuffle (subset rule); sources are a small dim, rows-per-source
+    large — the classic partition-friendly report."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    staged = docs.select(
+        F.col(source_col).alias("source"),
+        "doc_id",
+        F.col("lang"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.md5(t).alias("content_hash"),
+        F.expr(
+            f"size(filter(split(trim(coalesce({text_col}, '')), '\\\\s+'),"
+            f" x -> x IN ('the', 'and', 'of'))) * 1000000"
+        ).alias("stop_num"),
+    ).withColumn(
+        "quality_ppm", F.expr("stop_num DIV greatest(n_tokens, 1)")
+    )
+    w_rank = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    w_src = Window.partitionBy("source")
+    ranked = staged.select(
+        "source",
+        "lang",
+        "n_tokens",
+        "content_hash",
+        "quality_ppm",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_src).alias("_n"),
+    )
+    per_source = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("content_hash").alias("n_distinct_contents"),
+        F.sum("quality_ppm").alias("_q_sum"),
+        # ceil(q·n) in exact integers: ceil(n/2) = (n+1) DIV 2,
+        # ceil(9n/10) = (9n+9) DIV 10 — no IEEE product in the rank law
+        F.min(
+            F.when(
+                F.col("_rn") == F.expr("(_n + 1) DIV 2"), F.col("n_tokens")
+            )
+        ).alias("p50_tokens"),
+        F.min(
+            F.when(
+                F.col("_rn") == F.expr("(9 * _n + 9) DIV 10"), F.col("n_tokens")
+            )
+        ).alias("p90_tokens"),
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        F.expr(
+            "(n_docs - n_distinct_contents) * 1000000 DIV n_docs"
+        ).alias("dup_rate_ppm"),
+        F.expr("_q_sum DIV n_docs").alias("mean_quality_ppm"),
+        "p50_tokens",
+        "p90_tokens",
+    ).orderBy("source")

@@ -2681,3 +2681,60 @@ LIMIT 50
 
 QUERIES["dp_pmi_collocations"] = dp_pmi_collocations
 ORACLES["dp_pmi_collocations"] = DP_PMI_SQL
+
+
+def dp_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card rollup (datapipe/text.py
+    dataset_datasheet): docs/tokens/langs, exact-dup rate, integer-ppm
+    quality mean, exact order-statistic p50/p90 token counts — run on
+    the dedup corpus so dup_rate_ppm is non-trivial."""
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    return text_ops.dataset_datasheet(model.dedup_corpus(spark, sf_dir))
+
+
+DP_DATASHEET_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    r"""staged AS (
+  SELECT source, doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'))
+              AS BIGINT) AS n_tokens,
+         md5(COALESCE(text, '')) AS content_hash,
+         len(list_filter(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
+                         x -> x IN ('the', 'and', 'of'))) * 1000000 AS stop_num
+  FROM dedup_corpus
+)""",
+    """ranked AS (
+  SELECT source, lang, n_tokens, content_hash,
+         stop_num // greatest(n_tokens, 1) AS quality_ppm,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens, doc_id) AS _rn,
+         count(*) OVER (PARTITION BY source) AS _n
+  FROM staged
+)""",
+    """per_source AS (
+  SELECT source,
+         count(*) AS n_docs,
+         SUM(n_tokens) AS n_tokens,
+         count(DISTINCT lang) AS n_langs,
+         count(DISTINCT content_hash) AS n_distinct_contents,
+         SUM(quality_ppm) AS _q_sum,
+         min(CASE WHEN _rn = (_n + 1) // 2 THEN n_tokens END) AS p50_tokens,
+         min(CASE WHEN _rn = (9 * _n + 9) // 10 THEN n_tokens END)
+           AS p90_tokens
+  FROM ranked GROUP BY source
+)""",
+    body="""SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       CAST((n_docs - n_distinct_contents) * 1000000 // n_docs AS BIGINT)
+         AS dup_rate_ppm,
+       CAST(_q_sum // n_docs AS BIGINT) AS mean_quality_ppm,
+       CAST(p50_tokens AS BIGINT) AS p50_tokens,
+       CAST(p90_tokens AS BIGINT) AS p90_tokens
+FROM per_source ORDER BY source""",
+)
+
+QUERIES["dp_datasheet"] = dp_datasheet
+ORACLES["dp_datasheet"] = DP_DATASHEET_SQL

@@ -666,6 +666,50 @@ def test_dedup_clusters_incremental_equals_batch(spark, sf_dir):
     assert sorted(map(key, incr.collect())) == sorted(map(key, batch.collect()))
 
 
+def test_datasheet_matches_python_replay(spark):
+    import hashlib
+
+    corpus = [
+        # src_a: 3 docs, one exact-dup pair, 2 langs
+        (1, "the cat sat", "en", "src_a"),
+        (2, "the cat sat", "en", "src_a"),
+        (3, "der hund und katze lief schnell", "de", "src_a"),
+        # src_b: 4 docs incl. a NULL text
+        (4, "a b c d e f g h i j", "en", "src_b"),
+        (5, "one two", "en", "src_b"),
+        (6, None, "fr", "src_b"),
+        (7, "x y z", "es", "src_b"),
+    ]
+    docs = spark.createDataFrame(
+        corpus, "doc_id long, text string, lang string, source string"
+    )
+    got = {r.source: r.asDict() for r in text.dataset_datasheet(docs).collect()}
+    stop = {"the", "and", "of"}
+    expected = {}
+    for src in ("src_a", "src_b"):
+        rows = [(d, t or "") for d, t, _, s in corpus if s == src]
+        toks = {d: t.split() for d, t in rows}
+        # NULL text coalesces to '' whose whitespace-split is [''] (1 token)
+        ntok = {d: len(t) if t else 1 for d, t in toks.items()}
+        n = len(rows)
+        q = [len([w for w in toks[d] if w in stop]) * 1_000_000 // max(ntok[d], 1) for d, _ in rows]
+        order = sorted((ntok[d], d) for d, _ in rows)
+        p50 = order[(n + 1) // 2 - 1][0]
+        p90 = order[(9 * n + 9) // 10 - 1][0]
+        expected[src] = {
+            "n_docs": n,
+            "n_tokens": sum(ntok.values()),
+            "n_langs": len({l for _, t, l, s in corpus if s == src}),
+            "dup_rate_ppm": (n - len({hashlib.md5((t or "").encode()).hexdigest() for _, t, _, s in corpus if s == src})) * 1_000_000 // n,
+            "mean_quality_ppm": sum(q) // n,
+            "p50_tokens": p50,
+            "p90_tokens": p90,
+        }
+    for src, exp in expected.items():
+        for k, v in exp.items():
+            assert got[src][k] == v, (src, k, got[src][k], v)
+
+
 def test_pmi_collocations_matches_python_replay(spark):
     import math
     from collections import Counter
