@@ -799,6 +799,7 @@ NEXT_WINDOW: list[str] = [
     "dp_winnow_report",
     "dp_pmi_collocations",
     "dp_datasheet",
+    "dp_hll_vocab",
 ]
 
 

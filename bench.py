@@ -123,6 +123,7 @@ HEADLINE = [
     "dp_winnow_report",
     "dp_pmi_collocations",
     "dp_datasheet",
+    "dp_hll_vocab",
     "x15_list_tables",
 ]
 

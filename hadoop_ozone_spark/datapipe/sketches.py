@@ -1,0 +1,141 @@
+"""Engine-portable cardinality sketches.
+
+Spark's own approx_count_distinct is HyperLogLog++ behind an opaque
+binary — useless for a value-hashed DuckDB oracle. This module builds
+HLL (Flajolet et al. 2007) from first principles on the repo's md5
+hash lane so BOTH engines compute the identical sketch:
+
+- bucket = h mod m, rest = h DIV m (the remaining 60−log2(m) bits);
+- rho = leading zeros of rest + 1, via a generated integer CASE ladder
+  (the binning.py no-log2-floats discipline);
+- the harmonic sum Σ 2^(−M_j) is computed as the EXACT integer
+  Σ 2^(REST_BITS+1−M_j) — every term is a dyadic rational scaled to an
+  integer, so the fold is order-independent and bit-identical across
+  engines; the single float division and the ln() small-range
+  correction happen once, on identical inputs.
+
+At 100 TB this is the shape that matters: one map-side pass, a groupBy
+over m buckets (m = 256 → a 256-row shuffle regardless of input), and
+a 1-row estimate. Registers are mergeable by max — the sketch is a
+write-time artifact that unions across partitions/days for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_ozone_spark.datapipe.dedup import md5_lane, md5_lane_sql
+
+LANE_BITS = 59  # md5_lane is 15 hex chars = 60 bits; keep it non-negative
+M = 256  # registers
+BUCKET_BITS = 8
+REST_BITS = LANE_BITS - BUCKET_BITS  # 51
+# alpha_m for m >= 128 (Flajolet et al. 2007, Fig. 3)
+ALPHA = 0.7213 / (1.0 + 1.079 / M)
+
+
+def _rho(rest: Column) -> Column:
+    """Leading zeros of the REST_BITS-bit value + 1: the smallest r ≥ 1
+    with rest ≥ 2^(REST_BITS − r); all-zero rest → REST_BITS + 1.
+    Generated CASE ladder — integer compares only."""
+    expr = F.lit(REST_BITS + 1)
+    for r in range(REST_BITS, 0, -1):
+        expr = F.when(rest >= F.lit(2 ** (REST_BITS - r)), F.lit(r)).otherwise(
+            expr
+        )
+    return expr
+
+
+def _rho_sql(rest: str) -> str:
+    whens = "\n    ".join(
+        f"WHEN {rest} >= {2 ** (REST_BITS - r)} THEN {r}"
+        for r in range(1, REST_BITS + 1)
+    )
+    return f"CASE\n    {whens}\n    ELSE {REST_BITS + 1} END"
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(bucket, register): max rho per bucket over the md5 lane of
+    ``col``. One map-side-combinable groupBy; at most M rows out."""
+    staged = df.select(
+        F.pmod(md5_lane(F.col(col)), F.lit(2**LANE_BITS)).alias("h")
+    ).select(
+        F.pmod(F.col("h"), F.lit(M)).alias("bucket"),
+        F.expr(f"h DIV {M}").alias("rest"),
+    )
+    return staged.groupBy("bucket").agg(
+        F.max(_rho(F.col("rest"))).alias("register")
+    )
+
+
+def hll_estimate(df: DataFrame, col: str) -> DataFrame:
+    """One-row (hll_estimate, n_zero_registers, true law constants):
+    the raw HLL estimate with the small-range linear-counting
+    correction (E ≤ 2.5m and V > 0 → m·ln(m/V)), rounded to a long.
+
+    The harmonic denominator is the exact integer
+    S = Σ 2^(REST_BITS+1−M_j) over all m registers (absent buckets
+    count as register 0 → term 2^(REST_BITS+1)), so the fold is
+    order-independent; E_raw = alpha·m²·2^(REST_BITS+1)/S in one
+    double division."""
+    regs = hll_registers(df, col)
+    scale = 2 ** (REST_BITS + 1)
+    agg = regs.agg(
+        F.sum(F.expr(f"cast({scale} as double) / power(2.0, register)").cast("long")).alias(
+            "_s_present"
+        ),
+        F.count(F.lit(1)).alias("_n_present"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0)).alias("_z_present"),
+    )
+    s = (F.col("_s_present") + (F.lit(M) - F.col("_n_present")) * F.lit(scale)).cast(
+        "double"
+    )
+    v = (F.lit(M) - F.col("_n_present")) + F.col("_z_present")
+    e_raw = F.lit(ALPHA * M * M * scale) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * M)) & (v > 0),
+        F.lit(float(M)) * F.log(F.lit(float(M)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        F.round(est).cast("long").alias("hll_estimate"),
+        v.cast("long").alias("n_zero_registers"),
+    )
+
+
+def HLL_SQL(source_sql: str, col: str) -> str:
+    """DuckDB twin of hll_estimate over ``source_sql`` (a relation
+    producing ``col``), generated from the same constants."""
+    lane = md5_lane_sql(col)
+    scale = 2 ** (REST_BITS + 1)
+    return f"""
+WITH vals AS ({source_sql}),
+lanes AS (
+  SELECT (({lane}) % {2**LANE_BITS} + {2**LANE_BITS}) % {2**LANE_BITS} AS h
+  FROM vals
+),
+regs AS (
+  SELECT h % {M} AS bucket,
+         max({_rho_sql(f"h // {M}")}) AS register
+  FROM lanes GROUP BY bucket
+),
+folded AS (
+  SELECT SUM(CAST(CAST({scale} AS DOUBLE) / power(2.0, register) AS BIGINT))
+           AS _s_present,
+         count(*) AS _n_present,
+         SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS _z_present
+  FROM regs
+),
+est AS (
+  SELECT CAST(_s_present + ({M} - _n_present) * {scale} AS DOUBLE) AS s,
+         ({M} - _n_present) + _z_present AS v
+  FROM folded
+)
+SELECT CAST(round(CASE WHEN {ALPHA * M * M * scale!r} / s <= {2.5 * M!r}
+                        AND v > 0
+                       THEN {float(M)!r} * ln({float(M)!r} / CAST(v AS DOUBLE))
+                       ELSE {ALPHA * M * M * scale!r} / s END) AS BIGINT)
+         AS hll_estimate,
+       CAST(v AS BIGINT) AS n_zero_registers
+FROM est
+"""

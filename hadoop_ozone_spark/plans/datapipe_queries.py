@@ -2738,3 +2738,55 @@ FROM per_source ORDER BY source""",
 
 QUERIES["dp_datasheet"] = dp_datasheet
 ORACLES["dp_datasheet"] = DP_DATASHEET_SQL
+
+
+def dp_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL vocabulary estimate (datapipe/sketches.py): the
+    256-register sketch over the exploded token stream next to the
+    exact distinct count and the error in ppm — the cheap-cardinality
+    dial a pipeline reads before paying for an exact vocabulary."""
+    from hadoop_ozone_spark.datapipe import sketches
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    docs = model.load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            text_ops.tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+        ).alias("token")
+    )
+    est = sketches.hll_estimate(tok, "token")
+    truth = tok.agg(F.count_distinct("token").alias("true_distinct"))
+    return est.crossJoin(F.broadcast(truth)).select(
+        "hll_estimate",
+        "n_zero_registers",
+        "true_distinct",
+        F.expr(
+            "abs(hll_estimate - true_distinct) * 1000000 DIV true_distinct"
+        ).alias("error_ppm"),
+    )
+
+
+def _hll_vocab_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    tok_src = (
+        r"SELECT unnest(regexp_split_to_array(trim(lower(COALESCE(text, ''))),"
+        r" '\s+')) AS token FROM documents"
+    )
+    return f"""
+WITH hll AS ({sketches.HLL_SQL(tok_src, "token")}),
+truth AS (
+  SELECT count(DISTINCT token) AS true_distinct FROM ({tok_src})
+)
+SELECT hll_estimate, n_zero_registers,
+       CAST(true_distinct AS BIGINT) AS true_distinct,
+       CAST(abs(hll_estimate - true_distinct) * 1000000 // true_distinct
+            AS BIGINT) AS error_ppm
+FROM hll, truth
+"""
+
+
+DP_HLL_SQL = _hll_vocab_sql()
+
+QUERIES["dp_hll_vocab"] = dp_hll_vocab
+ORACLES["dp_hll_vocab"] = DP_HLL_SQL

@@ -1914,3 +1914,34 @@ def test_tfidf_topk_ranks_and_determinism(spark, sf_dir):
     # repartition invariance: same frame at a different parallelism
     again = text_ops.tfidf_topk(docs.repartition(7)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_hll_accuracy_merge_and_small_range(spark):
+    from hadoop_ozone_spark.datapipe import sketches
+
+    # accuracy: sigma = 1.04/sqrt(256) = 6.5%; assert within 3 sigma
+    df = spark.range(50_000).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("k")
+    )
+    est = sketches.hll_estimate(df, "k").first().hll_estimate
+    assert abs(est - 50_000) / 50_000 < 0.20
+
+    # merge law: max-merging the two halves' registers equals the
+    # whole's registers (the write-time-artifact union contract)
+    a = df.filter(F.col("k") < "key_5")  # lexicographic split
+    b = df.filter(F.col("k") >= "key_5")
+    whole = {
+        r.bucket: r.register for r in sketches.hll_registers(df, "k").collect()
+    }
+    ra = {r.bucket: r.register for r in sketches.hll_registers(a, "k").collect()}
+    rb = {r.bucket: r.register for r in sketches.hll_registers(b, "k").collect()}
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    assert merged == whole
+
+    # small range: linear counting is near-exact at n << m
+    tiny = spark.range(10).select(F.concat(F.lit("t"), F.col("id")).alias("k"))
+    r = sketches.hll_estimate(tiny, "k").first()
+    assert r.n_zero_registers >= 246  # >= 256 - 10 occupied
+    assert abs(r.hll_estimate - 10) <= 1
