@@ -800,6 +800,7 @@ NEXT_WINDOW: list[str] = [
     "dp_pmi_collocations",
     "dp_datasheet",
     "dp_hll_vocab",
+    "dp_cm_heavy_hitters",
 ]
 
 

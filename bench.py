@@ -124,6 +124,7 @@ HEADLINE = [
     "dp_pmi_collocations",
     "dp_datasheet",
     "dp_hll_vocab",
+    "dp_cm_heavy_hitters",
     "x15_list_tables",
 ]
 

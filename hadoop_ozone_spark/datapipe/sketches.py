@@ -139,3 +139,80 @@ SELECT CAST(round(CASE WHEN {ALPHA * M * M * scale!r} / s <= {2.5 * M!r}
        CAST(v AS BIGINT) AS n_zero_registers
 FROM est
 """
+
+
+# --- Count-Min frequency sketch (Cormode & Muthukrishnan 2005) ----------
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def cm_counters(df: DataFrame, col: str) -> DataFrame:
+    """(row, bucket, cnt): the d×w Count-Min counter matrix — each
+    occurrence increments one bucket per row, bucket = md5 lane of
+    (row_seed, value) mod w. One exploded pass (d× the stream) into a
+    map-side-combinable groupBy; the artifact is d·w rows regardless of
+    input and merges across partitions/days by SUM (pinned)."""
+    rows = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(CM_DEPTH - 1)),
+            lambda r: F.struct(
+                r.alias("row"),
+                F.pmod(
+                    md5_lane(
+                        F.concat(
+                            r.cast("string"), F.lit("|"), F.col(col).cast("string")
+                        )
+                    ),
+                    F.lit(CM_WIDTH),
+                ).alias("bucket"),
+            ),
+        )
+    )
+    return (
+        df.select(rows.alias("rb"))
+        .select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_point_estimates(df: DataFrame, col: str, keys: DataFrame) -> DataFrame:
+    """(key, cm_estimate): min over the d counters each key hashes to —
+    the classic point query; cm_estimate ≥ true count always (the
+    one-sided error law, pinned in tests). ``keys`` is a small frame
+    with a ``key`` column; its d (row, bucket) probes broadcast onto
+    the counter matrix."""
+    counters = cm_counters(df, col)
+    probes = keys.select(
+        "key",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(CM_DEPTH - 1)),
+                lambda r: F.struct(
+                    r.alias("row"),
+                    F.pmod(
+                        md5_lane(
+                            F.concat(
+                                r.cast("string"),
+                                F.lit("|"),
+                                F.col("key").cast("string"),
+                            )
+                        ),
+                        F.lit(CM_WIDTH),
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("rb"),
+    ).select("key", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        counters.join(F.broadcast(probes), ["row", "bucket"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+
+
+def cm_lane_sql(row: int, expr: str) -> str:
+    """DuckDB twin of one Count-Min bucket lane."""
+    lane = md5_lane_sql(f"concat(CAST({row} AS VARCHAR), '|', CAST({expr} AS VARCHAR))")
+    return f"(({lane}) % {CM_WIDTH} + {CM_WIDTH}) % {CM_WIDTH}"

@@ -2790,3 +2790,89 @@ DP_HLL_SQL = _hll_vocab_sql()
 
 QUERIES["dp_hll_vocab"] = dp_hll_vocab
 ORACLES["dp_hll_vocab"] = DP_HLL_SQL
+
+
+def dp_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates for the true top-10 tokens
+    (datapipe/sketches.py cm_counters/cm_point_estimates): the
+    one-sided frequency sketch next to exact counts, with the
+    overestimate in ppm (cm >= true always — the CM error law)."""
+    from hadoop_ozone_spark.datapipe import sketches
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    docs = model.load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            text_ops.tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+        ).alias("token")
+    )
+    truth = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("token"))
+        .limit(10)
+    )
+    est = sketches.cm_point_estimates(
+        tok, "token", truth.select(F.col("token").alias("key"))
+    )
+    return (
+        truth.join(est.withColumnRenamed("key", "token"), "token")
+        .select(
+            "token",
+            "true_count",
+            "cm_estimate",
+            F.expr(
+                "(cm_estimate - true_count) * 1000000 DIV true_count"
+            ).alias("over_ppm"),
+        )
+        .orderBy(F.desc("true_count"), F.asc("token"))
+    )
+
+
+def _cm_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    tok_src = (
+        r"SELECT unnest(regexp_split_to_array(trim(lower(COALESCE(text, ''))),"
+        r" '\s+')) AS token FROM documents"
+    )
+    occ = "\n  UNION ALL\n  ".join(
+        f"SELECT {r} AS r, {sketches.cm_lane_sql(r, 'token')} AS bucket FROM tok"
+        for r in range(sketches.CM_DEPTH)
+    )
+    probes = "\n  UNION ALL\n  ".join(
+        f"SELECT token, {r} AS r, {sketches.cm_lane_sql(r, 'token')} AS bucket"
+        f" FROM truth"
+        for r in range(sketches.CM_DEPTH)
+    )
+    return f"""
+WITH tok AS ({tok_src}),
+truth AS (
+  SELECT token, count(*) AS true_count FROM tok GROUP BY token
+  ORDER BY true_count DESC, token LIMIT 10
+),
+occ AS (
+  {occ}
+),
+counters AS (SELECT r, bucket, count(*) AS cnt FROM occ GROUP BY r, bucket),
+probes AS (
+  {probes}
+),
+est AS (
+  SELECT token, min(cnt) AS cm_estimate
+  FROM probes JOIN counters USING (r, bucket) GROUP BY token
+)
+SELECT t.token,
+       CAST(true_count AS BIGINT) AS true_count,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST((cm_estimate - true_count) * 1000000 // true_count AS BIGINT)
+         AS over_ppm
+FROM truth t JOIN est USING (token)
+ORDER BY true_count DESC, token
+"""
+
+
+DP_CM_SQL = _cm_sql()
+
+QUERIES["dp_cm_heavy_hitters"] = dp_cm_heavy_hitters
+ORACLES["dp_cm_heavy_hitters"] = DP_CM_SQL

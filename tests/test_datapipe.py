@@ -1945,3 +1945,42 @@ def test_hll_accuracy_merge_and_small_range(spark):
     r = sketches.hll_estimate(tiny, "k").first()
     assert r.n_zero_registers >= 246  # >= 256 - 10 occupied
     assert abs(r.hll_estimate - 10) <= 1
+
+
+def test_count_min_one_sided_and_mergeable(spark):
+    from hadoop_ozone_spark.datapipe import sketches
+
+    # skewed stream: token t0 x 1000, t1..t199 x (i % 7 + 1)
+    rows = [("t0",)] * 1000
+    for i in range(1, 200):
+        rows += [(f"t{i}",)] * (i % 7 + 1)
+    df = spark.createDataFrame(rows, "token string")
+    truth = {r.token: r.cnt for r in df.groupBy("token").count().withColumnRenamed("count", "cnt").collect()}
+    keys = spark.createDataFrame([(k,) for k in truth], "key string")
+    est = {
+        r.key: r.cm_estimate
+        for r in sketches.cm_point_estimates(df, "token", keys).collect()
+    }
+    # one-sided error: cm >= true for EVERY key
+    assert all(est[k] >= v for k, v in truth.items())
+    # the heavy hitter is estimated exactly (collisions only inflate)
+    assert est["t0"] >= 1000
+    # mergeable: summing two hash-split halves' counters equals the whole's
+    a = df.filter(F.crc32(F.col("token")) % 2 == 0)
+    b = df.filter(F.crc32(F.col("token")) % 2 == 1)
+    whole = {
+        (r.row, r.bucket): r.cnt
+        for r in sketches.cm_counters(df, "token").collect()
+    }
+    ca = {
+        (r.row, r.bucket): r.cnt
+        for r in sketches.cm_counters(a, "token").collect()
+    }
+    cb = {
+        (r.row, r.bucket): r.cnt
+        for r in sketches.cm_counters(b, "token").collect()
+    }
+    merged = {
+        k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)
+    }
+    assert merged == whole
