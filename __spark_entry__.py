@@ -801,6 +801,7 @@ NEXT_WINDOW: list[str] = [
     "dp_datasheet",
     "dp_hll_vocab",
     "dp_cm_heavy_hitters",
+    "dp_bloom_decontaminate",
 ]
 
 

@@ -125,6 +125,7 @@ HEADLINE = [
     "dp_datasheet",
     "dp_hll_vocab",
     "dp_cm_heavy_hitters",
+    "dp_bloom_decontaminate",
     "x15_list_tables",
 ]
 

@@ -216,3 +216,55 @@ def cm_lane_sql(row: int, expr: str) -> str:
     """DuckDB twin of one Count-Min bucket lane."""
     lane = md5_lane_sql(f"concat(CAST({row} AS VARCHAR), '|', CAST({expr} AS VARCHAR))")
     return f"(({lane}) % {CM_WIDTH} + {CM_WIDTH}) % {CM_WIDTH}"
+
+
+# --- Bloom filter membership (Bloom 1970) --------------------------------
+
+BLOOM_BITS = 32768  # m
+BLOOM_K = 4  # lanes
+
+
+def _bloom_positions(val: Column) -> Column:
+    """Array of the BLOOM_K bit positions for a value — seeded md5
+    lanes mod m (the Count-Min lane construction reused)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+        lambda r: F.pmod(
+            md5_lane(F.concat(r.cast("string"), F.lit("|"), val.cast("string"))),
+            F.lit(BLOOM_BITS),
+        ),
+    )
+
+
+def bloom_bits(df: DataFrame, col: str) -> DataFrame:
+    """(bit,): the DISTINCT set bit positions — the filter itself.
+    ≤ m rows regardless of input; merges across builds by UNION
+    DISTINCT (pinned). One exploded pass + a distinct over ≤ m keys."""
+    return (
+        df.select(F.explode(_bloom_positions(F.col(col))).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_membership(bits: DataFrame, probes: DataFrame, col: str) -> DataFrame:
+    """(key, member): member iff ALL BLOOM_K probe bits are set — no
+    false negatives ever (pinned); false positives at the classic
+    (1 − e^(−kn/m))^k rate. The probe side explodes to k rows per key
+    and left-joins the ≤ m-row broadcast bit set."""
+    p = probes.select(
+        F.col(col).alias("key"),
+        F.explode(_bloom_positions(F.col(col))).alias("bit"),
+    )
+    hit = F.broadcast(bits.withColumn("_set", F.lit(1)))
+    return (
+        p.join(hit, "bit", "left")
+        .groupBy("key")
+        .agg((F.count(F.lit(1)) == F.sum(F.coalesce("_set", F.lit(0)))).alias("member"))
+    )
+
+
+def bloom_lane_sql(row: int, expr: str) -> str:
+    lane = md5_lane_sql(
+        f"concat(CAST({row} AS VARCHAR), '|', CAST({expr} AS VARCHAR))"
+    )
+    return f"(({lane}) % {BLOOM_BITS} + {BLOOM_BITS}) % {BLOOM_BITS}"

@@ -2876,3 +2876,91 @@ DP_CM_SQL = _cm_sql()
 
 QUERIES["dp_cm_heavy_hitters"] = dp_cm_heavy_hitters
 ORACLES["dp_cm_heavy_hitters"] = DP_CM_SQL
+
+
+def dp_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-screen for decontamination (datapipe/
+    sketches.py bloom_bits/bloom_membership): build the filter over the
+    benchmark slice's content hashes (doc_id % 20 == 0), probe EVERY
+    doc, and report flagged counts — zero false negatives by
+    construction (every benchmark doc flags), false positives at the
+    (1−e^(−kn/m))^k rate; the cheap first pass before the exact
+    span-level decontaminate."""
+    from hadoop_ozone_spark.datapipe import sketches
+
+    docs = model.load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h")
+    )
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    bits = sketches.bloom_bits(bench, "h")
+    member = sketches.bloom_membership(bits, docs.select("doc_id", "h"), "h")
+    flagged = docs.join(
+        member.withColumnRenamed("key", "h").select("h", "member"), "h"
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("doc_id") % 20 == 0).cast("long")).alias("n_benchmark"),
+        F.sum(F.col("member").cast("long")).alias("n_flagged"),
+        F.sum(
+            (F.col("member") & (F.col("doc_id") % 20 != 0)).cast("long")
+        ).alias("n_false_positives"),
+    ).select(
+        "n_docs",
+        "n_benchmark",
+        "n_flagged",
+        "n_false_positives",
+        F.expr(
+            "n_false_positives * 1000000 DIV greatest(n_docs - n_benchmark, 1)"
+        ).alias("fp_ppm"),
+    )
+
+
+def _bloom_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    k = sketches.BLOOM_K
+    ins = "\n  UNION ALL\n  ".join(
+        f"SELECT {sketches.bloom_lane_sql(r, 'h')} AS bit FROM bench"
+        for r in range(k)
+    )
+    prb = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, h, {sketches.bloom_lane_sql(r, 'h')} AS bit FROM docs"
+        for r in range(k)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents
+),
+bench AS (SELECT h FROM docs WHERE doc_id % 20 = 0),
+bits AS (SELECT DISTINCT bit FROM (
+  {ins}
+)),
+probes AS (
+  {prb}
+),
+member AS (
+  SELECT doc_id,
+         count(*) = SUM(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END)
+           AS member
+  FROM probes LEFT JOIN bits USING (bit)
+  GROUP BY doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_benchmark,
+       CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN member AND doc_id % 20 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positives,
+       CAST(SUM(CASE WHEN member AND doc_id % 20 <> 0 THEN 1 ELSE 0 END)
+            * 1000000
+            // greatest(count(*) - SUM(CASE WHEN doc_id % 20 = 0
+                                            THEN 1 ELSE 0 END), 1)
+            AS BIGINT) AS fp_ppm
+FROM member JOIN docs USING (doc_id)
+"""
+
+
+DP_BLOOM_SQL = _bloom_sql()
+
+QUERIES["dp_bloom_decontaminate"] = dp_bloom_decontaminate
+ORACLES["dp_bloom_decontaminate"] = DP_BLOOM_SQL

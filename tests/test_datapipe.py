@@ -1984,3 +1984,33 @@ def test_count_min_one_sided_and_mergeable(spark):
         k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)
     }
     assert merged == whole
+
+
+def test_bloom_no_false_negatives_and_union_merge(spark):
+    from hadoop_ozone_spark.datapipe import sketches
+
+    inserted = spark.createDataFrame(
+        [(f"k{i}",) for i in range(500)], "h string"
+    )
+    others = spark.createDataFrame(
+        [(f"other{i}",) for i in range(2000)], "h string"
+    )
+    bits = sketches.bloom_bits(inserted, "h")
+    # no false negatives: every inserted key is a member
+    got = sketches.bloom_membership(bits, inserted, "h")
+    assert got.filter(~F.col("member")).count() == 0
+    # false-positive rate near the analytic (1 - e^(-kn/m))^k
+    import math
+
+    fp = sketches.bloom_membership(bits, others, "h").filter("member").count()
+    k, n, m = sketches.BLOOM_K, 500, sketches.BLOOM_BITS
+    expected = (1 - math.exp(-k * n / m)) ** k
+    assert fp / 2000 < max(5 * expected, 0.01)
+    # union-merge: bits(a ∪ b) == bits(a) ∪ bits(b)
+    a = inserted.filter(F.crc32("h") % 2 == 0)
+    b = inserted.filter(F.crc32("h") % 2 == 1)
+    whole = {r.bit for r in bits.collect()}
+    merged = {r.bit for r in sketches.bloom_bits(a, "h").collect()} | {
+        r.bit for r in sketches.bloom_bits(b, "h").collect()
+    }
+    assert merged == whole
