@@ -802,6 +802,7 @@ NEXT_WINDOW: list[str] = [
     "dp_hll_vocab",
     "dp_cm_heavy_hitters",
     "dp_bloom_decontaminate",
+    "ev_top_paths",
 ]
 
 

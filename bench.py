@@ -126,6 +126,7 @@ HEADLINE = [
     "dp_hll_vocab",
     "dp_cm_heavy_hitters",
     "dp_bloom_decontaminate",
+    "ev_top_paths",
     "x15_list_tables",
 ]
 

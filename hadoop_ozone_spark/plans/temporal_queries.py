@@ -445,6 +445,66 @@ FROM binned ORDER BY latency_ub_s
 """
 
 
+# --- top event paths: per-user event-type trigrams -----------------------
+
+
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 per-user event-type trigrams (sequence mining lite — the
+    path view one step up from ev_transition_matrix's bigrams): two
+    lead() windows over each user's time-ordered stream, count per
+    (t1, t2, t3), exact-ppm share of all trigrams, deterministic
+    top-20. One user-keyed corpus shuffle; the result is ≤ |types|³.
+
+    Ordering ties inside a user's stream break on event_id (the
+    transition-matrix convention)."""
+    from pyspark.sql import Window
+
+    ev = model.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    counted = tri.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).alias("n_paths")
+    )
+    return (
+        counted.select(
+            "t1",
+            "t2",
+            "t3",
+            "n_paths",
+            F.expr("n_paths * 1000000 DIV sum(n_paths) OVER ()").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
+EV_TOP_PATHS_SQL = """
+WITH tri AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counted AS (
+  SELECT t1, t2, t3, count(*) AS n_paths
+  FROM tri WHERE t3 IS NOT NULL
+  GROUP BY t1, t2, t3
+)
+SELECT t1, t2, t3, CAST(n_paths AS BIGINT) AS n_paths,
+       CAST(n_paths * 1000000 // SUM(n_paths) OVER () AS BIGINT) AS share_ppm
+FROM counted
+ORDER BY n_paths DESC, t1, t2, t3
+LIMIT 20
+"""
+
+
 QUERIES = {
     "ev_asof_join": ev_asof_join,
     "ev_range_join_binned": ev_range_join_binned,
@@ -452,6 +512,7 @@ QUERIES = {
     "ev_funnel": ev_funnel,
     "ev_transition_matrix": ev_transition_matrix,
     "ev_conversion_latency": ev_conversion_latency,
+    "ev_top_paths": ev_top_paths,
 }
 
 ORACLES = {
@@ -461,4 +522,5 @@ ORACLES = {
     "ev_funnel": EV_FUNNEL_SQL,
     "ev_transition_matrix": EV_TRANSITION_SQL,
     "ev_conversion_latency": EV_LATENCY_SQL,
+    "ev_top_paths": EV_TOP_PATHS_SQL,
 }

@@ -278,3 +278,51 @@ def test_conversion_latency_single_corpus_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_top_paths_matches_python_replay(spark):
+    from datetime import datetime, timedelta
+    from collections import Counter
+
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(u, minutes, typ):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, str(base + timedelta(minutes=minutes)), u, typ, 1.0))
+
+    seqs = {1: "abcab", 2: "abc", 3: "xy", 4: "ccc"}
+    for u, s in seqs.items():
+        for i, t in enumerate(s):
+            ev(u, i, t)
+    sch = "event_id long, ts string, user_id long, event_type string, value double"
+    frame = spark.createDataFrame(rows, sch).withColumn("ts", F.to_timestamp("ts"))
+
+    import hadoop_ozone_spark.model as m
+    import hadoop_ozone_spark.plans.temporal_queries as tq
+
+    orig_load = m.load
+    try:
+        m.load = lambda s, sf, t: frame
+        got = [(r.t1, r.t2, r.t3, r.n_paths, r.share_ppm)
+               for r in tq.ev_top_paths(spark, "unused").collect()]
+    finally:
+        m.load = orig_load
+    c = Counter()
+    for s in seqs.values():
+        for i in range(len(s) - 2):
+            c[tuple(s[i:i + 3])] += 1
+    total = sum(c.values())
+    exp = sorted(
+        ((t1, t2, t3, n, n * 1_000_000 // total) for (t1, t2, t3), n in c.items()),
+        key=lambda r: (-r[3], r[0], r[1], r[2]),
+    )[:20]
+    assert got == exp
+
+
+def test_top_paths_single_corpus_shuffle(spark, sf_dir):
+    df = entry.queries()["ev_top_paths"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
