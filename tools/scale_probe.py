@@ -1020,6 +1020,40 @@ def lm_probe(n_docs: int, vocab: int = 20_000, hot_pct: int = 0) -> None:
     spark.stop()
 
 
+def sketch_probe(n_m: float = 10.0) -> None:
+    """Sketch-trio scale probe: HLL / Count-Min / Bloom over an n-row
+    synthetic key stream (Zipf-ish duplication: key = id DIV (id%10+1)
+    — a mixed-frequency bag). The claim under test: the artifacts are
+    INPUT-SIZE-INDEPENDENT (256 / 4096 / ≤32768 rows) and the build is
+    one map-side pass — wall should scale linearly and the artifact
+    row counts must not move."""
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark.datapipe import sketches
+
+    spark = get_spark("scale-probe-sketch")
+    n = int(n_m * 1_000_000)
+    df = spark.range(n).select(
+        F.concat(F.lit("k"), F.expr("id DIV (id % 10 + 1)")).alias("k")
+    ).persist()
+    df.count()
+    out = {"num_rows": n, "timings_sec": {}, "artifact_rows": {}}
+    t0 = time.time()
+    r = sketches.hll_estimate(df, "k").first()
+    out["timings_sec"]["hll"] = round(time.time() - t0, 2)
+    out["hll_estimate"] = r.hll_estimate
+    out["artifact_rows"]["hll"] = 256
+    t0 = time.time()
+    out["artifact_rows"]["cm"] = sketches.cm_counters(df, "k").count()
+    out["timings_sec"]["cm"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    out["artifact_rows"]["bloom"] = sketches.bloom_bits(df, "k").count()
+    out["timings_sec"]["bloom"] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+    df.unpersist()
+    spark.stop()
+
+
 def cc_probe(n_edges_m: float = 1.0) -> None:
     """Connected-components scale probe (dedup_clusters): a realistic
     near-dup pair graph is mostly stars (canonical + variants) with a
@@ -1147,6 +1181,8 @@ if __name__ == "__main__":
         semdedup_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 50000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--events":
         events_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 1.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sketch":
+        sketch_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 10.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--cc":
         cc_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 1.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--lm":
