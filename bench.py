@@ -115,9 +115,11 @@ HEADLINE = [
     "ev_cohort_retention",
     "ev_funnel",
     "ev_transition_matrix",
-    # round 8 additions
+    # round 8 additions (dp_dedup_clusters_incr is registered and
+    # driver-checked but not headlined — it reruns the full minhash
+    # pipeline twice per measurement, the dp_minhash_incremental
+    # precedent)
     "dp_dedup_clusters",
-    "dp_dedup_clusters_incr",
     "dp_bm25_topk",
     "ev_conversion_latency",
     "dp_winnow_report",
