@@ -803,6 +803,7 @@ NEXT_WINDOW: list[str] = [
     "dp_cm_heavy_hitters",
     "dp_bloom_decontaminate",
     "ev_top_paths",
+    "dp_gram_novelty",
 ]
 
 

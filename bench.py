@@ -129,6 +129,7 @@ HEADLINE = [
     "dp_cm_heavy_hitters",
     "dp_bloom_decontaminate",
     "ev_top_paths",
+    "dp_gram_novelty",
     "x15_list_tables",
 ]
 

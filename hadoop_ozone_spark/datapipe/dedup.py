@@ -1502,3 +1502,54 @@ def cdc_source_matrix(
         .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
         .orderBy("source_a", "source_b")
     )
+
+
+def gram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = DUP_SPAN_K,
+    portable: bool = False,
+    report_mod: int = 1,
+) -> DataFrame:
+    """Per-doc k-gram novelty: the fraction (ppm) of a doc's DISTINCT
+    k-grams whose FIRST appearance (lowest doc_id) is this doc — the
+    ingest-order memorization-risk view (a doc whose grams all appeared
+    earlier adds no new text; the RETSim/dedup literature's
+    "duplication adds no information" lens applied per doc).
+
+    Laws: gram owner = min(doc_id) over the corpus gram table; novelty
+    = owned distinct grams ·1e6 DIV distinct grams; docs shorter than
+    k tokens emit no grams and are absent. ``report_mod`` subsamples
+    the REPORTED docs (statistics stay corpus-wide).
+
+    Scale shape: one positional-gram pass collapsed to distinct
+    (doc_id, gram), one gram-keyed groupBy for the owner (map-side
+    combinable min), one broadcast-free join back keyed by gram (the
+    dup_spans seed-share family — AQE covers hot grams), then a per-doc
+    fold."""
+    scratch.fresh("gram_novelty")
+    grams = scratch.keep(
+        "gram_novelty",
+        positional_gram_table(docs, text_col, k, portable, scratch_tag="gram_novelty")
+        .select("doc_id", "gram")
+        .distinct(),
+    )
+    owner = grams.groupBy("gram").agg(F.min("doc_id").alias("owner"))
+    return (
+        grams.join(owner, "gram")
+        .filter(F.col("doc_id") % report_mod == 0)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("owner") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("n_novel * 1000000 DIV n_grams").alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )

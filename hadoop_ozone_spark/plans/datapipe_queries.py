@@ -2964,3 +2964,43 @@ DP_BLOOM_SQL = _bloom_sql()
 
 QUERIES["dp_bloom_decontaminate"] = dp_bloom_decontaminate
 ORACLES["dp_bloom_decontaminate"] = DP_BLOOM_SQL
+
+
+def dp_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc k-gram novelty over the dedup corpus (datapipe/dedup.py
+    gram_novelty): injected twins with higher doc_ids score ~0 novelty
+    while their canonical scores high — the ingest-order
+    memorization-risk report."""
+    return dedup.gram_novelty(
+        model.dedup_corpus(spark, sf_dir), portable=True
+    )
+
+
+DP_NOVELTY_SQL = model.with_ctes(
+    model.DEDUP_CORPUS_CTE,
+    r"""toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM dedup_corpus
+)""",
+    """grams AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substring(md5(concat_ws(' ',
+           t[pos], t[pos+1], t[pos+2], t[pos+3],
+           t[pos+4], t[pos+5], t[pos+6], t[pos+7])), 1, 15)) AS BIGINT) AS gram
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 7, 0))) AS pos
+        FROM toks)
+)""",
+    """owner AS (SELECT gram, min(doc_id) AS owner FROM grams GROUP BY gram)""",
+    body="""SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM grams JOIN owner USING (gram)
+GROUP BY doc_id ORDER BY doc_id""",
+)
+
+QUERIES["dp_gram_novelty"] = dp_gram_novelty
+ORACLES["dp_gram_novelty"] = DP_NOVELTY_SQL

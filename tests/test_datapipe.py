@@ -2014,3 +2014,25 @@ def test_bloom_no_false_negatives_and_union_merge(spark):
         r.bit for r in sketches.bloom_bits(b, "h").collect()
     }
     assert merged == whole
+
+
+def test_gram_novelty_twins_score_zero(spark):
+    from hadoop_ozone_spark.datapipe import dedup as dd
+
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                       # canonical: all grams novel
+            (5, base),                       # exact twin: zero novelty
+            (7, base + " extra tail words added here beyond the copy"),
+            (9, "an entirely different sentence with its own words only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_novel, r.n_grams, r.novelty_ppm)
+           for r in dd.gram_novelty(docs, portable=True).collect()}
+    assert got[1][0] == got[1][1] and got[1][2] == 1_000_000
+    assert got[5] == (0, got[1][1], 0)
+    # the extended doc owns only the grams past/straddling the copy
+    assert 0 < got[7][0] < got[7][1]
+    assert got[9][2] == 1_000_000
