@@ -1020,6 +1020,46 @@ def lm_probe(n_docs: int, vocab: int = 20_000, hot_pct: int = 0) -> None:
     spark.stop()
 
 
+def search_probe(n_docs: int = 1_000_000, vocab: int = 20_000) -> None:
+    """Rolling BM25 index probe: land the bucketed posting zones for a
+    Zipf-token corpus ONCE (write-time artifact), then measure query
+    latency against the landed state — the claim is that a query reads
+    ≤ |terms| of the 64 term buckets, so query wall is a function of
+    the matched postings, not the corpus."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark.streaming import search_stream
+
+    spark = get_spark("scale-probe-search")
+    tok = (
+        f"transform(sequence(1, 80), i -> concat('w', cast(exp("
+        f" (pmod(hash(id * 1000 + i), 1000000) / 1000000.0d)"
+        f" * ln({vocab})) as int)))"
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.array_join(F.expr(tok), " ").alias("text")
+    )
+    tmp = tempfile.mkdtemp(prefix="ozspark_search_")
+    out = {"num_docs": n_docs, "vocab": vocab, "timings_sec": {}}
+    try:
+        t0 = time.time()
+        search_stream.process_doc_batch(spark, docs, 0, tmp)
+        out["timings_sec"]["index_build_write"] = round(time.time() - t0, 2)
+        queries = (("q1", "w1 w17"), ("q2", "w123 w4567 w19999"))
+        for name, reps in (("query_cold", 1), ("query_steady", 2)):
+            t0 = time.time()
+            for _ in range(reps):
+                search_stream.bm25_query(spark, tmp, queries).count()
+            out["timings_sec"][name] = round((time.time() - t0) / reps, 2)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def sketch_probe(n_m: float = 10.0) -> None:
     """Sketch-trio scale probe: HLL / Count-Min / Bloom over an n-row
     synthetic key stream (Zipf-ish duplication: key = id DIV (id%10+1)
@@ -1181,6 +1221,10 @@ if __name__ == "__main__":
         semdedup_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 50000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--events":
         events_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 1.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--search":
+        search_probe(
+            int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 1_000_000
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "--sketch":
         sketch_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 10.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--cc":
