@@ -789,7 +789,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # after the 50-slot driver window so the judge's HEAD oracle run sees
 # them and the round-9 rotation can front-load them, together with the
 # 8 remaining round-4 leftovers (R4_LEFTOVER_R9 in
-# tests/test_entry_contract.py).
+# tests/test_entry_contract.py); the remaining r9 slots take the
+# stalest driver rows (the round-5-evidence set, alphabetical).
 NEXT_WINDOW: list[str] = [
     "x15_list_tables",
     "dp_dedup_clusters",
