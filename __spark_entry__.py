@@ -805,6 +805,7 @@ NEXT_WINDOW: list[str] = [
     "dp_bloom_decontaminate",
     "ev_top_paths",
     "dp_gram_novelty",
+    "ev_hll_users_by_type",
 ]
 
 

@@ -130,6 +130,7 @@ HEADLINE = [
     "dp_bloom_decontaminate",
     "ev_top_paths",
     "dp_gram_novelty",
+    "ev_hll_users_by_type",
     "x15_list_tables",
 ]
 

@@ -268,3 +268,85 @@ def bloom_lane_sql(row: int, expr: str) -> str:
         f"concat(CAST({row} AS VARCHAR), '|', CAST({expr} AS VARCHAR))"
     )
     return f"(({lane}) % {BLOOM_BITS} + {BLOOM_BITS}) % {BLOOM_BITS}"
+
+
+def hll_estimate_grouped(df: DataFrame, key: str, col: str) -> DataFrame:
+    """(key, hll_estimate): the portable HLL per GROUP — distinct(col)
+    per key without ever shuffling raw values: the map side collapses
+    to (key, bucket, max rho) — ≤ m rows per key — and the estimate
+    folds those. The grouped twin of hll_estimate (same register and
+    exact-integer-denominator laws, same small-range correction)."""
+    staged = df.select(
+        F.col(key).alias("key"),
+        F.pmod(md5_lane(F.col(col)), F.lit(2**LANE_BITS)).alias("h"),
+    ).select(
+        "key",
+        F.pmod(F.col("h"), F.lit(M)).alias("bucket"),
+        F.expr(f"h DIV {M}").alias("rest"),
+    )
+    regs = staged.groupBy("key", "bucket").agg(
+        F.max(_rho(F.col("rest"))).alias("register")
+    )
+    scale = 2 ** (REST_BITS + 1)
+    agg = regs.groupBy("key").agg(
+        F.sum(
+            F.expr(f"cast({scale} as double) / power(2.0, register)").cast("long")
+        ).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_present"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0)).alias("_z_present"),
+    )
+    s = (
+        F.col("_s_present") + (F.lit(M) - F.col("_n_present")) * F.lit(scale)
+    ).cast("double")
+    v = (F.lit(M) - F.col("_n_present")) + F.col("_z_present")
+    e_raw = F.lit(ALPHA * M * M * scale) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * M)) & (v > 0),
+        F.lit(float(M)) * F.log(F.lit(float(M)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        "key",
+        F.round(est).cast("long").alias("hll_estimate"),
+        v.cast("long").alias("n_zero_registers"),
+    )
+
+
+def HLL_GROUPED_SQL(source_sql: str, key: str, col: str) -> str:
+    """DuckDB twin of hll_estimate_grouped."""
+    lane = md5_lane_sql(col)
+    scale = 2 ** (REST_BITS + 1)
+    return f"""
+WITH vals AS ({source_sql}),
+lanes AS (
+  SELECT {key} AS key,
+         (({lane}) % {2**LANE_BITS} + {2**LANE_BITS}) % {2**LANE_BITS} AS h
+  FROM vals
+),
+regs AS (
+  SELECT key, h % {M} AS bucket,
+         max({_rho_sql(f"h // {M}")}) AS register
+  FROM lanes GROUP BY key, bucket
+),
+folded AS (
+  SELECT key,
+         SUM(CAST(CAST({scale} AS DOUBLE) / power(2.0, register) AS BIGINT))
+           AS _s_present,
+         count(*) AS _n_present,
+         SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS _z_present
+  FROM regs GROUP BY key
+),
+est AS (
+  SELECT key,
+         CAST(_s_present + ({M} - _n_present) * {scale} AS DOUBLE) AS s,
+         ({M} - _n_present) + _z_present AS v
+  FROM folded
+)
+SELECT key,
+       CAST(round(CASE WHEN {ALPHA * M * M * scale!r} / s <= {2.5 * M!r}
+                        AND v > 0
+                       THEN {float(M)!r} * ln({float(M)!r} / CAST(v AS DOUBLE))
+                       ELSE {ALPHA * M * M * scale!r} / s END) AS BIGINT)
+         AS hll_estimate,
+       CAST(v AS BIGINT) AS n_zero_registers
+FROM est
+"""

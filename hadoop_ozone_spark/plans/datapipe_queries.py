@@ -3004,3 +3004,57 @@ GROUP BY doc_id ORDER BY doc_id""",
 
 QUERIES["dp_gram_novelty"] = dp_gram_novelty
 ORACLES["dp_gram_novelty"] = DP_NOVELTY_SQL
+
+
+def ev_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the GROUPED portable HLL
+    (datapipe/sketches.py hll_estimate_grouped) next to the exact
+    count — count-distinct per key without shuffling raw user ids
+    (the map side collapses to ≤ 256 register rows per key)."""
+    from hadoop_ozone_spark.datapipe import sketches
+
+    ev = model.load(spark, sf_dir, "events").select(
+        F.col("event_type"), F.col("user_id")
+    )
+    est = sketches.hll_estimate_grouped(ev, "event_type", "user_id")
+    truth = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count_distinct("user_id").alias("true_distinct")
+    )
+    return (
+        est.join(truth, "key")
+        .select(
+            F.col("key").alias("event_type"),
+            "hll_estimate",
+            "true_distinct",
+            F.expr(
+                "abs(hll_estimate - true_distinct) * 1000000"
+                " DIV true_distinct"
+            ).alias("error_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hll_grouped_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    src = "SELECT event_type, user_id FROM events"
+    return f"""
+WITH hll AS ({sketches.HLL_GROUPED_SQL(src, "event_type", "user_id")}),
+truth AS (
+  SELECT event_type AS key, count(DISTINCT user_id) AS true_distinct
+  FROM events GROUP BY event_type
+)
+SELECT key AS event_type, hll_estimate,
+       CAST(true_distinct AS BIGINT) AS true_distinct,
+       CAST(abs(hll_estimate - true_distinct) * 1000000 // true_distinct
+            AS BIGINT) AS error_ppm
+FROM hll JOIN truth USING (key)
+ORDER BY event_type
+"""
+
+
+EV_HLL_GROUPED_SQL = _hll_grouped_sql()
+
+QUERIES["ev_hll_users_by_type"] = ev_hll_users_by_type
+ORACLES["ev_hll_users_by_type"] = EV_HLL_GROUPED_SQL

@@ -2036,3 +2036,21 @@ def test_gram_novelty_twins_score_zero(spark):
     # the extended doc owns only the grams past/straddling the copy
     assert 0 < got[7][0] < got[7][1]
     assert got[9][2] == 1_000_000
+
+
+def test_hll_grouped_matches_ungrouped_per_key(spark):
+    from hadoop_ozone_spark.datapipe import sketches
+
+    df = spark.range(60_000).select(
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("g"),
+        F.concat(F.lit("u"), F.expr("id DIV (id % 5 + 1)")).alias("u"),
+    )
+    grouped = {
+        r.key: (r.hll_estimate, r.n_zero_registers)
+        for r in sketches.hll_estimate_grouped(df, "g", "u").collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        solo = sketches.hll_estimate(
+            df.filter(F.col("g") == g), "u"
+        ).first()
+        assert grouped[g] == (solo.hll_estimate, solo.n_zero_registers)
