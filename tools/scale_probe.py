@@ -1020,6 +1020,44 @@ def lm_probe(n_docs: int, vocab: int = 20_000, hot_pct: int = 0) -> None:
     spark.stop()
 
 
+def winnow_probe(n_docs: int = 100_000, vocab: int = 20_000) -> None:
+    """Winnowing scale probe: fingerprint selection is a per-doc
+    trailing-window argmin over the positional gram table — state never
+    leaves the doc partition, so wall should be linear in total grams.
+    Also records the selected-fingerprint density vs the analytic
+    2/(w+1) (robust winnowing's expected density)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark.datapipe import dedup
+
+    spark = get_spark("scale-probe-winnow")
+    tok = (
+        f"transform(sequence(1, 100), i -> concat('w', cast(exp("
+        f" (pmod(hash(id * 1000 + i), 1000000) / 1000000.0d)"
+        f" * ln({vocab})) as int)))"
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.array_join(F.expr(tok), " ").alias("text")
+    ).persist()
+    docs.count()
+    out = {"num_docs": n_docs, "timings_sec": {}}
+    t0 = time.time()
+    fps = dedup.winnow_fingerprints(docs)
+    n_fp = fps.count()
+    out["timings_sec"]["winnow_fingerprints"] = round(time.time() - t0, 2)
+    n_grams = n_docs * (100 - 4 + 1)
+    out["n_fingerprints"] = n_fp
+    out["density_pct"] = round(100.0 * n_fp / n_grams, 1)
+    out["analytic_density_pct"] = round(100.0 * 2 / (4 + 1), 1)
+    out["grams_per_sec"] = int(n_grams / out["timings_sec"]["winnow_fingerprints"])
+    print(json.dumps(out))
+    docs.unpersist()
+    spark.stop()
+
+
 def search_probe(n_docs: int = 1_000_000, vocab: int = 20_000) -> None:
     """Rolling BM25 index probe: land the bucketed posting zones for a
     Zipf-token corpus ONCE (write-time artifact), then measure query
@@ -1221,6 +1259,10 @@ if __name__ == "__main__":
         semdedup_probe(int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 50000)
     elif len(sys.argv) > 1 and sys.argv[1] == "--events":
         events_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 1.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--winnow":
+        winnow_probe(
+            int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 100_000
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "--search":
         search_probe(
             int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 1_000_000
