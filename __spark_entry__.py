@@ -806,6 +806,7 @@ NEXT_WINDOW: list[str] = [
     "ev_top_paths",
     "dp_gram_novelty",
     "ev_hll_users_by_type",
+    "dp_knn_label",
 ]
 
 

@@ -131,6 +131,7 @@ HEADLINE = [
     "ev_top_paths",
     "dp_gram_novelty",
     "ev_hll_users_by_type",
+    "dp_knn_label",
     "x15_list_tables",
 ]
 

@@ -3058,3 +3058,98 @@ EV_HLL_GROUPED_SQL = _hll_grouped_sql()
 
 QUERIES["ev_hll_users_by_type"] = ev_hll_users_by_type
 ORACLES["ev_hll_users_by_type"] = EV_HLL_GROUPED_SQL
+
+
+def dp_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation (the classic semi-supervised labeler —
+    Fix & Hodges 1951 lineage): held-out vectors (vec_id % 10 == 3)
+    query the labeled remainder for their 5 nearest neighbors
+    (knn_join_brute — exact cosine, the oracle-checkable path; the
+    IVF/LSH variants share the scoring + top-k plan), then majority
+    vote with lowest-label tie-break. Reports prediction vs held-out
+    truth per query."""
+    emb = model.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("true_label"),
+    )
+    train = emb.filter(F.col("vec_id") % 10 != 3)
+    knn = similarity.knn_join_brute(
+        train, queries.select("query_id", "qvec"), k=5
+    )
+    votes = (
+        knn.join(
+            F.broadcast(train.select("vec_id", "label")), "vec_id"
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    picked = votes.groupBy("query_id").agg(
+        F.max(
+            F.struct(
+                F.col("n_votes"),
+                (-F.col("label")).alias("_neg"),
+                F.col("label").alias("label"),
+            )
+        ).alias("m")
+    )
+    return (
+        picked.select(
+            "query_id",
+            F.col("m.label").alias("predicted_label"),
+            F.col("m.n_votes").alias("n_votes"),
+        )
+        .join(
+            F.broadcast(queries.select("query_id", "true_label")), "query_id"
+        )
+        .select(
+            "query_id",
+            "predicted_label",
+            "n_votes",
+            "true_label",
+            (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+DP_KNN_LABEL_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS true_label
+  FROM embeddings WHERE vec_id % 10 = 3
+), train AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+  FROM embeddings WHERE vec_id % 10 <> 3
+), scored AS (
+  SELECT q.query_id, t.vec_id,
+         round(list_dot_product(t.v, q.qv) /
+               (sqrt(list_dot_product(t.v, t.v)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM train t, q
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM scored
+), votes AS (
+  SELECT r.query_id, t.label, count(*) AS n_votes
+  FROM ranked r JOIN train t USING (vec_id)
+  WHERE r.rank <= 5
+  GROUP BY r.query_id, t.label
+), picked AS (
+  SELECT query_id,
+         max(struct_pack(n := n_votes, neg := -label, lbl := label)) AS m
+  FROM votes GROUP BY query_id
+)
+SELECT p.query_id,
+       struct_extract(m, 'lbl') AS predicted_label,
+       CAST(struct_extract(m, 'n') AS BIGINT) AS n_votes,
+       q.true_label,
+       struct_extract(m, 'lbl') = q.true_label AS correct
+FROM picked p JOIN q USING (query_id)
+ORDER BY p.query_id
+"""
+
+QUERIES["dp_knn_label"] = dp_knn_label
+ORACLES["dp_knn_label"] = DP_KNN_LABEL_SQL

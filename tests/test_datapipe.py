@@ -2054,3 +2054,29 @@ def test_hll_grouped_matches_ungrouped_per_key(spark):
             df.filter(F.col("g") == g), "u"
         ).first()
         assert grouped[g] == (solo.hll_estimate, solo.n_zero_registers)
+
+
+def test_knn_label_majority_and_tie_break(spark):
+    from hadoop_ozone_spark.plans import datapipe_queries as dq
+    import hadoop_ozone_spark.model as m
+
+    # 2-D separable clusters: label 0 near (1, 0), label 1 near (0, 1);
+    # query 103 sits exactly between -> 5-NN mixes, majority decides
+    rows = []
+    for i in range(10):
+        rows.append((i * 10, [1.0, 0.01 * i], 0))        # label 0 cluster
+        rows.append((i * 10 + 1, [0.01 * i, 1.0], 1))    # label 1 cluster
+    rows.append((103, [1.0, 0.1], 9))  # held-out (vec_id % 10 == 3): near label 0
+    rows.append((113, [0.1, 1.0], 9))  # held-out: near label 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    orig = m.load
+    try:
+        m.load = lambda s, sf, t: df
+        got = {r.query_id: (r.predicted_label, r.true_label, r.correct)
+               for r in dq.dp_knn_label(spark, "unused").collect()}
+    finally:
+        m.load = orig
+    assert got[103] == (0, 9, False)
+    assert got[113] == (1, 9, False)
