@@ -3069,12 +3069,12 @@ def dp_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote with lowest-label tie-break. Reports prediction vs held-out
     truth per query."""
     emb = model.load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 10 == 3).select(
+    queries = emb.filter(F.col("vec_id") % 50 == 3).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
         F.col("label").alias("true_label"),
     )
-    train = emb.filter(F.col("vec_id") % 10 != 3)
+    train = emb.filter(F.col("vec_id") % 50 != 3)
     knn = similarity.knn_join_brute(
         train, queries.select("query_id", "qvec"), k=5
     )
@@ -3117,10 +3117,10 @@ def dp_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 DP_KNN_LABEL_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS true_label
-  FROM embeddings WHERE vec_id % 10 = 3
+  FROM embeddings WHERE vec_id % 50 = 3
 ), train AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
-  FROM embeddings WHERE vec_id % 10 <> 3
+  FROM embeddings WHERE vec_id % 50 <> 3
 ), scored AS (
   SELECT q.query_id, t.vec_id,
          round(list_dot_product(t.v, q.qv) /

@@ -2066,8 +2066,8 @@ def test_knn_label_majority_and_tie_break(spark):
     for i in range(10):
         rows.append((i * 10, [1.0, 0.01 * i], 0))        # label 0 cluster
         rows.append((i * 10 + 1, [0.01 * i, 1.0], 1))    # label 1 cluster
-    rows.append((103, [1.0, 0.1], 9))  # held-out (vec_id % 10 == 3): near label 0
-    rows.append((113, [0.1, 1.0], 9))  # held-out: near label 1
+    rows.append((103, [1.0, 0.1], 9))  # held-out (vec_id % 50 == 3): near label 0
+    rows.append((153, [0.1, 1.0], 9))  # held-out: near label 1
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
@@ -2079,4 +2079,4 @@ def test_knn_label_majority_and_tie_break(spark):
     finally:
         m.load = orig
     assert got[103] == (0, 9, False)
-    assert got[113] == (1, 9, False)
+    assert got[153] == (1, 9, False)
