@@ -763,6 +763,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             F.least(F.col("node"), F.min("nbr")).alias("label")
         ),
     )
+    prev_ckpt = None
     for _ in range(max_iters):
         prop = (
             edges.join(
@@ -784,7 +785,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # pointer jumping: label(label(v)) — one equi-join of the round's
         # label map with itself (mid_label is always a node id)
         lmap = folded.select(
-            F.col("node").alias("mid_label"), F.col("mid_label").alias("jump")
+            F.col("mid_label").alias("jump"), F.col("node").alias("mid_label")
         )
         stepped = folded.join(lmap, "mid_label", "left").select(
             "node",
@@ -794,6 +795,13 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             ).alias("new_label"),
         ).localCheckpoint()
         changed = stepped.filter(F.col("new_label") < F.col("label")).count()
+        # the NEW checkpoint is materialized (eager + the count above),
+        # so round N−1's blocks are unreachable from any future lineage —
+        # free them, or the per-round checkpoints accumulate to OOM
+        # (a 30M-edge probe died at 8g holding 7 rounds of labels)
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = stepped
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
