@@ -672,71 +672,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Registration order. The driver's correctness artifact covers the FIRST
-# 50 entries of queries() each round. Round 8 (VERDICT r7 #1): the 43
-# queries registered during round 7 have judge evidence only — they
-# front-load this window; the remaining 7 slots take the stalest driver
-# rows, the first 7 (alphabetical) of the 15 round-4 leftovers tracked
-# as R4_LEFTOVER in tests/test_entry_contract.py. The 8 that don't fit
-# (s8_freon_generator, sm1_safemode_status, t1_trash_status,
-# w4_list_parts, w5_topk_containers, w6_latest_version,
-# x12_sorted_locations, x13_get_file_status — R4_LEFTOVER_R9 in the
-# contract test) are the round-9 front-runners, together with queries
-# registered NEW this round (NEXT_WINDOW below).
+# 50 entries of queries() each round. Round 9 (VERDICT r8 #1): the 15
+# queries registered during round 8 have judge evidence only — they
+# front-load this window; next come the 8 round-4-evidence leftovers
+# that did not fit in the r8 window (R4_LEFTOVER_R9 in
+# tests/test_entry_contract.py); the remaining 27 slots take the
+# stalest driver rows — the first 27 (alphabetical) of the 50 queries
+# whose latest driver evidence is CORRECTNESS_r05.json. The 23
+# round-5-evidence rows that don't fit (R5_LEFTOVER_R10 in the contract
+# test) lead the round-10 queue, together with queries registered NEW
+# this round (NEXT_WINDOW below).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
-    # registered during round 7 — first-ever driver check (43)
-    "dp_ann_ivfpq_topk",
-    "s10_chunk_locations",
-    "fso_prefix_parse",
-    "s3_list_buckets",
-    "s3_bucket_head_delete",
-    "c3_unhealthy_page",
-    "dp_ann_ivfpq_knn_join",
-    "dp_dup_spans",
-    "dp_dup_span_report",
-    "c4_unhealthy_all",
-    "dp_dup_span_clean",
-    "dp_media_exact_dedup",
-    "acl_add_remove_plane",
-    "acl_set_plane",
-    "dp_lm_perplexity",
-    "tok_renew_decisions",
-    "tok_cancel_decisions",
-    "tok_expiry_sweep",
-    "sec_s3_secret_plane",
-    "dp_nb_lang_model",
-    "dp_nb_lang_confusion",
-    "m9_volume_lifecycle",
-    "m9_user_volume_list",
-    "dp_decontaminate_spans",
-    "dp_embedding_dim_stats",
-    "dp_embedding_norms",
-    "dn1_block_deletion_plan",
-    "q18_large_volume_customers",
-    "m10_bucket_create",
-    "m11_dir_create",
-    "m12_file_create",
-    "m13_bucket_set_property",
-    "m14_bulk_rename",
-    "m15_bulk_delete",
-    "dn2_scanner_rollup",
-    "dp_cdc_chunks",
-    "dp_cdc_source_matrix",
-    "dp_tfidf_topk",
-    "dp_split_leakage",
-    "dp_quality_sweep",
-    "ev_cohort_retention",
-    "ev_funnel",
-    "ev_transition_matrix",
-    # round-4 evidence leftovers (stalest driver rows — first 7, alphabetical)
-    "m5_etag_check",
-    "m6_copy_part",
-    "n1_datanodes",
-    "p1_pipelines",
-    "p2_pipeline_rack_spread",
-    "q15_top_supplier",
-    "s7_audit_roundtrip",
+    # registered during round 8 — first-ever driver check (15)
+    "x15_list_tables",
+    "dp_dedup_clusters",
+    "dp_bm25_topk",
+    "dp_dedup_clusters_incr",
+    "ev_conversion_latency",
+    "dp_winnow_report",
+    "dp_pmi_collocations",
+    "dp_datasheet",
+    "dp_hll_vocab",
+    "dp_cm_heavy_hitters",
+    "dp_bloom_decontaminate",
+    "ev_top_paths",
+    "dp_gram_novelty",
+    "ev_hll_users_by_type",
+    "dp_knn_label",
+    # round-4 evidence leftovers (R4_LEFTOVER_R9 — stalest rows, 8)
+    "s8_freon_generator",
+    "sm1_safemode_status",
+    "t1_trash_status",
+    "w4_list_parts",
+    "w5_topk_containers",
+    "w6_latest_version",
+    "x12_sorted_locations",
+    "x13_get_file_status",
+    # round-5 evidence rows (next-stalest — first 27, alphabetical)
+    "a3_namespace_histogram",
+    "a5_quota_enforcement",
+    "a7_datanode_growth",
+    "acl_longest_prefix",
+    "dp_embedding_neardup",
+    "dp_kmeans_step",
+    "dp_semantic_dedup",
+    "ev_asof_join",
+    "ev_range_join_binned",
+    "ev_sessionization",
+    "m4_gc_batch",
+    "m4_mpu_expiry",
+    "m6_copy_object",
+    "m7_mpu_abort",
+    "m8_mpu_initiate",
+    "n2_datanode_usage",
+    "p3_pipeline_scrub",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_surplus_suppliers",
 ]
 
 
@@ -785,29 +786,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Queries registered NEW this round (round 8) — placed immediately
+# Queries registered NEW this round (round 9) — placed immediately
 # after the 50-slot driver window so the judge's HEAD oracle run sees
-# them and the round-9 rotation can front-load them, together with the
-# 8 remaining round-4 leftovers (R4_LEFTOVER_R9 in
-# tests/test_entry_contract.py); the remaining r9 slots take the
-# stalest driver rows (the round-5-evidence set, alphabetical).
-NEXT_WINDOW: list[str] = [
-    "x15_list_tables",
-    "dp_dedup_clusters",
-    "dp_bm25_topk",
-    "dp_dedup_clusters_incr",
-    "ev_conversion_latency",
-    "dp_winnow_report",
-    "dp_pmi_collocations",
-    "dp_datasheet",
-    "dp_hll_vocab",
-    "dp_cm_heavy_hitters",
-    "dp_bloom_decontaminate",
-    "ev_top_paths",
-    "dp_gram_novelty",
-    "ev_hll_users_by_type",
-    "dp_knn_label",
-]
+# them and the round-10 rotation can front-load them, together with the
+# 23 remaining round-5-evidence leftovers (R5_LEFTOVER_R10 in
+# tests/test_entry_contract.py).
+NEXT_WINDOW: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

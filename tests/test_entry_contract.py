@@ -1,12 +1,13 @@
 """Driver-contract invariants: the correctness window (first 50
 queries() entries) must stay complete — every entry oracle-backed, no
 duplicates, and the union of the frozen round-1..7 windows
-(CORRECTNESS_r01..r07.json) plus the current window must cover every
+(CORRECTNESS_r01..r08.json) plus the current window must cover every
 registered query except those registered this round (which sit
-immediately after the window for the round-9 rotation). The round-8
-window front-loads the 43 round-7 registrations (first driver check)
-and fills with the 7 stalest (round-4-evidence) rows; the 8 leftovers
-that don't fit (R4_LEFTOVER_R9) lead the round-9 queue."""
+immediately after the window for the round-10 rotation). The round-9
+window front-loads the 15 round-8 registrations (first driver check),
+then the 8 round-4 leftovers (R4_LEFTOVER_R9), and fills with the 27
+stalest (round-5-evidence) rows; the 23 round-5 leftovers that don't
+fit (R5_LEFTOVER_R10) lead the round-10 queue."""
 
 from __future__ import annotations
 
@@ -211,6 +212,35 @@ R4_LEFTOVER_R9 = [
     "x12_sorted_locations", "x13_get_file_status",
 ]
 
+# the 50 keys the driver hash-checked in round 8 (CORRECTNESS_r08.json):
+# the 43 round-7 registrations + the 7 stalest round-4 rows
+R8_WINDOW = R7_REGISTRATIONS + R4_LEFTOVER[:7]
+
+# registered during round 8 — zero driver evidence until the r9 window
+R8_REGISTRATIONS = [
+    "x15_list_tables", "dp_dedup_clusters", "dp_bm25_topk",
+    "dp_dedup_clusters_incr", "ev_conversion_latency",
+    "dp_winnow_report", "dp_pmi_collocations", "dp_datasheet",
+    "dp_hll_vocab", "dp_cm_heavy_hitters", "dp_bloom_decontaminate",
+    "ev_top_paths", "dp_gram_novelty", "ev_hll_users_by_type",
+    "dp_knn_label",
+]
+
+# the 23 round-5-evidence rows that did not fit in the r9 window
+# (27 slots after the 15 round-8 registrations + 8 R4 leftovers) —
+# front of the round-10 queue
+R5_LEFTOVER_R10 = [
+    "q21_waiting_suppliers", "q22_idle_customers",
+    "q2_min_cost_supplier", "q4_order_priority", "q6_selective_agg",
+    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
+    "rm1_replication_actions", "rm2_placement_targets",
+    "rm3_close_actions", "rm4_delete_actions", "s3_head_object",
+    "s5_snapshot_tail_merge", "s6_debug_scan", "so3_multi_delete",
+    "w1_list_buckets", "w1_list_volumes_by_user", "w4_list_uploads",
+    "x10_storage_units", "x6_range_read", "x9_time_format",
+    "x_path_functions",
+]
+
 
 def test_window_is_first_50_and_oracle_backed():
     q, o = entry.queries(), entry.oracle_sql()
@@ -225,32 +255,34 @@ def test_every_query_has_an_oracle():
     assert set(q) == set(o)  # no rows-only checks remain
 
 
-def test_round8_window_frontloads_round7_registrations():
-    # VERDICT r7 #1: the 43 queries registered during round 7 have zero
-    # driver evidence — they lead the r8 window; the remaining 7 slots
-    # take the stalest (round-4-evidence) rows, alphabetical
-    assert entry.DRIVER_WINDOW[:43] == R7_REGISTRATIONS
-    assert entry.DRIVER_WINDOW[43:] == R4_LEFTOVER[:7]
+def test_round9_window_frontloads_round8_registrations():
+    # VERDICT r8 #1: the 15 queries registered during round 8 have zero
+    # driver evidence — they lead the r9 window; next the 8 round-4
+    # leftovers that missed the r8 window; the remaining 27 slots take
+    # the stalest (round-5-evidence) rows, alphabetical
+    assert entry.DRIVER_WINDOW[:15] == R8_REGISTRATIONS
+    assert entry.DRIVER_WINDOW[15:23] == R4_LEFTOVER_R9
     assert R4_LEFTOVER[7:] == R4_LEFTOVER_R9
 
 
-def test_round8_window_fills_with_stalest_rows():
-    # the remaining 35 slots hold round-4-evidence rows (the stalest);
-    # together with R4_LEFTOVER_R9 they exactly exhaust the still-stale
-    # round-4-evidence set
+def test_round9_window_fills_with_stalest_rows():
+    # the remaining 27 slots hold round-5-evidence rows (the stalest
+    # after the R4 leftovers); together with R5_LEFTOVER_R10 they
+    # exactly exhaust the still-stale round-5-evidence set
     last_checked = {}
     for rnd, window in (
         (1, R1_WINDOW), (2, R2_WINDOW), (3, R3_WINDOW),
         (4, R4_WINDOW), (5, R5_WINDOW), (6, R6_WINDOW), (7, R7_WINDOW),
+        (8, R8_WINDOW),
     ):
         for name in window:
             last_checked[name] = rnd
-    r4_stale = {
-        n for n in entry.queries() if last_checked.get(n, 0) == 4
+    r5_stale = {
+        n for n in entry.queries() if last_checked.get(n, 0) == 5
     }
-    filler = entry.DRIVER_WINDOW[43:]
-    assert set(filler) <= r4_stale, sorted(set(filler) - r4_stale)
-    assert set(filler) | set(R4_LEFTOVER_R9) == r4_stale
+    filler = entry.DRIVER_WINDOW[23:]
+    assert set(filler) <= r5_stale, sorted(set(filler) - r5_stale)
+    assert set(filler) | set(R5_LEFTOVER_R10) == r5_stale
     assert filler == sorted(filler)  # deterministic: alphabetical
 
 
@@ -258,11 +290,11 @@ def test_round_union_covers_every_registered_query():
     q = entry.queries()
     covered = (
         set(R1_WINDOW) | set(R2_WINDOW) | set(R3_WINDOW) | set(R4_WINDOW)
-        | set(R5_WINDOW) | set(R6_WINDOW) | set(R7_WINDOW)
+        | set(R5_WINDOW) | set(R6_WINDOW) | set(R7_WINDOW) | set(R8_WINDOW)
         | set(entry.DRIVER_WINDOW)
     )
     pending = set(q) - covered
-    # only round-8 registrations (NEXT_WINDOW) may lack driver evidence
+    # only round-9 registrations (NEXT_WINDOW) may lack driver evidence
     assert pending <= set(entry.NEXT_WINDOW), sorted(
         pending - set(entry.NEXT_WINDOW)
     )
