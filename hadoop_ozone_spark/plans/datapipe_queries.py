@@ -3062,12 +3062,16 @@ ORACLES["ev_hll_users_by_type"] = EV_HLL_GROUPED_SQL
 
 def dp_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label propagation (the classic semi-supervised labeler —
-    Fix & Hodges 1951 lineage): held-out vectors (vec_id % 10 == 3)
+    Fix & Hodges 1951 lineage): held-out vectors (vec_id % 50 == 3)
     query the labeled remainder for their 5 nearest neighbors
     (knn_join_brute — exact cosine, the oracle-checkable path; the
-    IVF/LSH variants share the scoring + top-k plan), then majority
-    vote with lowest-label tie-break. Reports prediction vs held-out
-    truth per query."""
+    IVFPQ twin dp_knn_label_ivfpq shares the vote/tie law), then
+    majority vote with lowest-label tie-break. Reports prediction vs
+    held-out truth per query.
+
+    Scale note (VERDICT r8 #2): the vote join broadcasts the KNN side
+    (|queries|·k rows — small by construction), never the corpus-sized
+    train-label table; train streams map-side with zero shuffle."""
     emb = model.load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 3).select(
         F.col("vec_id").alias("query_id"),
@@ -3079,9 +3083,8 @@ def dp_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         train, queries.select("query_id", "qvec"), k=5
     )
     votes = (
-        knn.join(
-            F.broadcast(train.select("vec_id", "label")), "vec_id"
-        )
+        F.broadcast(knn)
+        .join(train.select("vec_id", "label"), "vec_id")
         .groupBy("query_id", "label")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )

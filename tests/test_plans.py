@@ -528,3 +528,45 @@ def test_pq_encode_argmin_is_fixed_width_hash_agg(spark, sf_dir):
     assert all("ObjectHashAggregate" not in line for line in argmin)
     assert "partial_min" in p  # map-side combine before the shuffle
     # the per-vector codes fold (8 rows/group post-min) MAY be object agg
+
+
+_TREE_MARK = __import__("re").compile(r"[+:]- ")
+
+
+def plan_subtrees(p: str, needle: str) -> list[str]:
+    """Every subtree of the plan-string tree whose root line contains
+    `needle` (text parse — the AQE wrapper hides children from py4j
+    traversal). A node's subtree = following lines whose tree-art
+    marker sits deeper than its own."""
+    lines = p.splitlines()
+    blocks = []
+    for k, line in enumerate(lines):
+        if needle not in line:
+            continue
+        m = _TREE_MARK.search(line)
+        i = m.start() if m else -1
+        block = [line]
+        for nxt in lines[k + 1:]:
+            m2 = _TREE_MARK.search(nxt)
+            if (m2.start() if m2 else -1) <= i:
+                break
+            block.append(nxt)
+        blocks.append("\n".join(block))
+    return blocks
+
+
+def test_knn_label_never_broadcasts_corpus_labels(spark, sf_dir):
+    # VERDICT r8 #2 regression pin: the vote join must broadcast the
+    # KNN side (|queries|*k rows) — broadcasting the corpus-sized
+    # train-label table is a driver OOM by construction at 100x. A
+    # broadcast subtree may contain the train scan (the knn result's
+    # lineage does) but never a train scan that carries the label
+    # column: that combination is exactly the wrong-side hint.
+    p = plan_of(entry.queries()["dp_knn_label"](spark, sf_dir))
+    subs = plan_subtrees(p, "BroadcastExchange")
+    assert subs, p  # the vote + truth joins must still broadcast
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    for sub in subs:
+        train_scan = "NOT ((vec_id" in sub
+        labels_read = "label" in sub
+        assert not (train_scan and labels_read), sub[:2000]
