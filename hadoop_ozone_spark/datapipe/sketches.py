@@ -81,12 +81,21 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
     double division."""
     regs = hll_registers(df, col)
     scale = 2 ** (REST_BITS + 1)
+    # coalesce the sums to 0: over an EMPTY input SUM is NULL, which
+    # would propagate through s/e_raw and skip the linear-counting
+    # branch — the empty sketch must fall into it and return 0
+    # (ADVICE r8; matters for merged-zone readers folding empty state)
     agg = regs.agg(
-        F.sum(F.expr(f"cast({scale} as double) / power(2.0, register)").cast("long")).alias(
-            "_s_present"
-        ),
+        F.coalesce(
+            F.sum(
+                F.expr(f"cast({scale} as double) / power(2.0, register)").cast("long")
+            ),
+            F.lit(0),
+        ).alias("_s_present"),
         F.count(F.lit(1)).alias("_n_present"),
-        F.sum(F.when(F.col("register") == 0, 1).otherwise(0)).alias("_z_present"),
+        F.coalesce(
+            F.sum(F.when(F.col("register") == 0, 1).otherwise(0)), F.lit(0)
+        ).alias("_z_present"),
     )
     s = (F.col("_s_present") + (F.lit(M) - F.col("_n_present")) * F.lit(scale)).cast(
         "double"
@@ -120,10 +129,12 @@ regs AS (
   FROM lanes GROUP BY bucket
 ),
 folded AS (
-  SELECT SUM(CAST(CAST({scale} AS DOUBLE) / power(2.0, register) AS BIGINT))
+  SELECT COALESCE(SUM(CAST(CAST({scale} AS DOUBLE) / power(2.0, register)
+                           AS BIGINT)), 0)
            AS _s_present,
          count(*) AS _n_present,
-         SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS _z_present
+         COALESCE(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END), 0)
+           AS _z_present
   FROM regs
 ),
 est AS (
@@ -181,8 +192,11 @@ def cm_point_estimates(df: DataFrame, col: str, keys: DataFrame) -> DataFrame:
     """(key, cm_estimate): min over the d counters each key hashes to —
     the classic point query; cm_estimate ≥ true count always (the
     one-sided error law, pinned in tests). ``keys`` is a small frame
-    with a ``key`` column; its d (row, bucket) probes broadcast onto
-    the counter matrix."""
+    with a ``key`` column. Probes LEFT-join the counter matrix with
+    empty cells counting 0, so a key absent from the stream estimates
+    ~0 instead of vanishing, and a lane landing on an empty cell
+    correctly drags the min down (ADVICE r8). The counter matrix is
+    the broadcast side — d·w rows, input-size-independent."""
     counters = cm_counters(df, col)
     probes = keys.select(
         "key",
@@ -206,9 +220,9 @@ def cm_point_estimates(df: DataFrame, col: str, keys: DataFrame) -> DataFrame:
         ).alias("rb"),
     ).select("key", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
     return (
-        counters.join(F.broadcast(probes), ["row", "bucket"])
+        probes.join(F.broadcast(counters), ["row", "bucket"], "left")
         .groupBy("key")
-        .agg(F.min("cnt").alias("cm_estimate"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_estimate"))
     )
 
 

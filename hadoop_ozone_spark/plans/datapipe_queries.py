@@ -2528,8 +2528,14 @@ def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
     and constants as the Spark plan."""
     from hadoop_ozone_spark.datapipe import text as text_ops
 
+    def _q(s: str) -> str:
+        # BM25_QUERIES is deployment-swappable — escape single quotes
+        # so a quoted term can't break/inject the generated VALUES list
+        # (ADVICE r8)
+        return s.replace("'", "''")
+
     qvals = ", ".join(
-        f"('{qid}', '{t}')"
+        f"('{_q(qid)}', '{_q(t)}')"
         for qid, qtext in text_ops.BM25_QUERIES
         for t in sorted(set(qtext.lower().split()))
     )
@@ -2859,8 +2865,10 @@ probes AS (
   {probes}
 ),
 est AS (
-  SELECT token, min(cnt) AS cm_estimate
-  FROM probes JOIN counters USING (r, bucket) GROUP BY token
+  -- LEFT join + coalesce mirrors cm_point_estimates: an empty counter
+  -- cell counts 0 so absent/near-absent keys estimate ~0 (ADVICE r8)
+  SELECT token, min(COALESCE(cnt, 0)) AS cm_estimate
+  FROM probes LEFT JOIN counters USING (r, bucket) GROUP BY token
 )
 SELECT t.token,
        CAST(true_count AS BIGINT) AS true_count,

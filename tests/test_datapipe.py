@@ -1986,6 +1986,41 @@ def test_count_min_one_sided_and_mergeable(spark):
     assert merged == whole
 
 
+def test_count_min_absent_key_estimates_near_zero(spark):
+    # ADVICE r8: the point query LEFT-joins the counter matrix so a key
+    # absent from the stream (or hashing a lane to an empty cell) still
+    # yields a row, with empty cells counting 0 — the classic contract
+    # where absent keys estimate ~0 instead of silently vanishing
+    from hadoop_ozone_spark.datapipe import sketches
+
+    df = spark.createDataFrame([(f"t{i}",) for i in range(50)], "token string")
+    keys = spark.createDataFrame(
+        [("t0",), ("never_in_stream_xyz",)], "key string"
+    )
+    est = {
+        r.key: r.cm_estimate
+        for r in sketches.cm_point_estimates(df, "token", keys).collect()
+    }
+    assert set(est) == {"t0", "never_in_stream_xyz"}  # no dropped probes
+    assert est["t0"] >= 1  # present key: one-sided error
+    # 50 tokens x 4 lanes in a 4096-cell matrix: the absent key's 4
+    # lanes all landing on occupied cells is ~1e-5 unlikely; min == 0
+    assert est["never_in_stream_xyz"] == 0
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    # ADVICE r8: SUM over zero register rows is NULL — coalesce so the
+    # empty sketch falls into the linear-counting branch (v = m) and
+    # returns m*ln(m/m) = 0, not NULL (merged-zone readers fold empty
+    # state)
+    from hadoop_ozone_spark.datapipe import sketches
+
+    empty = spark.createDataFrame([], "k string")
+    r = sketches.hll_estimate(empty, "k").first()
+    assert r.hll_estimate == 0
+    assert r.n_zero_registers == sketches.M
+
+
 def test_bloom_no_false_negatives_and_union_merge(spark):
     from hadoop_ozone_spark.datapipe import sketches
 
