@@ -791,7 +791,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # them and the round-10 rotation can front-load them, together with the
 # 23 remaining round-5-evidence leftovers (R5_LEFTOVER_R10 in
 # tests/test_entry_contract.py).
-NEXT_WINDOW: list[str] = []
+NEXT_WINDOW: list[str] = [
+    "dp_knn_label_ivfpq",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

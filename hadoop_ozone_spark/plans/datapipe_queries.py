@@ -3164,3 +3164,195 @@ ORDER BY p.query_id
 
 QUERIES["dp_knn_label"] = dp_knn_label
 ORACLES["dp_knn_label"] = DP_KNN_LABEL_SQL
+
+
+def dp_knn_label_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation on the IVFADC scale path (VERDICT r8 #3):
+    the same %50 holdout and majority-vote/lowest-label-tie law as
+    dp_knn_label, but neighbors come from similarity.ivfpq_knn_join —
+    residual-coded inverted lists built over the TRAIN slice only
+    (centroid seeds vec_id < 16 and codebook seeds [16, 32) from the
+    full table — reference points may be anywhere; the index never
+    encodes a held-out vector), nprobe=4 of 16 lists, exact top-100
+    L2 rerank. The vote join broadcasts the knn side, exactly the
+    dp_knn_label discipline. Agreement with the brute path on the
+    separable-cluster fixture is pinned in tests/test_datapipe.py."""
+    emb = model.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("true_label"),
+    )
+    train = emb.filter(F.col("vec_id") % 50 != 3)
+    c = similarity.ivf_centroids(emb, 16)
+    cb = similarity.ivfpq_codebooks(emb, c, seed_start=16)
+    idx = similarity.ivfpq_index(train, centroids=c, codebooks=cb)
+    knn = similarity.ivfpq_knn_join(
+        train,
+        queries.select("query_id", "qvec"),
+        k=5,
+        nprobe=4,
+        rerank=100,
+        centroids=c,
+        codebooks=cb,
+        index=idx,
+    ).select("query_id", "vec_id")
+    votes = (
+        F.broadcast(knn)
+        .join(train.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    picked = votes.groupBy("query_id").agg(
+        F.max(
+            F.struct(
+                F.col("n_votes"),
+                (-F.col("label")).alias("_neg"),
+                F.col("label").alias("label"),
+            )
+        ).alias("m")
+    )
+    return (
+        picked.select(
+            "query_id",
+            F.col("m.label").alias("predicted_label"),
+            F.col("m.n_votes").alias("n_votes"),
+        )
+        .join(
+            F.broadcast(queries.select("query_id", "true_label")), "query_id"
+        )
+        .select(
+            "query_id",
+            "predicted_label",
+            "n_votes",
+            "true_label",
+            (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+DP_KNN_LABEL_IVFPQ_SQL = f"""
+WITH allv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label FROM embeddings
+),
+kl_q AS (
+  SELECT vec_id AS query_id, ve AS qv, label AS true_label
+  FROM allv WHERE vec_id % 50 = 3
+),
+kl_t AS (SELECT vec_id, ve, label FROM allv WHERE vec_id % 50 <> 3),
+kl_c AS (SELECT vec_id AS list_id, ve AS cv FROM allv WHERE vec_id < 16),
+kl_assign AS (
+  SELECT vec_id, ve, list_id, cv FROM (
+    SELECT t.vec_id, t.ve, c.list_id, c.cv,
+           row_number() OVER (PARTITION BY t.vec_id
+             ORDER BY {_COS.format(a='t.ve', b='c.cv')} DESC, c.list_id ASC)
+             AS rn
+    FROM kl_t t, kl_c c
+  ) WHERE rn = 1
+),
+kl_res AS (
+  SELECT vec_id, list_id,
+         list_transform(generate_series(1, 64), i -> ve[i] - cv[i]) AS rv
+  FROM kl_assign
+),
+kl_cb AS (
+  SELECT s AS sub_id, CAST(vec_id - 16 AS INTEGER) AS code,
+         list_slice(rv, s * 8 + 1, s * 8 + 8) AS cvec
+  FROM kl_res, unnest(generate_series(0, 7)) AS t(s)
+  WHERE vec_id >= 16 AND vec_id < 32
+),
+kl_subv AS (
+  SELECT vec_id, list_id, s AS sub_id,
+         list_slice(rv, s * 8 + 1, s * 8 + 8) AS svec
+  FROM kl_res, unnest(generate_series(0, 7)) AS t(s)
+),
+kl_best AS (
+  SELECT vec_id, list_id, sub_id, code FROM (
+    SELECT sv.vec_id, sv.list_id, sv.sub_id, c.code,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub_id
+                              ORDER BY round(list_reduce(list_transform(
+                                generate_series(1, 8),
+                                i -> (sv.svec[i] - c.cvec[i])
+                                     * (sv.svec[i] - c.cvec[i])),
+                                (x, y) -> x + y), 6), c.code) AS rn
+    FROM kl_subv sv JOIN kl_cb c USING (sub_id)
+  ) WHERE rn = 1
+),
+kl_probes AS (
+  SELECT query_id, list_id, cv, qv FROM (
+    SELECT q.query_id, c.list_id, c.cv, q.qv,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_COS.format(a='c.cv', b='q.qv')} DESC, c.list_id ASC)
+             AS pr
+    FROM kl_c c, kl_q q
+  ) WHERE pr <= 4
+),
+kl_qsub AS (
+  SELECT query_id, list_id, s AS sub_id,
+         list_slice(list_transform(generate_series(1, 64), i -> qv[i] - cv[i]),
+                    s * 8 + 1, s * 8 + 8) AS qsv
+  FROM kl_probes, unnest(generate_series(0, 7)) AS t(s)
+),
+kl_lut AS (
+  SELECT qs.query_id, qs.list_id, qs.sub_id, c.code,
+         round(list_reduce(list_transform(generate_series(1, 8),
+               i -> (qs.qsv[i] - c.cvec[i]) * (qs.qsv[i] - c.cvec[i])),
+               (x, y) -> x + y), 6) AS qd
+  FROM kl_qsub qs JOIN kl_cb c USING (sub_id)
+),
+kl_adc AS (
+  SELECT l.query_id, b.vec_id,
+         round(list_reduce(list(l.qd ORDER BY b.sub_id), (x, y) -> x + y), 6)
+           AS adc_dist
+  FROM kl_best b
+  JOIN kl_lut l
+    ON b.list_id = l.list_id AND b.sub_id = l.sub_id AND b.code = l.code
+  GROUP BY l.query_id, b.vec_id
+),
+kl_short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, vec_id) AS r
+    FROM kl_adc
+  ) WHERE r <= 100
+),
+kl_rr AS (
+  SELECT s.query_id, t.vec_id,
+         round(list_reduce(list_transform(generate_series(1, 64),
+               i -> (t.ve[i] - q.qv[i]) * (t.ve[i] - q.qv[i])),
+               (x, y) -> x + y), 6) AS l2_dist
+  FROM kl_short s
+  JOIN kl_t t USING (vec_id)
+  JOIN kl_q q ON s.query_id = q.query_id
+),
+kl_knn AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY l2_dist, vec_id) AS rank
+    FROM kl_rr
+  ) WHERE rank <= 5
+),
+kl_votes AS (
+  SELECT k.query_id, t.label, count(*) AS n_votes
+  FROM kl_knn k JOIN kl_t t USING (vec_id)
+  GROUP BY k.query_id, t.label
+),
+kl_picked AS (
+  SELECT query_id,
+         max(struct_pack(n := n_votes, neg := -label, lbl := label)) AS m
+  FROM kl_votes GROUP BY query_id
+)
+SELECT p.query_id,
+       struct_extract(m, 'lbl') AS predicted_label,
+       CAST(struct_extract(m, 'n') AS BIGINT) AS n_votes,
+       q.true_label,
+       struct_extract(m, 'lbl') = q.true_label AS correct
+FROM kl_picked p JOIN kl_q q USING (query_id)
+ORDER BY p.query_id
+"""
+
+QUERIES["dp_knn_label_ivfpq"] = dp_knn_label_ivfpq
+ORACLES["dp_knn_label_ivfpq"] = DP_KNN_LABEL_IVFPQ_SQL

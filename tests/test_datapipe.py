@@ -2115,3 +2115,50 @@ def test_knn_label_majority_and_tie_break(spark):
         m.load = orig
     assert got[103] == (0, 9, False)
     assert got[153] == (1, 9, False)
+
+
+def test_knn_label_ivfpq_agrees_with_brute(spark):
+    # VERDICT r8 #3: the IVFADC labeling twin must agree with the brute
+    # path on a separable-cluster fixture — cosine-kNN (brute) and
+    # L2-rerank-kNN (ivfpq) may pick different neighbor SETS, but on
+    # well-separated clusters every neighbor carries the cluster label,
+    # so the predictions match exactly.
+    from hadoop_ozone_spark.plans import datapipe_queries as dq
+    import hadoop_ozone_spark.model as m
+
+    # 64-dim clusters: label 0 concentrated on axis 0, label 1 on
+    # axis 1, alternating by parity so centroid seeds (vec_id < 16)
+    # and codebook seeds ([16, 32)) cover both clusters
+    def vec(axis, i):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[(axis + 2 + i % 5)] = 0.05 + 0.01 * (i % 7)
+        return v
+
+    rows = []
+    for i in range(100):
+        axis = i % 2
+        rows.append((i, vec(axis, i), axis))
+    # held-out queries (vec_id % 50 == 3): 3 -> odd (label 1 side),
+    # 53 -> odd as well; override their labels to a sentinel
+    rows = [
+        (vid, v, 9 if vid % 50 == 3 else lab) for vid, v, lab in rows
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    orig = m.load
+    try:
+        m.load = lambda s, sf, t: df
+        brute = {
+            r.query_id: r.predicted_label
+            for r in dq.dp_knn_label(spark, "unused").collect()
+        }
+        ivfpq = {
+            r.query_id: r.predicted_label
+            for r in dq.dp_knn_label_ivfpq(spark, "unused").collect()
+        }
+    finally:
+        m.load = orig
+    assert set(brute) == {3, 53} and brute == ivfpq
+    assert brute[3] == 1 and brute[53] == 1  # odd axis -> label 1
