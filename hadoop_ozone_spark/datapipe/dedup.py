@@ -358,6 +358,7 @@ def minhash_dedup_pairs(
     n: int = 3,
     threshold: float = 0.5,
     portable: bool = False,
+    scratch_tag: str = "minhash_dedup_pairs",
 ) -> DataFrame:
     """Full MinHash pipeline: LSH candidates → exact-Jaccard verify.
 
@@ -380,9 +381,12 @@ def minhash_dedup_pairs(
     # (2× the text pass, measured); on the cached frame it is a cheap
     # size() check. <n-token docs have no shingles → no pairs, and no
     # null-lane band keys.
-    scratch.fresh("minhash_dedup_pairs")
+    # ``scratch_tag`` lets plan-distinct twins (portable vs fast hash
+    # family, benched interleaved) hold separate cache slots instead of
+    # evicting each other's generation on every alternation
+    scratch.fresh(scratch_tag)
     hashed = scratch.keep(
-        "minhash_dedup_pairs", hashed_shingle_df(docs, text_col, n, portable=portable)
+        scratch_tag, hashed_shingle_df(docs, text_col, n, portable=portable)
     )
     hashed = hashed.filter(F.size("h0") > 0)
     # persist the (doc_id, sig) frame too: the band self-join consumes
@@ -390,7 +394,7 @@ def minhash_dedup_pairs(
     # bands there is no shuffle exchange to reuse — without the persist
     # the whole lane pass runs twice (measured). k longs per doc: tiny.
     sigs = scratch.keep(
-        "minhash_dedup_pairs", signatures_from_hashed(hashed, portable=portable)
+        scratch_tag, signatures_from_hashed(hashed, portable=portable)
     )
     cands = minhash_lsh_candidates(docs, text_col, n, sigs=sigs, portable=portable)
     sets = hashed.withColumnRenamed("h0", "sh")
@@ -1043,6 +1047,7 @@ def dup_spans(
     k: int = DUP_SPAN_K,
     min_tokens: int = DUP_SPAN_MIN_TOKENS,
     portable: bool = False,
+    scratch_tag: str = "dup_spans",
 ) -> DataFrame:
     """Maximal cross-document duplicated substrings per doc.
 
@@ -1064,13 +1069,16 @@ def dup_spans(
     At 100 TB each stage is linear in corpus grams; span state never
     leaves the doc partition.
     """
-    scratch.fresh("dup_spans")
+    # ``scratch_tag`` lets plan-distinct twins (portable vs fast hash
+    # family, benched interleaved) hold separate cache slots instead of
+    # evicting each other's generation on every alternation
+    scratch.fresh(scratch_tag)
     # the gram table is consumed twice (sharing agg + the seed
     # semi-join back) — persist it, and barrier the token arrays
     # inside the build (see positional_gram_table)
     grams = scratch.keep(
-        "dup_spans",
-        positional_gram_table(docs, text_col, k, portable, scratch_tag="dup_spans"),
+        scratch_tag,
+        positional_gram_table(docs, text_col, k, portable, scratch_tag=scratch_tag),
     )
     shared = (
         grams.groupBy("gram")
