@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_ozone_spark.datapipe import dedup
+from hadoop_ozone_spark.streaming import zones
 
 INDEX_SCHEMA = "doc_id long, h0 array<long>"
 BANDS_SCHEMA = "doc_id long, band_id int, band_hash string"
@@ -68,6 +69,12 @@ def process_batch(
         dedup.signatures_from_hashed(hashed, portable=portable), portable=portable
     ).persist()
 
+    # crash atomicity: a half-committed index zone would dedup against
+    # a silently partial corpus — fail loudly; this batch's own
+    # (being-rewritten) zones are excluded via before_batch
+    zones.assert_zones_clean(
+        spark, state_dir, ("hashed", "bands"), before_batch=batch_id
+    )
     state_h = _read_state(spark, f"{state_dir}/hashed", INDEX_SCHEMA, batch_id)
     state_b = _read_state(spark, f"{state_dir}/bands", BANDS_SCHEMA, batch_id)
 
@@ -133,6 +140,7 @@ def run_dedup_stream(
 
 
 def read_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    zones.assert_zones_clean(spark, state_dir, ("pairs",))
     return spark.read.parquet(f"{state_dir}/pairs")
 
 
@@ -149,6 +157,13 @@ def update_clusters(spark: SparkSession, state_dir: str, batch_id: int) -> None:
     test_streaming_clusters_match_batch)."""
     from pyspark.errors import AnalysisException
 
+    # inputs: earlier label zones + THIS batch's landed pairs zone — a
+    # torn pairs zone means process_batch died mid-commit; replay it
+    # first
+    zones.assert_zones_clean(
+        spark, state_dir, ("labels",), before_batch=batch_id
+    )
+    zones.assert_zones_clean(spark, state_dir, ("pairs",), only_batch=batch_id)
     try:
         landed = (
             spark.read.option("basePath", f"{state_dir}/labels")
@@ -175,6 +190,7 @@ def update_clusters(spark: SparkSession, state_dir: str, batch_id: int) -> None:
 
 def read_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
     """The latest landed cluster-label table."""
+    zones.assert_zones_clean(spark, state_dir, ("labels",))
     landed = spark.read.option("basePath", f"{state_dir}/labels").parquet(
         f"{state_dir}/labels"
     )

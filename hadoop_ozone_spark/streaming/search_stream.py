@@ -84,6 +84,11 @@ def bm25_query(
     (per-term integer-ppm quantization, long sum, (score, doc_id)
     ordering), but reading ONLY the query terms' buckets of the
     postings/termdf zones plus the tiny stats/doclen zones."""
+    from hadoop_ozone_spark.streaming import zones
+
+    zones.assert_zones_clean(
+        spark, state_dir, ("postings", "termdf", "doclen", "stats")
+    )
     qterms = spark.createDataFrame(
         sorted({(qid, t) for qid, qtext in queries for t in qtext.lower().split()}),
         "query_id string, term string",

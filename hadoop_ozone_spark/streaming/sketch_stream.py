@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_ozone_spark.datapipe import sketches
+from hadoop_ozone_spark.streaming import zones
 
 
 def process_batch(
@@ -40,6 +41,7 @@ def process_batch(
 
 def read_hll_registers(spark: SparkSession, state_dir: str) -> DataFrame:
     """MAX-merged registers over every landed zone."""
+    zones.assert_zones_clean(spark, state_dir, ("hll",))
     return (
         spark.read.parquet(f"{state_dir}/hll")
         .groupBy("bucket")
@@ -49,6 +51,7 @@ def read_hll_registers(spark: SparkSession, state_dir: str) -> DataFrame:
 
 def read_cm_counters(spark: SparkSession, state_dir: str) -> DataFrame:
     """SUM-merged counters over every landed zone."""
+    zones.assert_zones_clean(spark, state_dir, ("cm",))
     return (
         spark.read.parquet(f"{state_dir}/cm")
         .groupBy("row", "bucket")
@@ -58,4 +61,5 @@ def read_cm_counters(spark: SparkSession, state_dir: str) -> DataFrame:
 
 def read_bloom_bits(spark: SparkSession, state_dir: str) -> DataFrame:
     """UNION-DISTINCT-merged bit set over every landed zone."""
+    zones.assert_zones_clean(spark, state_dir, ("bloom",))
     return spark.read.parquet(f"{state_dir}/bloom").select("bit").distinct()

@@ -65,6 +65,15 @@ def read_gram_index(
     if later batches have landed since (replay idempotence pin)."""
     from pyspark.errors import AnalysisException
 
+    from hadoop_ozone_spark.streaming import zones
+
+    # crash atomicity: a half-committed gram zone would silently feed a
+    # partial corpus into the span check — fail loudly instead; the
+    # replaying batch's own (being-rewritten) zone is excluded via
+    # before_batch
+    zones.assert_zones_clean(
+        spark, state_dir, ("grams",), before_batch=before_batch
+    )
     try:
         df = (
             spark.read.option("basePath", f"{state_dir}/grams")
@@ -133,6 +142,9 @@ def read_spans(spark: SparkSession, state_dir: str) -> DataFrame:
     """Every landed batch's delta-perspective spans."""
     from pyspark.errors import AnalysisException
 
+    from hadoop_ozone_spark.streaming import zones
+
+    zones.assert_zones_clean(spark, state_dir, ("spans",))
     try:
         return (
             spark.read.option("basePath", f"{state_dir}/spans")

@@ -1,0 +1,147 @@
+"""Crash-atomicity pins for the four rolling-state stream twins
+(VERDICT r8 #6). Replay idempotence is pinned by each twin's own
+stream test; here we pin what happens when a writer DIES mid-commit:
+
+- a zone missing its ``_SUCCESS`` marker (the torn-write signature —
+  a partial-but-well-formed file set would otherwise read silently
+  with missing rows) must FAIL LOUDLY at read time, naming the zone;
+- replaying the owning batch must repair the zone (idempotent
+  overwrite) and restore the exact pre-crash read;
+- a replaying processor must be able to run while its OWN zone is
+  torn (the before_batch exclusion — otherwise the repair deadlocks);
+- post-commit corruption (truncated part file under an intact
+  ``_SUCCESS``) fails loudly through parquet footer validation.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401  (fixture parity)
+
+from hadoop_ozone_spark.streaming import (
+    dedup_stream,
+    search_stream,
+    sketch_stream,
+    span_stream,
+    zones,
+)
+
+SENT = "the quick brown fox jumps over the lazy dog again and again "
+
+
+def _docs(spark, ids):
+    rows = [(i, SENT * 3 + f"tail token {i}") for i in ids]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sketch_land(spark, sd, bid, ids):
+    sketch_stream.process_batch(spark, _docs(spark, ids), bid, sd, "text")
+
+
+def _sketch_read(spark, sd):
+    return sorted(
+        map(tuple, sketch_stream.read_hll_registers(spark, sd).collect())
+    )
+
+
+def _span_land(spark, sd, bid, ids):
+    span_stream.process_doc_batch(spark, _docs(spark, ids), bid, sd)
+
+
+def _span_read(spark, sd):
+    return sorted(map(tuple, span_stream.read_spans(spark, sd).collect()))
+
+
+def _search_land(spark, sd, bid, ids):
+    search_stream.process_doc_batch(spark, _docs(spark, ids), bid, sd)
+
+
+def _search_read(spark, sd):
+    return sorted(
+        map(
+            tuple,
+            search_stream.bm25_query(
+                spark, sd, (("q1", "quick fox"),)
+            ).collect(),
+        )
+    )
+
+
+def _dedup_land(spark, sd, bid, ids):
+    dedup_stream.process_batch(spark, _docs(spark, ids), bid, sd)
+    dedup_stream.update_clusters(spark, sd, bid)
+
+
+def _dedup_read(spark, sd):
+    return sorted(
+        map(tuple, dedup_stream.read_clusters(spark, sd).collect())
+    )
+
+
+FAMILIES = {
+    "sketch": (_sketch_land, _sketch_read, "hll"),
+    "span": (_span_land, _span_read, "spans"),
+    "search": (_search_land, _search_read, "postings"),
+    "dedup": (_dedup_land, _dedup_read, "labels"),
+}
+
+
+@pytest.mark.parametrize("family", sorted(FAMILIES))
+def test_torn_zone_fails_loudly_and_replay_repairs(spark, tmp_path, family):
+    land, read, plane = FAMILIES[family]
+    sd = str(tmp_path / family)
+    land(spark, sd, 0, [1, 2, 3])
+    land(spark, sd, 1, [4, 5, 6])
+    baseline = read(spark, sd)
+
+    zone = f"{sd}/{plane}/batch=1"
+    marker = f"{zone}/_SUCCESS"
+    assert os.path.exists(marker)
+
+    # 1. torn write (no _SUCCESS): read fails loudly, naming the zone
+    os.remove(marker)
+    assert zones.torn_zones(spark, sd, plane) == [zone]
+    with pytest.raises(ValueError, match="batch=1"):
+        read(spark, sd)
+
+    # 2. replay of the owning batch repairs (idempotent overwrite) —
+    # and must be runnable WHILE the zone is torn (before_batch
+    # excludes the replayer's own zone from the clean check)
+    land(spark, sd, 1, [4, 5, 6])
+    assert zones.torn_zones(spark, sd, plane) == []
+    assert read(spark, sd) == baseline
+
+    # 3. post-commit corruption (intact _SUCCESS, truncated part
+    # files): parquet footer validation fails the read loudly. Every
+    # part is truncated — a partition-pruned read (search's bucketed
+    # postings) may legitimately never touch a single corrupt file
+    parts = glob.glob(f"{zone}/**/part-*.parquet", recursive=True)
+    assert parts
+    for part in parts:
+        with open(part, "wb") as fh:
+            fh.write(b"PAR1broken")
+    with pytest.raises(Exception):
+        read(spark, sd)
+
+    # 4. replay repairs that too
+    land(spark, sd, 1, [4, 5, 6])
+    assert read(spark, sd) == baseline
+
+
+def test_update_clusters_refuses_torn_pairs_input(spark, tmp_path):
+    # the label roll's INPUT is the pairs zone its process_batch
+    # landed — a torn pairs zone means that writer died mid-commit;
+    # update_clusters must refuse rather than label a partial graph
+    sd = str(tmp_path / "dedup_in")
+    _dedup_land(spark, sd, 0, [1, 2, 3])
+    dedup_stream.process_batch(spark, _docs(spark, [4, 5, 6]), 1, sd)
+    os.remove(f"{sd}/pairs/batch=1/_SUCCESS")
+    with pytest.raises(ValueError, match="pairs/batch=1"):
+        dedup_stream.update_clusters(spark, sd, 1)
+    # replaying the batch repairs, then the roll proceeds
+    dedup_stream.process_batch(spark, _docs(spark, [4, 5, 6]), 1, sd)
+    dedup_stream.update_clusters(spark, sd, 1)
+    assert _dedup_read(spark, sd)
