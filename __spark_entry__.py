@@ -793,6 +793,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # tests/test_entry_contract.py).
 NEXT_WINDOW: list[str] = [
     "dp_knn_label_ivfpq",
+    "recon_task_status",
 ]
 
 

@@ -2063,3 +2063,66 @@ X15_SQL = (
 
 QUERIES["x15_list_tables"] = x15_list_tables
 ORACLES["x15_list_tables"] = X15_SQL
+
+
+# Recon task registry: task name → the CDC ops it consumes, mirroring
+# which OM-table mutations each reference task's process() handles
+# (ContainerKeyMapperTask.java:112-160 PUT/DELETE key mappings;
+# FileSizeCountTask.java:115-157 PUT/DELETE/UPDATE bin moves;
+# NSSummaryTask PUT/DELETE/UPDATE rollups; TableCountTask.java:114-140
+# row-count ±1 on PUT/DELETE, UPDATE ignored).
+RECON_TASKS = (
+    ("ContainerKeyMapperTask", ("PUT", "DELETE")),
+    ("FileSizeCountTask", ("PUT", "DELETE", "UPDATE")),
+    ("NSSummaryTask", ("PUT", "DELETE", "UPDATE")),
+    ("TableCountTask", ("PUT", "DELETE")),
+)
+
+
+def recon_task_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recon task-status listing (ref recon/.../api/
+    TaskStatusService.java:40-55: findAll() over the task-bookkeeping
+    table — task name, last successful seqno + timestamp; rows written
+    by ReconTaskControllerImpl after each consumed batch). The engine's
+    bookkeeping is the versioned-mart (last_seqno, last_batch_id) pair
+    (streaming/maintenance.py); its drained steady state is determined
+    by the feed, so the oracle-checkable law is the per-task rollup of
+    the CDC events each task consumes: last_seqno = max(seqno),
+    last_run_ts = max(event_time), events_processed = count. One
+    broadcast of the 4-row task registry exploded per op, one
+    map-side-combinable groupBy — constant-size result."""
+    ev = model.om_events(spark, sf_dir)
+    reg = spark.createDataFrame(
+        [(t, op) for t, ops in RECON_TASKS for op in ops],
+        "task_name string, op string",
+    )
+    return (
+        ev.join(F.broadcast(reg), "op")
+        .groupBy("task_name")
+        .agg(
+            F.max("seqno").alias("last_seqno"),
+            F.max("event_time").alias("last_run_ts"),
+            F.count(F.lit(1)).alias("events_processed"),
+        )
+        .orderBy("task_name")
+    )
+
+
+RECON_TASK_STATUS_SQL = model.with_ctes(
+    model.OM_EVENTS_CTE,
+    "tasks(task_name, op) AS (VALUES "
+    + ", ".join(
+        f"('{t}', '{op}')" for t, ops in RECON_TASKS for op in ops
+    )
+    + ")",
+    body="""SELECT task_name,
+       max(seqno) AS last_seqno,
+       max(event_time) AS last_run_ts,
+       count(*) AS events_processed
+FROM om_events JOIN tasks USING (op)
+GROUP BY task_name
+ORDER BY task_name""",
+)
+
+QUERIES["recon_task_status"] = recon_task_status
+ORACLES["recon_task_status"] = RECON_TASK_STATUS_SQL
