@@ -794,6 +794,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 NEXT_WINDOW: list[str] = [
     "dp_knn_label_ivfpq",
     "recon_task_status",
+    "dp_qsketch_tokens",
 ]
 
 

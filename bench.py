@@ -135,6 +135,8 @@ HEADLINE = [
     "x15_list_tables",
     # round 9 additions
     "dp_knn_label_ivfpq",
+    "recon_task_status",
+    "dp_qsketch_tokens",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

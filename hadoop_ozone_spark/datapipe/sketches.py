@@ -22,7 +22,7 @@ write-time artifact that unions across partitions/days for free.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoop_ozone_spark.datapipe.dedup import md5_lane, md5_lane_sql
@@ -364,3 +364,96 @@ SELECT key,
        CAST(v AS BIGINT) AS n_zero_registers
 FROM est
 """
+
+
+# --- Portable quantile sketch (log-width histogram) ----------------------
+#
+# The fourth mergeable write-time artifact next to HLL (cardinality),
+# Count-Min (frequency), and Bloom (membership): quantiles. A t-digest
+# is float-centroid-based and engine-opaque; this is the dyadic
+# alternative that both engines compute bit-identically — a histogram
+# over log-width bins with QS_PER_OCTAVE sub-bins per octave, bin
+# boundaries the DISTINCT integers ceil(2^(i/QS_PER_OCTAVE)) (exact
+# bins below ~2^4 where consecutive bounds differ by 1, <= 2^(1/8)-1
+# ~ 9.05% relative width above). The artifact is (bin, cnt) rows —
+# <= len(QS_THRESHOLDS)+1 regardless of input — and merges by SUM, the
+# Count-Min contract. Quantile estimate = the lower bound of the bin
+# holding 1-based rank ceil(q*n) (integer rank arithmetic, the
+# dataset_datasheet law), so est <= true < next threshold: the
+# one-sided-within-one-bin guarantee pinned in tests.
+
+QS_PER_OCTAVE = 8
+QS_MAX_OCTAVES = 20  # covers values up to 2^20; larger -> overflow bin
+
+
+def _qs_thresholds() -> list[int]:
+    import math
+
+    return sorted(
+        {
+            math.ceil(2 ** (i / QS_PER_OCTAVE))
+            for i in range(QS_MAX_OCTAVES * QS_PER_OCTAVE + 1)
+        }
+    )
+
+
+QS_THRESHOLDS = _qs_thresholds()
+
+
+def _qs_bin(v: Column) -> Column:
+    """1-based index of the largest threshold <= v; 0 for v < 1.
+    Generated CASE ladder, integer compares only (built ascending so
+    the largest threshold is the outermost WHEN)."""
+    expr = F.lit(0)
+    for i, t in enumerate(QS_THRESHOLDS, start=1):
+        expr = F.when(v >= F.lit(t), F.lit(i)).otherwise(expr)
+    return expr
+
+
+def qs_bin_sql(v: str) -> str:
+    whens = "\n    ".join(
+        f"WHEN {v} >= {t} THEN {i}"
+        for i, t in reversed(list(enumerate(QS_THRESHOLDS, start=1)))
+    )
+    return f"CASE\n    {whens}\n    ELSE 0 END"
+
+
+def qsketch_counts(df: DataFrame, col: str) -> DataFrame:
+    """(bin, cnt): the sketch itself. One map-side-combinable groupBy;
+    <= len(QS_THRESHOLDS)+1 rows out regardless of input; SUM-merge."""
+    return (
+        df.select(_qs_bin(F.col(col)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def qsketch_quantiles(
+    counts: DataFrame, q_ppms: tuple[int, ...] = (500000, 900000, 990000)
+) -> DataFrame:
+    """(q_ppm, est): quantile estimates from a (bin, cnt) sketch —
+    est = lower bound of the first bin whose cumulative count reaches
+    rank ceil(q*n) (exact integer: (q_ppm*n + 999999) DIV 1e6). The
+    cumulative window is global but runs over the <= 160-row artifact,
+    never the input."""
+    spark = counts.sparkSession
+    n = counts.agg(F.sum("cnt").alias("n"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    qd = spark.createDataFrame([(q,) for q in q_ppms], "q_ppm long")
+    bounds = F.array(*[F.lit(t) for t in QS_THRESHOLDS])
+    picked = (
+        cum.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(qd))
+        .withColumn("rank", F.expr("(q_ppm * n + 999999) DIV 1000000"))
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("q_ppm")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return picked.select(
+        "q_ppm",
+        F.when(F.col("bin") == 0, F.lit(0))
+        .otherwise(F.element_at(bounds, F.col("bin")))
+        .cast("long")
+        .alias("est"),
+    )

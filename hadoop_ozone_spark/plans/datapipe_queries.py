@@ -3356,3 +3356,112 @@ ORDER BY p.query_id
 
 QUERIES["dp_knn_label_ivfpq"] = dp_knn_label_ivfpq
 ORACLES["dp_knn_label_ivfpq"] = DP_KNN_LABEL_IVFPQ_SQL
+
+
+QS_QUERY_PPMS = (500000, 900000, 990000)
+
+
+def dp_qsketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable quantile sketch vs exact order statistics
+    (datapipe/sketches.py qsketch_counts/qsketch_quantiles): per-doc
+    token counts sketched into the <=160-row log-width histogram
+    (8 sub-bins per octave, SUM-mergeable — the fourth write-time
+    artifact next to HLL/CM/Bloom), p50/p90/p99 estimated as the
+    holding bin's lower bound vs the exact rank-ceil(q*n) order
+    statistic (the dataset_datasheet integer-rank law). est <= exact
+    < next threshold by construction (one-sided within-one-bin,
+    pinned in tests). The exact leg's global sort is the test-scale
+    acceptance check only — at 100 TB the sketch IS the answer; the
+    artifact folds per-partition with a constant shuffle."""
+    from hadoop_ozone_spark.datapipe import sketches
+    from pyspark.sql import Window
+
+    docs = model.load(spark, sf_dir, "documents")
+    tc = docs.select(
+        "doc_id",
+        F.size(text.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    est = sketches.qsketch_quantiles(
+        sketches.qsketch_counts(tc, "n_tokens"), QS_QUERY_PPMS
+    )
+    n = tc.agg(F.count(F.lit(1)).alias("n"))
+    qd = spark.createDataFrame([(q,) for q in QS_QUERY_PPMS], "q_ppm long")
+    ranked = tc.withColumn(
+        "rn", F.row_number().over(Window.orderBy("n_tokens", "doc_id"))
+    )
+    exact = (
+        ranked.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(qd))
+        .filter(F.col("rn") == F.expr("(q_ppm * n + 999999) DIV 1000000"))
+        .select("q_ppm", F.col("n_tokens").alias("exact_tokens"))
+    )
+    return (
+        est.withColumnRenamed("est", "qsketch_tokens")
+        .join(F.broadcast(exact), "q_ppm")
+        .select(
+            "q_ppm",
+            "qsketch_tokens",
+            "exact_tokens",
+            F.expr(
+                "(exact_tokens - qsketch_tokens) * 1000000"
+                " DIV greatest(exact_tokens, 1)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("q_ppm")
+    )
+
+
+def _qsketch_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    ts = ", ".join(str(t) for t in sketches.QS_THRESHOLDS)
+    qvals = ", ".join(f"({q})" for q in QS_QUERY_PPMS)
+    return rf"""
+WITH tc AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'))
+           AS n_tokens
+  FROM documents
+),
+counts AS (
+  SELECT {sketches.qs_bin_sql("n_tokens")} AS bin, count(*) AS cnt
+  FROM tc GROUP BY 1
+),
+totals AS (SELECT SUM(cnt) AS n FROM counts),
+cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM counts),
+qd(q_ppm) AS (VALUES {qvals}),
+pick AS (
+  SELECT q_ppm, min(bin) AS bin
+  FROM cum, totals, qd
+  WHERE cum >= (q_ppm * n + 999999) // 1000000
+  GROUP BY q_ppm
+),
+est AS (
+  SELECT q_ppm,
+         CASE WHEN bin = 0 THEN 0 ELSE ([{ts}])[bin] END AS qsketch_tokens
+  FROM pick
+),
+exact AS (
+  SELECT q_ppm, n_tokens AS exact_tokens
+  FROM (SELECT n_tokens,
+               row_number() OVER (ORDER BY n_tokens, doc_id) AS rn
+        FROM tc),
+       totals, qd
+  WHERE rn = (q_ppm * n + 999999) // 1000000
+)
+SELECT e.q_ppm,
+       CAST(qsketch_tokens AS BIGINT) AS qsketch_tokens,
+       CAST(exact_tokens AS BIGINT) AS exact_tokens,
+       CAST((exact_tokens - qsketch_tokens) * 1000000
+            // greatest(exact_tokens, 1) AS BIGINT) AS err_ppm
+FROM est e JOIN exact USING (q_ppm)
+ORDER BY e.q_ppm
+"""
+
+
+DP_QSKETCH_SQL = _qsketch_sql()
+
+QUERIES["dp_qsketch_tokens"] = dp_qsketch_tokens
+ORACLES["dp_qsketch_tokens"] = DP_QSKETCH_SQL

@@ -63,3 +63,24 @@ def read_bloom_bits(spark: SparkSession, state_dir: str) -> DataFrame:
     """UNION-DISTINCT-merged bit set over every landed zone."""
     zones.assert_zones_clean(spark, state_dir, ("bloom",))
     return spark.read.parquet(f"{state_dir}/bloom").select("bit").distinct()
+
+
+def process_numeric_batch(
+    spark: SparkSession, batch: DataFrame, batch_id: int, state_dir: str, num_col: str
+) -> None:
+    """Land one batch's quantile-sketch zone (idempotent overwrite) —
+    the (bin, cnt) log-width histogram SUM-merges exactly like the
+    Count-Min counters."""
+    sketches.qsketch_counts(batch, num_col).write.mode("overwrite").parquet(
+        f"{state_dir}/qs/batch={batch_id}"
+    )
+
+
+def read_qsketch_counts(spark: SparkSession, state_dir: str) -> DataFrame:
+    """SUM-merged quantile-sketch bins over every landed zone."""
+    zones.assert_zones_clean(spark, state_dir, ("qs",))
+    return (
+        spark.read.parquet(f"{state_dir}/qs")
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -2162,3 +2162,48 @@ def test_knn_label_ivfpq_agrees_with_brute(spark):
         m.load = orig
     assert set(brute) == {3, 53} and brute == ivfpq
     assert brute[3] == 1 and brute[53] == 1  # odd axis -> label 1
+
+
+def test_qsketch_merge_size_and_one_sided_bound(spark):
+    # the quantile sketch is the fourth mergeable write-time artifact:
+    # SUM-merge law, input-size-independent artifact, and the
+    # one-sided within-one-bin estimate guarantee
+    import math
+
+    from hadoop_ozone_spark.datapipe import sketches
+
+    df = spark.range(50_000).select(
+        ((F.col("id") * F.col("id")) % 30_000 + 1).alias("v")
+    ).persist()
+    whole = {r.bin: r.cnt for r in sketches.qsketch_counts(df, "v").collect()}
+    # artifact bounded by the threshold ladder regardless of input
+    assert len(whole) <= len(sketches.QS_THRESHOLDS) + 1
+    big = spark.range(500_000).select((F.col("id") % 30_000 + 1).alias("v"))
+    assert (
+        sketches.qsketch_counts(big, "v").count()
+        <= len(sketches.QS_THRESHOLDS) + 1
+    )
+    # SUM-merge: two disjoint halves' sketches fold to the whole's
+    a = df.filter(F.col("v") % 2 == 0)
+    b = df.filter(F.col("v") % 2 == 1)
+    ca = {r.bin: r.cnt for r in sketches.qsketch_counts(a, "v").collect()}
+    cb = {r.bin: r.cnt for r in sketches.qsketch_counts(b, "v").collect()}
+    merged = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
+    assert merged == whole
+    # one-sided bound: est <= true order statistic < next threshold
+    vals = sorted(r.v for r in df.collect())
+    n = len(vals)
+    est = {
+        r.q_ppm: r.est
+        for r in sketches.qsketch_quantiles(
+            sketches.qsketch_counts(df, "v")
+        ).collect()
+    }
+    for q_ppm, e in est.items():
+        true = vals[(q_ppm * n + 999_999) // 1_000_000 - 1]
+        assert e <= true
+        nxt = [t for t in sketches.QS_THRESHOLDS if t > e]
+        assert not nxt or true < nxt[0]
+        # relative bin width <= 2^(1/8): the estimate is within ~9%
+        assert true <= math.ceil(e * 2 ** (1 / sketches.QS_PER_OCTAVE)) + 1
+    df.unpersist()

@@ -44,3 +44,39 @@ def test_sketch_stream_matches_batch_and_replays(spark):
     finally:
         whole.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_qsketch_stream_matches_batch_and_replays(spark):
+    whole = spark.range(20_000).select(
+        (F.col("id") % 2048 + 1).alias("v")
+    ).persist()
+    batches = [whole.filter(F.col("v") % 3 == i) for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="ozspark_qsstream_")
+    try:
+        for i, b in enumerate(batches):
+            sketch_stream.process_numeric_batch(spark, b, i, tmp, "v")
+
+        def qs(df):
+            return {r.bin: r.cnt for r in df.collect()}
+
+        merged = qs(sketch_stream.read_qsketch_counts(spark, tmp))
+        assert merged == qs(sketches.qsketch_counts(whole, "v"))
+        # quantiles from the merged state equal the batch sketch's
+        est = {
+            r.q_ppm: r.est
+            for r in sketches.qsketch_quantiles(
+                sketch_stream.read_qsketch_counts(spark, tmp)
+            ).collect()
+        }
+        est_batch = {
+            r.q_ppm: r.est
+            for r in sketches.qsketch_quantiles(
+                sketches.qsketch_counts(whole, "v")
+            ).collect()
+        }
+        assert est == est_batch
+        sketch_stream.process_numeric_batch(spark, batches[1], 1, tmp, "v")
+        assert qs(sketch_stream.read_qsketch_counts(spark, tmp)) == merged
+    finally:
+        whole.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
