@@ -795,6 +795,7 @@ NEXT_WINDOW: list[str] = [
     "dp_knn_label_ivfpq",
     "recon_task_status",
     "dp_qsketch_tokens",
+    "dp_qsketch_by_source",
 ]
 
 

@@ -137,6 +137,7 @@ HEADLINE = [
     "dp_knn_label_ivfpq",
     "recon_task_status",
     "dp_qsketch_tokens",
+    "dp_qsketch_by_source",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

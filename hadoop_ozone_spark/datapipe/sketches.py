@@ -457,3 +457,50 @@ def qsketch_quantiles(
         .cast("long")
         .alias("est"),
     )
+
+
+def qsketch_counts_grouped(df: DataFrame, key: str, col: str) -> DataFrame:
+    """(key, bin, cnt): the quantile sketch per GROUP — the map side
+    collapses to <= len(QS_THRESHOLDS)+1 rows per key before the
+    shuffle (the hll_estimate_grouped shape); per-key artifacts
+    SUM-merge independently."""
+    return (
+        df.select(F.col(key).alias("key"), _qs_bin(F.col(col)).alias("bin"))
+        .groupBy("key", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def qsketch_quantiles_grouped(
+    counts: DataFrame, q_ppms: tuple[int, ...] = (500000, 900000, 990000)
+) -> DataFrame:
+    """(key, q_ppm, est): per-key quantile estimates from a grouped
+    (key, bin, cnt) sketch — same holding-bin law as
+    qsketch_quantiles, windows partitioned by key over the bounded
+    artifact (grouped ≡ per-key ungrouped, pinned)."""
+    spark = counts.sparkSession
+    n = counts.groupBy("key").agg(F.sum("cnt").alias("n"))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    qd = spark.createDataFrame([(q,) for q in q_ppms], "q_ppm long")
+    bounds = F.array(*[F.lit(t) for t in QS_THRESHOLDS])
+    picked = (
+        cum.join(n, "key")
+        .crossJoin(F.broadcast(qd))
+        .withColumn("rank", F.expr("(q_ppm * n + 999999) DIV 1000000"))
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("key", "q_ppm")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return picked.select(
+        "key",
+        "q_ppm",
+        F.when(F.col("bin") == 0, F.lit(0))
+        .otherwise(F.element_at(bounds, F.col("bin")))
+        .cast("long")
+        .alias("est"),
+    )

@@ -3465,3 +3465,116 @@ DP_QSKETCH_SQL = _qsketch_sql()
 
 QUERIES["dp_qsketch_tokens"] = dp_qsketch_tokens
 ORACLES["dp_qsketch_tokens"] = DP_QSKETCH_SQL
+
+
+def dp_qsketch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantile sketch (sketches.qsketch_counts_grouped /
+    qsketch_quantiles_grouped): per-SOURCE p50/p90 token counts from
+    one sketch pass — the dataset-card histogram shape without a
+    per-source sort: the map side collapses to <=160 (source, bin)
+    rows per source before the shuffle, and the per-key cumulative
+    window runs over the bounded artifact. Reported next to the exact
+    per-source order statistic (the dataset_datasheet rank law) with
+    err_ppm; grouped ≡ per-key ungrouped is pinned in tests."""
+    from hadoop_ozone_spark.datapipe import sketches
+    from pyspark.sql import Window
+
+    docs = model.load(spark, sf_dir, "documents")
+    tc = docs.select(
+        F.col("source"),
+        "doc_id",
+        F.size(text.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    qs = (500000, 900000)
+    est = sketches.qsketch_quantiles_grouped(
+        sketches.qsketch_counts_grouped(tc, "source", "n_tokens"), qs
+    ).withColumnRenamed("key", "source")
+    qd = spark.createDataFrame([(q,) for q in qs], "q_ppm long")
+    w_rank = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    w_src = Window.partitionBy("source")
+    exact = (
+        tc.select(
+            "source",
+            "n_tokens",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_src).alias("n"),
+        )
+        .crossJoin(F.broadcast(qd))
+        .filter(F.col("rn") == F.expr("(q_ppm * n + 999999) DIV 1000000"))
+        .select("source", "q_ppm", F.col("n_tokens").alias("exact_tokens"))
+    )
+    return (
+        est.withColumnRenamed("est", "qsketch_tokens")
+        .join(exact, ["source", "q_ppm"])
+        .select(
+            "source",
+            "q_ppm",
+            "qsketch_tokens",
+            "exact_tokens",
+            F.expr(
+                "(exact_tokens - qsketch_tokens) * 1000000"
+                " DIV greatest(exact_tokens, 1)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("source", "q_ppm")
+    )
+
+
+def _qsketch_grouped_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    ts = ", ".join(str(t) for t in sketches.QS_THRESHOLDS)
+    return rf"""
+WITH tc AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'))
+           AS n_tokens
+  FROM documents
+),
+counts AS (
+  SELECT source, {sketches.qs_bin_sql("n_tokens")} AS bin, count(*) AS cnt
+  FROM tc GROUP BY 1, 2
+),
+totals AS (SELECT source, SUM(cnt) AS n FROM counts GROUP BY source),
+cum AS (
+  SELECT source, bin,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum
+  FROM counts
+),
+qd(q_ppm) AS (VALUES (500000), (900000)),
+pick AS (
+  SELECT c.source, q_ppm, min(bin) AS bin
+  FROM cum c JOIN totals t ON c.source = t.source, qd
+  WHERE cum >= (q_ppm * n + 999999) // 1000000
+  GROUP BY c.source, q_ppm
+),
+est AS (
+  SELECT source, q_ppm,
+         CASE WHEN bin = 0 THEN 0 ELSE ([{ts}])[bin] END AS qsketch_tokens
+  FROM pick
+),
+exact AS (
+  SELECT r.source, q_ppm, n_tokens AS exact_tokens
+  FROM (SELECT source, n_tokens,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_tokens, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM tc) r, qd
+  WHERE rn = (q_ppm * n + 999999) // 1000000
+)
+SELECT e.source, e.q_ppm,
+       CAST(qsketch_tokens AS BIGINT) AS qsketch_tokens,
+       CAST(exact_tokens AS BIGINT) AS exact_tokens,
+       CAST((exact_tokens - qsketch_tokens) * 1000000
+            // greatest(exact_tokens, 1) AS BIGINT) AS err_ppm
+FROM est e JOIN exact USING (source, q_ppm)
+ORDER BY e.source, e.q_ppm
+"""
+
+
+DP_QSKETCH_GROUPED_SQL = _qsketch_grouped_sql()
+
+QUERIES["dp_qsketch_by_source"] = dp_qsketch_by_source
+ORACLES["dp_qsketch_by_source"] = DP_QSKETCH_GROUPED_SQL

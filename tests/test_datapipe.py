@@ -2207,3 +2207,27 @@ def test_qsketch_merge_size_and_one_sided_bound(spark):
         # relative bin width <= 2^(1/8): the estimate is within ~9%
         assert true <= math.ceil(e * 2 ** (1 / sketches.QS_PER_OCTAVE)) + 1
     df.unpersist()
+
+
+def test_qsketch_grouped_equals_per_key_ungrouped(spark):
+    from hadoop_ozone_spark.datapipe import sketches
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", (i * 7) % 500 + 1) for i in range(5000)],
+        "g string, v long",
+    )
+    grouped = {
+        (r.key, r.q_ppm): r.est
+        for r in sketches.qsketch_quantiles_grouped(
+            sketches.qsketch_counts_grouped(df, "g", "v")
+        ).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        solo = {
+            r.q_ppm: r.est
+            for r in sketches.qsketch_quantiles(
+                sketches.qsketch_counts(df.filter(F.col("g") == g), "v")
+            ).collect()
+        }
+        for q, est in solo.items():
+            assert grouped[(g, q)] == est
