@@ -3376,6 +3376,8 @@ def dp_qsketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_ozone_spark.datapipe import sketches
     from pyspark.sql import Window
 
+    from hadoop_ozone_spark import scratch
+
     docs = model.load(spark, sf_dir, "documents")
     tc = docs.select(
         "doc_id",
@@ -3383,10 +3385,13 @@ def dp_qsketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    est = sketches.qsketch_quantiles(
-        sketches.qsketch_counts(tc, "n_tokens"), QS_QUERY_PPMS
-    )
-    n = tc.agg(F.count(F.lit(1)).alias("n"))
+    # persist the <=160-row artifact (the write-time-artifact contract
+    # made literal): the quantile fold and both n references read the
+    # cached sketch instead of re-running the corpus pass
+    scratch.fresh("dp_qsketch")
+    counts = scratch.keep("dp_qsketch", sketches.qsketch_counts(tc, "n_tokens"))
+    est = sketches.qsketch_quantiles(counts, QS_QUERY_PPMS)
+    n = counts.agg(F.sum("cnt").alias("n"))
     qd = spark.createDataFrame([(q,) for q in QS_QUERY_PPMS], "q_ppm long")
     ranked = tc.withColumn(
         "rn", F.row_number().over(Window.orderBy("n_tokens", "doc_id"))

@@ -570,3 +570,13 @@ def test_knn_label_never_broadcasts_corpus_labels(spark, sf_dir):
         train_scan = "NOT ((vec_id" in sub
         labels_read = "label" in sub
         assert not (train_scan and labels_read), sub[:2000]
+
+
+def test_qsketch_artifact_cached_and_no_smj(spark, sf_dir):
+    # the <=160-row sketch artifact must be cached and reused by the
+    # quantile fold and both n references (write-time-artifact contract)
+    # instead of re-running the corpus pass per reference
+    p = plan_of(entry.queries()["dp_qsketch_tokens"](spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert p.count("InMemoryTableScan") >= 2
+    assert "partial_count" in p  # map-side combine on the sketch groupBy
