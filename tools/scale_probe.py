@@ -1127,6 +1127,17 @@ def sketch_probe(n_m: float = 10.0) -> None:
     t0 = time.time()
     out["artifact_rows"]["bloom"] = sketches.bloom_bits(df, "k").count()
     out["timings_sec"]["bloom"] = round(time.time() - t0, 2)
+    # quantile sketch over a numeric stream with the same Zipf shape
+    num = spark.range(n).select((F.expr("id DIV (id % 10 + 1)") % 100_000 + 1).alias("v")).persist()
+    num.count()
+    t0 = time.time()
+    qs = sketches.qsketch_counts(num, "v")
+    out["artifact_rows"]["qs"] = qs.count()
+    out["timings_sec"]["qs"] = round(time.time() - t0, 2)
+    out["qs_p50"] = {
+        r.q_ppm: r.est for r in sketches.qsketch_quantiles(qs).collect()
+    }.get(500000)
+    num.unpersist()
     print(json.dumps(out))
     df.unpersist()
     spark.stop()
