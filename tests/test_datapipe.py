@@ -2231,3 +2231,29 @@ def test_qsketch_grouped_equals_per_key_ungrouped(spark):
         }
         for q, est in solo.items():
             assert grouped[(g, q)] == est
+
+
+def test_qsketch_two_level_ladder_matches_bisect(spark):
+    # the two-level octave dispatch must compute EXACTLY the flat
+    # #{t <= v} law — pinned against a Python bisect replay over every
+    # boundary (each threshold and its neighbors, 0/1, the overflow
+    # edge) plus a random sweep
+    import bisect
+    import random
+
+    from hadoop_ozone_spark.datapipe import sketches
+
+    vals = {0, 1, 2**sketches.QS_MAX_OCTAVES, 2**sketches.QS_MAX_OCTAVES + 7}
+    for t in sketches.QS_THRESHOLDS:
+        vals |= {t - 1, t, t + 1}
+    rng = random.Random(42)
+    vals |= {rng.randrange(0, 2**21) for _ in range(500)}
+    df = spark.createDataFrame([(v,) for v in sorted(vals)], "v long")
+    got = {
+        r.v: r.bin
+        for r in df.select(
+            "v", sketches._qs_bin(F.col("v")).alias("bin")
+        ).collect()
+    }
+    for v in sorted(vals):
+        assert got[v] == bisect.bisect_right(sketches.QS_THRESHOLDS, v), v
