@@ -251,7 +251,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         colds[name] = round(cold, 3)
         spreads[name] = (
-            round(abs(warm[1] - warm[0]) / best * 100, 1) if best > 0 else 0.0
+            round((max(warm) - best) / best * 100, 1) if best > 0 else 0.0
         )
         print(
             f"# {name}: {best:.2f}s steady (cold {cold:.2f}s, "
@@ -269,7 +269,11 @@ def main() -> None:
             handled.add(TWIN_PAIRS[name])
         runs: dict[str, list[float]] = {v: [] for v in pair}
         rows: dict[str, int] = {}
-        for _ in range(RUNS_PER_QUERY):
+        # twin pairs get one extra interleaved round: the contract delta
+        # (a few % at sf0.1) needs 3 steady samples per variant to sit
+        # reliably inside the recorded pair noise
+        n_runs = RUNS_PER_QUERY + 1 if len(pair) == 2 else RUNS_PER_QUERY
+        for _ in range(n_runs):
             for variant in pair:
                 fn = _FAST_TWINS.get(variant) or qs[variant]
                 t0 = time.time()
