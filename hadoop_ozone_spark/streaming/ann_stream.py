@@ -64,6 +64,12 @@ def read_index(spark: SparkSession, state_dir: str) -> DataFrame:
     batch zone."""
     from pyspark.errors import AnalysisException
 
+    from hadoop_ozone_spark.streaming import zones
+
+    # crash atomicity (the spans/search/sketch/dedup contract): a
+    # half-committed code zone would silently drop vectors from the
+    # searchable index — fail loudly; repair = replay the batch
+    zones.assert_zones_clean(spark, state_dir, ("codes",))
     try:
         return (
             spark.read.option("basePath", f"{state_dir}/codes")

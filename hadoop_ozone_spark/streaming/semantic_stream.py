@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_ozone_spark.datapipe.similarity import as_double, cosine
+from hadoop_ozone_spark.streaming import zones
 
 VEC_STATE_SCHEMA = "list_id long, vec_id long, v array<double>, n double"
 
@@ -94,6 +95,11 @@ def process_vec_batch(
     duplicate among same-cluster predecessors (state ∪ batch), then
     extend the cluster index."""
     assigned = assign_batch(batch, centroids, vec_col, round_digits).persist()
+    # crash atomicity: refuse a half-committed index zone (earlier
+    # batches only — this batch's own zones are about to be rewritten)
+    zones.assert_zones_clean(
+        spark, state_dir, ("index", "pairs"), before_batch=batch_id
+    )
     state = _read_state(spark, f"{state_dir}/index", batch_id)
     every = state.unionByName(assigned)
     a = every.select(

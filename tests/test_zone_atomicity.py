@@ -145,3 +145,59 @@ def test_update_clusters_refuses_torn_pairs_input(spark, tmp_path):
     dedup_stream.process_batch(spark, _docs(spark, [4, 5, 6]), 1, sd)
     dedup_stream.update_clusters(spark, sd, 1)
     assert _dedup_read(spark, sd)
+
+
+def _vecs(spark, ids):
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) / 10.0 + 0.1 for d in range(64)])
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_stream_torn_code_zone(spark, tmp_path):
+    # same contract for the rolling IVFPQ index: a torn code zone fails
+    # the index read loudly; replaying the batch repairs it
+    from hadoop_ozone_spark.datapipe import similarity
+    from hadoop_ozone_spark.streaming import ann_stream
+
+    sd = str(tmp_path / "ann")
+    base = _vecs(spark, range(40))
+    c = similarity.ivf_centroids(base)
+    cb = similarity.ivfpq_codebooks(base, c)
+    ann_stream.process_vec_batch(spark, _vecs(spark, range(40, 50)), 0, sd, c, cb)
+    ann_stream.process_vec_batch(spark, _vecs(spark, range(50, 60)), 1, sd, c, cb)
+    baseline = sorted(
+        (r.list_id, r.vec_id, tuple(r.codes))
+        for r in ann_stream.read_index(spark, sd).collect()
+    )
+    os.remove(f"{sd}/codes/batch=1/_SUCCESS")
+    with pytest.raises(ValueError, match="codes/batch=1"):
+        ann_stream.read_index(spark, sd)
+    ann_stream.process_vec_batch(spark, _vecs(spark, range(50, 60)), 1, sd, c, cb)
+    got = sorted(
+        (r.list_id, r.vec_id, tuple(r.codes))
+        for r in ann_stream.read_index(spark, sd).collect()
+    )
+    assert got == baseline
+
+
+def test_semantic_stream_refuses_torn_index_input(spark, tmp_path):
+    # the semantic-dedup processor's INPUT is the earlier batches'
+    # cluster index — refuse a torn zone rather than dedup against a
+    # silently partial corpus; replaying the owner repairs
+    from hadoop_ozone_spark.datapipe import similarity
+    from hadoop_ozone_spark.streaming import semantic_stream
+
+    sd = str(tmp_path / "sem")
+    base = _vecs(spark, range(40))
+    c = similarity.ivf_centroids(base)
+    semantic_stream.process_vec_batch(spark, _vecs(spark, range(40, 50)), 0, sd, c)
+    os.remove(f"{sd}/index/batch=0/_SUCCESS")
+    with pytest.raises(ValueError, match="index/batch=0"):
+        semantic_stream.process_vec_batch(
+            spark, _vecs(spark, range(50, 60)), 1, sd, c
+        )
+    semantic_stream.process_vec_batch(spark, _vecs(spark, range(40, 50)), 0, sd, c)
+    semantic_stream.process_vec_batch(spark, _vecs(spark, range(50, 60)), 1, sd, c)
+    assert spark.read.parquet(f"{sd}/index").count() > 0
