@@ -796,6 +796,7 @@ NEXT_WINDOW: list[str] = [
     "recon_task_status",
     "dp_qsketch_tokens",
     "dp_qsketch_by_source",
+    "dp_cm_by_source",
 ]
 
 

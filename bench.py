@@ -138,6 +138,7 @@ HEADLINE = [
     "recon_task_status",
     "dp_qsketch_tokens",
     "dp_qsketch_by_source",
+    "dp_cm_by_source",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

@@ -540,3 +540,77 @@ def qsketch_quantiles_grouped(
         .cast("long")
         .alias("est"),
     )
+
+
+def cm_counters_grouped(df: DataFrame, key: str, col: str) -> DataFrame:
+    """(key, row, bucket, cnt): the Count-Min matrix per GROUP — the
+    grouped member of the sketch family (HLL-G / QS-G precedent).
+    Same seeded lanes as cm_counters, so a group's counters are
+    bit-identical to running the ungrouped sketch on its slice
+    (pinned); per-key artifacts are <= d*w rows and SUM-merge."""
+    rows = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(CM_DEPTH - 1)),
+            lambda r: F.struct(
+                r.alias("row"),
+                F.pmod(
+                    md5_lane(
+                        F.concat(
+                            r.cast("string"), F.lit("|"), F.col(col).cast("string")
+                        )
+                    ),
+                    F.lit(CM_WIDTH),
+                ).alias("bucket"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(key).alias("key"), rows.alias("rb"))
+        .select(
+            "key",
+            F.col("rb.row").alias("row"),
+            F.col("rb.bucket").alias("bucket"),
+        )
+        .groupBy("key", "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_point_estimates_grouped(
+    df: DataFrame, key: str, col: str, keys: DataFrame
+) -> DataFrame:
+    """(key, probe, cm_estimate): per-group point queries — ``keys``
+    carries (key, probe) pairs; probes LEFT-join the grouped counter
+    matrix with empty cells counting 0 (the ADVICE-r8 absent-key
+    contract), min over the d lanes per (group, probe)."""
+    counters = cm_counters_grouped(df, key, col)
+    probes = keys.select(
+        "key",
+        "probe",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(CM_DEPTH - 1)),
+                lambda r: F.struct(
+                    r.alias("row"),
+                    F.pmod(
+                        md5_lane(
+                            F.concat(
+                                r.cast("string"),
+                                F.lit("|"),
+                                F.col("probe").cast("string"),
+                            )
+                        ),
+                        F.lit(CM_WIDTH),
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("rb"),
+    ).select(
+        "key", "probe",
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"),
+    )
+    return (
+        probes.join(counters, ["key", "row", "bucket"], "left")
+        .groupBy("key", "probe")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_estimate"))
+    )

@@ -2886,6 +2886,123 @@ QUERIES["dp_cm_heavy_hitters"] = dp_cm_heavy_hitters
 ORACLES["dp_cm_heavy_hitters"] = DP_CM_SQL
 
 
+def dp_cm_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source heavy hitters vs the GROUPED Count-Min sketch
+    (sketches.cm_counters_grouped / cm_point_estimates_grouped —
+    completing the grouped sketch family next to HLL-G and QS-G):
+    each source's true top-3 tokens probed against that source's own
+    d×w counter matrix, over_ppm per row (one-sided: cm >= true
+    inside a group because a group's counters are bit-identical to
+    the ungrouped sketch of its slice, pinned in tests). Per-key
+    artifacts are <= d·w rows and SUM-merge across partitions/days."""
+    from hadoop_ozone_spark.datapipe import sketches
+    from hadoop_ozone_spark.datapipe import text as text_ops
+    from pyspark.sql import Window
+
+    docs = model.load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("source"),
+        F.explode(
+            text_ops.tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+        ).alias("token"),
+    )
+    truth = (
+        tok.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("true_count"), F.asc("token")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+    )
+    est = sketches.cm_point_estimates_grouped(
+        tok,
+        "source",
+        "token",
+        truth.select(F.col("source").alias("key"), F.col("token").alias("probe")),
+    )
+    return (
+        truth.join(
+            est.withColumnRenamed("key", "source").withColumnRenamed(
+                "probe", "token"
+            ),
+            ["source", "token"],
+        )
+        .select(
+            "source",
+            "token",
+            "true_count",
+            "cm_estimate",
+            F.expr(
+                "(cm_estimate - true_count) * 1000000 DIV true_count"
+            ).alias("over_ppm"),
+        )
+        .orderBy("source", F.desc("true_count"), F.asc("token"))
+    )
+
+
+def _cm_grouped_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    tok_src = (
+        r"SELECT source, unnest(regexp_split_to_array(trim(lower(COALESCE(text,"
+        r" ''))), '\s+')) AS token FROM documents"
+    )
+    occ = "\n  UNION ALL\n  ".join(
+        f"SELECT source, {r} AS r, {sketches.cm_lane_sql(r, 'token')} AS bucket"
+        f" FROM tok"
+        for r in range(sketches.CM_DEPTH)
+    )
+    probes = "\n  UNION ALL\n  ".join(
+        f"SELECT source, token, {r} AS r,"
+        f" {sketches.cm_lane_sql(r, 'token')} AS bucket FROM truth"
+        for r in range(sketches.CM_DEPTH)
+    )
+    return f"""
+WITH tok AS ({tok_src}),
+truth AS (
+  SELECT source, token, true_count FROM (
+    SELECT source, token, count(*) AS true_count,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY count(*) DESC, token ASC) AS rn
+    FROM tok GROUP BY source, token
+  ) WHERE rn <= 3
+),
+occ AS (
+  {occ}
+),
+counters AS (
+  SELECT source, r, bucket, count(*) AS cnt FROM occ GROUP BY source, r, bucket
+),
+probes AS (
+  {probes}
+),
+est AS (
+  SELECT source, token, min(COALESCE(cnt, 0)) AS cm_estimate
+  FROM probes LEFT JOIN counters USING (source, r, bucket)
+  GROUP BY source, token
+)
+SELECT t.source, t.token,
+       CAST(true_count AS BIGINT) AS true_count,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST((cm_estimate - true_count) * 1000000 // true_count AS BIGINT)
+         AS over_ppm
+FROM truth t JOIN est USING (source, token)
+ORDER BY t.source, true_count DESC, t.token
+"""
+
+
+DP_CM_GROUPED_SQL = _cm_grouped_sql()
+
+QUERIES["dp_cm_by_source"] = dp_cm_by_source
+ORACLES["dp_cm_by_source"] = DP_CM_GROUPED_SQL
+
+
 def dp_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-screen for decontamination (datapipe/
     sketches.py bloom_bits/bloom_membership): build the filter over the

@@ -2257,3 +2257,45 @@ def test_qsketch_two_level_ladder_matches_bisect(spark):
     }
     for v in sorted(vals):
         assert got[v] == bisect.bisect_right(sketches.QS_THRESHOLDS, v), v
+
+
+def test_cm_grouped_equals_per_key_ungrouped(spark):
+    # a group's counters must be bit-identical to the ungrouped sketch
+    # of its slice (same seeded lanes), so the one-sided error law
+    # carries over per group
+    from hadoop_ozone_spark.datapipe import sketches
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", f"t{(i * i) % 40}") for i in range(3000)],
+        "g string, v string",
+    )
+    grouped = {
+        (r.key, r.row, r.bucket): r.cnt
+        for r in sketches.cm_counters_grouped(df, "g", "v").collect()
+    }
+    for g in ("g0", "g1"):
+        solo = {
+            (r.row, r.bucket): r.cnt
+            for r in sketches.cm_counters(
+                df.filter(F.col("g") == g), "v"
+            ).collect()
+        }
+        assert {(r, b): c for (k, r, b), c in grouped.items() if k == g} == solo
+    # grouped point estimates: one-sided per group, absent probes -> 0
+    probes = spark.createDataFrame(
+        [("g0", "t0"), ("g1", "t1"), ("g0", "never_seen_xyz")],
+        "key string, probe string",
+    )
+    est = {
+        (r.key, r.probe): r.cm_estimate
+        for r in sketches.cm_point_estimates_grouped(
+            df, "g", "v", probes
+        ).collect()
+    }
+    truth = {
+        (r.g, r.v): r.n
+        for r in df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert est[("g0", "t0")] >= truth[("g0", "t0")]
+    assert est[("g1", "t1")] >= truth[("g1", "t1")]
+    assert est[("g0", "never_seen_xyz")] == 0
