@@ -797,6 +797,8 @@ NEXT_WINDOW: list[str] = [
     "dp_qsketch_tokens",
     "dp_qsketch_by_source",
     "dp_cm_by_source",
+    "dp_kmv_user_overlap",
+    "dp_mg_heavy_hitters",
 ]
 
 

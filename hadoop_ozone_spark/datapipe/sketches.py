@@ -614,3 +614,267 @@ def cm_point_estimates_grouped(
         .groupBy("key", "probe")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_estimate"))
     )
+
+
+# --- KMV / theta sketch: distinct counting with SET OPERATIONS ----------
+#
+# The fifth mergeable write-time artifact. HLL estimates |A| but cannot
+# intersect; the K-Minimum-Values sketch (Bar-Yossef et al. 2002; the
+# theta-sketch generalization, Dasgupta et al. 2016) keeps the KMV_K
+# smallest DISTINCT hash values, so two sketches support
+# |A ∩ B| / |A ∪ B| / Jaccard estimates — the cross-source overlap /
+# contamination dial a 100 TB curation pipeline reads before paying for
+# an exact anti-join. Merge = union the hash sets, re-take the k
+# smallest (pinned). The artifact is ≤ KMV_K rows regardless of input;
+# the build is one distinct-hash shuffle + a TakeOrdered(k) — no global
+# sort ever materializes.
+#
+# Estimation law (both engines bit-identical): hashes are uniform on
+# [0, 2^LANE_BITS); if the sketch holds fewer than k hashes it IS the
+# distinct set (exact branch); else the k-th smallest hash h_k gives
+# theta = h_k and est = (k−1) · 2^LANE_BITS / h_k — one double
+# multiply + divide on exactly-representable operands (2^59 is a power
+# of two; counters ≤ 2^9), so IEEE-754 makes both engines agree bitwise.
+
+KMV_K = 256
+_LANE_MOD = 2**LANE_BITS
+
+
+def kmv_sketch(df: DataFrame, col: str) -> DataFrame:
+    """(h,): the KMV_K smallest DISTINCT md5-lane hashes of ``col``.
+    groupBy(h) is map-side combinable; orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-k, merged at the driver) —
+    the artifact never exceeds KMV_K rows."""
+    hashes = (
+        df.select(F.pmod(md5_lane(F.col(col)), F.lit(_LANE_MOD)).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select("h")
+    )
+    return hashes.orderBy("h").limit(KMV_K)
+
+
+def kmv_theta(sketch: DataFrame) -> DataFrame:
+    """1-row (theta,): h_k if the sketch is full, else 2^LANE_BITS
+    (an under-full sketch has seen every distinct hash below 2^59)."""
+    return sketch.agg(
+        F.when(F.count(F.lit(1)) >= F.lit(KMV_K), F.max("h"))
+        .otherwise(F.lit(_LANE_MOD))
+        .alias("theta")
+    )
+
+
+def kmv_estimate(df: DataFrame, col: str) -> DataFrame:
+    """1-row (kmv_estimate, sketch_size): exact distinct count below k,
+    the (k−1)/θ-normalized estimate at or above it."""
+    sk = kmv_sketch(df, col)
+    agg = sk.agg(
+        F.count(F.lit(1)).alias("sketch_size"), F.max("h").alias("_hk")
+    )
+    est = F.when(
+        F.col("sketch_size") < F.lit(KMV_K), F.col("sketch_size").cast("double")
+    ).otherwise(
+        F.lit(float((KMV_K - 1) * _LANE_MOD)) / F.col("_hk").cast("double")
+    )
+    return agg.select(
+        F.round(est).cast("long").alias("kmv_estimate"),
+        F.col("sketch_size").cast("long").alias("sketch_size"),
+    )
+
+
+def kmv_set_ops(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
+    """1-row theta-sketch set operations over two relations:
+    (a_est, b_est, inter_est, union_est, jaccard_ppm). The two
+    ≤KMV_K-row sketches full-outer-join on h; rows below the combined
+    theta = min(theta_a, theta_b) form a uniform sample of A ∪ B, so
+    |match|/theta and |union|/theta scale up by 2^LANE_BITS; Jaccard
+    is the exact integer ratio of the two sample counts (ppm)."""
+    ska = kmv_sketch(a, col).withColumn("_a", F.lit(1))
+    skb = kmv_sketch(b, col).withColumn("_b", F.lit(1))
+    ta = kmv_theta(ska.select("h")).withColumnRenamed("theta", "theta_a")
+    tb = kmv_theta(skb.select("h")).withColumnRenamed("theta", "theta_b")
+    th = ta.crossJoin(tb).select(
+        F.least("theta_a", "theta_b").alias("theta")
+    )
+    merged = (
+        ska.join(skb, "h", "full")
+        .select(
+            "h",
+            F.coalesce("_a", F.lit(0)).alias("in_a"),
+            F.coalesce("_b", F.lit(0)).alias("in_b"),
+        )
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+    )
+    counts = merged.groupBy("theta").agg(
+        F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0)).alias("_inter"),
+        F.count(F.lit(1)).alias("_uni"),
+    )
+    # an empty merged sample (both inputs empty) drops the theta group;
+    # re-anchor on the 1-row theta frame so the output is always 1 row
+    counts = th.join(counts, "theta", "left").select(
+        "theta",
+        F.coalesce("_inter", F.lit(0)).alias("_inter"),
+        F.coalesce("_uni", F.lit(0)).alias("_uni"),
+    )
+    ea = kmv_estimate(a, col).select(F.col("kmv_estimate").alias("a_est"))
+    eb = kmv_estimate(b, col).select(F.col("kmv_estimate").alias("b_est"))
+    scale = F.lit(float(_LANE_MOD)) / F.col("theta").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(ea))
+        .crossJoin(F.broadcast(eb))
+        .select(
+            "a_est",
+            "b_est",
+            F.round(F.col("_inter").cast("double") * scale)
+            .cast("long")
+            .alias("inter_est"),
+            F.round(F.col("_uni").cast("double") * scale)
+            .cast("long")
+            .alias("union_est"),
+            F.expr("_inter * 1000000 DIV greatest(_uni, 1)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+
+
+def kmv_sketch_sql(source_sql: str, col: str) -> str:
+    """DuckDB twin of kmv_sketch (a SELECT producing ``h``)."""
+    lane = md5_lane_sql(col)
+    return (
+        f"SELECT DISTINCT (({lane}) % {_LANE_MOD} + {_LANE_MOD}) % {_LANE_MOD} AS h "
+        f"FROM ({source_sql}) ORDER BY h LIMIT {KMV_K}"
+    )
+
+
+def kmv_set_ops_sql(src_a: str, src_b: str, col: str) -> str:
+    """DuckDB twin of kmv_set_ops over two source relations."""
+    return f"""
+WITH a_sk AS ({kmv_sketch_sql(src_a, col)}),
+b_sk AS ({kmv_sketch_sql(src_b, col)}),
+a_th AS (SELECT CASE WHEN count(*) >= {KMV_K} THEN max(h)
+                     ELSE {_LANE_MOD} END AS theta_a FROM a_sk),
+b_th AS (SELECT CASE WHEN count(*) >= {KMV_K} THEN max(h)
+                     ELSE {_LANE_MOD} END AS theta_b FROM b_sk),
+th AS (SELECT least(theta_a, theta_b) AS theta FROM a_th, b_th),
+merged AS (
+  SELECT COALESCE(a.h, b.h) AS h,
+         CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM a_sk a FULL JOIN b_sk b ON a.h = b.h
+),
+counts AS (
+  SELECT COALESCE(SUM(in_a * in_b), 0) AS _inter,
+         COALESCE(count(*), 0) AS _uni
+  FROM merged, th WHERE h < theta
+),
+a_est AS (
+  SELECT CAST(round(CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+                         ELSE {float((KMV_K - 1) * _LANE_MOD)!r} / CAST(max(h) AS DOUBLE)
+                    END) AS BIGINT) AS a_est
+  FROM a_sk
+),
+b_est AS (
+  SELECT CAST(round(CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+                         ELSE {float((KMV_K - 1) * _LANE_MOD)!r} / CAST(max(h) AS DOUBLE)
+                    END) AS BIGINT) AS b_est
+  FROM b_sk
+)
+SELECT a_est, b_est,
+       CAST(round(CAST(_inter AS DOUBLE) * ({float(_LANE_MOD)!r} / CAST(theta AS DOUBLE)))
+            AS BIGINT) AS inter_est,
+       CAST(round(CAST(_uni AS DOUBLE) * ({float(_LANE_MOD)!r} / CAST(theta AS DOUBLE)))
+            AS BIGINT) AS union_est,
+       CAST(_inter * 1000000 // greatest(_uni, 1) AS BIGINT) AS jaccard_ppm
+FROM counts, th, a_est, b_est
+"""
+
+
+# --- Misra-Gries mergeable heavy-hitter summary --------------------------
+#
+# The deterministic counterpart to Count-Min: a ≤MG_K-row (key, count)
+# summary with the classic one-sided law est ≤ true ≤ est + threshold,
+# threshold ≤ n/(k+1). Built from the exact (map-side-combinable)
+# counts by the Mergeable Summaries reduction (Agarwal et al. 2012):
+# subtract the (k+1)-th largest count from every counter and keep the
+# positive ones — at most k survive by construction. Two summaries
+# merge by summing counts (absent = 0) and re-truncating; the merged
+# error is the sum of the inputs' thresholds plus the merge's own
+# (pinned). Unlike CM the artifact carries the KEYS, so it answers
+# "what are the heavy hitters" without a probe list.
+
+MG_K = 16
+
+
+def mg_summary(df: DataFrame, col: str, k: int = MG_K) -> DataFrame:
+    """(key, mg_count, mg_threshold): the Misra-Gries summary of
+    ``col``. counts is one map-side-combinable groupBy; the threshold
+    is the (k+1)-th largest count via TakeOrdered(k+1) — broadcast
+    back as a 1-row frame, never a global sort."""
+    counts = df.groupBy(F.col(col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(k + 1)
+    thresh = top.agg(
+        F.when(F.count(F.lit(1)) > F.lit(k), F.min("cnt"))
+        .otherwise(F.lit(0))
+        .alias("t")
+    )
+    return (
+        counts.crossJoin(F.broadcast(thresh))
+        .filter(F.col("cnt") > F.col("t"))
+        .select(
+            "key",
+            (F.col("cnt") - F.col("t")).alias("mg_count"),
+            F.col("t").alias("mg_threshold"),
+        )
+    )
+
+
+def mg_merge(s1: DataFrame, s2: DataFrame, k: int = MG_K) -> DataFrame:
+    """Merge two (key, mg_count, mg_threshold) summaries: sum counts
+    (absent key = 0), re-truncate by the merged set's (k+1)-th largest.
+    mg_threshold in the result = t1 + t2 + t_merge — the total
+    one-sided error bound vs the exact combined counts (pinned)."""
+    t1 = s1.agg(F.coalesce(F.max("mg_threshold"), F.lit(0)).alias("t1"))
+    t2 = s2.agg(F.coalesce(F.max("mg_threshold"), F.lit(0)).alias("t2"))
+    summed = (
+        s1.select("key", F.col("mg_count").alias("c1"))
+        .join(s2.select("key", F.col("mg_count").alias("c2")), "key", "full")
+        .select(
+            "key",
+            (
+                F.coalesce("c1", F.lit(0)) + F.coalesce("c2", F.lit(0))
+            ).alias("cnt"),
+        )
+    )
+    top = summed.orderBy(F.desc("cnt"), F.asc("key")).limit(k + 1)
+    tm = top.agg(
+        F.when(F.count(F.lit(1)) > F.lit(k), F.min("cnt"))
+        .otherwise(F.lit(0))
+        .alias("tm")
+    )
+    return (
+        summed.crossJoin(F.broadcast(tm))
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .filter(F.col("cnt") > F.col("tm"))
+        .select(
+            "key",
+            (F.col("cnt") - F.col("tm")).alias("mg_count"),
+            (F.col("t1") + F.col("t2") + F.col("tm")).alias("mg_threshold"),
+        )
+    )
+
+
+def mg_summary_sql(source_sql: str, col: str, k: int = MG_K) -> str:
+    """DuckDB twin of mg_summary (SELECT key, mg_count, mg_threshold)."""
+    return f"""
+SELECT key, cnt - t AS mg_count, t AS mg_threshold
+FROM (SELECT {col} AS key, count(*) AS cnt FROM ({source_sql}) GROUP BY 1) counts,
+     (SELECT CASE WHEN count(*) > {k} THEN min(cnt) ELSE 0 END AS t
+      FROM (SELECT count(*) AS cnt FROM ({source_sql}) GROUP BY {col}
+            ORDER BY cnt DESC, {col} LIMIT {k + 1}))
+WHERE cnt > t
+"""

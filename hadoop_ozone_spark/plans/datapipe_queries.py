@@ -3700,3 +3700,148 @@ DP_QSKETCH_GROUPED_SQL = _qsketch_grouped_sql()
 
 QUERIES["dp_qsketch_by_source"] = dp_qsketch_by_source
 ORACLES["dp_qsketch_by_source"] = DP_QSKETCH_GROUPED_SQL
+
+
+def dp_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations (datapipe/sketches.py kmv_set_ops):
+    estimated distinct active user-days for 'click' vs 'purchase'
+    events, their intersection / union / Jaccard, next to the exact
+    truths — the cross-set overlap dial HLL cannot provide. Both
+    sketches are ≤256-row artifacts; the truth columns are the
+    exact-path cost the sketch exists to avoid at 100 TB."""
+    from hadoop_ozone_spark.datapipe import sketches
+
+    ev = model.load(spark, sf_dir, "events")
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("|"),
+        F.col("ts").cast("date").cast("string"),
+    ).alias("k")
+    a = ev.filter(F.col("event_type") == "click").select(key)
+    b = ev.filter(F.col("event_type") == "purchase").select(key)
+    ops = sketches.kmv_set_ops(a, b, "k")
+    da, db = a.distinct(), b.distinct()
+    ti = da.join(db, "k").agg(F.count(F.lit(1)).alias("true_inter"))
+    tu = (
+        da.union(db)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("true_union"))
+    )
+    return (
+        ops.crossJoin(F.broadcast(ti))
+        .crossJoin(F.broadcast(tu))
+        .select(
+            "a_est",
+            "b_est",
+            "inter_est",
+            "union_est",
+            "jaccard_ppm",
+            "true_inter",
+            "true_union",
+            F.expr(
+                "abs(inter_est - true_inter) * 1000000"
+                " DIV greatest(true_inter, 1)"
+            ).alias("inter_err_ppm"),
+        )
+    )
+
+
+def _kmv_overlap_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    src = (
+        "SELECT concat(CAST(user_id AS VARCHAR), '|',"
+        " CAST(CAST(ts AS DATE) AS VARCHAR)) AS k"
+        " FROM events WHERE event_type = '{et}'"
+    )
+    src_a, src_b = src.format(et="click"), src.format(et="purchase")
+    return f"""
+WITH ops AS ({sketches.kmv_set_ops_sql(src_a, src_b, "k")}),
+ti AS (
+  SELECT count(*) AS true_inter
+  FROM (SELECT DISTINCT k FROM ({src_a})) a
+  JOIN (SELECT DISTINCT k FROM ({src_b})) b USING (k)
+),
+tu AS (
+  SELECT count(DISTINCT k) AS true_union
+  FROM (SELECT k FROM ({src_a}) UNION ALL SELECT k FROM ({src_b}))
+)
+SELECT a_est, b_est, inter_est, union_est, jaccard_ppm,
+       CAST(true_inter AS BIGINT) AS true_inter,
+       CAST(true_union AS BIGINT) AS true_union,
+       CAST(abs(inter_est - true_inter) * 1000000
+            // greatest(true_inter, 1) AS BIGINT) AS inter_err_ppm
+FROM ops, ti, tu
+"""
+
+
+DP_KMV_OVERLAP_SQL = _kmv_overlap_sql()
+
+QUERIES["dp_kmv_user_overlap"] = dp_kmv_user_overlap
+ORACLES["dp_kmv_user_overlap"] = DP_KMV_OVERLAP_SQL
+
+
+def dp_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries top-10 tokens (datapipe/sketches.py mg_summary):
+    the deterministic ≤16-key mergeable summary next to exact counts —
+    unlike Count-Min it names the heavy hitters without a probe list,
+    with the one-sided law est ≤ true ≤ est + threshold and
+    threshold·(k+1) ≤ n pinned per row (within_law)."""
+    from hadoop_ozone_spark.datapipe import sketches
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    docs = model.load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            text_ops.tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+        ).alias("token")
+    )
+    summ = sketches.mg_summary(tok, "token").withColumnRenamed("key", "token")
+    truth = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    n = tok.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        summ.join(truth, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "mg_count",
+            "true_count",
+            "mg_threshold",
+            (
+                (F.col("true_count") - F.col("mg_count"))
+                * F.lit(sketches.MG_K + 1)
+                <= F.col("_n")
+            ).alias("within_law"),
+        )
+        .orderBy(F.desc("mg_count"), F.asc("token"))
+        .limit(10)
+    )
+
+
+def _mg_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    tok_src = (
+        r"SELECT unnest(regexp_split_to_array(trim(lower(COALESCE(text, ''))),"
+        r" '\s+')) AS token FROM documents"
+    )
+    return f"""
+WITH summ AS ({sketches.mg_summary_sql(tok_src, "token")}),
+truth AS (
+  SELECT token, count(*) AS true_count FROM ({tok_src}) GROUP BY token
+),
+n AS (SELECT count(*) AS _n FROM ({tok_src}))
+SELECT key AS token,
+       CAST(mg_count AS BIGINT) AS mg_count,
+       CAST(true_count AS BIGINT) AS true_count,
+       CAST(mg_threshold AS BIGINT) AS mg_threshold,
+       (true_count - mg_count) * {sketches.MG_K + 1} <= _n AS within_law
+FROM summ JOIN truth ON summ.key = truth.token, n
+ORDER BY mg_count DESC, token LIMIT 10
+"""
+
+
+DP_MG_SQL = _mg_sql()
+
+QUERIES["dp_mg_heavy_hitters"] = dp_mg_heavy_hitters
+ORACLES["dp_mg_heavy_hitters"] = DP_MG_SQL

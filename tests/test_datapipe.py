@@ -2299,3 +2299,141 @@ def test_cm_grouped_equals_per_key_ungrouped(spark):
     assert est[("g0", "t0")] >= truth[("g0", "t0")]
     assert est[("g1", "t1")] >= truth[("g1", "t1")]
     assert est[("g0", "never_seen_xyz")] == 0
+
+
+def test_kmv_estimate_exact_branch_and_accuracy(spark):
+    from hadoop_ozone_spark.datapipe import sketches
+
+    # below k: the sketch IS the distinct set -> exact
+    tiny = spark.range(100).select(F.concat(F.lit("v"), F.col("id")).alias("k"))
+    r = sketches.kmv_estimate(tiny, "k").first()
+    assert r.kmv_estimate == 100 and r.sketch_size == 100
+
+    # at 50k distinct: sigma ~ 1/sqrt(k-1) = 6.3%; assert within 3 sigma
+    df = spark.range(50_000).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("k")
+    )
+    r = sketches.kmv_estimate(df, "k").first()
+    assert r.sketch_size == sketches.KMV_K
+    assert abs(r.kmv_estimate - 50_000) / 50_000 < 0.20
+
+    # duplicates don't move the sketch (distinct-hash law)
+    dup = df.union(df).union(df)
+    assert sketches.kmv_estimate(dup, "k").first().kmv_estimate == r.kmv_estimate
+
+    # empty input estimates 0, not NULL
+    empty = spark.createDataFrame([], "k string")
+    r0 = sketches.kmv_estimate(empty, "k").first()
+    assert r0.kmv_estimate == 0 and r0.sketch_size == 0
+
+
+def test_kmv_merge_law(spark):
+    # union-then-k-smallest of two sketches == the whole's sketch (the
+    # write-time-artifact contract: per-partition/day sketches merge)
+    from hadoop_ozone_spark.datapipe import sketches
+
+    df = spark.range(20_000).select(
+        F.concat(F.lit("m"), F.col("id")).alias("k")
+    )
+    a = df.filter(F.col("id") % 3 == 0).select("k")
+    b = df.filter(F.col("id") % 3 != 0).select("k")
+    whole = [r.h for r in sketches.kmv_sketch(df, "k").collect()]
+    ha = [r.h for r in sketches.kmv_sketch(a, "k").collect()]
+    hb = [r.h for r in sketches.kmv_sketch(b, "k").collect()]
+    merged = sorted(set(ha) | set(hb))[: sketches.KMV_K]
+    assert merged == sorted(whole)
+
+
+def test_kmv_set_ops_disjoint_identical_and_overlap(spark):
+    from hadoop_ozone_spark.datapipe import sketches
+
+    big = spark.range(30_000)
+    a = big.select(F.concat(F.lit("a"), F.col("id")).alias("k"))
+    # identical sets: jaccard == 1e6, inter == union
+    r = sketches.kmv_set_ops(a, a, "k").first()
+    assert r.jaccard_ppm == 1_000_000 and r.inter_est == r.union_est
+
+    # disjoint sets: inter == 0, jaccard == 0
+    b = big.select(F.concat(F.lit("b"), F.col("id")).alias("k"))
+    r = sketches.kmv_set_ops(a, b, "k").first()
+    assert r.inter_est == 0 and r.jaccard_ppm == 0
+    # union estimate sees both sides: ~60k within 3 sigma-ish
+    assert abs(r.union_est - 60_000) / 60_000 < 0.25
+
+    # 50% overlap: ids 0..30k vs 15k..45k -> true jaccard = 1/3
+    c = (
+        spark.range(15_000, 45_000)
+        .select(F.concat(F.lit("a"), F.col("id")).alias("k"))
+    )
+    r = sketches.kmv_set_ops(a, c, "k").first()
+    assert abs(r.inter_est - 15_000) / 15_000 < 0.35
+    assert abs(r.jaccard_ppm - 333_333) / 333_333 < 0.35
+
+    # below-k exact branch: everything exact
+    sa = spark.createDataFrame([(f"x{i}",) for i in range(60)], "k string")
+    sb = spark.createDataFrame([(f"x{i}",) for i in range(30, 90)], "k string")
+    r = sketches.kmv_set_ops(sa, sb, "k").first()
+    assert (r.a_est, r.b_est, r.inter_est, r.union_est) == (60, 60, 30, 90)
+    assert r.jaccard_ppm == 30 * 1_000_000 // 90
+
+
+def test_mg_summary_laws(spark):
+    from hadoop_ozone_spark.datapipe import sketches
+
+    # skewed stream: t0 x 1000, t1..t99 x (i % 7 + 1)
+    rows = [("t0",)] * 1000
+    for i in range(1, 100):
+        rows += [(f"t{i}",)] * (i % 7 + 1)
+    df = spark.createDataFrame(rows, "token string")
+    n = df.count()
+    truth = {
+        r.token: r["count"] for r in df.groupBy("token").count().collect()
+    }
+    summ = sketches.mg_summary(df, "token").collect()
+    # bounded artifact
+    assert 0 < len(summ) <= sketches.MG_K
+    t = summ[0].mg_threshold
+    assert all(r.mg_threshold == t for r in summ)
+    # threshold law: t <= n/(k+1)
+    assert t * (sketches.MG_K + 1) <= n
+    # one-sided per-key law: est <= true <= est + t
+    for r in summ:
+        assert r.mg_count <= truth[r.key] <= r.mg_count + t
+    # any key with true freq > n/(k+1) MUST survive (heavy-hitter law)
+    kept = {r.key for r in summ}
+    for k, v in truth.items():
+        if v * (sketches.MG_K + 1) > n:
+            assert k in kept
+    assert "t0" in kept
+
+    # fewer distinct keys than k: summary == exact counts, t == 0
+    few = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3, "token string"
+    )
+    s = {r.key: (r.mg_count, r.mg_threshold) for r in
+         sketches.mg_summary(few, "token").collect()}
+    assert s == {"a": (5, 0), "b": (3, 0)}
+
+
+def test_mg_merge_error_bound(spark):
+    from hadoop_ozone_spark.datapipe import sketches
+
+    # two disjoint-day slices of one skewed stream
+    rows1 = [("t0",)] * 400 + [(f"t{i}",) for i in range(1, 60) for _ in range(i % 5 + 1)]
+    rows2 = [("t0",)] * 300 + [(f"u{i}",) for i in range(1, 60) for _ in range(i % 4 + 1)]
+    d1 = spark.createDataFrame(rows1, "token string")
+    d2 = spark.createDataFrame(rows2, "token string")
+    s1 = sketches.mg_summary(d1, "token")
+    s2 = sketches.mg_summary(d2, "token")
+    merged = sketches.mg_merge(s1, s2).collect()
+    assert 0 < len(merged) <= sketches.MG_K
+    whole = d1.union(d2)
+    truth = {
+        r.token: r["count"] for r in whole.groupBy("token").count().collect()
+    }
+    bound = merged[0].mg_threshold
+    # merged one-sided law vs the EXACT combined counts
+    for r in merged:
+        assert r.mg_count <= truth[r.key] <= r.mg_count + bound
+    # the global heavy hitter survives the merge
+    assert any(r.key == "t0" for r in merged)
