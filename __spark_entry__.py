@@ -799,6 +799,7 @@ NEXT_WINDOW: list[str] = [
     "dp_cm_by_source",
     "dp_kmv_user_overlap",
     "dp_mg_heavy_hitters",
+    "dp_mg_by_source",
 ]
 
 

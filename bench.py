@@ -139,6 +139,9 @@ HEADLINE = [
     "dp_qsketch_tokens",
     "dp_qsketch_by_source",
     "dp_cm_by_source",
+    "dp_kmv_user_overlap",
+    "dp_mg_heavy_hitters",
+    "dp_mg_by_source",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

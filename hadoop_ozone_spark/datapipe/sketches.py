@@ -878,3 +878,93 @@ FROM (SELECT {col} AS key, count(*) AS cnt FROM ({source_sql}) GROUP BY 1) count
             ORDER BY cnt DESC, {col} LIMIT {k + 1}))
 WHERE cnt > t
 """
+
+
+def mg_summary_grouped(
+    df: DataFrame, key: str, col: str, k: int = MG_K
+) -> DataFrame:
+    """(key, val, mg_count, mg_threshold): the Misra-Gries summary per
+    GROUP — a group's rows are bit-identical to running mg_summary on
+    its slice (pinned): the per-group threshold is the (k+1)-th largest
+    count within the group via a key-partitioned rank window over the
+    counts frame (distinct (key, val) rows, never the input)."""
+    counts = df.groupBy(F.col(key).alias("key"), F.col(col).alias("val")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("cnt"), F.asc("val"))
+    thresh = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == F.lit(k + 1))
+        .select("key", F.col("cnt").alias("t"))
+    )
+    return (
+        counts.join(thresh, "key", "left")
+        .withColumn("t", F.coalesce("t", F.lit(0)))
+        .filter(F.col("cnt") > F.col("t"))
+        .select(
+            "key",
+            "val",
+            (F.col("cnt") - F.col("t")).alias("mg_count"),
+            F.col("t").alias("mg_threshold"),
+        )
+    )
+
+
+def mg_summary_grouped_sql(
+    source_sql: str, key: str, col: str, k: int = MG_K
+) -> str:
+    """DuckDB twin of mg_summary_grouped."""
+    return f"""
+WITH counts AS (
+  SELECT {key} AS key, {col} AS val, count(*) AS cnt
+  FROM ({source_sql}) GROUP BY 1, 2
+),
+thresh AS (
+  SELECT key, cnt AS t FROM (
+    SELECT key, cnt,
+           row_number() OVER (PARTITION BY key
+                              ORDER BY cnt DESC, val) AS _rn
+    FROM counts
+  ) WHERE _rn = {k + 1}
+)
+SELECT counts.key, val, cnt - COALESCE(t, 0) AS mg_count,
+       COALESCE(t, 0) AS mg_threshold
+FROM counts LEFT JOIN thresh ON counts.key = thresh.key
+WHERE cnt > COALESCE(t, 0)
+"""
+
+
+def mg_zone(df: DataFrame, col: str, k: int = MG_K) -> DataFrame:
+    """mg_summary plus a (key = NULL, mg_count = 0, mg_threshold = t)
+    sentinel row — the landable zone form: a batch whose summary is
+    EMPTY (every count tied at or below the (k+1)-th largest) still
+    records its error contribution t, which the rolling fold must add
+    to the merged bound (readers drop the NULL key after summing)."""
+    counts = df.groupBy(F.col(col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(k + 1)
+    thresh = top.agg(
+        F.when(F.count(F.lit(1)) > F.lit(k), F.min("cnt"))
+        .otherwise(F.lit(0))
+        .alias("t")
+    )
+    summ = (
+        counts.crossJoin(F.broadcast(thresh))
+        .filter(F.col("cnt") > F.col("t"))
+        .select(
+            "key",
+            (F.col("cnt") - F.col("t")).alias("mg_count"),
+            F.col("t").alias("mg_threshold"),
+        )
+    )
+    sentinel = thresh.select(
+        F.lit(None).cast("string").alias("key"),
+        F.lit(0).cast("long").alias("mg_count"),
+        F.col("t").cast("long").alias("mg_threshold"),
+    )
+    return summ.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("mg_count").cast("long").alias("mg_count"),
+        F.col("mg_threshold").cast("long").alias("mg_threshold"),
+    ).unionByName(sentinel)

@@ -3845,3 +3845,86 @@ DP_MG_SQL = _mg_sql()
 
 QUERIES["dp_mg_heavy_hitters"] = dp_mg_heavy_hitters
 ORACLES["dp_mg_heavy_hitters"] = DP_MG_SQL
+
+
+def dp_mg_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Misra-Gries heavy hitters (sketches.mg_summary_grouped
+    — completing the grouped sketch family next to HLL-G / QS-G /
+    CM-G): each source's top-3 summary keys next to the exact counts,
+    with the per-group one-sided law est <= true <= est + t verified
+    per row (a group's summary is bit-identical to the ungrouped
+    summary of its slice, pinned in tests). Unlike CM-G this names the
+    heavy hitters without a probe list — the per-domain "what dominates
+    this source" dial of a curation pipeline."""
+    from hadoop_ozone_spark.datapipe import sketches
+    from hadoop_ozone_spark.datapipe import text as text_ops
+    from pyspark.sql import Window
+
+    docs = model.load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("source"),
+        F.explode(
+            text_ops.tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+        ).alias("token"),
+    )
+    summ = sketches.mg_summary_grouped(tok, "source", "token")
+    truth = tok.groupBy(
+        F.col("source").alias("key"), F.col("token").alias("val")
+    ).agg(F.count(F.lit(1)).alias("true_count"))
+    top3 = (
+        summ.join(truth, ["key", "val"])
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("key").orderBy(
+                    F.desc("mg_count"), F.asc("val")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= 3)
+    )
+    return top3.select(
+        F.col("key").alias("source"),
+        F.col("val").alias("token"),
+        "mg_count",
+        "true_count",
+        "mg_threshold",
+        (
+            (F.col("true_count") - F.col("mg_count")) == F.col("mg_threshold")
+        ).alias("law_exact"),
+    ).orderBy("source", F.desc("mg_count"), F.asc("token"))
+
+
+def _mg_grouped_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    tok_src = (
+        r"SELECT source, unnest(regexp_split_to_array(trim(lower(COALESCE(text,"
+        r" ''))), '\s+')) AS token FROM documents"
+    )
+    return f"""
+WITH summ AS ({sketches.mg_summary_grouped_sql(tok_src, "source", "token")}),
+truth AS (
+  SELECT source AS key, token AS val, count(*) AS true_count
+  FROM ({tok_src}) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT summ.key, summ.val, mg_count, true_count, mg_threshold,
+         row_number() OVER (PARTITION BY summ.key
+                            ORDER BY mg_count DESC, summ.val ASC) AS _rn
+  FROM summ JOIN truth ON summ.key = truth.key AND summ.val = truth.val
+)
+SELECT key AS source, val AS token,
+       CAST(mg_count AS BIGINT) AS mg_count,
+       CAST(true_count AS BIGINT) AS true_count,
+       CAST(mg_threshold AS BIGINT) AS mg_threshold,
+       (true_count - mg_count) = mg_threshold AS law_exact
+FROM ranked WHERE _rn <= 3
+ORDER BY source, mg_count DESC, token
+"""
+
+
+DP_MG_GROUPED_SQL = _mg_grouped_sql()
+
+QUERIES["dp_mg_by_source"] = dp_mg_by_source
+ORACLES["dp_mg_by_source"] = DP_MG_GROUPED_SQL

@@ -84,3 +84,74 @@ def read_qsketch_counts(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def process_set_batch(
+    spark: SparkSession, batch: DataFrame, batch_id: int, state_dir: str, col: str
+) -> None:
+    """Land one batch's KMV and Misra-Gries zones (idempotent
+    overwrite) — the set-operation / heavy-hitter members of the
+    rolling sketch family:
+
+    - KMV zones merge by union-then-k-smallest, which is EXACT
+      (stream ≡ batch, pinned): a globally-k-smallest hash is k-smallest
+      within its own batch too;
+    - MG zones merge by summing per-key counts and re-truncating; the
+      merged bound is Σ per-zone thresholds + the re-truncation's own
+      (the mg_merge law). Each zone carries a NULL-key sentinel so an
+      empty summary still records its threshold."""
+    sketches.kmv_sketch(batch, col).write.mode("overwrite").parquet(
+        f"{state_dir}/kmv/batch={batch_id}"
+    )
+    sketches.mg_zone(batch, col).write.mode("overwrite").parquet(
+        f"{state_dir}/mg/batch={batch_id}"
+    )
+
+
+def read_kmv_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Union-then-k-smallest over every landed zone — identical to the
+    batch sketch of the concatenated input (pinned)."""
+    zones.assert_zones_clean(spark, state_dir, ("kmv",))
+    return (
+        spark.read.parquet(f"{state_dir}/kmv")
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(sketches.KMV_K)
+    )
+
+
+def read_mg_summary(spark: SparkSession, state_dir: str, k: int = sketches.MG_K) -> DataFrame:
+    """(key, mg_count, mg_threshold): fold every landed MG zone — sum
+    per-key counts (sentinels drop), re-truncate by the summed set's
+    (k+1)-th largest; mg_threshold = Σ zone thresholds + the
+    re-truncation's own, the one-sided bound vs the exact counts of
+    the concatenated stream (pinned)."""
+    zones.assert_zones_clean(spark, state_dir, ("mg",))
+    z = spark.read.parquet(f"{state_dir}/mg")
+    t_in = (
+        z.groupBy("batch")
+        .agg(F.max("mg_threshold").alias("t"))
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).alias("t_in"))
+    )
+    summed = (
+        z.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.sum("mg_count").alias("cnt"))
+    )
+    top = summed.orderBy(F.desc("cnt"), F.asc("key")).limit(k + 1)
+    tm = top.agg(
+        F.when(F.count(F.lit(1)) > F.lit(k), F.min("cnt"))
+        .otherwise(F.lit(0))
+        .alias("tm")
+    )
+    return (
+        summed.crossJoin(F.broadcast(tm))
+        .crossJoin(F.broadcast(t_in))
+        .filter(F.col("cnt") > F.col("tm"))
+        .select(
+            "key",
+            (F.col("cnt") - F.col("tm")).alias("mg_count"),
+            (F.col("tm") + F.col("t_in")).alias("mg_threshold"),
+        )
+    )

@@ -2437,3 +2437,27 @@ def test_mg_merge_error_bound(spark):
         assert r.mg_count <= truth[r.key] <= r.mg_count + bound
     # the global heavy hitter survives the merge
     assert any(r.key == "t0" for r in merged)
+
+
+def test_mg_grouped_equals_per_key_ungrouped(spark):
+    from hadoop_ozone_spark.datapipe import sketches
+
+    rows = []
+    for g in ("s1", "s2", "s3"):
+        rows += [(g, "hot")] * (50 if g == "s1" else 9)
+        rows += [(g, f"{g}_t{i}") for i in range(25) for _ in (range(2) if i % 3 else range(1))]
+    df = spark.createDataFrame(rows, "src string, token string")
+    grouped = sketches.mg_summary_grouped(df, "src", "token").collect()
+    for g in ("s1", "s2", "s3"):
+        mine = sorted(
+            (r.val, r.mg_count, r.mg_threshold)
+            for r in grouped
+            if r.key == g
+        )
+        solo = sorted(
+            (r.key, r.mg_count, r.mg_threshold)
+            for r in sketches.mg_summary(
+                df.filter(F.col("src") == g).select("token"), "token"
+            ).collect()
+        )
+        assert mine == solo

@@ -80,3 +80,90 @@ def test_qsketch_stream_matches_batch_and_replays(spark):
     finally:
         whole.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_kmv_stream_matches_batch_exactly_and_replays(spark):
+    whole = spark.range(25_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k")
+    ).persist()
+    batches = [whole.filter(F.crc32("k") % 3 == i) for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="ozspark_kmvstream_")
+    try:
+        for i, b in enumerate(batches):
+            sketch_stream.process_set_batch(spark, b, i, tmp, "k")
+        folded = sorted(
+            r.h for r in sketch_stream.read_kmv_sketch(spark, tmp).collect()
+        )
+        direct = sorted(r.h for r in sketches.kmv_sketch(whole, "k").collect())
+        # union-then-k-smallest is EXACT: stream == batch
+        assert folded == direct
+        sketch_stream.process_set_batch(spark, batches[1], 1, tmp, "k")  # replay
+        assert sorted(
+            r.h for r in sketch_stream.read_kmv_sketch(spark, tmp).collect()
+        ) == folded
+    finally:
+        whole.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_mg_stream_error_law_and_replays(spark):
+    # skewed stream split into 3 disjoint day-batches
+    rows = [("hot",)] * 900
+    for i in range(120):
+        rows += [(f"t{i}",)] * (i % 6 + 1)
+    whole = spark.createDataFrame(rows, "k string").persist()
+    batches = [whole.filter(F.crc32("k") % 3 == i) for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="ozspark_mgstream_")
+    try:
+        for i, b in enumerate(batches):
+            sketch_stream.process_set_batch(spark, b, i, tmp, "k")
+        folded = sketch_stream.read_mg_summary(spark, tmp).collect()
+        assert 0 < len(folded) <= sketches.MG_K
+        truth = {
+            r.k: r["count"] for r in whole.groupBy("k").count().collect()
+        }
+        bound = folded[0].mg_threshold
+        for r in folded:
+            assert r.mg_count <= truth[r.key] <= r.mg_count + bound
+        # the global heavy hitter survives the fold
+        assert any(r.key == "hot" for r in folded)
+        # replay is a no-op
+        before = {(r.key, r.mg_count, r.mg_threshold) for r in folded}
+        sketch_stream.process_set_batch(spark, batches[2], 2, tmp, "k")
+        after = {
+            (r.key, r.mg_count, r.mg_threshold)
+            for r in sketch_stream.read_mg_summary(spark, tmp).collect()
+        }
+        assert after == before
+    finally:
+        whole.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_mg_zone_sentinel_preserves_empty_summary_threshold(spark):
+    # a batch where EVERY key ties at the (k+1)-th largest count: the
+    # summary is empty but its error t must survive into the fold
+    rows = [(f"t{i}",) for i in range(sketches.MG_K + 4) for _ in range(3)]
+    batch = spark.createDataFrame(rows, "k string")
+    z = sketches.mg_zone(batch, "k").collect()
+    assert all(r.key is None for r in z)  # nothing survives truncation
+    assert len(z) == 1 and z[0].mg_threshold == 3
+    tmp = tempfile.mkdtemp(prefix="ozspark_mgsentinel_")
+    try:
+        sketch_stream.process_set_batch(spark, batch, 0, tmp, "k")
+        heavy = spark.createDataFrame([("hot",)] * 50, "k string")
+        sketch_stream.process_set_batch(spark, heavy, 1, tmp, "k")
+        folded = sketch_stream.read_mg_summary(spark, tmp).collect()
+        by_key = {r.key: r for r in folded}
+        assert "hot" in by_key
+        # the bound carries batch 0's sentinel threshold (3): true - est
+        # for every key must stay within it, including t0..t19 (true 3,
+        # est 0 -> needs bound >= 3, which only the sentinel provides)
+        assert by_key["hot"].mg_threshold >= 3
+        truth = {"hot": 50, **{f"t{i}": 3 for i in range(sketches.MG_K + 4)}}
+        bound = folded[0].mg_threshold
+        for k, v in truth.items():
+            est = by_key[k].mg_count if k in by_key else 0
+            assert est <= v <= est + bound
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -81,11 +81,29 @@ def _dedup_read(spark, sd):
     )
 
 
+def _kmv_land(spark, sd, bid, ids):
+    sketch_stream.process_set_batch(spark, _docs(spark, ids), bid, sd, "text")
+
+
+def _kmv_read(spark, sd):
+    return sorted(
+        r.h for r in sketch_stream.read_kmv_sketch(spark, sd).collect()
+    )
+
+
+def _mg_read(spark, sd):
+    return sorted(
+        map(tuple, sketch_stream.read_mg_summary(spark, sd).collect())
+    )
+
+
 FAMILIES = {
     "sketch": (_sketch_land, _sketch_read, "hll"),
     "span": (_span_land, _span_read, "spans"),
     "search": (_search_land, _search_read, "postings"),
     "dedup": (_dedup_land, _dedup_read, "labels"),
+    "kmv": (_kmv_land, _kmv_read, "kmv"),
+    "mg": (_kmv_land, _mg_read, "mg"),
 }
 
 
