@@ -52,8 +52,15 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -112,6 +119,29 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"OK   {name} ({len(sdf)} rows, {elapsed:.1f}s)")
+        records[name] = {
+            "rows_match": not any(p.startswith("rows") for p in problems),
+            "schema_match": not any(p.startswith("cols") for p in problems),
+            "hash_match": not problems,
+            "rows": len(sdf),
+            "sec": round(elapsed, 1),
+            "err": "; ".join(problems) or None,
+        }
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "failures": len(failures),
+                    "strict_float_failures": len(strict_failures),
+                    "queries": records,
+                    "n_queries": len(records),
+                },
+                fh,
+                indent=1,
+            )
     print(
         f"\nstrict_floats: {len(strict_failures)} failures"
         + (f": {strict_failures}" if strict_failures else "")

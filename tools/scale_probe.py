@@ -1138,6 +1138,38 @@ def sketch_probe(n_m: float = 10.0) -> None:
         r.q_ppm: r.est for r in sketches.qsketch_quantiles(qs).collect()
     }.get(500000)
     num.unpersist()
+    # KMV: distinct estimate + set ops between the two id-parity halves
+    # (true overlap 0 by construction of the key law when split on the
+    # KEY, so split on key parity: keys shared across halves = none);
+    # artifact stays <= KMV_K and the build is distinct + TakeOrdered
+    t0 = time.time()
+    r = sketches.kmv_estimate(df, "k").first()
+    out["timings_sec"]["kmv"] = round(time.time() - t0, 2)
+    out["kmv_estimate"] = r.kmv_estimate
+    out["artifact_rows"]["kmv"] = r.sketch_size
+    a = df.filter(F.crc32("k") % 2 == 0)
+    b = df.filter(F.crc32("k") % 2 == 1)
+    t0 = time.time()
+    ops = sketches.kmv_set_ops(a, b, "k").first()
+    out["timings_sec"]["kmv_set_ops"] = round(time.time() - t0, 2)
+    out["kmv_disjoint_inter_est"] = ops.inter_est
+    # MG: the <=16-key deterministic heavy-hitter summary — needs true
+    # heavy hitters to retain anything (the base key law's top counts
+    # all tie at 10, below n/(k+1)): redirect 20% of rows onto 4 hot
+    # keys (5% each) which MUST survive by the heavy-hitter law
+    skewed = spark.range(n).select(
+        F.when(
+            F.col("id") % 5 == 0,
+            F.concat(F.lit("hot"), (F.col("id") % 4).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("k"), F.expr("id DIV (id % 10 + 1)")))
+        .alias("k")
+    )
+    t0 = time.time()
+    mg = sketches.mg_summary(skewed, "k").collect()
+    out["timings_sec"]["mg"] = round(time.time() - t0, 2)
+    out["artifact_rows"]["mg"] = len(mg)
+    out["mg_hot_recovered"] = sum(1 for r in mg if r.key.startswith("hot"))
     print(json.dumps(out))
     df.unpersist()
     spark.stop()
