@@ -800,6 +800,7 @@ NEXT_WINDOW: list[str] = [
     "dp_kmv_user_overlap",
     "dp_mg_heavy_hitters",
     "dp_mg_by_source",
+    "dp_kmv_type_matrix",
 ]
 
 

@@ -142,6 +142,7 @@ HEADLINE = [
     "dp_kmv_user_overlap",
     "dp_mg_heavy_hitters",
     "dp_mg_by_source",
+    "dp_kmv_type_matrix",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

@@ -689,8 +689,8 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
     theta = min(theta_a, theta_b) form a uniform sample of A ∪ B, so
     |match|/theta and |union|/theta scale up by 2^LANE_BITS; Jaccard
     is the exact integer ratio of the two sample counts (ppm)."""
-    ska = kmv_sketch(a, col).withColumn("_a", F.lit(1))
-    skb = kmv_sketch(b, col).withColumn("_b", F.lit(1))
+    ska = kmv_sketch(a, col).withColumn("_a", F.lit(1)).persist()
+    skb = kmv_sketch(b, col).withColumn("_b", F.lit(1)).persist()
     ta = kmv_theta(ska.select("h")).withColumnRenamed("theta", "theta_a")
     tb = kmv_theta(skb.select("h")).withColumnRenamed("theta", "theta_b")
     th = ta.crossJoin(tb).select(
@@ -717,8 +717,19 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
         F.coalesce("_inter", F.lit(0)).alias("_inter"),
         F.coalesce("_uni", F.lit(0)).alias("_uni"),
     )
-    ea = kmv_estimate(a, col).select(F.col("kmv_estimate").alias("a_est"))
-    eb = kmv_estimate(b, col).select(F.col("kmv_estimate").alias("b_est"))
+    # per-side estimates from the ALREADY-BUILT (persisted) sketches —
+    # kmv_estimate(a, col) would rescan the input a second time
+    def _est(sk: DataFrame, alias: str) -> DataFrame:
+        agg = sk.agg(
+            F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk")
+        )
+        e = F.when(F.col("_n") < F.lit(KMV_K), F.col("_n").cast("double")).otherwise(
+            F.lit(float((KMV_K - 1) * _LANE_MOD)) / F.col("_hk").cast("double")
+        )
+        return agg.select(F.round(e).cast("long").alias(alias))
+
+    ea = _est(ska.select("h"), "a_est")
+    eb = _est(skb.select("h"), "b_est")
     scale = F.lit(float(_LANE_MOD)) / F.col("theta").cast("double")
     return (
         counts.crossJoin(F.broadcast(ea))
@@ -968,3 +979,138 @@ def mg_zone(df: DataFrame, col: str, k: int = MG_K) -> DataFrame:
         F.col("mg_count").cast("long").alias("mg_count"),
         F.col("mg_threshold").cast("long").alias("mg_threshold"),
     ).unionByName(sentinel)
+
+
+def kmv_sketch_grouped(df: DataFrame, key: str, col: str) -> DataFrame:
+    """(key, h): the KMV sketch per GROUP — ≤ KMV_K smallest distinct
+    hashes within each key via a key-partitioned rank window over the
+    distinct (key, h) frame (the mg_summary_grouped shape; a group's
+    rows are bit-identical to the ungrouped sketch of its slice)."""
+    hashes = (
+        df.select(
+            F.col(key).alias("key"),
+            F.pmod(md5_lane(F.col(col)), F.lit(_LANE_MOD)).alias("h"),
+        )
+        .groupBy("key", "h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select("key", "h")
+    )
+    w = Window.partitionBy("key").orderBy("h")
+    return (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(KMV_K))
+        .select("key", "h")
+    )
+
+
+def kmv_pairwise_matrix(df: DataFrame, key: str, col: str) -> DataFrame:
+    """(key_a, key_b, inter_est, union_est, jaccard_ppm): theta-sketch
+    set operations for EVERY unordered group pair from ONE grouped
+    sketch build — the cross-source overlap matrix a curation pipeline
+    reads to plan dedup order. Everything after the grouped sketch
+    runs on ≤ |groups|·KMV_K rows: per-pair theta = min of the two
+    group thetas; candidates below theta tagged by side; the same
+    |sample|/theta scale-up as kmv_set_ops."""
+    sk = kmv_sketch_grouped(df, key, col).persist()
+    th = sk.groupBy("key").agg(
+        F.when(F.count(F.lit(1)) >= F.lit(KMV_K), F.max("h"))
+        .otherwise(F.lit(_LANE_MOD))
+        .alias("theta")
+    )
+    a, b = th.alias("a"), th.alias("b")
+    pairs = (
+        a.join(b, F.col("a.key") < F.col("b.key"))
+        .select(
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+            F.least("a.theta", "b.theta").alias("theta"),
+        )
+    )
+    cand = (
+        F.broadcast(pairs)
+        .join(
+            sk,
+            (F.col("key") == F.col("key_a")) | (F.col("key") == F.col("key_b")),
+        )
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("key_a", "key_b", "theta", "h")
+        .agg(
+            F.max((F.col("key") == F.col("key_a")).cast("int")).alias("ia"),
+            F.max((F.col("key") == F.col("key_b")).cast("int")).alias("ib"),
+        )
+    )
+    counts = cand.groupBy("key_a", "key_b", "theta").agg(
+        F.coalesce(F.sum(F.col("ia") * F.col("ib")), F.lit(0)).alias("_inter"),
+        F.count(F.lit(1)).alias("_uni"),
+    )
+    # pairs whose below-theta sample is empty drop out of the groupBy —
+    # re-anchor on the pairs frame so the matrix is always complete
+    counts = pairs.join(counts, ["key_a", "key_b", "theta"], "left").select(
+        "key_a",
+        "key_b",
+        "theta",
+        F.coalesce("_inter", F.lit(0)).alias("_inter"),
+        F.coalesce("_uni", F.lit(0)).alias("_uni"),
+    )
+    scale = F.lit(float(_LANE_MOD)) / F.col("theta").cast("double")
+    return counts.select(
+        "key_a",
+        "key_b",
+        F.round(F.col("_inter").cast("double") * scale).cast("long").alias("inter_est"),
+        F.round(F.col("_uni").cast("double") * scale).cast("long").alias("union_est"),
+        F.expr("_inter * 1000000 DIV greatest(_uni, 1)").alias("jaccard_ppm"),
+    )
+
+
+def kmv_pairwise_matrix_sql(source_sql: str, key: str, col: str) -> str:
+    """DuckDB twin of kmv_pairwise_matrix."""
+    lane = md5_lane_sql(col)
+    return f"""
+WITH vals AS ({source_sql}),
+hashes AS (
+  SELECT DISTINCT {key} AS key,
+         (({lane}) % {_LANE_MOD} + {_LANE_MOD}) % {_LANE_MOD} AS h
+  FROM vals
+),
+sk AS (
+  SELECT key, h FROM (
+    SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS _rn
+    FROM hashes
+  ) WHERE _rn <= {KMV_K}
+),
+th AS (
+  SELECT key, CASE WHEN count(*) >= {KMV_K} THEN max(h)
+                   ELSE {_LANE_MOD} END AS theta
+  FROM sk GROUP BY key
+),
+pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b, least(a.theta, b.theta) AS theta
+  FROM th a JOIN th b ON a.key < b.key
+),
+cand AS (
+  SELECT key_a, key_b, theta, h,
+         max(CASE WHEN sk.key = key_a THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN sk.key = key_b THEN 1 ELSE 0 END) AS ib
+  FROM pairs JOIN sk ON sk.key IN (key_a, key_b)
+  WHERE h < theta
+  GROUP BY key_a, key_b, theta, h
+),
+counts AS (
+  SELECT key_a, key_b, theta,
+         COALESCE(SUM(ia * ib), 0) AS _inter, count(*) AS _uni
+  FROM cand GROUP BY key_a, key_b, theta
+),
+anchored AS (
+  SELECT p.key_a, p.key_b, p.theta,
+         COALESCE(_inter, 0) AS _inter, COALESCE(_uni, 0) AS _uni
+  FROM pairs p LEFT JOIN counts c
+    ON p.key_a = c.key_a AND p.key_b = c.key_b
+)
+SELECT key_a, key_b,
+       CAST(round(CAST(_inter AS DOUBLE) * ({float(_LANE_MOD)!r} / CAST(theta AS DOUBLE)))
+            AS BIGINT) AS inter_est,
+       CAST(round(CAST(_uni AS DOUBLE) * ({float(_LANE_MOD)!r} / CAST(theta AS DOUBLE)))
+            AS BIGINT) AS union_est,
+       CAST(_inter * 1000000 // greatest(_uni, 1) AS BIGINT) AS jaccard_ppm
+FROM anchored
+"""

@@ -3928,3 +3928,46 @@ DP_MG_GROUPED_SQL = _mg_grouped_sql()
 
 QUERIES["dp_mg_by_source"] = dp_mg_by_source
 ORACLES["dp_mg_by_source"] = DP_MG_GROUPED_SQL
+
+
+def dp_kmv_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise overlap matrix from ONE grouped KMV build
+    (sketches.kmv_pairwise_matrix — KMV-G completes the grouped sketch
+    family): estimated distinct-user-day intersection / union /
+    Jaccard for every unordered pair of event types. At 100 TB this is
+    the dedup-planning matrix: |groups| sketches built in one pass,
+    every pairwise overlap answered from ≤ |groups|·256 retained
+    hashes — no per-pair rescan of the corpus."""
+    from hadoop_ozone_spark.datapipe import sketches
+
+    ev = model.load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.col("event_type"),
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.col("ts").cast("date").cast("string"),
+        ).alias("k"),
+    )
+    return sketches.kmv_pairwise_matrix(keyed, "event_type", "k").orderBy(
+        "key_a", "key_b"
+    )
+
+
+def _kmv_matrix_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    src = (
+        "SELECT event_type, concat(CAST(user_id AS VARCHAR), '|',"
+        " CAST(CAST(ts AS DATE) AS VARCHAR)) AS k FROM events"
+    )
+    return (
+        sketches.kmv_pairwise_matrix_sql(src, "event_type", "k")
+        + "ORDER BY key_a, key_b"
+    )
+
+
+DP_KMV_MATRIX_SQL = _kmv_matrix_sql()
+
+QUERIES["dp_kmv_type_matrix"] = dp_kmv_type_matrix
+ORACLES["dp_kmv_type_matrix"] = DP_KMV_MATRIX_SQL

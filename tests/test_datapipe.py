@@ -2461,3 +2461,51 @@ def test_mg_grouped_equals_per_key_ungrouped(spark):
             ).collect()
         )
         assert mine == solo
+
+
+def test_kmv_grouped_matches_ungrouped_and_matrix_laws(spark):
+    from hadoop_ozone_spark.datapipe import sketches
+
+    rows = []
+    for g, lo, hi in (("g1", 0, 20_000), ("g2", 10_000, 30_000), ("g3", 50_000, 50_080)):
+        rows.append(
+            spark.range(lo, hi).select(
+                F.lit(g).alias("grp"),
+                F.concat(F.lit("v"), F.col("id")).alias("k"),
+            )
+        )
+    df = rows[0].union(rows[1]).union(rows[2])
+    sk = sketches.kmv_sketch_grouped(df, "grp", "k").collect()
+    # grouped == per-group ungrouped
+    for g in ("g1", "g2", "g3"):
+        mine = sorted(r.h for r in sk if r.key == g)
+        solo = sorted(
+            r.h
+            for r in sketches.kmv_sketch(
+                df.filter(F.col("grp") == g).select("k"), "k"
+            ).collect()
+        )
+        assert mine == solo
+
+    m = {
+        (r.key_a, r.key_b): r
+        for r in sketches.kmv_pairwise_matrix(df, "grp", "k").collect()
+    }
+    assert set(m) == {("g1", "g2"), ("g1", "g3"), ("g2", "g3")}
+    # g1 ∩ g2 = 10k of 30k union (jaccard 1/3); g3 disjoint from both
+    r12 = m[("g1", "g2")]
+    assert abs(r12.inter_est - 10_000) / 10_000 < 0.35
+    assert abs(r12.jaccard_ppm - 333_333) / 333_333 < 0.35
+    assert m[("g1", "g3")].inter_est == 0 and m[("g2", "g3")].inter_est == 0
+    # g3 is below k -> its pairs run at exact theta; union vs g1 ~ 20,080
+    r13 = m[("g1", "g3")]
+    assert abs(r13.union_est - 20_080) / 20_080 < 0.25
+    # matrix pair count is complete even where samples are empty
+    tiny = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "grp string, k string"
+    )
+    t = {
+        (r.key_a, r.key_b): r
+        for r in sketches.kmv_pairwise_matrix(tiny, "grp", "k").collect()
+    }
+    assert t[("a", "b")].inter_est == 0 and t[("a", "b")].union_est == 2
