@@ -712,7 +712,7 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
     )
     # an empty merged sample (both inputs empty) drops the theta group;
     # re-anchor on the 1-row theta frame so the output is always 1 row
-    counts = th.join(counts, "theta", "left").select(
+    counts = th.join(F.broadcast(counts), "theta", "left").select(
         "theta",
         F.coalesce("_inter", F.lit(0)).alias("_inter"),
         F.coalesce("_uni", F.lit(0)).alias("_uni"),
@@ -1045,7 +1045,9 @@ def kmv_pairwise_matrix(df: DataFrame, key: str, col: str) -> DataFrame:
     )
     # pairs whose below-theta sample is empty drop out of the groupBy —
     # re-anchor on the pairs frame so the matrix is always complete
-    counts = pairs.join(counts, ["key_a", "key_b", "theta"], "left").select(
+    counts = pairs.join(
+        F.broadcast(counts), ["key_a", "key_b", "theta"], "left"
+    ).select(
         "key_a",
         "key_b",
         "theta",

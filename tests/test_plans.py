@@ -587,3 +587,45 @@ def test_qsketch_artifact_cached_and_no_smj(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert p.count("InMemoryTableScan") >= 2
     assert "partial_count" in p  # map-side combine on the sketch groupBy
+
+
+def test_kmv_sketch_is_takeordered_not_global_sort(spark, sf_dir):
+    # the k-smallest-distinct-hashes build must compile to
+    # TakeOrderedAndProject (per-partition top-k merged at the driver),
+    # never a global Sort over the distinct-hash set
+    from hadoop_ozone_spark.datapipe import sketches
+
+    ev = model.load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    p = plan_of(sketches.kmv_sketch(ev, "k"))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [h" not in p  # no full sort of the hash set
+
+
+def test_kmv_matrix_broadcasts_pairs_never_smj(spark, sf_dir):
+    # everything after the grouped sketch runs on <= |groups|*KMV_K
+    # rows: the pair frame rides a broadcast into the sketch rows and
+    # no join may fall to sort-merge
+    p = plan_of(entry.queries()["dp_kmv_type_matrix"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_mg_threshold_is_takeordered_broadcast(spark, sf_dir):
+    # the (k+1)-th-largest-count threshold must come from
+    # TakeOrdered(k+1) broadcast back over the counts — not a global
+    # rank window over the counts frame
+    from hadoop_ozone_spark.datapipe import sketches
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    docs = model.load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            text_ops.tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+        ).alias("token")
+    )
+    p = plan_of(sketches.mg_summary(tok, "token"))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "Window" not in p
