@@ -136,7 +136,15 @@ def dp_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_ozone_spark.datapipe.similarity import as_double, cosine
 
     emb = model.embedding_corpus(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    # the exact baseline is O(n²) BY DESIGN, but it must still spread:
+    # the corpus parquet is a handful of input splits, so without an
+    # explicit repartition the broadcast nested loop runs on ~4 tasks
+    # (measured at sf1: 4 partitions chewing 2.4e10 pairs). Repartition
+    # the streamed side to the session's shuffle width — the shuffle
+    # moves only n rows to unlock n²/width per task.
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     sim = F.round(cosine(as_double(F.col("ea")), as_double(F.col("eb"))), 6)
     return (
