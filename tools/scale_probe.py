@@ -1113,8 +1113,14 @@ def sketch_probe(n_m: float = 10.0) -> None:
     n = int(n_m * 1_000_000)
     df = spark.range(n).select(
         F.concat(F.lit("k"), F.expr("id DIV (id % 10 + 1)")).alias("k")
-    ).persist()
-    df.count()
+    )
+    # persisting the key frame is only fair (and only fits) at probe
+    # sizes: at 1B rows the ~20 GB deserialized cache starves the
+    # aggregation pool — regenerate the synthetic range per sketch
+    # instead (it is deterministic and cheaper than the cache walk)
+    if n <= 200_000_000:
+        df = df.persist()
+        df.count()
     out = {"num_rows": n, "timings_sec": {}, "artifact_rows": {}}
     t0 = time.time()
     r = sketches.hll_estimate(df, "k").first()
@@ -1128,8 +1134,10 @@ def sketch_probe(n_m: float = 10.0) -> None:
     out["artifact_rows"]["bloom"] = sketches.bloom_bits(df, "k").count()
     out["timings_sec"]["bloom"] = round(time.time() - t0, 2)
     # quantile sketch over a numeric stream with the same Zipf shape
-    num = spark.range(n).select((F.expr("id DIV (id % 10 + 1)") % 100_000 + 1).alias("v")).persist()
-    num.count()
+    num = spark.range(n).select((F.expr("id DIV (id % 10 + 1)") % 100_000 + 1).alias("v"))
+    if n <= 200_000_000:
+        num = num.persist()
+        num.count()
     t0 = time.time()
     qs = sketches.qsketch_counts(num, "v")
     out["artifact_rows"]["qs"] = qs.count()
