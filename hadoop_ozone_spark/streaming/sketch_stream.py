@@ -155,3 +155,24 @@ def read_mg_summary(spark: SparkSession, state_dir: str, k: int = sketches.MG_K)
             (F.col("tm") + F.col("t_in")).alias("mg_threshold"),
         )
     )
+
+
+def run_set_sketch_stream(
+    df_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    col: str,
+):
+    """foreachBatch driver wiring ``process_set_batch`` (KMV + MG
+    zones) to a stream — the deployment entry point (the
+    run_span_ingest_stream shape)."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        process_set_batch(batch.sparkSession, batch, batch_id, state_dir, col)
+
+    return (
+        df_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -167,3 +167,40 @@ def test_mg_zone_sentinel_preserves_empty_summary_threshold(spark):
             assert est <= v <= est + bound
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_set_sketch_stream_foreachbatch_end_to_end(spark):
+    """Drive the real writeStream/foreachBatch wiring (availableNow)
+    over a file stream: the folded KMV state must equal the batch
+    sketch of the whole input, and the MG fold must satisfy the
+    one-sided law vs the whole's exact counts."""
+    import os
+
+    whole = spark.range(12_000).select(
+        F.when(
+            F.col("id") % 4 == 0, F.lit("hot_key")
+        ).otherwise(F.concat(F.lit("u"), F.col("id"))).alias("k")
+    )
+    tmp = tempfile.mkdtemp(prefix="ozspark_setstream_e2e_")
+    try:
+        src = os.path.join(tmp, "src")
+        whole.repartition(3).write.parquet(src)
+        stream = spark.readStream.schema(whole.schema).parquet(src)
+        q = sketch_stream.run_set_sketch_stream(
+            stream, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt"), "k"
+        )
+        q.awaitTermination(120)
+        state = os.path.join(tmp, "state")
+        folded = sorted(
+            r.h for r in sketch_stream.read_kmv_sketch(spark, state).collect()
+        )
+        direct = sorted(r.h for r in sketches.kmv_sketch(whole, "k").collect())
+        assert folded == direct and len(folded) == sketches.KMV_K
+        mg = sketch_stream.read_mg_summary(spark, state).collect()
+        truth = {r.k: r["count"] for r in whole.groupBy("k").count().collect()}
+        bound = mg[0].mg_threshold
+        for r in mg:
+            assert r.mg_count <= truth[r.key] <= r.mg_count + bound
+        assert any(r.key == "hot_key" for r in mg)  # 25% hot must survive
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
