@@ -176,3 +176,45 @@ def run_set_sketch_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_sketch_stream(
+    df_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    col: str,
+):
+    """foreachBatch driver wiring ``process_batch`` (HLL/CM/Bloom
+    zones) to a stream — the deployment entry point."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        process_batch(batch.sparkSession, batch, batch_id, state_dir, col)
+
+    return (
+        df_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_numeric_sketch_stream(
+    df_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    num_col: str,
+):
+    """foreachBatch driver wiring ``process_numeric_batch`` (quantile
+    sketch zones) to a stream — the deployment entry point."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        process_numeric_batch(
+            batch.sparkSession, batch, batch_id, state_dir, num_col
+        )
+
+    return (
+        df_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

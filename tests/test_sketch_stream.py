@@ -204,3 +204,51 @@ def test_set_sketch_stream_foreachbatch_end_to_end(spark):
         assert any(r.key == "hot_key" for r in mg)  # 25% hot must survive
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sketch_and_numeric_streams_foreachbatch_end_to_end(spark):
+    """The trio and quantile writeStream wrappers fold to the batch
+    sketches over a real availableNow file stream."""
+    import os
+
+    whole = spark.range(8_000).select(
+        F.concat(F.lit("v"), F.expr("id DIV (id % 5 + 1)")).alias("k"),
+        (F.col("id") % 1024 + 1).alias("v"),
+    )
+    tmp = tempfile.mkdtemp(prefix="ozspark_sketch_e2e_")
+    try:
+        src = os.path.join(tmp, "src")
+        whole.repartition(2).write.parquet(src)
+        stream = spark.readStream.schema(whole.schema).parquet(src)
+        q1 = sketch_stream.run_sketch_stream(
+            stream, os.path.join(tmp, "s1"), os.path.join(tmp, "c1"), "k"
+        )
+        q1.awaitTermination(120)
+        hll = {
+            r.bucket: r.register
+            for r in sketch_stream.read_hll_registers(
+                spark, os.path.join(tmp, "s1")
+            ).collect()
+        }
+        assert hll == {
+            r.bucket: r.register
+            for r in sketches.hll_registers(whole, "k").collect()
+        }
+        q2 = sketch_stream.run_numeric_sketch_stream(
+            spark.readStream.schema(whole.schema).parquet(src),
+            os.path.join(tmp, "s2"),
+            os.path.join(tmp, "c2"),
+            "v",
+        )
+        q2.awaitTermination(120)
+        qs = {
+            r.bin: r.cnt
+            for r in sketch_stream.read_qsketch_counts(
+                spark, os.path.join(tmp, "s2")
+            ).collect()
+        }
+        assert qs == {
+            r.bin: r.cnt for r in sketches.qsketch_counts(whole, "v").collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
