@@ -633,8 +633,15 @@ def cm_point_estimates_grouped(
 # [0, 2^LANE_BITS); if the sketch holds fewer than k hashes it IS the
 # distinct set (exact branch); else the k-th smallest hash h_k gives
 # theta = h_k and est = (k−1) · 2^LANE_BITS / h_k — one double
-# multiply + divide on exactly-representable operands (2^59 is a power
-# of two; counters ≤ 2^9), so IEEE-754 makes both engines agree bitwise.
+# multiply + divide. The operands need not be exactly representable
+# (h_k uses up to 59 mantissa bits): both engines cast the SAME
+# integers to double (IEEE round-to-nearest is deterministic) and
+# apply the same two operations, so the results agree bitwise.
+#
+# NULL values are EXCLUDED from every KMV sketch (md5 of NULL is NULL;
+# Spark sorts NULLS FIRST while DuckDB sorts NULLS LAST, so keeping
+# them would put a NULL hash in one engine's sketch and not the
+# other's). Coalesce the column first if NULL is a meaningful value.
 
 KMV_K = 256
 _LANE_MOD = 2**LANE_BITS
@@ -647,6 +654,7 @@ def kmv_sketch(df: DataFrame, col: str) -> DataFrame:
     the artifact never exceeds KMV_K rows."""
     hashes = (
         df.select(F.pmod(md5_lane(F.col(col)), F.lit(_LANE_MOD)).alias("h"))
+        .filter(F.col("h").isNotNull())  # NULL input -> NULL hash; see header
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("_c"))
         .select("h")
@@ -689,8 +697,20 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
     theta = min(theta_a, theta_b) form a uniform sample of A ∪ B, so
     |match|/theta and |union|/theta scale up by 2^LANE_BITS; Jaccard
     is the exact integer ratio of the two sample counts (ppm)."""
-    ska = kmv_sketch(a, col).withColumn("_a", F.lit(1)).persist()
-    skb = kmv_sketch(b, col).withColumn("_b", F.lit(1)).persist()
+    from hadoop_ozone_spark import scratch
+
+    # both sketches feed the overlap AND the per-side estimates — keep
+    # them persisted through the caller's materialization via the
+    # bounded scratch registry (the repo contract for persists that
+    # outlive the function return; raw .persist() would leak one cached
+    # generation per invocation with changing inputs)
+    scratch.fresh("kmv_set_ops")
+    ska = scratch.keep(
+        "kmv_set_ops", kmv_sketch(a, col).withColumn("_a", F.lit(1))
+    )
+    skb = scratch.keep(
+        "kmv_set_ops", kmv_sketch(b, col).withColumn("_b", F.lit(1))
+    )
     ta = kmv_theta(ska.select("h")).withColumnRenamed("theta", "theta_a")
     tb = kmv_theta(skb.select("h")).withColumnRenamed("theta", "theta_b")
     th = ta.crossJoin(tb).select(
@@ -755,7 +775,7 @@ def kmv_sketch_sql(source_sql: str, col: str) -> str:
     lane = md5_lane_sql(col)
     return (
         f"SELECT DISTINCT (({lane}) % {_LANE_MOD} + {_LANE_MOD}) % {_LANE_MOD} AS h "
-        f"FROM ({source_sql}) ORDER BY h LIMIT {KMV_K}"
+        f"FROM ({source_sql}) WHERE {col} IS NOT NULL ORDER BY h LIMIT {KMV_K}"
     )
 
 
@@ -818,21 +838,20 @@ FROM counts, th, a_est, b_est
 MG_K = 16
 
 
-def mg_summary(df: DataFrame, col: str, k: int = MG_K) -> DataFrame:
-    """(key, mg_count, mg_threshold): the Misra-Gries summary of
-    ``col``. counts is one map-side-combinable groupBy; the threshold
-    is the (k+1)-th largest count via TakeOrdered(k+1) — broadcast
-    back as a 1-row frame, never a global sort."""
-    counts = df.groupBy(F.col(col).alias("key")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+def _mg_counts_thresh(
+    counts: DataFrame, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """(truncated summary, 1-row thresh): the shared Mergeable-Summaries
+    reduction over a (key, cnt) frame — threshold = the (k+1)-th
+    largest count via TakeOrdered(k+1) broadcast back (never a global
+    sort), summary = the strictly-above-threshold keys decremented."""
     top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(k + 1)
     thresh = top.agg(
         F.when(F.count(F.lit(1)) > F.lit(k), F.min("cnt"))
         .otherwise(F.lit(0))
         .alias("t")
     )
-    return (
+    summ = (
         counts.crossJoin(F.broadcast(thresh))
         .filter(F.col("cnt") > F.col("t"))
         .select(
@@ -841,15 +860,47 @@ def mg_summary(df: DataFrame, col: str, k: int = MG_K) -> DataFrame:
             F.col("t").alias("mg_threshold"),
         )
     )
+    return summ, thresh
 
 
-def mg_merge(s1: DataFrame, s2: DataFrame, k: int = MG_K) -> DataFrame:
-    """Merge two (key, mg_count, mg_threshold) summaries: sum counts
-    (absent key = 0), re-truncate by the merged set's (k+1)-th largest.
-    mg_threshold in the result = t1 + t2 + t_merge — the total
-    one-sided error bound vs the exact combined counts (pinned)."""
-    t1 = s1.agg(F.coalesce(F.max("mg_threshold"), F.lit(0)).alias("t1"))
-    t2 = s2.agg(F.coalesce(F.max("mg_threshold"), F.lit(0)).alias("t2"))
+def _mg_counts(df: DataFrame, col: str) -> DataFrame:
+    """(key, cnt) with NULL inputs excluded — NULL keys are reserved
+    for the zone sentinel, and full-outer merges on a NULL key never
+    match in either engine. Coalesce the column first if NULL is a
+    meaningful value (the KMV contract)."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def mg_summary(df: DataFrame, col: str, k: int = MG_K) -> DataFrame:
+    """(key, mg_count, mg_threshold): the Misra-Gries summary of
+    ``col``. counts is one map-side-combinable groupBy; the threshold
+    is the (k+1)-th largest count via TakeOrdered(k+1) — broadcast
+    back as a 1-row frame, never a global sort. NULL inputs are
+    excluded (see _mg_counts). NOTE: an all-tied batch yields an EMPTY
+    summary whose threshold is unrecoverable — land mg_zone (summary +
+    sentinel) anywhere the artifact will later be MERGED."""
+    summ, _ = _mg_counts_thresh(_mg_counts(df, col), k)
+    return summ
+
+
+def mg_merge(z1: DataFrame, z2: DataFrame, k: int = MG_K) -> DataFrame:
+    """Merge two ZONE-form summaries (mg_zone output: summary rows plus
+    the NULL-key sentinel carrying the zone threshold): sum counts per
+    non-NULL key, re-truncate by the merged set's (k+1)-th largest.
+    Returns zone form again (merges compose); mg_threshold everywhere =
+    t1 + t2 + t_merge — the total one-sided error bound vs the exact
+    combined counts (pinned, INCLUDING empty-summary inputs: the
+    sentinel is what keeps a lost input threshold in the bound).
+    Plain mg_summary output is also accepted, but then an empty input
+    frame contributes 0 to the bound — its threshold is already lost."""
+    t1 = z1.agg(F.coalesce(F.max("mg_threshold"), F.lit(0)).alias("t1"))
+    t2 = z2.agg(F.coalesce(F.max("mg_threshold"), F.lit(0)).alias("t2"))
+    s1 = z1.filter(F.col("key").isNotNull())
+    s2 = z2.filter(F.col("key").isNotNull())
     summed = (
         s1.select("key", F.col("mg_count").alias("c1"))
         .join(s2.select("key", F.col("mg_count").alias("c2")), "key", "full")
@@ -860,32 +911,35 @@ def mg_merge(s1: DataFrame, s2: DataFrame, k: int = MG_K) -> DataFrame:
             ).alias("cnt"),
         )
     )
-    top = summed.orderBy(F.desc("cnt"), F.asc("key")).limit(k + 1)
-    tm = top.agg(
-        F.when(F.count(F.lit(1)) > F.lit(k), F.min("cnt"))
-        .otherwise(F.lit(0))
-        .alias("tm")
-    )
-    return (
-        summed.crossJoin(F.broadcast(tm))
-        .crossJoin(F.broadcast(t1))
+    merged, tm = _mg_counts_thresh(summed, k)
+    bound = (
+        tm.crossJoin(F.broadcast(t1))
         .crossJoin(F.broadcast(t2))
-        .filter(F.col("cnt") > F.col("tm"))
-        .select(
-            "key",
-            (F.col("cnt") - F.col("tm")).alias("mg_count"),
-            (F.col("t1") + F.col("t2") + F.col("tm")).alias("mg_threshold"),
-        )
+        .select((F.col("t") + F.col("t1") + F.col("t2")).alias("tb"))
     )
+    out = merged.crossJoin(F.broadcast(bound)).select(
+        F.col("key").cast("string").alias("key"),
+        F.col("mg_count").cast("long").alias("mg_count"),
+        F.col("tb").cast("long").alias("mg_threshold"),
+    )
+    sentinel = bound.select(
+        F.lit(None).cast("string").alias("key"),
+        F.lit(0).cast("long").alias("mg_count"),
+        F.col("tb").cast("long").alias("mg_threshold"),
+    )
+    return out.unionByName(sentinel)
 
 
 def mg_summary_sql(source_sql: str, col: str, k: int = MG_K) -> str:
-    """DuckDB twin of mg_summary (SELECT key, mg_count, mg_threshold)."""
+    """DuckDB twin of mg_summary (SELECT key, mg_count, mg_threshold;
+    NULL inputs excluded, mirroring _mg_counts)."""
     return f"""
 SELECT key, cnt - t AS mg_count, t AS mg_threshold
-FROM (SELECT {col} AS key, count(*) AS cnt FROM ({source_sql}) GROUP BY 1) counts,
+FROM (SELECT {col} AS key, count(*) AS cnt FROM ({source_sql})
+      WHERE {col} IS NOT NULL GROUP BY 1) counts,
      (SELECT CASE WHEN count(*) > {k} THEN min(cnt) ELSE 0 END AS t
-      FROM (SELECT count(*) AS cnt FROM ({source_sql}) GROUP BY {col}
+      FROM (SELECT count(*) AS cnt FROM ({source_sql})
+            WHERE {col} IS NOT NULL GROUP BY {col}
             ORDER BY cnt DESC, {col} LIMIT {k + 1}))
 WHERE cnt > t
 """
@@ -898,9 +952,12 @@ def mg_summary_grouped(
     GROUP — a group's rows are bit-identical to running mg_summary on
     its slice (pinned): the per-group threshold is the (k+1)-th largest
     count within the group via a key-partitioned rank window over the
-    counts frame (distinct (key, val) rows, never the input)."""
-    counts = df.groupBy(F.col(key).alias("key"), F.col(col).alias("val")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    counts frame (distinct (key, val) rows, never the input). NULL
+    group keys and NULL values are excluded (the _mg_counts law)."""
+    counts = (
+        df.filter(F.col(key).isNotNull() & F.col(col).isNotNull())
+        .groupBy(F.col(key).alias("key"), F.col(col).alias("val"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.partitionBy("key").orderBy(F.desc("cnt"), F.asc("val"))
     thresh = (
@@ -928,7 +985,8 @@ def mg_summary_grouped_sql(
     return f"""
 WITH counts AS (
   SELECT {key} AS key, {col} AS val, count(*) AS cnt
-  FROM ({source_sql}) GROUP BY 1, 2
+  FROM ({source_sql})
+  WHERE {key} IS NOT NULL AND {col} IS NOT NULL GROUP BY 1, 2
 ),
 thresh AS (
   SELECT key, cnt AS t FROM (
@@ -950,25 +1008,10 @@ def mg_zone(df: DataFrame, col: str, k: int = MG_K) -> DataFrame:
     sentinel row — the landable zone form: a batch whose summary is
     EMPTY (every count tied at or below the (k+1)-th largest) still
     records its error contribution t, which the rolling fold must add
-    to the merged bound (readers drop the NULL key after summing)."""
-    counts = df.groupBy(F.col(col).alias("key")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(k + 1)
-    thresh = top.agg(
-        F.when(F.count(F.lit(1)) > F.lit(k), F.min("cnt"))
-        .otherwise(F.lit(0))
-        .alias("t")
-    )
-    summ = (
-        counts.crossJoin(F.broadcast(thresh))
-        .filter(F.col("cnt") > F.col("t"))
-        .select(
-            "key",
-            (F.col("cnt") - F.col("t")).alias("mg_count"),
-            F.col("t").alias("mg_threshold"),
-        )
-    )
+    to the merged bound (readers drop the NULL key after summing).
+    NULL inputs are excluded from the counts (see _mg_counts), so the
+    sentinel key is unambiguous."""
+    summ, thresh = _mg_counts_thresh(_mg_counts(df, col), k)
     sentinel = thresh.select(
         F.lit(None).cast("string").alias("key"),
         F.lit(0).cast("long").alias("mg_count"),
@@ -991,6 +1034,7 @@ def kmv_sketch_grouped(df: DataFrame, key: str, col: str) -> DataFrame:
             F.col(key).alias("key"),
             F.pmod(md5_lane(F.col(col)), F.lit(_LANE_MOD)).alias("h"),
         )
+        .filter(F.col("key").isNotNull() & F.col("h").isNotNull())
         .groupBy("key", "h")
         .agg(F.count(F.lit(1)).alias("_c"))
         .select("key", "h")
@@ -1011,7 +1055,10 @@ def kmv_pairwise_matrix(df: DataFrame, key: str, col: str) -> DataFrame:
     runs on ≤ |groups|·KMV_K rows: per-pair theta = min of the two
     group thetas; candidates below theta tagged by side; the same
     |sample|/theta scale-up as kmv_set_ops."""
-    sk = kmv_sketch_grouped(df, key, col).persist()
+    from hadoop_ozone_spark import scratch
+
+    scratch.fresh("kmv_matrix")
+    sk = scratch.keep("kmv_matrix", kmv_sketch_grouped(df, key, col))
     th = sk.groupBy("key").agg(
         F.when(F.count(F.lit(1)) >= F.lit(KMV_K), F.max("h"))
         .otherwise(F.lit(_LANE_MOD))
@@ -1073,6 +1120,7 @@ hashes AS (
   SELECT DISTINCT {key} AS key,
          (({lane}) % {_LANE_MOD} + {_LANE_MOD}) % {_LANE_MOD} AS h
   FROM vals
+  WHERE {key} IS NOT NULL AND {col} IS NOT NULL
 ),
 sk AS (
   SELECT key, h FROM (

@@ -2418,25 +2418,57 @@ def test_mg_summary_laws(spark):
 def test_mg_merge_error_bound(spark):
     from hadoop_ozone_spark.datapipe import sketches
 
-    # two disjoint-day slices of one skewed stream
+    # two disjoint-day slices of one skewed stream — merged in ZONE
+    # form (summary + threshold sentinel), which is what composes
     rows1 = [("t0",)] * 400 + [(f"t{i}",) for i in range(1, 60) for _ in range(i % 5 + 1)]
     rows2 = [("t0",)] * 300 + [(f"u{i}",) for i in range(1, 60) for _ in range(i % 4 + 1)]
     d1 = spark.createDataFrame(rows1, "token string")
     d2 = spark.createDataFrame(rows2, "token string")
-    s1 = sketches.mg_summary(d1, "token")
-    s2 = sketches.mg_summary(d2, "token")
-    merged = sketches.mg_merge(s1, s2).collect()
-    assert 0 < len(merged) <= sketches.MG_K
+    z1 = sketches.mg_zone(d1, "token")
+    z2 = sketches.mg_zone(d2, "token")
+    out = sketches.mg_merge(z1, z2).collect()
+    merged = [r for r in out if r.key is not None]
+    sentinels = [r for r in out if r.key is None]
+    assert 0 < len(merged) <= sketches.MG_K and len(sentinels) == 1
     whole = d1.union(d2)
     truth = {
         r.token: r["count"] for r in whole.groupBy("token").count().collect()
     }
-    bound = merged[0].mg_threshold
+    bound = sentinels[0].mg_threshold
+    assert all(r.mg_threshold == bound for r in merged)
     # merged one-sided law vs the EXACT combined counts
     for r in merged:
         assert r.mg_count <= truth[r.key] <= r.mg_count + bound
     # the global heavy hitter survives the merge
     assert any(r.key == "t0" for r in merged)
+
+    # EMPTY-summary input (review finding): 17 keys x 3 rows -> the
+    # zone's summary is empty but its sentinel carries t=3; the merged
+    # bound must still cover those keys (est 0, true 3)
+    tied = spark.createDataFrame(
+        [(f"e{i}",) for i in range(sketches.MG_K + 1) for _ in range(3)],
+        "token string",
+    )
+    hot = spark.createDataFrame([("hot",)] * 40, "token string")
+    out2 = sketches.mg_merge(
+        sketches.mg_zone(tied, "token"), sketches.mg_zone(hot, "token")
+    ).collect()
+    bound2 = [r for r in out2 if r.key is None][0].mg_threshold
+    assert bound2 >= 3  # the tied zone's lost-threshold is in the bound
+    by_key = {r.key: r.mg_count for r in out2 if r.key is not None}
+    truth2 = {**{f"e{i}": 3 for i in range(sketches.MG_K + 1)}, "hot": 40}
+    for k, v in truth2.items():
+        est = by_key.get(k, 0)
+        assert est <= v <= est + bound2
+
+    # NULL data values are excluded by contract, never conflated with
+    # the sentinel: a 60%-NULL stream's summary names only real keys
+    nulls = spark.createDataFrame(
+        [(None,)] * 30 + [("real",)] * 20, "token string"
+    )
+    z = sketches.mg_zone(nulls, "token").collect()
+    assert {r.key for r in z} == {"real", None}
+    assert [r for r in z if r.key == "real"][0].mg_count == 20
 
 
 def test_mg_grouped_equals_per_key_ungrouped(spark):
@@ -2509,3 +2541,30 @@ def test_kmv_grouped_matches_ungrouped_and_matrix_laws(spark):
         for r in sketches.kmv_pairwise_matrix(tiny, "grp", "k").collect()
     }
     assert t[("a", "b")].inter_est == 0 and t[("a", "b")].union_est == 2
+
+
+def test_kmv_null_values_excluded_cross_engine(spark):
+    # review finding: md5_lane(NULL) is NULL; Spark sorts NULLS FIRST,
+    # DuckDB NULLS LAST — NULLs are excluded from the sketch on BOTH
+    # engines so the artifact and theta agree
+    import duckdb
+
+    from hadoop_ozone_spark.datapipe import sketches
+
+    rows = [(None,)] * 5 + [(f"v{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string")
+    sk = sorted(r.h for r in sketches.kmv_sketch(df, "k").collect())
+    assert len(sk) == sketches.KMV_K and all(h is not None for h in sk)
+    # estimate sees 400 distinct (not 405, not NULL-polluted theta)
+    est = sketches.kmv_estimate(df, "k").first()
+    assert est.kmv_estimate == pytest.approx(400, rel=0.25)
+
+    con = duckdb.connect()
+    vals = " UNION ALL ".join(
+        ["SELECT NULL AS k"] * 2 + [f"SELECT 'v{i}' AS k" for i in range(400)]
+    )
+    got = [
+        r[0]
+        for r in con.execute(sketches.kmv_sketch_sql(vals, "k")).fetchall()
+    ]
+    assert sorted(got) == sk  # bit-identical artifact across engines

@@ -56,6 +56,9 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: oracle_check.py [sf_dir] [--json OUT] [query ...]")
+            return 2
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -74,10 +77,23 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        def record_error(kind: str, e: Exception) -> None:
+            # errored queries must appear in the artifact as failures,
+            # not silently vanish from the per-query records
+            records[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "rows": None,
+                "sec": round(time.time() - t0, 1),
+                "err": f"{kind}: {e}"[:500],
+            }
+
         try:
             sdf = fn(get_spark("oracle-check"), sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            record_error("spark error", e)
             print(f"FAIL {name}: spark error: {e}")
             continue
         sql = oracles.get(name)
@@ -88,6 +104,7 @@ def main() -> int:
             odf = con.execute(sql).fetchdf()
         except Exception as e:
             failures.append(name)
+            record_error("duckdb error", e)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         elapsed = time.time() - t0

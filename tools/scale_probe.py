@@ -1163,12 +1163,13 @@ def sketch_probe(n_m: float = 10.0) -> None:
     out["kmv_disjoint_inter_est"] = ops.inter_est
     # MG: the <=16-key deterministic heavy-hitter summary — needs true
     # heavy hitters to retain anything (the base key law's top counts
-    # all tie at 10, below n/(k+1)): redirect 20% of rows onto 4 hot
-    # keys (5% each) which MUST survive by the heavy-hitter law
+    # all tie at 10, below n/(k+1)): redirect 25% of rows onto 4 hot
+    # keys (6.25% each, ABOVE the 1/(MG_K+1) = 5.88% survival
+    # guarantee) which therefore MUST survive by the heavy-hitter law
     skewed = spark.range(n).select(
         F.when(
-            F.col("id") % 5 == 0,
-            F.concat(F.lit("hot"), (F.col("id") % 4).cast("string")),
+            F.col("id") % 4 == 0,
+            F.concat(F.lit("hot"), F.expr("(id DIV 4) % 4").cast("string")),
         )
         .otherwise(F.concat(F.lit("k"), F.expr("id DIV (id % 10 + 1)")))
         .alias("k")
