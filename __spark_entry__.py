@@ -801,6 +801,7 @@ NEXT_WINDOW: list[str] = [
     "dp_mg_heavy_hitters",
     "dp_mg_by_source",
     "dp_kmv_type_matrix",
+    "dp_corpus_drift",
 ]
 
 

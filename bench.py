@@ -143,6 +143,7 @@ HEADLINE = [
     "dp_mg_heavy_hitters",
     "dp_mg_by_source",
     "dp_kmv_type_matrix",
+    "dp_corpus_drift",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

@@ -3981,3 +3981,171 @@ DP_KMV_MATRIX_SQL = _kmv_matrix_sql()
 
 QUERIES["dp_kmv_type_matrix"] = dp_kmv_type_matrix
 ORACLES["dp_kmv_type_matrix"] = DP_KMV_MATRIX_SQL
+
+
+def dp_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift report between two source slices (src0-9 vs
+    src10-19), composed ENTIRELY from the mergeable sketch family —
+    the "did the new crawl shift the distribution" dial a curation
+    pipeline reads before re-training, at sketch cost instead of a
+    full-corpus diff:
+
+    - vocabulary overlap via KMV theta set-ops (jaccard + union est);
+    - heavy-hitter churn via the two Misra-Gries summaries' key sets
+      (shared / only-a / only-b);
+    - token-length distribution shift via per-side quantile-sketch
+      p50/p90.
+
+    One long-format (metric, value) frame, every leg artifact-bounded.
+    At 100 TB each side's sketches are the write-time artifacts the
+    zones already maintain — this query is then a pure sketch-fold."""
+    from hadoop_ozone_spark.datapipe import sketches
+
+    docs = model.load(spark, sf_dir, "documents")
+    side = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, F.lit("a")
+    ).otherwise(F.lit("b"))
+    tagged = docs.select(
+        side.alias("side"),
+        "doc_id",
+        F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+    )
+    tok = tagged.select(
+        "side", F.explode(text.tokens(F.col("text"))).alias("token")
+    )
+    a_tok = tok.filter(F.col("side") == "a").select("token")
+    b_tok = tok.filter(F.col("side") == "b").select("token")
+
+    def metric(name: str, col: Column, frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.lit(name).alias("metric"), col.cast("long").alias("value")
+        )
+
+    ops = sketches.kmv_set_ops(a_tok, b_tok, "token")
+    rows = [
+        metric("vocab_jaccard_ppm", F.col("jaccard_ppm"), ops),
+        metric("vocab_union_est", F.col("union_est"), ops),
+    ]
+    ka = sketches.mg_summary(a_tok, "token").select(
+        "key", F.lit(1).alias("_a")
+    )
+    kb = sketches.mg_summary(b_tok, "token").select(
+        "key", F.lit(1).alias("_b")
+    )
+    hh = ka.join(kb, "key", "full").agg(
+        F.coalesce(
+            F.sum(F.coalesce("_a", F.lit(0)) * F.coalesce("_b", F.lit(0))),
+            F.lit(0),
+        ).alias("shared"),
+        F.coalesce(
+            F.sum(F.coalesce("_a", F.lit(0)) * (1 - F.coalesce("_b", F.lit(0)))),
+            F.lit(0),
+        ).alias("only_a"),
+        F.coalesce(
+            F.sum((1 - F.coalesce("_a", F.lit(0))) * F.coalesce("_b", F.lit(0))),
+            F.lit(0),
+        ).alias("only_b"),
+    )
+    rows += [
+        metric("hh_shared", F.col("shared"), hh),
+        metric("hh_only_a", F.col("only_a"), hh),
+        metric("hh_only_b", F.col("only_b"), hh),
+    ]
+    tc = tagged.select(
+        "side",
+        F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    for s in ("a", "b"):
+        q = sketches.qsketch_quantiles(
+            sketches.qsketch_counts(
+                tc.filter(F.col("side") == s).select("n_tokens"), "n_tokens"
+            ),
+            (500000, 900000),
+        )
+        rows.append(
+            q.select(
+                F.concat(
+                    F.when(F.col("q_ppm") == 500000, F.lit("p50")).otherwise(
+                        F.lit("p90")
+                    ),
+                    F.lit(f"_tokens_{s}"),
+                ).alias("metric"),
+                F.col("est").cast("long").alias("value"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("metric")
+
+
+def _corpus_drift_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    def tok_src(cmp: str) -> str:
+        return (
+            r"SELECT unnest(regexp_split_to_array(trim(lower(COALESCE(text,"
+            r" ''))), '\s+')) AS token FROM documents"
+            f" WHERE CAST(substr(source, 4) AS INT) {cmp} 10"
+        )
+
+    src_a, src_b = tok_src("<"), tok_src(">=")
+    ts = ", ".join(str(t) for t in sketches.QS_THRESHOLDS)
+
+    def qs_leg(cmp: str, s: str) -> str:
+        return rf"""
+tc_{s} AS (
+  SELECT len(regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\s+'))
+           AS n_tokens
+  FROM documents WHERE CAST(substr(source, 4) AS INT) {cmp} 10
+),
+counts_{s} AS (
+  SELECT {sketches.qs_bin_sql("n_tokens")} AS bin, count(*) AS cnt
+  FROM tc_{s} GROUP BY 1
+),
+totals_{s} AS (SELECT SUM(cnt) AS n FROM counts_{s}),
+cum_{s} AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM counts_{s}),
+pick_{s} AS (
+  SELECT q_ppm, min(bin) AS bin
+  FROM cum_{s}, totals_{s}, (VALUES (500000), (900000)) qd(q_ppm)
+  WHERE cum >= (q_ppm * n + 999999) // 1000000
+  GROUP BY q_ppm
+),
+est_{s} AS (
+  SELECT q_ppm,
+         CASE WHEN bin = 0 THEN 0 ELSE ([{ts}])[bin] END AS est
+  FROM pick_{s}
+)"""
+
+    return f"""
+WITH ops AS ({sketches.kmv_set_ops_sql(src_a, src_b, "token")}),
+mga AS ({sketches.mg_summary_sql(src_a, "token")}),
+mgb AS ({sketches.mg_summary_sql(src_b, "token")}),
+hh AS (
+  SELECT COALESCE(SUM(CASE WHEN a.key IS NOT NULL AND b.key IS NOT NULL
+                           THEN 1 ELSE 0 END), 0) AS shared,
+         COALESCE(SUM(CASE WHEN b.key IS NULL THEN 1 ELSE 0 END), 0)
+           AS only_a,
+         COALESCE(SUM(CASE WHEN a.key IS NULL THEN 1 ELSE 0 END), 0)
+           AS only_b
+  FROM mga a FULL JOIN mgb b ON a.key = b.key
+),{qs_leg("<", "a")},{qs_leg(">=", "b")}
+SELECT metric, CAST(value AS BIGINT) AS value FROM (
+  SELECT 'vocab_jaccard_ppm' AS metric, jaccard_ppm AS value FROM ops
+  UNION ALL SELECT 'vocab_union_est', union_est FROM ops
+  UNION ALL SELECT 'hh_shared', shared FROM hh
+  UNION ALL SELECT 'hh_only_a', only_a FROM hh
+  UNION ALL SELECT 'hh_only_b', only_b FROM hh
+  UNION ALL SELECT CASE WHEN q_ppm = 500000 THEN 'p50_tokens_a'
+                        ELSE 'p90_tokens_a' END, est FROM est_a
+  UNION ALL SELECT CASE WHEN q_ppm = 500000 THEN 'p50_tokens_b'
+                        ELSE 'p90_tokens_b' END, est FROM est_b
+)
+ORDER BY metric
+"""
+
+
+DP_CORPUS_DRIFT_SQL = _corpus_drift_sql()
+
+QUERIES["dp_corpus_drift"] = dp_corpus_drift
+ORACLES["dp_corpus_drift"] = DP_CORPUS_DRIFT_SQL
