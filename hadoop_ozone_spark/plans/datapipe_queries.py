@@ -4010,8 +4010,16 @@ def dp_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("text"),
     )
-    tok = tagged.select(
-        "side", F.explode(text.tokens(F.col("text"))).alias("token")
+    from hadoop_ozone_spark import scratch
+
+    # one token explosion serves the KMV and both MG legs (4 sketch
+    # builds otherwise re-explode the corpus each)
+    scratch.fresh("dp_corpus_drift_tok")
+    tok = scratch.keep(
+        "dp_corpus_drift_tok",
+        tagged.select(
+            "side", F.explode(text.tokens(F.col("text"))).alias("token")
+        ),
     )
     a_tok = tok.filter(F.col("side") == "a").select("token")
     b_tok = tok.filter(F.col("side") == "b").select("token")
@@ -4055,13 +4063,19 @@ def dp_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "side",
         F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
+    # persist each side's <=160-row sketch (the dp_qsketch precedent):
+    # qsketch_quantiles references its counts three times (n, cum,
+    # pick) — uncached, the corpus CASE-ladder pass reruns per
+    # reference (measured 25s -> <1s at sf0.1)
+    scratch.fresh("dp_corpus_drift_qs")
     for s in ("a", "b"):
-        q = sketches.qsketch_quantiles(
+        counts = scratch.keep(
+            "dp_corpus_drift_qs",
             sketches.qsketch_counts(
                 tc.filter(F.col("side") == s).select("n_tokens"), "n_tokens"
             ),
-            (500000, 900000),
         )
+        q = sketches.qsketch_quantiles(counts, (500000, 900000))
         rows.append(
             q.select(
                 F.concat(
