@@ -122,11 +122,17 @@ def read_kmv_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 def read_mg_summary(spark: SparkSession, state_dir: str, k: int = sketches.MG_K) -> DataFrame:
-    """(key, mg_count, mg_threshold): fold every landed MG zone — sum
-    per-key counts (sentinels drop), re-truncate by the summed set's
-    (k+1)-th largest; mg_threshold = Σ zone thresholds + the
-    re-truncation's own, the one-sided bound vs the exact counts of
-    the concatenated stream (pinned)."""
+    """ZONE-form fold of every landed MG zone (ADVICE r9): sum per-key
+    counts (sentinels drop from the counts, their thresholds don't),
+    re-truncate by the summed set's (k+1)-th largest, and append the
+    NULL-key sentinel row carrying the folded bound — mg_threshold
+    everywhere = Σ zone thresholds + the re-truncation's own, the
+    one-sided bound vs the exact counts of the concatenated stream
+    (pinned). Returning zone form keeps the fold compose-safe (the
+    mg_merge contract): an all-truncated fold still records its
+    accumulated error, and the result can be re-landed / re-merged
+    without dropping its bound. Filter ``key IS NOT NULL`` for the
+    display summary."""
     zones.assert_zones_clean(spark, state_dir, ("mg",))
     z = spark.read.parquet(f"{state_dir}/mg")
     t_in = (
@@ -145,16 +151,25 @@ def read_mg_summary(spark: SparkSession, state_dir: str, k: int = sketches.MG_K)
         .otherwise(F.lit(0))
         .alias("tm")
     )
-    return (
-        summed.crossJoin(F.broadcast(tm))
-        .crossJoin(F.broadcast(t_in))
+    bound = tm.crossJoin(F.broadcast(t_in)).select(
+        (F.col("tm") + F.col("t_in")).alias("tb"),
+        F.col("tm").alias("tm"),
+    )
+    out = (
+        summed.crossJoin(F.broadcast(bound))
         .filter(F.col("cnt") > F.col("tm"))
         .select(
-            "key",
-            (F.col("cnt") - F.col("tm")).alias("mg_count"),
-            (F.col("tm") + F.col("t_in")).alias("mg_threshold"),
+            F.col("key").cast("string").alias("key"),
+            (F.col("cnt") - F.col("tm")).cast("long").alias("mg_count"),
+            F.col("tb").cast("long").alias("mg_threshold"),
         )
     )
+    sentinel = bound.select(
+        F.lit(None).cast("string").alias("key"),
+        F.lit(0).cast("long").alias("mg_count"),
+        F.col("tb").cast("long").alias("mg_threshold"),
+    )
+    return out.unionByName(sentinel)
 
 
 def run_set_sketch_stream(

@@ -117,18 +117,23 @@ def test_mg_stream_error_law_and_replays(spark):
     try:
         for i, b in enumerate(batches):
             sketch_stream.process_set_batch(spark, b, i, tmp, "k")
-        folded = sketch_stream.read_mg_summary(spark, tmp).collect()
+        zone = sketch_stream.read_mg_summary(spark, tmp).collect()
+        # zone-form contract (ADVICE r9): exactly one NULL-key sentinel
+        # carrying the folded bound rides along with the summary rows
+        assert sum(1 for r in zone if r.key is None) == 1
+        folded = [r for r in zone if r.key is not None]
         assert 0 < len(folded) <= sketches.MG_K
         truth = {
             r.k: r["count"] for r in whole.groupBy("k").count().collect()
         }
-        bound = folded[0].mg_threshold
+        bound = zone[0].mg_threshold
+        assert all(r.mg_threshold == bound for r in zone)  # incl. sentinel
         for r in folded:
             assert r.mg_count <= truth[r.key] <= r.mg_count + bound
         # the global heavy hitter survives the fold
         assert any(r.key == "hot" for r in folded)
         # replay is a no-op
-        before = {(r.key, r.mg_count, r.mg_threshold) for r in folded}
+        before = {(r.key, r.mg_count, r.mg_threshold) for r in zone}
         sketch_stream.process_set_batch(spark, batches[2], 2, tmp, "k")
         after = {
             (r.key, r.mg_count, r.mg_threshold)
@@ -169,6 +174,33 @@ def test_mg_zone_sentinel_preserves_empty_summary_threshold(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_mg_fold_all_truncated_keeps_bound(spark):
+    """ADVICE r9: a fold where EVERY key truncates away must still
+    return the accumulated error bound — read_mg_summary returns zone
+    form, so the worst case is one sentinel row carrying Σ zone
+    thresholds (+ the re-truncation's own), never an empty frame."""
+    tmp = tempfile.mkdtemp(prefix="ozspark_mgallcut_")
+    try:
+        for bid in range(2):
+            # MG_K + 4 distinct keys, every count tied at 3: the zone
+            # summary is empty, only the sentinel (t = 3) lands
+            rows = [
+                (f"b{bid}k{i}",)
+                for i in range(sketches.MG_K + 4)
+                for _ in range(3)
+            ]
+            batch = spark.createDataFrame(rows, "k string")
+            sketch_stream.process_set_batch(spark, batch, bid, tmp, "k")
+        zone = sketch_stream.read_mg_summary(spark, tmp).collect()
+        # both zone summaries are empty, so the fold's own re-truncation
+        # adds 0 — the fold is ONE sentinel whose bound is the two lost
+        # zone thresholds: t0 + t1 = 3 + 3
+        assert len(zone) == 1 and zone[0].key is None
+        assert zone[0].mg_threshold == 6
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_set_sketch_stream_foreachbatch_end_to_end(spark):
     """Drive the real writeStream/foreachBatch wiring (availableNow)
     over a file stream: the folded KMV state must equal the batch
@@ -196,9 +228,10 @@ def test_set_sketch_stream_foreachbatch_end_to_end(spark):
         )
         direct = sorted(r.h for r in sketches.kmv_sketch(whole, "k").collect())
         assert folded == direct and len(folded) == sketches.KMV_K
-        mg = sketch_stream.read_mg_summary(spark, state).collect()
+        zone = sketch_stream.read_mg_summary(spark, state).collect()
+        mg = [r for r in zone if r.key is not None]  # drop the sentinel
         truth = {r.k: r["count"] for r in whole.groupBy("k").count().collect()}
-        bound = mg[0].mg_threshold
+        bound = zone[0].mg_threshold
         for r in mg:
             assert r.mg_count <= truth[r.key] <= r.mg_count + bound
         assert any(r.key == "hot_key" for r in mg)  # 25% hot must survive

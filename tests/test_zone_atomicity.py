@@ -92,8 +92,11 @@ def _kmv_read(spark, sd):
 
 
 def _mg_read(spark, sd):
+    # zone-form fold: the NULL-key sentinel row participates in the
+    # determinism check too (str key: None is not orderable vs str)
     return sorted(
-        map(tuple, sketch_stream.read_mg_summary(spark, sd).collect())
+        map(tuple, sketch_stream.read_mg_summary(spark, sd).collect()),
+        key=str,
     )
 
 
