@@ -309,3 +309,203 @@ def resize_plan(media: DataFrame, target_w: int = 224, target_h: int = 224) -> D
         (F.lit(target_w) / F.col("width")).alias("scale_x"),
         (F.lit(target_h) / F.col("height")).alias("scale_y"),
     )
+
+
+# --- perceptual near-dup (round 10) -----------------------------------------
+#
+# dHash over PPM payload bytes with hamming-ball banding — the
+# near-dup member of the media dedup family (exact md5 dedup lives in
+# plans/datapipe_queries.dp_media_exact_dedup). The hash law is pure
+# integer/bit Column expressions over the payload string (the bytes
+# are ASCII, so string position == byte position); production swaps
+# the thumbnail synthesizer for the mapInPandas decode+resize stage
+# above — the hash, banding, and verify stages are unchanged.
+
+THUMB_GRID = 8           # dHash sample grid (8x8)
+THUMB_HBITS = THUMB_GRID * (THUMB_GRID - 1)   # 56 horizontal-gradient bits
+THUMB_VBITS = THUMB_GRID - 1                  # 7 vertical bits (x = 0 column)
+NEAR_DUP_BANDS = 4       # 63 bits -> 16/16/16/15-bit bands
+# covers the planted perturbations (brightness 0, crop 2) with head
+# room, while excluding single-row-pattern diffs (the 8x-replicated
+# row bit costs distance 8) — keeps the pair volume class-bounded
+NEAR_DUP_MAX_HAMMING = 6
+
+
+def _thumb_gray(d, x, y, bright: int):
+    """Grayscale law of the synthetic thumbnail corpus: a per-doc base
+    level, a vertical step edge at ex(d), a horizontal step edge at
+    ey(d), and a doc-keyed x-texture — smooth enough that perceptual
+    hashing is meaningful, varied enough that distinct docs land in
+    distinct hash classes. All values stay in 33..123 (printable
+    ASCII), so the encoded payload is one byte per sample. Accepts
+    Columns or ints for x/y (the synthesizer passes Columns, the
+    DuckDB twin generator mirrors this formula with ints)."""
+    ex = F.lit(1) + d % 6
+    ey = F.lit(1) + F.floor(d / 6).cast("long") % 6
+    x = F.lit(x) if isinstance(x, int) else x
+    y = F.lit(y) if isinstance(y, int) else y
+    return (
+        F.lit(33 + bright)
+        + d % 38
+        + F.when(x >= ex, F.lit(24)).otherwise(F.lit(0))
+        + F.when(y >= ey, F.lit(12)).otherwise(F.lit(0))
+        + ((x * (F.lit(2) + d % 5) + d % 7) % 4) * 2
+        + (x * (F.lit(3) + F.floor(d / 7).cast("long") % 4)
+           + F.floor(d / 5).cast("long") % 5) % 3
+    )
+
+
+def _thumb_payload(w: int, h: int, bright: int):
+    """P6 payload Column for one w x h thumbnail of the doc on this
+    row: header + w*h RGB samples (r = g = b = gray)."""
+    d = F.col("doc_id")
+
+    def px(p):
+        c = F.char(_thumb_gray(d, p % w, F.floor(p / w).cast("long"), bright))
+        return F.concat(c, c, c)
+
+    return F.encode(
+        F.concat(
+            F.lit(f"P6\n{w} {h}\n255\n"),
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), F.lit(w * h - 1)), px), ""
+            ),
+        ),
+        "UTF-8",
+    )
+
+
+def synthesize_thumbnails(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): the decoded-thumbnail corpus the near-dup
+    pass runs on — one 8x8 grayscale PPM per image doc (doc_id % 3 = 0,
+    the synthesize_media image slice), standing in for the
+    decode+resize output of the real pipeline (resize_plan above).
+    Planted perturbed copies exercise the recall contract:
+
+    - doc_id % 5 = 0 -> a BRIGHTNESS copy (+9 to every sample,
+      unclamped) at doc_id + 3_000_000 — gradient signs are invariant,
+      hamming distance 0;
+    - doc_id % 7 = 0 -> a CROP copy (last pixel row dropped, 8x7) at
+      doc_id + 6_000_000 — the resampled grid duplicates row 0, so
+      only the vertical edge bit moves: hamming distance 2.
+    """
+    d = F.col("doc_id")
+    imgs = docs.filter(d % 3 == 0)
+    base = imgs.select(d.alias("doc_id"), _thumb_payload(8, 8, 0).alias("content"))
+    bright = imgs.filter(d % 5 == 0).select(
+        "doc_id", _thumb_payload(8, 8, 9).alias("content")
+    ).withColumn("doc_id", d + 3_000_000)
+    crop = imgs.filter(d % 7 == 0).select(
+        "doc_id", _thumb_payload(8, 7, 0).alias("content")
+    ).withColumn("doc_id", d + 6_000_000)
+    return base.unionByName(bright).unionByName(crop)
+
+
+def media_dhash(content) -> "F.Column":
+    """63-bit perceptual hash of a P6 PPM payload, pure Column
+    expressions end-to-end: parse the header (magic / 'w h' / maxval
+    lines), point-sample the raster's red channel on an 8x8 grid
+    (sx(i) = i*(w-1) div 7, sy(j) = j*(h-1) div 7 — any w x h image
+    hashes onto the same grid), then
+
+    - bits 0..55: horizontal gradient signs g[j][i+1] > g[j][i]
+      (classic dHash, Krawetz 2013 — brightness-shift invariant);
+    - bits 56..62: vertical gradient signs down the x = 0 column.
+
+    63 bits keep the hash in one non-negative BIGINT for cheap
+    xor/bit_count verify in both engines."""
+    from functools import reduce
+    from operator import add
+
+    s = F.decode(content, "UTF-8")
+    parts = F.split(s, "\n", 4)
+    dims = F.split(parts[1], " ")
+    w = dims[0].cast("long")
+    h = dims[1].cast("long")
+    raster = parts[3]
+
+    def sample(i: int, j: int):
+        sx = F.floor(F.lit(i) * (w - 1) / 7).cast("long")
+        sy = F.floor(F.lit(j) * (h - 1) / 7).cast("long")
+        return F.ascii(raster.substr((sy * w + sx) * 3 + 1, F.lit(1)))
+
+    grid = [[sample(i, j) for i in range(THUMB_GRID)] for j in range(THUMB_GRID)]
+    bits = []
+    for j in range(THUMB_GRID):
+        for i in range(THUMB_GRID - 1):
+            k = j * (THUMB_GRID - 1) + i
+            bits.append(
+                F.when(grid[j][i + 1] > grid[j][i], F.lit(1 << k)).otherwise(
+                    F.lit(0)
+                )
+            )
+    for j in range(THUMB_VBITS):
+        bits.append(
+            F.when(grid[j + 1][0] > grid[j][0], F.lit(1 << (THUMB_HBITS + j)))
+            .otherwise(F.lit(0))
+        )
+    return reduce(add, bits).cast("long")
+
+
+def media_near_dup_pairs(
+    thumbs: DataFrame, max_hamming: int = NEAR_DUP_MAX_HAMMING
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-duplicate image pairs via
+    hamming-ball banding over the 63-bit dHash — the minhash band
+    discipline applied to perceptual hashes. The 4 bands (16/16/16/15
+    bits) guarantee every pair within hamming distance 3 shares a
+    clean band (pigeonhole), which covers both planted perturbations
+    (brightness 0, crop 2); candidates are verified with exact
+    bit_count(xor) <= max_hamming.
+
+    Scale shape: the payload column is scanned ONCE (one narrow map
+    pass computes the 8-byte hash; the binary column prunes away
+    after), banding shuffles |images| * 4 16-byte rows, the band
+    self-join runs inside buckets only, and verify is an integer op on
+    the joined-through hashes — no second scan, no O(n^2). Bucket skew
+    (a viral image class) falls to the same AQE-skew/salting
+    discipline as the minhash bands."""
+    from hadoop_ozone_spark import scratch
+
+    scratch.fresh("media_near_dup")
+    hashes = scratch.keep(
+        "media_near_dup",
+        thumbs.select("doc_id", media_dhash(F.col("content")).alias("dhash")),
+    )
+    band_arr = F.array(
+        F.col("dhash").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright("dhash", 16).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright("dhash", 32).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright("dhash", 48).bitwiseAND(F.lit(0x7FFF)),
+    )
+    bands = hashes.select(
+        "doc_id", "dhash", F.posexplode(band_arr).alias("bi", "bv")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

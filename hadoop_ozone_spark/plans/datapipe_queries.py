@@ -4163,3 +4163,185 @@ DP_CORPUS_DRIFT_SQL = _corpus_drift_sql()
 
 QUERIES["dp_corpus_drift"] = dp_corpus_drift
 ORACLES["dp_corpus_drift"] = DP_CORPUS_DRIFT_SQL
+
+
+# --- BPE merge ladder (round 10) --------------------------------------------
+
+BPE_VOCAB_N_MERGES = 8
+
+
+def dp_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterative BPE merge ladder (VERDICT r9 #4): run the full
+    top-merge loop of byte-pair-encoding tokenizer training
+    (datapipe/text.py bpe_learn_merges — Sennrich et al. 2016) to
+    BPE_VOCAB_N_MERGES merges over the corpus word-frequency table and
+    return the ordered merge log (merge_rank, left, right, pair_count)
+    — the first N rows of the tokenizer's merges.txt.
+
+    Scale shape (the dedup_clusters driver-loop discipline): the corpus
+    collapses ONCE to its word-frequency table (the only corpus-sized
+    shuffle; Heaps'-law bounded); each merge is a |vocab|-sized pair
+    count + a 1-row winner broadcast + a map-only carry-fold rewrite,
+    localCheckpointed so N merges stay N bounded passes. The DuckDB
+    twin replays all N rounds as materialized chained CTEs — the
+    carry-fold law is exactly leftmost-nonoverlapping replace on a
+    marker-prefixed symbol string (pinned in tests/test_datapipe.py
+    against a pure-Python reference)."""
+    merges, _vocab = text.bpe_learn_merges(
+        model.load(spark, sf_dir, "documents"), n_merges=BPE_VOCAB_N_MERGES
+    )
+    return merges
+
+
+def _bpe_vocab_sql(n_merges: int = BPE_VOCAB_N_MERGES) -> str:
+    """Chained-CTE DuckDB replay of bpe_learn_merges: round k counts
+    freq-weighted adjacent symbol pairs of round k-1's vocabulary,
+    adopts the (count desc, left, right) argmax, and rewrites every
+    word with leftmost-nonoverlapping replace over the chr(1)-prefixed
+    symbol string — byte-equivalent to the Spark side's carry fold
+    (each symbol carries its leading marker, so a match never consumes
+    the following symbol's boundary and '[a,a,a]' merges to '[aa,a]').
+    Every stage is MATERIALIZED: the chain is evaluated once per round,
+    not exponentially through inlined references."""
+    parts = [
+        r"""WITH v0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq,
+         chr(1) || array_to_string(
+           list_transform(generate_series(1, length(word)), i -> word[i]),
+           chr(1)) AS repr
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents)
+  WHERE length(word) >= 1
+  GROUP BY word
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f"""pi{k} AS (
+  SELECT freq, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM (SELECT freq, string_split(substr(repr, 2), chr(1)) AS toks FROM v{p})
+  WHERE len(toks) >= 2
+)"""
+        )
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT l, r, c FROM (
+    SELECT toks[i] AS l, toks[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS c
+    FROM pi{k} GROUP BY 1, 2
+  ) ORDER BY c DESC, l, r LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(repr,
+                 chr(1) || (SELECT l FROM m{k}) || chr(1) || (SELECT r FROM m{k}),
+                 chr(1) || (SELECT l || r FROM m{k})) AS repr
+  FROM v{p}
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT {k} AS merge_rank, l AS \"left\", r AS \"right\","
+        f" c AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return ",\n".join(parts) + f"\n{union}\nORDER BY merge_rank"
+
+
+DP_BPE_VOCAB_SQL = _bpe_vocab_sql()
+
+QUERIES["dp_bpe_vocab"] = dp_bpe_vocab
+ORACLES["dp_bpe_vocab"] = DP_BPE_VOCAB_SQL
+
+
+# --- multimodal perceptual near-dup (round 10) -------------------------------
+
+def dp_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup over the BINARY media column (VERDICT r9
+    #2): 63-bit dHash computed from the PPM payload bytes with pure
+    integer/bit Column expressions (datapipe/multimodal.py
+    media_dhash), hamming-ball banding for candidates (the minhash
+    band discipline), exact bit_count(xor) verify. The thumbnail
+    corpus plants brightness-perturbed (+9, hamming 0) and
+    crop-perturbed (last row dropped, hamming 2) copies; both are
+    guaranteed recovered (4 bands cover hamming <= 3 by pigeonhole;
+    recall pinned in tests/test_datapipe.py). The DuckDB twin replays
+    the same grayscale law, sample grid, bit layout, banding, and
+    verify."""
+    return multimodal.media_near_dup_pairs(
+        multimodal.synthesize_thumbnails(model.load(spark, sf_dir, "documents"))
+    )
+
+
+def _media_near_dup_sql() -> str:
+    g = (
+        "(33 + bright + d % 38"
+        " + CASE WHEN (i * (w - 1)) // 7 >= 1 + d % 6 THEN 24 ELSE 0 END"
+        " + CASE WHEN (j * (h - 1)) // 7 >= 1 + (d // 6) % 6 THEN 12 ELSE 0 END"
+        " + ((((i * (w - 1)) // 7) * (2 + d % 5) + d % 7) % 4) * 2"
+        " + (((i * (w - 1)) // 7) * (3 + (d // 7) % 4) + (d // 5) % 5) % 3)"
+    )
+    t = multimodal.NEAR_DUP_MAX_HAMMING
+    return f"""
+WITH imgs AS (
+  SELECT doc_id AS did, doc_id AS d, 8 AS w, 8 AS h, 0 AS bright
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, doc_id, 8, 8, 9
+  FROM documents WHERE doc_id % 15 = 0
+  UNION ALL
+  SELECT doc_id + 6000000, doc_id, 8, 7, 0
+  FROM documents WHERE doc_id % 21 = 0
+),
+samples AS (
+  SELECT did, i, j, {g} AS gray
+  FROM imgs,
+       (SELECT unnest(generate_series(0, 7)) AS i),
+       (SELECT unnest(generate_series(0, 7)) AS j)
+),
+gmat AS (SELECT did, j, list(gray ORDER BY i) AS row FROM samples GROUP BY did, j),
+hrows AS (SELECT did, j, row, unnest(generate_series(0, 6)) AS i FROM gmat),
+hb AS (
+  SELECT did, CAST(SUM(CASE WHEN row[i + 2] > row[i + 1]
+                            THEN (1::BIGINT << (j * 7 + i)) ELSE 0 END) AS BIGINT) AS hbits
+  FROM hrows GROUP BY did
+),
+gcol AS (SELECT did, list(gray ORDER BY j) AS colv
+         FROM samples WHERE i = 0 GROUP BY did),
+vrows AS (SELECT did, colv, unnest(generate_series(0, 6)) AS j FROM gcol),
+vb AS (
+  SELECT did, CAST(SUM(CASE WHEN colv[j + 2] > colv[j + 1]
+                            THEN (1::BIGINT << (56 + j)) ELSE 0 END) AS BIGINT) AS vbits
+  FROM vrows GROUP BY did
+),
+hashes AS (
+  SELECT hb.did, hb.hbits + vb.vbits AS dhash
+  FROM hb JOIN vb ON hb.did = vb.did
+),
+bands AS (
+  SELECT did, dhash, u.bi, u.bv FROM (
+    SELECT did, dhash,
+           unnest([
+             {{'bi': 0, 'bv': dhash & 65535}},
+             {{'bi': 1, 'bv': (dhash >> 16) & 65535}},
+             {{'bi': 2, 'bv': (dhash >> 32) & 65535}},
+             {{'bi': 3, 'bv': (dhash >> 48) & 32767}}]) AS u
+    FROM hashes)
+),
+cand AS (
+  SELECT DISTINCT a.did AS doc_a, b.did AS doc_b,
+                  a.dhash AS ha, b.dhash AS hb
+  FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.did < b.did
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {t}
+ORDER BY doc_a, doc_b
+"""
+
+
+DP_MEDIA_NEAR_DUP_SQL = _media_near_dup_sql()
+
+QUERIES["dp_media_near_dup"] = dp_media_near_dup
+ORACLES["dp_media_near_dup"] = DP_MEDIA_NEAR_DUP_SQL

@@ -2568,3 +2568,56 @@ def test_kmv_null_values_excluded_cross_engine(spark):
         for r in con.execute(sketches.kmv_sketch_sql(vals, "k")).fetchall()
     ]
     assert sorted(got) == sk  # bit-identical artifact across engines
+
+
+def test_media_near_dup_recall_and_law(spark, sf_dir):
+    """The planted perturbations are GUARANTEED recovered: brightness
+    copies at hamming 0 (gradient signs are shift-invariant), crop
+    copies at hamming 2 (grid resampling duplicates row 0, moving only
+    the vertical edge bit) — both inside the 4-band pigeonhole
+    guarantee (distance <= 3 always shares a clean band)."""
+    from hadoop_ozone_spark.datapipe import multimodal
+    from hadoop_ozone_spark import model
+
+    docs = model.load(spark, sf_dir, "documents")
+    thumbs = multimodal.synthesize_thumbnails(docs)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal.media_near_dup_pairs(thumbs).collect()
+    }
+    img_ids = [
+        r.doc_id for r in docs.select("doc_id").collect() if r.doc_id % 3 == 0
+    ]
+    bright = [d for d in img_ids if d % 5 == 0]
+    crop = [d for d in img_ids if d % 7 == 0]
+    assert bright and crop
+    assert all(pairs.get((d, d + 3_000_000)) == 0 for d in bright)
+    assert all(pairs.get((d, d + 6_000_000)) == 2 for d in crop)
+    # payload really is a parseable P6 whose header drives the hash:
+    # the crop copy's header says 8x7 and its raster is 56 pixels
+    row = (
+        thumbs.filter(F.col("doc_id") == crop[0] + 6_000_000)
+        .select("content")
+        .first()
+    )
+    payload = bytes(row.content)
+    assert payload.startswith(b"P6\n8 7\n255\n")
+    assert len(payload) == 11 + 8 * 7 * 3
+
+
+def test_media_dhash_brightness_invariance_is_exact(spark):
+    """media_dhash is invariant under ANY unclamped brightness shift,
+    not just the planted +9 — pinned by hashing the same thumbnail
+    at three shift levels."""
+    from hadoop_ozone_spark.datapipe import multimodal
+
+    base = spark.range(21, 22).select(F.col("id").alias("doc_id"))
+    hashes = [
+        base.select(
+            multimodal.media_dhash(
+                multimodal._thumb_payload(8, 8, b)
+            ).alias("h")
+        ).first().h
+        for b in (0, 5, 9)
+    ]
+    assert hashes[0] == hashes[1] == hashes[2] > 0
