@@ -672,72 +672,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Registration order. The driver's correctness artifact covers the FIRST
-# 50 entries of queries() each round. Round 9 (VERDICT r8 #1): the 15
-# queries registered during round 8 have judge evidence only — they
-# front-load this window; next come the 8 round-4-evidence leftovers
-# that did not fit in the r8 window (R4_LEFTOVER_R9 in
-# tests/test_entry_contract.py); the remaining 27 slots take the
-# stalest driver rows — the first 27 (alphabetical) of the 50 queries
-# whose latest driver evidence is CORRECTNESS_r05.json. The 23
-# round-5-evidence rows that don't fit (R5_LEFTOVER_R10 in the contract
-# test) lead the round-10 queue, together with queries registered NEW
-# this round (NEXT_WINDOW below).
+# 50 entries of queries() each round. Round 10 (VERDICT r9 #1): the 10
+# queries registered during round 9 have judge + sf1 evidence but zero
+# driver evidence — they front-load this window; next the 2 queries
+# registered NEW this round (dp_bpe_vocab, dp_media_near_dup); then the
+# 23 round-5-evidence leftovers that did not fit in the r9 window
+# (R5_LEFTOVER_R10 in tests/test_entry_contract.py); the remaining 15
+# slots take the stalest rows — the first 15 (alphabetical) of the 50
+# queries whose latest driver evidence is CORRECTNESS_r06.json. The 35
+# round-6-evidence rows that don't fit (R6_LEFTOVER_R11 in the contract
+# test) lead the round-11 queue.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
-    # registered during round 8 — first-ever driver check (15)
-    "x15_list_tables",
-    "dp_dedup_clusters",
-    "dp_bm25_topk",
-    "dp_dedup_clusters_incr",
-    "ev_conversion_latency",
-    "dp_winnow_report",
-    "dp_pmi_collocations",
-    "dp_datasheet",
-    "dp_hll_vocab",
-    "dp_cm_heavy_hitters",
-    "dp_bloom_decontaminate",
-    "ev_top_paths",
-    "dp_gram_novelty",
-    "ev_hll_users_by_type",
-    "dp_knn_label",
-    # round-4 evidence leftovers (R4_LEFTOVER_R9 — stalest rows, 8)
-    "s8_freon_generator",
-    "sm1_safemode_status",
-    "t1_trash_status",
-    "w4_list_parts",
-    "w5_topk_containers",
-    "w6_latest_version",
-    "x12_sorted_locations",
-    "x13_get_file_status",
-    # round-5 evidence rows (next-stalest — first 27, alphabetical)
-    "a3_namespace_histogram",
-    "a5_quota_enforcement",
-    "a7_datanode_growth",
-    "acl_longest_prefix",
-    "dp_embedding_neardup",
-    "dp_kmeans_step",
-    "dp_semantic_dedup",
-    "ev_asof_join",
-    "ev_range_join_binned",
-    "ev_sessionization",
-    "m4_gc_batch",
-    "m4_mpu_expiry",
-    "m6_copy_object",
-    "m7_mpu_abort",
-    "m8_mpu_initiate",
-    "n2_datanode_usage",
-    "p3_pipeline_scrub",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_surplus_suppliers",
+    # registered during round 9 — first-ever driver check (10)
+    "dp_knn_label_ivfpq",
+    "recon_task_status",
+    "dp_qsketch_tokens",
+    "dp_qsketch_by_source",
+    "dp_cm_by_source",
+    "dp_kmv_user_overlap",
+    "dp_mg_heavy_hitters",
+    "dp_mg_by_source",
+    "dp_kmv_type_matrix",
+    "dp_corpus_drift",
+    # registered NEW in round 10 (2)
+    "dp_bpe_vocab",
+    "dp_media_near_dup",
+    # round-5 evidence leftovers (R5_LEFTOVER_R10 — stalest rows, 23)
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_selective_agg",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "rm1_replication_actions",
+    "rm2_placement_targets",
+    "rm3_close_actions",
+    "rm4_delete_actions",
+    "s3_head_object",
+    "s5_snapshot_tail_merge",
+    "s6_debug_scan",
+    "so3_multi_delete",
+    "w1_list_buckets",
+    "w1_list_volumes_by_user",
+    "w4_list_uploads",
+    "x10_storage_units",
+    "x6_range_read",
+    "x9_time_format",
+    "x_path_functions",
+    # round-6 evidence rows (next-stalest — first 15, alphabetical)
+    "a1_file_size_histogram",
+    "a1_histogram_rollup",
+    "a2_signed_counts",
+    "a3_namespace_du",
+    "a4_table_counts",
+    "a5_quota_usage",
+    "a6_cluster_state",
+    "a7_daily_growth",
+    "a8_failure_rate",
+    "a8_top_ops",
+    "a8_top_users",
+    "acl_effective_access",
+    "dp_ann_brute_topk",
+    "dp_ann_knn_join",
+    "dp_decontaminate",
 ]
 
 
@@ -786,23 +787,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Queries registered NEW this round (round 9) — placed immediately
-# after the 50-slot driver window so the judge's HEAD oracle run sees
-# them and the round-10 rotation can front-load them, together with the
-# 23 remaining round-5-evidence leftovers (R5_LEFTOVER_R10 in
-# tests/test_entry_contract.py).
-NEXT_WINDOW: list[str] = [
-    "dp_knn_label_ivfpq",
-    "recon_task_status",
-    "dp_qsketch_tokens",
-    "dp_qsketch_by_source",
-    "dp_cm_by_source",
-    "dp_kmv_user_overlap",
-    "dp_mg_heavy_hitters",
-    "dp_mg_by_source",
-    "dp_kmv_type_matrix",
-    "dp_corpus_drift",
-]
+# Queries registered NEW this round that did NOT fit in the 50-slot
+# driver window — placed immediately after it so the judge's HEAD
+# oracle run sees them and the round-11 rotation can front-load them.
+# Round 10's two new registrations (dp_bpe_vocab, dp_media_near_dup)
+# fit inside the window, so this queue is empty; the round-11 window
+# otherwise leads with R6_LEFTOVER_R11 (tests/test_entry_contract.py).
+NEXT_WINDOW: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

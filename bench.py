@@ -144,9 +144,27 @@ HEADLINE = [
     "dp_mg_by_source",
     "dp_kmv_type_matrix",
     "dp_corpus_drift",
+    # round 10 additions
+    "dp_bpe_vocab",
+    "dp_media_near_dup",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state
+
+# Broadcast-latency-floor planes (VERDICT r9 "what's wrong" #2): three
+# same-family queries co-drifted +47-54% in r9 on a round where the
+# calibration pair read the box FASTER. Their cost is dominated by
+# sequential small-broadcast builds, so two steady repeats can't
+# separate floor jitter from a real regression — these get the
+# repeat-and-median treatment (5 steady runs; median + full run list
+# recorded in the artifact's floor_profile) while the headline keeps
+# the min-of-steady convention every other query uses.
+FLOOR_PROFILE = {
+    "bm1_balancer_moves",
+    "pp1_pipeline_targets",
+    "rm4_delete_actions",
+}
+FLOOR_PROFILE_STEADY = 5
 
 
 def calibration_run(spark) -> float:
@@ -250,6 +268,7 @@ def main() -> None:
     colds: dict[str, float] = {}
     spreads: dict[str, float] = {}
     twin_stats: dict[str, dict] = {}
+    floor_profile: dict[str, dict] = {}
 
     def _record(name: str, runs: list[float], n: int) -> None:
         cold, warm = runs[0], runs[1:]
@@ -277,8 +296,14 @@ def main() -> None:
         rows: dict[str, int] = {}
         # twin pairs get one extra interleaved round: the contract delta
         # (a few % at sf0.1) needs 3 steady samples per variant to sit
-        # reliably inside the recorded pair noise
-        n_runs = RUNS_PER_QUERY + 1 if len(pair) == 2 else RUNS_PER_QUERY
+        # reliably inside the recorded pair noise; the broadcast-floor
+        # planes get 5 steady runs for the median profile
+        if len(pair) == 2:
+            n_runs = RUNS_PER_QUERY + 1
+        elif name in FLOOR_PROFILE:
+            n_runs = 1 + FLOOR_PROFILE_STEADY
+        else:
+            n_runs = RUNS_PER_QUERY
         for _ in range(n_runs):
             for variant in pair:
                 fn = _FAST_TWINS.get(variant) or qs[variant]
@@ -287,6 +312,19 @@ def main() -> None:
                 runs[variant].append(time.time() - t0)
         for variant in pair:
             _record(variant, runs[variant], rows[variant])
+            if variant in FLOOR_PROFILE:
+                warm = sorted(runs[variant][1:])
+                med = warm[len(warm) // 2]
+                floor_profile[variant] = {
+                    "steady_runs_sec": [round(r, 3) for r in runs[variant][1:]],
+                    "median_sec": round(med, 3),
+                    "min_sec": round(warm[0], 3),
+                    "spread_pct": round(
+                        (warm[-1] - warm[0]) / warm[0] * 100, 1
+                    )
+                    if warm[0] > 0
+                    else 0.0,
+                }
         if len(pair) == 2:
             portable, fast = pair
             base = timings[portable]
@@ -325,6 +363,7 @@ def main() -> None:
         "cold_sec": colds,
         "spread_pct": spreads,
         "twin_pairs": twin_stats,
+        "floor_profile": floor_profile,
         "sf": sf,
     }
     # Detail goes to an untracked artifacts/ dir (ADVICE r5: writing the

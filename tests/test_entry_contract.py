@@ -242,6 +242,55 @@ R5_LEFTOVER_R10 = [
 ]
 
 
+# the 50 keys the driver hash-checked in round 9 (CORRECTNESS_r09.json):
+# the 15 round-8 registrations + the 8 R4 leftovers + 27 stalest
+# round-5-evidence rows
+R9_WINDOW = R8_REGISTRATIONS + R4_LEFTOVER_R9 + [
+    "a3_namespace_histogram", "a5_quota_enforcement",
+    "a7_datanode_growth", "acl_longest_prefix", "dp_embedding_neardup",
+    "dp_kmeans_step", "dp_semantic_dedup", "ev_asof_join",
+    "ev_range_join_binned", "ev_sessionization", "m4_gc_batch",
+    "m4_mpu_expiry", "m6_copy_object", "m7_mpu_abort",
+    "m8_mpu_initiate", "n2_datanode_usage", "p3_pipeline_scrub",
+    "q10_returned_items", "q11_important_parts", "q12_late_shipments",
+    "q13_customer_distribution", "q14_promo_effect",
+    "q16_supplier_variety", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue",
+    "q20_surplus_suppliers",
+]
+
+# registered during round 9 — zero driver evidence until the r10 window
+R9_REGISTRATIONS = [
+    "dp_knn_label_ivfpq", "recon_task_status", "dp_qsketch_tokens",
+    "dp_qsketch_by_source", "dp_cm_by_source", "dp_kmv_user_overlap",
+    "dp_mg_heavy_hitters", "dp_mg_by_source", "dp_kmv_type_matrix",
+    "dp_corpus_drift",
+]
+
+# registered during round 10 — inside the r10 window from day one
+R10_REGISTRATIONS = ["dp_bpe_vocab", "dp_media_near_dup"]
+
+# the 35 round-6-evidence rows that did not fit in the r10 window
+# (15 slots after the 10 r9 registrations + 2 r10 registrations + 23
+# R5 leftovers) — front of the round-11 queue
+R6_LEFTOVER_R11 = [
+    "dp_dedup_groups", "dp_exact_dedup", "dp_minhash_incremental",
+    "dp_mixture_sample", "dp_pack_plan", "dp_pii_redact",
+    "dp_repetition", "f2_range_scan", "f4_tombstone_anti_join",
+    "gdpr_metadata_filter", "j1_keys_for_container",
+    "j2_container_health", "j2_health_summary",
+    "j3_fso_path_resolution", "j4_container_key_index",
+    "j5_keys_in_open_containers", "l1_bucket_links",
+    "m2_rename_prefix", "m3_delete_prefix", "m4_open_key_expiry",
+    "m5_multipart_check", "nested_locations_stats",
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
+    "s1_prefix_scan", "s2_point_lookup", "size_percentiles",
+    "so1_latest_state", "w1_list_keys_page", "w1_list_volumes",
+    "w2_s3_common_prefixes", "w2_s3_leaf_listing", "w3_list_status",
+    "x11_busiest_seconds",
+]
+
+
 def test_window_is_first_50_and_oracle_backed():
     q, o = entry.queries(), entry.oracle_sql()
     names = list(q)
@@ -255,34 +304,35 @@ def test_every_query_has_an_oracle():
     assert set(q) == set(o)  # no rows-only checks remain
 
 
-def test_round9_window_frontloads_round8_registrations():
-    # VERDICT r8 #1: the 15 queries registered during round 8 have zero
-    # driver evidence — they lead the r9 window; next the 8 round-4
-    # leftovers that missed the r8 window; the remaining 27 slots take
-    # the stalest (round-5-evidence) rows, alphabetical
-    assert entry.DRIVER_WINDOW[:15] == R8_REGISTRATIONS
-    assert entry.DRIVER_WINDOW[15:23] == R4_LEFTOVER_R9
+def test_round10_window_frontloads_round9_and_round10_registrations():
+    # VERDICT r9 #1: the 10 queries registered during round 9 have zero
+    # driver evidence — they lead the r10 window; the 2 round-10
+    # registrations ride inside the window from day one; next the 23
+    # round-5 leftovers that missed the r9 window
+    assert entry.DRIVER_WINDOW[:10] == R9_REGISTRATIONS
+    assert entry.DRIVER_WINDOW[10:12] == R10_REGISTRATIONS
+    assert entry.DRIVER_WINDOW[12:35] == R5_LEFTOVER_R10
     assert R4_LEFTOVER[7:] == R4_LEFTOVER_R9
 
 
-def test_round9_window_fills_with_stalest_rows():
-    # the remaining 27 slots hold round-5-evidence rows (the stalest
-    # after the R4 leftovers); together with R5_LEFTOVER_R10 they
-    # exactly exhaust the still-stale round-5-evidence set
+def test_round10_window_fills_with_stalest_rows():
+    # the remaining 15 slots hold round-6-evidence rows (the stalest
+    # after the R5 leftovers); together with R6_LEFTOVER_R11 they
+    # exactly exhaust the still-stale round-6-evidence set
     last_checked = {}
     for rnd, window in (
         (1, R1_WINDOW), (2, R2_WINDOW), (3, R3_WINDOW),
         (4, R4_WINDOW), (5, R5_WINDOW), (6, R6_WINDOW), (7, R7_WINDOW),
-        (8, R8_WINDOW),
+        (8, R8_WINDOW), (9, R9_WINDOW),
     ):
         for name in window:
             last_checked[name] = rnd
-    r5_stale = {
-        n for n in entry.queries() if last_checked.get(n, 0) == 5
+    r6_stale = {
+        n for n in entry.queries() if last_checked.get(n, 0) == 6
     }
-    filler = entry.DRIVER_WINDOW[23:]
-    assert set(filler) <= r5_stale, sorted(set(filler) - r5_stale)
-    assert set(filler) | set(R5_LEFTOVER_R10) == r5_stale
+    filler = entry.DRIVER_WINDOW[35:]
+    assert set(filler) <= r6_stale, sorted(set(filler) - r6_stale)
+    assert set(filler) | set(R6_LEFTOVER_R11) == r6_stale
     assert filler == sorted(filler)  # deterministic: alphabetical
 
 
@@ -291,10 +341,11 @@ def test_round_union_covers_every_registered_query():
     covered = (
         set(R1_WINDOW) | set(R2_WINDOW) | set(R3_WINDOW) | set(R4_WINDOW)
         | set(R5_WINDOW) | set(R6_WINDOW) | set(R7_WINDOW) | set(R8_WINDOW)
-        | set(entry.DRIVER_WINDOW)
+        | set(R9_WINDOW) | set(entry.DRIVER_WINDOW)
     )
     pending = set(q) - covered
-    # only round-9 registrations (NEXT_WINDOW) may lack driver evidence
+    # only registrations newer than the current window (NEXT_WINDOW)
+    # may lack driver evidence
     assert pending <= set(entry.NEXT_WINDOW), sorted(
         pending - set(entry.NEXT_WINDOW)
     )
