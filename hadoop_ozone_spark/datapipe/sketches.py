@@ -691,7 +691,17 @@ def kmv_estimate(df: DataFrame, col: str) -> DataFrame:
 
 
 def kmv_set_ops(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
-    """1-row theta-sketch set operations over two relations:
+    """1-row theta-sketch set operations over two relations: build the
+    two sketches, then compose (see kmv_set_ops_from_sketches)."""
+    return kmv_set_ops_from_sketches(kmv_sketch(a, col), kmv_sketch(b, col))
+
+
+def kmv_set_ops_from_sketches(
+    sketch_a: DataFrame, sketch_b: DataFrame, tag: str = "kmv_set_ops"
+) -> DataFrame:
+    """1-row theta-sketch set operations from two ALREADY-BUILT KMV
+    sketches ((h,) frames — fresh builds or the zone folds
+    sketch_stream.read_kmv_sketch maintains):
     (a_est, b_est, inter_est, union_est, jaccard_ppm). The two
     ≤KMV_K-row sketches full-outer-join on h; rows below the combined
     theta = min(theta_a, theta_b) form a uniform sample of A ∪ B, so
@@ -704,13 +714,9 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
     # bounded scratch registry (the repo contract for persists that
     # outlive the function return; raw .persist() would leak one cached
     # generation per invocation with changing inputs)
-    scratch.fresh("kmv_set_ops")
-    ska = scratch.keep(
-        "kmv_set_ops", kmv_sketch(a, col).withColumn("_a", F.lit(1))
-    )
-    skb = scratch.keep(
-        "kmv_set_ops", kmv_sketch(b, col).withColumn("_b", F.lit(1))
-    )
+    scratch.fresh(tag)
+    ska = scratch.keep(tag, sketch_a.withColumn("_a", F.lit(1)))
+    skb = scratch.keep(tag, sketch_b.withColumn("_b", F.lit(1)))
     ta = kmv_theta(ska.select("h")).withColumnRenamed("theta", "theta_a")
     tb = kmv_theta(skb.select("h")).withColumnRenamed("theta", "theta_b")
     th = ta.crossJoin(tb).select(

@@ -3983,98 +3983,58 @@ QUERIES["dp_kmv_type_matrix"] = dp_kmv_type_matrix
 ORACLES["dp_kmv_type_matrix"] = DP_KMV_MATRIX_SQL
 
 
-def dp_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus drift report between two source slices (src0-9 vs
-    src10-19), composed ENTIRELY from the mergeable sketch family —
-    the "did the new crawl shift the distribution" dial a curation
-    pipeline reads before re-training, at sketch cost instead of a
-    full-corpus diff:
-
-    - vocabulary overlap via KMV theta set-ops (jaccard + union est);
-    - heavy-hitter churn via the two Misra-Gries summaries' key sets
-      (shared / only-a / only-b);
-    - token-length distribution shift via per-side quantile-sketch
-      p50/p90.
-
-    One long-format (metric, value) frame, every leg artifact-bounded.
-    At 100 TB each side's sketches are the write-time artifacts the
-    zones already maintain — this query is then a pure sketch-fold."""
+def _drift_assemble(
+    ops: DataFrame,
+    ka: DataFrame,
+    kb: DataFrame,
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+) -> DataFrame:
+    """Assemble the 9-metric long-format drift frame from the two
+    sides' sketch artifacts: KMV set-ops (ops), MG summary key frames
+    (ka/kb: one ``key`` column), and per-side quantile-sketch count
+    frames. Shared by the corpus-scan path (corpus_drift_report) and
+    the zone-fed path (corpus_drift_from_zones) — the report is a
+    pure function of the artifacts, wherever they came from."""
     from hadoop_ozone_spark.datapipe import sketches
-
-    docs = model.load(spark, sf_dir, "documents")
-    side = F.when(
-        F.substring("source", 4, 10).cast("int") < 10, F.lit("a")
-    ).otherwise(F.lit("b"))
-    tagged = docs.select(
-        side.alias("side"),
-        "doc_id",
-        F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("text"),
-    )
-    from hadoop_ozone_spark import scratch
-
-    # one token explosion serves the KMV and both MG legs (4 sketch
-    # builds otherwise re-explode the corpus each)
-    scratch.fresh("dp_corpus_drift_tok")
-    tok = scratch.keep(
-        "dp_corpus_drift_tok",
-        tagged.select(
-            "side", F.explode(text.tokens(F.col("text"))).alias("token")
-        ),
-    )
-    a_tok = tok.filter(F.col("side") == "a").select("token")
-    b_tok = tok.filter(F.col("side") == "b").select("token")
 
     def metric(name: str, col: Column, frame: DataFrame) -> DataFrame:
         return frame.select(
             F.lit(name).alias("metric"), col.cast("long").alias("value")
         )
 
-    ops = sketches.kmv_set_ops(a_tok, b_tok, "token")
     rows = [
         metric("vocab_jaccard_ppm", F.col("jaccard_ppm"), ops),
         metric("vocab_union_est", F.col("union_est"), ops),
     ]
-    ka = sketches.mg_summary(a_tok, "token").select(
-        "key", F.lit(1).alias("_a")
-    )
-    kb = sketches.mg_summary(b_tok, "token").select(
-        "key", F.lit(1).alias("_b")
-    )
-    hh = ka.join(kb, "key", "full").agg(
-        F.coalesce(
-            F.sum(F.coalesce("_a", F.lit(0)) * F.coalesce("_b", F.lit(0))),
-            F.lit(0),
-        ).alias("shared"),
-        F.coalesce(
-            F.sum(F.coalesce("_a", F.lit(0)) * (1 - F.coalesce("_b", F.lit(0)))),
-            F.lit(0),
-        ).alias("only_a"),
-        F.coalesce(
-            F.sum((1 - F.coalesce("_a", F.lit(0))) * F.coalesce("_b", F.lit(0))),
-            F.lit(0),
-        ).alias("only_b"),
+    hh = (
+        ka.select("key", F.lit(1).alias("_a"))
+        .join(kb.select("key", F.lit(1).alias("_b")), "key", "full")
+        .agg(
+            F.coalesce(
+                F.sum(F.coalesce("_a", F.lit(0)) * F.coalesce("_b", F.lit(0))),
+                F.lit(0),
+            ).alias("shared"),
+            F.coalesce(
+                F.sum(
+                    F.coalesce("_a", F.lit(0)) * (1 - F.coalesce("_b", F.lit(0)))
+                ),
+                F.lit(0),
+            ).alias("only_a"),
+            F.coalesce(
+                F.sum(
+                    (1 - F.coalesce("_a", F.lit(0))) * F.coalesce("_b", F.lit(0))
+                ),
+                F.lit(0),
+            ).alias("only_b"),
+        )
     )
     rows += [
         metric("hh_shared", F.col("shared"), hh),
         metric("hh_only_a", F.col("only_a"), hh),
         metric("hh_only_b", F.col("only_b"), hh),
     ]
-    tc = tagged.select(
-        "side",
-        F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
-    )
-    # persist each side's <=160-row sketch (the dp_qsketch precedent):
-    # qsketch_quantiles references its counts three times (n, cum,
-    # pick) — uncached, the corpus CASE-ladder pass reruns per
-    # reference (measured 25s -> <1s at sf0.1)
-    scratch.fresh("dp_corpus_drift_qs")
-    for s in ("a", "b"):
-        counts = scratch.keep(
-            "dp_corpus_drift_qs",
-            sketches.qsketch_counts(
-                tc.filter(F.col("side") == s).select("n_tokens"), "n_tokens"
-            ),
-        )
+    for s, counts in (("a", counts_a), ("b", counts_b)):
         q = sketches.qsketch_quantiles(counts, (500000, 900000))
         rows.append(
             q.select(
@@ -4091,6 +4051,129 @@ def dp_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("metric")
+
+
+def corpus_drift_report(tagged: DataFrame) -> DataFrame:
+    """Corpus-scan drift path over a (side, doc_id, text) frame (text
+    already lowercased): explode tokens once, build each side's
+    KMV / MG / quantile sketches, assemble the report.
+
+    NOTE (ADVICE r9): the shared token-explosion persist below is
+    CORPUS-sized — a bench-scale optimization that saves the 4 sketch
+    builds re-exploding the corpus each. At 100 TB this path is not
+    what runs: the sides' sketches are the write-time zone artifacts
+    the streams already maintain, and the report is the pure
+    artifact-fold in corpus_drift_from_zones (pinned equal in
+    tests/test_sketch_stream.py)."""
+    from hadoop_ozone_spark import scratch
+    from hadoop_ozone_spark.datapipe import sketches
+
+    scratch.fresh("dp_corpus_drift_tok")
+    tok = scratch.keep(
+        "dp_corpus_drift_tok",
+        tagged.select(
+            "side", F.explode(text.tokens(F.col("text"))).alias("token")
+        ),
+    )
+    a_tok = tok.filter(F.col("side") == "a").select("token")
+    b_tok = tok.filter(F.col("side") == "b").select("token")
+    ops = sketches.kmv_set_ops(a_tok, b_tok, "token")
+    ka = sketches.mg_summary(a_tok, "token").select("key")
+    kb = sketches.mg_summary(b_tok, "token").select("key")
+    tc = tagged.select(
+        "side",
+        F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    # persist each side's <=160-row sketch (the dp_qsketch precedent):
+    # qsketch_quantiles references its counts three times (n, cum,
+    # pick) — uncached, the corpus CASE-ladder pass reruns per
+    # reference (measured 25s -> <1s at sf0.1)
+    scratch.fresh("dp_corpus_drift_qs")
+    counts = {
+        s: scratch.keep(
+            "dp_corpus_drift_qs",
+            sketches.qsketch_counts(
+                tc.filter(F.col("side") == s).select("n_tokens"), "n_tokens"
+            ),
+        )
+        for s in ("a", "b")
+    }
+    return _drift_assemble(ops, ka, kb, counts["a"], counts["b"])
+
+
+def corpus_drift_from_zones(
+    spark: SparkSession, state_a: str, state_b: str
+) -> DataFrame:
+    """Zone-fed corpus drift (VERDICT r9 #3) — the 100 TB path: the
+    same 9-metric report computed purely from the write-time sketch
+    zone artifacts the streams maintain (sketch_stream
+    process_set_batch lands KMV + MG zones over the token stream,
+    process_numeric_batch lands quantile zones over per-doc token
+    counts) — NO corpus scan, a constant-size fold per side. The KMV
+    fold is exact and the quantile fold SUM-merges exactly, so those
+    legs equal the corpus-scan report unconditionally; the MG fold
+    obeys the mg_merge bound law and equals the batch summary exactly
+    whenever no zone truncated (pinned: drift(zones) ≡ drift(corpus)
+    in tests/test_sketch_stream.py)."""
+    from hadoop_ozone_spark import scratch
+    from hadoop_ozone_spark.datapipe import sketches
+    from hadoop_ozone_spark.streaming import sketch_stream
+
+    ops = sketches.kmv_set_ops_from_sketches(
+        sketch_stream.read_kmv_sketch(spark, state_a),
+        sketch_stream.read_kmv_sketch(spark, state_b),
+        tag="corpus_drift_zones_kmv",
+    )
+    ka = (
+        sketch_stream.read_mg_summary(spark, state_a)
+        .filter(F.col("key").isNotNull())
+        .select("key")
+    )
+    kb = (
+        sketch_stream.read_mg_summary(spark, state_b)
+        .filter(F.col("key").isNotNull())
+        .select("key")
+    )
+    scratch.fresh("corpus_drift_zones_qs")
+    counts_a = scratch.keep(
+        "corpus_drift_zones_qs", sketch_stream.read_qsketch_counts(spark, state_a)
+    )
+    counts_b = scratch.keep(
+        "corpus_drift_zones_qs", sketch_stream.read_qsketch_counts(spark, state_b)
+    )
+    return _drift_assemble(ops, ka, kb, counts_a, counts_b)
+
+
+def dp_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift report between two source slices (src0-9 vs
+    src10-19), composed ENTIRELY from the mergeable sketch family —
+    the "did the new crawl shift the distribution" dial a curation
+    pipeline reads before re-training, at sketch cost instead of a
+    full-corpus diff:
+
+    - vocabulary overlap via KMV theta set-ops (jaccard + union est);
+    - heavy-hitter churn via the two Misra-Gries summaries' key sets
+      (shared / only-a / only-b);
+    - token-length distribution shift via per-side quantile-sketch
+      p50/p90.
+
+    One long-format (metric, value) frame, every leg's OUTPUT
+    artifact-bounded. This registration scans the corpus to build the
+    sides' sketches (see corpus_drift_report's note on its
+    corpus-sized token cache); at 100 TB the report instead folds the
+    write-time zone artifacts — corpus_drift_from_zones, pinned equal
+    to this path."""
+    docs = model.load(spark, sf_dir, "documents")
+    side = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, F.lit("a")
+    ).otherwise(F.lit("b"))
+    return corpus_drift_report(
+        docs.select(
+            side.alias("side"),
+            "doc_id",
+            F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+        )
+    )
 
 
 def _corpus_drift_sql() -> str:
