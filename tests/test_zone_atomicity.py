@@ -222,3 +222,142 @@ def test_semantic_stream_refuses_torn_index_input(spark, tmp_path):
     semantic_stream.process_vec_batch(spark, _vecs(spark, range(40, 50)), 0, sd, c)
     semantic_stream.process_vec_batch(spark, _vecs(spark, range(50, 60)), 1, sd, c)
     assert spark.read.parquet(f"{sd}/index").count() > 0
+
+
+# --- real crash injection through the writeStream entry points --------------
+# (VERDICT r9 #8): the torn-zone pins above simulate the crash by
+# removing _SUCCESS by hand; these drive run_set_sketch_stream /
+# run_sketch_stream with a REAL trigger and kill the writer
+# mid-foreachBatch — a poisoned row fails the victim plane's parquet
+# job after the first plane committed, which is exactly the
+# torn-write signature (directory present, no _SUCCESS). Repair is
+# the REAL recovery path too: restart the stream on the same
+# checkpoint and let Structured Streaming re-run the failed batch.
+
+from hadoop_ozone_spark.datapipe import sketches  # noqa: E402
+
+
+def _poison(df, col):
+    # evaluating any row raises, so the parquet job dies after task
+    # setup — mid-zone, the way a real writer crash lands
+    return df.withColumn(
+        col,
+        F.col(col) + F.raise_error(F.lit("injected mid-batch crash")).cast("long"),
+    )
+
+
+CRASH_STORES = {
+    "set_kmv_mg": {
+        "runner": lambda st, sd, ck: sketch_stream.run_set_sketch_stream(
+            st, sd, ck, "k"
+        ),
+        "fname": "process_set_batch",
+        "victim": "mg",
+        "survivor": "kmv",
+        "faulty_body": lambda spark, b, bid, sd: (
+            sketches.kmv_sketch(b, "k")
+            .write.mode("overwrite")
+            .parquet(f"{sd}/kmv/batch={bid}"),
+            _poison(sketches.mg_zone(b, "k"), "mg_count")
+            .write.mode("overwrite")
+            .parquet(f"{sd}/mg/batch={bid}"),
+        ),
+        "read_victim": lambda spark, sd: sketch_stream.read_mg_summary(
+            spark, sd
+        ).collect(),
+        "read_survivor": lambda spark, sd: sketch_stream.read_kmv_sketch(
+            spark, sd
+        ).collect(),
+    },
+    "trio_hll_cm": {
+        "runner": lambda st, sd, ck: sketch_stream.run_sketch_stream(
+            st, sd, ck, "k"
+        ),
+        "fname": "process_batch",
+        "victim": "cm",
+        "survivor": "hll",
+        "faulty_body": lambda spark, b, bid, sd: (
+            sketches.hll_registers(b, "k")
+            .write.mode("overwrite")
+            .parquet(f"{sd}/hll/batch={bid}"),
+            _poison(sketches.cm_counters(b, "k"), "cnt")
+            .write.mode("overwrite")
+            .parquet(f"{sd}/cm/batch={bid}"),
+        ),
+        "read_victim": lambda spark, sd: sketch_stream.read_cm_counters(
+            spark, sd
+        ).collect(),
+        "read_survivor": lambda spark, sd: sketch_stream.read_hll_registers(
+            spark, sd
+        ).collect(),
+    },
+}
+
+
+@pytest.mark.parametrize("store", sorted(CRASH_STORES))
+def test_writestream_crash_mid_foreachbatch_and_checkpoint_repair(
+    spark, tmp_path, store, monkeypatch
+):
+    cfg = CRASH_STORES[store]
+    whole = spark.createDataFrame(
+        [(f"k{i % 40}",) for i in range(2000)], "k string"
+    )
+    src = str(tmp_path / "src")
+    whole.repartition(2).write.parquet(src)
+    sd, ck = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    real = getattr(sketch_stream, cfg["fname"])
+    armed = {"on": True}
+
+    def faulty(spark_, batch, bid, state_dir, col):
+        if not armed["on"]:
+            return real(spark_, batch, bid, state_dir, col)
+        armed["on"] = False
+        cfg["faulty_body"](spark_, batch, bid, state_dir)
+
+    monkeypatch.setattr(sketch_stream, cfg["fname"], faulty)
+
+    stream = spark.readStream.schema(whole.schema).parquet(src)
+    q = cfg["runner"](stream, sd, ck)
+    with pytest.raises(Exception, match="injected mid-batch crash"):
+        q.awaitTermination(180)
+
+    # the victim zone is genuinely torn by the dying write job —
+    # directory present, no _SUCCESS — and its reader fails loudly,
+    # naming the zone, while the already-committed plane still reads
+    torn = zones.torn_zones(spark, sd, cfg["victim"])
+    assert torn and torn[0].endswith(f"{cfg['victim']}/batch=0")
+    with pytest.raises(ValueError, match=f"{cfg['victim']}/batch=0"):
+        cfg["read_victim"](spark, sd)
+    assert cfg["read_survivor"](spark, sd)
+
+    # REAL repair path: restart the stream on the same checkpoint;
+    # Structured Streaming re-runs the failed batch, the idempotent
+    # overwrite rewrites the torn zone wholesale
+    stream2 = spark.readStream.schema(whole.schema).parquet(src)
+    q2 = cfg["runner"](stream2, sd, ck)
+    q2.awaitTermination(180)
+    assert zones.torn_zones(spark, sd, cfg["victim"]) == []
+
+    if store == "set_kmv_mg":
+        folded = sorted(
+            r.h for r in sketch_stream.read_kmv_sketch(spark, sd).collect()
+        )
+        direct = sorted(r.h for r in sketches.kmv_sketch(whole, "k").collect())
+        assert folded == direct
+        zone = sketch_stream.read_mg_summary(spark, sd).collect()
+        truth = {r.k: r["count"] for r in whole.groupBy("k").count().collect()}
+        bound = zone[0].mg_threshold
+        for r in zone:
+            if r.key is not None:
+                assert r.mg_count <= truth[r.key] <= r.mg_count + bound
+    else:
+        folded = {
+            (r.row, r.bucket): r.cnt
+            for r in sketch_stream.read_cm_counters(spark, sd).collect()
+        }
+        direct = {
+            (r.row, r.bucket): r.cnt
+            for r in sketches.cm_counters(whole, "k").collect()
+        }
+        assert folded == direct
