@@ -629,3 +629,30 @@ def test_mg_threshold_is_takeordered_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "Window" not in p
+
+
+def test_grouped_sketch_builds_are_windowgrouplimit_partial(spark, sf_dir):
+    # VERDICT r9 #6: the grouped KMV/MG rank windows must compile to
+    # WindowGroupLimit with a PARTIAL pass BELOW the per-key exchange
+    # (map-side per-key top-k) — a hot group can then never force a
+    # full per-group sort of its rows through the shuffle (the
+    # forced-skew probe row in BENCH_NOTES is the wall-time leg)
+    from hadoop_ozone_spark.datapipe import sketches
+
+    ev = model.load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    for build in (
+        sketches.kmv_sketch_grouped(ev, "key", "k"),
+        sketches.mg_summary_grouped(ev, "key", "k"),
+    ):
+        p = plan_of(build)
+        assert "WindowGroupLimit" in p
+        i_final = p.index(", Final")
+        i_partial = p.index(", Partial")
+        # the tree prints children below parents: Final sits above the
+        # key exchange, Partial below it (map side)
+        i_exchange = p.index("Exchange hashpartitioning(key", i_final)
+        assert i_final < i_exchange < i_partial
+        assert "Sort [" not in p.split("WindowGroupLimit")[0]  # no global sort above

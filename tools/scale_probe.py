@@ -1184,6 +1184,60 @@ def sketch_probe(n_m: float = 10.0) -> None:
     spark.stop()
 
 
+def sketch_skew_probe(n_m: float = 100.0) -> None:
+    """Forced-skew probe for the GROUPED sketch builds (VERDICT r9 #6):
+    one group holds ~50% of the rows vs a uniform 20-group split,
+    through kmv_sketch_grouped and mg_summary_grouped. The claim under
+    test: Spark 4.1 compiles the per-group rank windows to
+    WindowGroupLimit with a PARTIAL pass before the exchange (map-side
+    per-key top-k — pinned in tests/test_plans.py), so a hot group
+    never forces a full per-group sort through the shuffle and skewed
+    wall time stays within ~2x of uniform."""
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark.datapipe import sketches
+
+    spark = get_spark("scale-probe-sketch-skew")
+    n = int(n_m * 1_000_000)
+
+    def mk(skewed: bool):
+        # value stream: bounded vocab with a Zipf-ish head, so the
+        # distinct (key, val) volume the builds aggregate is IDENTICAL
+        # across the two cases and only the group distribution moves —
+        # otherwise the probe confounds skew with cardinality
+        val = F.when(
+            F.col("id") % 4 == 0,
+            F.concat(F.lit("hv"), (F.col("id") % 50).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("v"), (F.col("id") % 1_000_000).cast("string"))
+        )
+        if skewed:
+            key = F.when(F.col("id") % 2 == 0, F.lit("hot")).otherwise(
+                F.concat(F.lit("g"), (F.col("id") % 19).cast("string"))
+            )
+        else:
+            key = F.concat(F.lit("g"), (F.col("id") % 20).cast("string"))
+        return spark.range(n).select(key.alias("key"), val.alias("k"))
+
+    out = {"num_rows": n, "timings_sec": {}, "artifact_rows": {}, "ratio": {}}
+    for name, build in (
+        ("kmv_grouped", sketches.kmv_sketch_grouped),
+        ("mg_grouped", sketches.mg_summary_grouped),
+    ):
+        for label, skewed in (("uniform", False), ("skew50", True)):
+            t0 = time.time()
+            rows = build(mk(skewed), "key", "k").count()
+            out["timings_sec"][f"{name}_{label}"] = round(time.time() - t0, 2)
+            out["artifact_rows"][f"{name}_{label}"] = rows
+        out["ratio"][name] = round(
+            out["timings_sec"][f"{name}_skew50"]
+            / max(out["timings_sec"][f"{name}_uniform"], 0.01),
+            2,
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def cc_probe(n_edges_m: float = 1.0) -> None:
     """Connected-components scale probe (dedup_clusters): a realistic
     near-dup pair graph is mostly stars (canonical + variants) with a
@@ -1321,6 +1375,8 @@ if __name__ == "__main__":
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "--sketch":
         sketch_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 10.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sketch-skew":
+        sketch_skew_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--cc":
         cc_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 1.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--lm":
