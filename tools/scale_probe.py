@@ -1334,6 +1334,139 @@ def _cohort_on(spark, ev):
         model.load = orig
 
 
+def media_probe(n_imgs: int = 1_000_000) -> None:
+    """Perceptual media near-dup probe (round-10 DP-MEDIA-ND): hash +
+    band + verify over n synthetic 8x8 thumbnails whose gray law is a
+    full-variety multiplicative hash — every base image lands in its
+    own dHash class (the BEST case for banding balance), with a
+    brightness copy planted per 5th doc (hamming 0, invariant under
+    any texture). Reports the two costs separately:
+
+    - ``dhash_build``: the one narrow payload pass (must be linear);
+    - ``near_dup_pairs``: banding + bucket self-join + verify. On
+      uniform-random 63-bit hashes the 4x16-bit banding's spurious
+      candidate volume is ~4 * n^2 / 2^17 by birthday collision — an
+      inherent quadratic term of hamming-ball banding at fixed band
+      width, reported here as ``candidate_pairs`` so the scale story
+      is stated honestly (real image corpora cluster far below
+      uniform; at billion-image scale the band width must widen with
+      log2(n) to hold the spurious term flat, trading capture radius
+      per band exactly as the minhash band calculus does).
+
+    Recall sanity: every planted brightness pair must be recovered at
+    hamming 0 (``planted_recovered`` == n/5)."""
+    from hadoop_ozone_spark.datapipe import multimodal
+
+    spark = get_spark("scale-probe-media")
+    d = F.col("doc_id")
+
+    def payload(bright: int):
+        def px(p):
+            # per-(doc, sample) xxhash — a LINEAR law mod a prime
+            # collapses to |prime| phase classes (measured: 61 distinct
+            # hashes at 24k docs), so the sample must be genuinely
+            # pseudo-random per doc
+            gray = 33 + bright + F.pmod(F.hash(d, p), F.lit(89))
+            c = F.char(gray)
+            return F.concat(c, c, c)
+
+        return F.encode(
+            F.concat(
+                F.lit("P6\n8 8\n255\n"),
+                F.array_join(
+                    F.transform(F.sequence(F.lit(0), F.lit(63)), px), ""
+                ),
+            ),
+            "UTF-8",
+        )
+
+    base = spark.range(n_imgs).select(F.col("id").alias("doc_id"),
+                                      payload(0).alias("content"))
+    bright = (
+        spark.range(n_imgs)
+        .filter(F.col("id") % 5 == 0)
+        .select(F.col("id").alias("doc_id"), payload(9).alias("content"))
+        .withColumn("doc_id", d + F.lit(n_imgs))
+    )
+    corpus = base.unionByName(bright).persist()
+    out = {"num_imgs": corpus.count(), "timings_sec": {}}
+    t0 = time.time()
+    hashes = corpus.select("doc_id", multimodal.media_dhash(F.col("content")).alias("dhash"))
+    out["distinct_hashes"] = hashes.select("dhash").distinct().count()
+    out["timings_sec"]["dhash_build"] = round(time.time() - t0, 2)
+    out["imgs_per_sec"] = int(out["num_imgs"] / out["timings_sec"]["dhash_build"])
+    t0 = time.time()
+    pairs = multimodal.media_near_dup_pairs(corpus).persist()
+    out["verified_pairs"] = pairs.count()
+    out["timings_sec"]["near_dup_pairs"] = round(time.time() - t0, 2)
+    out["planted_expected"] = (n_imgs + 4) // 5
+    out["planted_recovered"] = pairs.filter(
+        (F.col("doc_b") == F.col("doc_a") + n_imgs) & (F.col("hamming") == 0)
+    ).count()
+    # spurious-candidate volume: bucket self-join size before verify
+    band_sizes = (
+        hashes.select(
+            F.posexplode(
+                F.array(
+                    F.col("dhash").bitwiseAND(F.lit(0xFFFF)),
+                    F.shiftright("dhash", 16).bitwiseAND(F.lit(0xFFFF)),
+                    F.shiftright("dhash", 32).bitwiseAND(F.lit(0xFFFF)),
+                    F.shiftright("dhash", 48).bitwiseAND(F.lit(0x7FFF)),
+                )
+            ).alias("bi", "bv")
+        )
+        .groupBy("bi", "bv")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    out["candidate_pairs"] = band_sizes.agg(
+        F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("long")
+    ).collect()[0][0]
+    pairs.unpersist()
+    corpus.unpersist()
+    print(json.dumps(out))
+    spark.stop()
+
+
+def bpe_probe(n_docs: int = 1_000_000, vocab: int = 20_000, merges: int = 8) -> None:
+    """BPE merge-ladder probe (round-10 DP-BPE-L): the claim under
+    test is that after the single corpus-sized word-frequency shuffle,
+    EVERY merge round costs |word vocab|, not |corpus| — so doubling
+    n_docs moves only the collapse time while the per-round time
+    tracks the (Heaps'-law bounded) vocabulary. Reported separately:
+    ``vocab_collapse`` (the corpus pass) and ``merge_rounds`` (all N
+    rounds over the checkpointed word table)."""
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    spark = get_spark("scale-probe-bpe")
+    vocab_expr = (
+        f"transform(sequence(1, 150), i -> concat('w', pmod(hash(id * 1000 + i), {vocab})))"
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.expr(vocab_expr), " ").alias("text"),
+    )
+    out = {"num_docs": n_docs, "vocab": vocab, "merges": merges, "timings_sec": {}}
+    t0 = time.time()
+    # the collapse inside bpe_learn_merges is its first checkpoint;
+    # measure it standalone with the same plan shape
+    wf = (
+        docs.select(F.explode(text_ops.tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    out["word_vocab"] = wf.count()
+    out["timings_sec"]["vocab_collapse"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    merges_df, vocab_df = text_ops.bpe_learn_merges(docs, n_merges=merges)
+    out["merge_log_rows"] = merges_df.count()
+    out["timings_sec"]["total_learn"] = round(time.time() - t0, 2)
+    out["timings_sec"]["merge_rounds"] = round(
+        out["timings_sec"]["total_learn"] - out["timings_sec"]["vocab_collapse"], 2
+    )
+    out["docs_per_sec_learn"] = int(n_docs / out["timings_sec"]["total_learn"])
+    print(json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         if len(sys.argv) < 3:
@@ -1377,6 +1510,16 @@ if __name__ == "__main__":
         sketch_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 10.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--sketch-skew":
         sketch_skew_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--media":
+        media_probe(
+            int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 1_000_000
+        )
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bpe":
+        bpe_probe(
+            int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 1_000_000,
+            vocab=int(sys.argv[3]) if len(sys.argv) > 3 else 20_000,
+            merges=int(sys.argv[4]) if len(sys.argv) > 4 else 8,
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "--cc":
         cc_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 1.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--lm":
