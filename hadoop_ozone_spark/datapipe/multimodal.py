@@ -472,6 +472,15 @@ def media_near_dup_pairs(
         "media_near_dup",
         thumbs.select("doc_id", media_dhash(F.col("content")).alias("dhash")),
     )
+    return _hash_band_pairs(hashes, max_hamming).orderBy("doc_a", "doc_b")
+
+
+def _hash_band_pairs(hashes: DataFrame, max_hamming: int) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within ``max_hamming`` over a
+    (doc_id, dhash) frame: 4x16/15-bit band bucketing + exact
+    bit_count(xor) verify. Shared by the all-pairs contract
+    (media_near_dup_pairs) and the class-representative pass
+    (media_dup_clusters)."""
     band_arr = F.array(
         F.col("dhash").bitwiseAND(F.lit(0xFFFF)),
         F.shiftright("dhash", 16).bitwiseAND(F.lit(0xFFFF)),
@@ -498,14 +507,74 @@ def media_near_dup_pairs(
         )
         .distinct()
     )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(
+            F.col("ha").bitwiseXOR(F.col("hb"))
+        ).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def media_dup_clusters(
+    thumbs: DataFrame, max_hamming: int = NEAR_DUP_MAX_HAMMING
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, keep): perceptual dup
+    CLUSTERS — the scale-safe contract for dup-dense image corpora.
+
+    The all-pairs contract (media_near_dup_pairs) is output-quadratic
+    in class size: a corpus whose perceptual variety is bounded (a
+    viral image class, a template-generated corpus — measured on the
+    synthetic sf10 thumbnails: 186 hash classes over 224k images =
+    368M hamming-0 pairs) makes every within-class pair a TRUE result
+    row, so no plan fixes it. This operator changes the contract the
+    way production dedup actually consumes it (one keeper per clique):
+
+    1. one narrow payload pass computes the dHash;
+    2. EXACT classes collapse by hash — groupBy(dhash) with min doc_id
+       as the class representative: the quadratic hamming-0 core is
+       handled linearly and no within-class pair ever materializes;
+    3. banding + verify runs over class REPRESENTATIVES only (one row
+       per distinct hash), exactly media_near_dup_pairs' band law —
+       and because class members share their exact hash, rep-level
+       hamming IS member-level hamming: clustering over classes loses
+       nothing;
+    4. connected components over the rep graph (dedup.dedup_clusters
+       — pointer-jumping min-label, O(log diameter) rounds);
+    5. every image joins its class rep's component through a broadcast
+       (≤ |distinct hashes| rows) label map.
+
+    cluster_id = the component's minimum doc_id; keep marks it. Output
+    is one row per IMAGE — linear — versus near_dup_pairs' one row per
+    pair."""
+    from hadoop_ozone_spark import scratch
+    from hadoop_ozone_spark.datapipe import dedup as dedup_ops
+
+    scratch.fresh("media_dup_clusters")
+    hashes = scratch.keep(
+        "media_dup_clusters",
+        thumbs.select("doc_id", media_dhash(F.col("content")).alias("dhash")),
+    )
+    classes = scratch.keep(
+        "media_dup_clusters",
+        hashes.groupBy("dhash").agg(F.min("doc_id").alias("rep")),
+    )
+    rep_edges = _hash_band_pairs(
+        classes.select(F.col("rep").alias("doc_id"), "dhash"), max_hamming
+    )
+    cc = dedup_ops.dedup_clusters(rep_edges).select(
+        F.col("doc_id").alias("rep"), "cluster_id"
+    )
+    rep_label = classes.join(cc, "rep", "left").select(
+        "dhash", F.coalesce("cluster_id", F.col("rep")).alias("cluster_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
     return (
-        cand.select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(
-                F.col("ha").bitwiseXOR(F.col("hb"))
-            ).cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .orderBy("doc_a", "doc_b")
+        hashes.join(F.broadcast(rep_label), "dhash")
+        .select("doc_id", "cluster_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("cluster_id", "doc_id")
     )

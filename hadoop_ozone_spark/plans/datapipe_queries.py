@@ -4357,7 +4357,11 @@ def dp_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _media_near_dup_sql() -> str:
+def _media_hashes_ctes(recursive: bool = False) -> str:
+    """Shared DuckDB CTE prefix replaying synthesize_thumbnails +
+    media_dhash: the ``hashes`` frame is (did, dhash). ``recursive``
+    emits WITH RECURSIVE for consumers whose tail needs a fixpoint
+    member (the clusters twin's CC)."""
     g = (
         "(33 + bright + d % 38"
         " + CASE WHEN (i * (w - 1)) // 7 >= 1 + d % 6 THEN 24 ELSE 0 END"
@@ -4365,9 +4369,8 @@ def _media_near_dup_sql() -> str:
         " + ((((i * (w - 1)) // 7) * (2 + d % 5) + d % 7) % 4) * 2"
         " + (((i * (w - 1)) // 7) * (3 + (d // 7) % 4) + (d // 5) % 5) % 3)"
     )
-    t = multimodal.NEAR_DUP_MAX_HAMMING
     return f"""
-WITH imgs AS (
+WITH {"RECURSIVE " if recursive else ""}imgs AS (
   SELECT doc_id AS did, doc_id AS d, 8 AS w, 8 AS h, 0 AS bright
   FROM documents WHERE doc_id % 3 = 0
   UNION ALL
@@ -4401,7 +4404,12 @@ vb AS (
 hashes AS (
   SELECT hb.did, hb.hbits + vb.vbits AS dhash
   FROM hb JOIN vb ON hb.did = vb.did
-),
+)"""
+
+
+def _media_near_dup_sql() -> str:
+    t = multimodal.NEAR_DUP_MAX_HAMMING
+    return f"""{_media_hashes_ctes()},
 bands AS (
   SELECT did, dhash, u.bi, u.bv FROM (
     SELECT did, dhash,
@@ -4428,3 +4436,76 @@ DP_MEDIA_NEAR_DUP_SQL = _media_near_dup_sql()
 
 QUERIES["dp_media_near_dup"] = dp_media_near_dup
 ORACLES["dp_media_near_dup"] = DP_MEDIA_NEAR_DUP_SQL
+
+
+def dp_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dup CLUSTERS over the media plane — the scale-safe
+    sibling of dp_media_near_dup (multimodal.py media_dup_clusters):
+    exact hash classes collapse linearly (min-doc_id representative),
+    banding + verify runs over representatives only, connected
+    components over the rep graph assign one cluster per clique, and
+    every image gets one output row (doc_id, cluster_id, cluster_size,
+    keep). The all-pairs contract is output-quadratic on dup-dense
+    corpora (the synthetic sf10 thumbnails hold 368M true hamming-0
+    pairs in 186 classes); this contract stays linear in the corpus on
+    the same input — it is the form a curation run executes (keep one
+    per cluster). The DuckDB twin replays the hash law, class
+    collapse, rep banding, and the CC fixpoint (the dp_dedup_clusters
+    recursive-CTE discipline)."""
+    return multimodal.media_dup_clusters(
+        multimodal.synthesize_thumbnails(model.load(spark, sf_dir, "documents"))
+    )
+
+
+def _media_dup_clusters_sql() -> str:
+    t = multimodal.NEAR_DUP_MAX_HAMMING
+    return f"""{_media_hashes_ctes(recursive=True)},
+classes AS (
+  SELECT dhash, MIN(did) AS rep FROM hashes GROUP BY dhash
+),
+rbands AS (
+  SELECT rep, dhash, u.bi, u.bv FROM (
+    SELECT rep, dhash,
+           unnest([
+             {{'bi': 0, 'bv': dhash & 65535}},
+             {{'bi': 1, 'bv': (dhash >> 16) & 65535}},
+             {{'bi': 2, 'bv': (dhash >> 32) & 65535}},
+             {{'bi': 3, 'bv': (dhash >> 48) & 32767}}]) AS u
+    FROM classes)
+),
+redges AS (
+  SELECT DISTINCT a.rep AS ra, b.rep AS rb
+  FROM rbands a JOIN rbands b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.rep < b.rep
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {t}
+),
+sym AS (
+  SELECT ra AS node, rb AS nbr FROM redges
+  UNION ALL
+  SELECT rb, ra FROM redges
+),
+lbl(node, label) AS (
+    SELECT node, LEAST(node, MIN(nbr)) FROM sym GROUP BY node
+  UNION
+    SELECT s.node, l.label FROM sym s JOIN lbl l ON l.node = s.nbr
+),
+rlbl AS (SELECT node, MIN(label) AS label FROM lbl GROUP BY node),
+replabel AS (
+  SELECT c.dhash, COALESCE(r.label, c.rep) AS cluster_id
+  FROM classes c LEFT JOIN rlbl r ON r.node = c.rep
+)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       doc_id = cluster_id AS keep
+FROM (
+  SELECT h.did AS doc_id, rl.cluster_id
+  FROM hashes h JOIN replabel rl ON h.dhash = rl.dhash
+)
+ORDER BY cluster_id, doc_id
+"""
+
+
+DP_MEDIA_DUP_CLUSTERS_SQL = _media_dup_clusters_sql()
+
+QUERIES["dp_media_dup_clusters"] = dp_media_dup_clusters
+ORACLES["dp_media_dup_clusters"] = DP_MEDIA_DUP_CLUSTERS_SQL

@@ -2621,3 +2621,44 @@ def test_media_dhash_brightness_invariance_is_exact(spark):
         for b in (0, 5, 9)
     ]
     assert hashes[0] == hashes[1] == hashes[2] > 0
+
+
+def test_media_dup_clusters_close_pairs_transitively(spark, sf_dir):
+    """media_dup_clusters is the transitive closure of
+    media_near_dup_pairs, one row per IMAGE: every pair shares a
+    cluster, cluster_id is the component's minimum doc_id, keep marks
+    exactly it, and cluster_size counts members — so the linear
+    contract loses nothing the quadratic one finds."""
+    from hadoop_ozone_spark import model
+    from hadoop_ozone_spark.datapipe import multimodal
+
+    thumbs = multimodal.synthesize_thumbnails(
+        model.load(spark, sf_dir, "documents")
+    )
+    pairs = multimodal.media_near_dup_pairs(thumbs).collect()
+    rows = multimodal.media_dup_clusters(thumbs).collect()
+    label = {r.doc_id: r.cluster_id for r in rows}
+    assert len(label) == thumbs.count()  # one row per image
+    assert all(label[p.doc_a] == label[p.doc_b] for p in pairs)
+    # union-find over the pairs = the expected components
+    parent = {d: d for d in label}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p.doc_a), find(p.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {d: find(d) for d in label}
+    assert label == expect
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.doc_id for m in members)
+        assert [m.doc_id for m in members if m.keep] == [cid]
+        assert all(m.cluster_size == len(members) for m in members)
