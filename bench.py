@@ -147,6 +147,7 @@ HEADLINE = [
     # round 10 additions
     "dp_bpe_vocab",
     "dp_media_near_dup",
+    "dp_media_dup_clusters",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state

@@ -66,6 +66,19 @@ def main() -> int:
     records: dict[str, dict] = {}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # bound the oracle side: at sf10 a replay's intermediate (e.g. the
+    # dup-span position self-join) can exceed RAM; unlimited, DuckDB
+    # grows until the kernel OOM-kills the whole gate (observed: 93 GB
+    # RSS alongside the 48g JVM). A limit + temp_directory makes it
+    # spill instead.
+    import os
+    import tempfile
+
+    con.execute(
+        f"SET memory_limit='{os.environ.get('ORACLE_DUCKDB_MEM', '32GB')}'"
+    )
+    _spill = tempfile.mkdtemp(prefix="oracle_duckdb_spill_")
+    con.execute(f"SET temp_directory='{_spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
