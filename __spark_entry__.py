@@ -790,10 +790,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Queries registered NEW this round that did NOT fit in the 50-slot
 # driver window — placed immediately after it so the judge's HEAD
 # oracle run sees them and the round-11 rotation can front-load them.
-# Round 10's two new registrations (dp_bpe_vocab, dp_media_near_dup)
-# fit inside the window, so this queue is empty; the round-11 window
-# otherwise leads with R6_LEFTOVER_R11 (tests/test_entry_contract.py).
-NEXT_WINDOW: list[str] = []
+# Round 10's first two registrations (dp_bpe_vocab, dp_media_near_dup)
+# fit inside the window; dp_media_dup_clusters (the linear cluster
+# contract, added after the rotation) queues here with this round's
+# sf0.01 + sf1 + sf10 oracle evidence already recorded. The round-11
+# window otherwise leads with R6_LEFTOVER_R11
+# (tests/test_entry_contract.py).
+NEXT_WINDOW: list[str] = ["dp_media_dup_clusters"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
