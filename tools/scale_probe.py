@@ -1421,6 +1421,16 @@ def media_probe(n_imgs: int = 1_000_000) -> None:
     out["candidate_pairs"] = band_sizes.agg(
         F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("long")
     ).collect()[0][0]
+    # the cluster contract's WORST case: full-variety corpora make
+    # every class a near-singleton, so the class collapse reduces
+    # nothing and the rep banding costs what the pair banding does,
+    # plus the CC rounds + label join — the honest overhead reading
+    # (the dup-dense corpora it exists for are the sf10 leg's story)
+    t0 = time.time()
+    from hadoop_ozone_spark.datapipe import multimodal as _mm
+
+    out["cluster_rows"] = _mm.media_dup_clusters(corpus).count()
+    out["timings_sec"]["dup_clusters"] = round(time.time() - t0, 2)
     pairs.unpersist()
     corpus.unpersist()
     print(json.dumps(out))
