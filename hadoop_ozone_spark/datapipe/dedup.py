@@ -809,13 +809,28 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    w = Window.partitionBy("cluster_id")
+    # cluster_size via a map-side-combinable groupBy joined back — NEVER
+    # a count window over cluster_id: cluster_id is the one key this
+    # operator guarantees is skewed (a dup-dense corpus IS a hot
+    # cluster), and WindowExec materializes each partition in ONE task,
+    # serializing the viral cluster through a single core at scale. The
+    # groupBy reduces the hot key in parallel before its shuffle, and
+    # the join back is an AQE-splittable shuffle join (broadcast when
+    # |clusters| is small enough for AQE to pick it).
+    label_frame = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    sizes = label_frame.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
     return (
-        labels.select(
-            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        label_frame.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
         )
-        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
-        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
         .orderBy("cluster_id", "doc_id")
     )
 

@@ -413,7 +413,76 @@ def media_dhash(content) -> "F.Column":
     - bits 56..62: vertical gradient signs down the x = 0 column.
 
     63 bits keep the hash in one non-negative BIGINT for cheap
-    xor/bit_count verify in both engines."""
+    xor/bit_count verify in both engines.
+
+    BINARY-safe end-to-end: real media bytes >= 0x80 are not valid
+    one-byte UTF-8, and Spark 4's decode() THROWS on malformed input
+    (ANSI MALFORMED_CHARACTER_CODING) — so nothing here decodes the
+    payload. The header is parsed from the hex of a 32-byte prefix
+    (newline bytes located at byte-aligned hex positions; the dims
+    line alone, pure ASCII by the P6 grammar, is decoded from its
+    exact byte slice), and raster samples index the raw BYTES via
+    substr-on-BinaryType + hex/conv. The character-indexed form this
+    replaced survives as _media_dhash_utf8 for the sub-0x80 agreement
+    pin."""
+    from functools import reduce
+    from operator import add
+
+    # header parse on the HEX of a 32-byte prefix (any sane P6 header
+    # fits: "P6\n9999 9999\n255\n" is 17 bytes) — never decoded. In hex
+    # the grammar is exact and byte-aligned by anchoring at ^: magic
+    # "P6\n" = 50360A, ASCII digits = 3X pairs, space = 20, newline =
+    # 0A. One anchored regex keeps the expression tree small enough
+    # for codegen (a structural transform/filter parse here blew the
+    # 64-sample tree up past compilability).
+    hx = F.hex(content.substr(F.lit(1), F.lit(32)))
+    hdr_pat = r"^50360A((?:3[0-9])+)20((?:3[0-9])+)0A(?:3[0-9])+0A"
+
+    def _digits(group: int):
+        # "38" "30" hex-digit pairs -> "80" -> long
+        return F.regexp_replace(
+            F.regexp_extract(hx, hdr_pat, group), "3(.)", "$1"
+        ).cast("long")
+
+    w = _digits(1)
+    h = _digits(2)
+    # full header match length in hex chars / 2 = header bytes =
+    # 0-based byte offset of the first raster byte
+    raster_off = (F.length(F.regexp_extract(hx, hdr_pat, 0)) / 2).cast("long")
+
+    def sample(i: int, j: int):
+        sx = F.floor(F.lit(i) * (w - 1) / 7).cast("long")
+        sy = F.floor(F.lit(j) * (h - 1) / 7).cast("long")
+        byte = content.substr(raster_off + (sy * w + sx) * 3 + 1, F.lit(1))
+        return F.conv(F.hex(byte), 16, 10).cast("long")
+
+    grid = [[sample(i, j) for i in range(THUMB_GRID)] for j in range(THUMB_GRID)]
+    bits = []
+    for j in range(THUMB_GRID):
+        for i in range(THUMB_GRID - 1):
+            k = j * (THUMB_GRID - 1) + i
+            bits.append(
+                F.when(grid[j][i + 1] > grid[j][i], F.lit(1 << k)).otherwise(
+                    F.lit(0)
+                )
+            )
+    for j in range(THUMB_VBITS):
+        bits.append(
+            F.when(grid[j + 1][0] > grid[j][0], F.lit(1 << (THUMB_HBITS + j)))
+            .otherwise(F.lit(0))
+        )
+    return reduce(add, bits).cast("long")
+
+
+def _media_dhash_utf8(content) -> "F.Column":
+    """The pre-round-11 CHARACTER-indexed dHash: raster samples via
+    ascii(substr(decoded, charpos, 1)). Correct only while every
+    sample byte is < 0x80 (one UTF-8 char per byte — true for the
+    synthetic corpus by the _thumb_gray 33..123 law); a >= 0x80 byte
+    decodes to a replacement char and shifts every later char
+    position. Kept as the reference form for the agreement pin in
+    tests: equal to media_dhash on sub-0x80 payloads, provably NOT
+    equal on a planted >= 0x80 image."""
     from functools import reduce
     from operator import add
 
@@ -568,13 +637,27 @@ def media_dup_clusters(
     rep_label = classes.join(cc, "rep", "left").select(
         "dhash", F.coalesce("cluster_id", F.col("rep")).alias("cluster_id")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("cluster_id")
+    # No forced broadcast on rep_label: its size is |distinct dhash|
+    # rows — bounded only on dup-dense corpora (186 classes at sf10) and
+    # O(n) on full-variety ones (the scale probe measured 1.2M singleton
+    # classes). AQE picks broadcast when the measured size allows and
+    # falls back to a shuffle join otherwise; the label-map join key
+    # (dhash) is uniform, so the fallback shuffles cleanly.
+    labeled = hashes.join(rep_label, "dhash").select("doc_id", "cluster_id")
+    # cluster_size via map-side-combinable groupBy + join back, never a
+    # count window over cluster_id — the viral-image cluster this
+    # operator exists for would serialize through one WindowExec task
+    # (see dedup.dedup_clusters for the law).
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
     return (
-        hashes.join(F.broadcast(rep_label), "dhash")
-        .select("doc_id", "cluster_id")
-        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
-        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+        labeled.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
         .orderBy("cluster_id", "doc_id")
     )

@@ -717,7 +717,10 @@ def bpe_learn_merges(
             )
             .localCheckpoint(eager=True)
         )
-    merges_df = merge_log[0].sparkSession.createDataFrame(
+    # empty merge log (degenerate corpus: no word with >=2 symbols, or
+    # no words at all) — the session must come from docs, which always
+    # exists; merge_log[0] doesn't in exactly this branch
+    merges_df = docs.sparkSession.createDataFrame(
         [], "merge_rank int, left string, right string, pair_count long"
     ) if not merge_log else (
         merge_log[0].select("merge_rank", "left", "right", "pair_count")

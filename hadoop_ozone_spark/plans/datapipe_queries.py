@@ -4484,6 +4484,12 @@ sym AS (
   UNION ALL
   SELECT rb, ra FROM redges
 ),
+-- the recursive fixpoint propagates EVERY label through a component
+-- (the UNION materializes O(k^2) rows for a k-node component), not
+-- just the running minimum — safe here because the rep graph is
+-- bounded by the corpus's perceptual variety (<=186 reps at sf10);
+-- an sf10+ twin over a dense rep graph would need the iterative
+-- min-label form dp_dedup_clusters' oracle uses instead
 lbl(node, label) AS (
     SELECT node, LEAST(node, MIN(nbr)) FROM sym GROUP BY node
   UNION

@@ -2662,3 +2662,95 @@ def test_media_dup_clusters_close_pairs_transitively(spark, sf_dir):
         assert cid == min(m.doc_id for m in members)
         assert [m.doc_id for m in members if m.keep] == [cid]
         assert all(m.cluster_size == len(members) for m in members)
+
+def _py_dhash(payload: bytes) -> int:
+    """Pure-Python replay of the media_dhash law over raw BYTES —
+    the oracle for the binary-safety pin below."""
+    nl1 = payload.index(b"\n")
+    nl2 = payload.index(b"\n", nl1 + 1)
+    nl3 = payload.index(b"\n", nl2 + 1)
+    w, h = map(int, payload[nl1 + 1:nl2].split())
+    raster = payload[nl3 + 1:]
+
+    def g(i, j):
+        sx = i * (w - 1) // 7
+        sy = j * (h - 1) // 7
+        return raster[(sy * w + sx) * 3]
+
+    hsh = 0
+    for j in range(8):
+        for i in range(7):
+            if g(i + 1, j) > g(i, j):
+                hsh |= 1 << (j * 7 + i)
+    for j in range(7):
+        if g(0, j + 1) > g(0, j):
+            hsh |= 1 << (56 + j)
+    return hsh
+
+
+def test_media_dhash_is_binary_safe_above_0x80(spark):
+    """VERDICT r10 #8: real media bytes >= 0x80 must hash correctly.
+    media_dhash samples the raw BYTES (substr on BinaryType + hex/conv)
+    so a planted image whose samples cross 0x80 matches the pure-Python
+    byte replay exactly; the retired character-indexed form
+    (_media_dhash_utf8) THROWS on the same payload (Spark 4 decode is
+    ANSI-strict on malformed UTF-8), which is why it was replaced."""
+    w = h = 8
+    header = f"P6\n{w} {h}\n255\n".encode()
+    raster = bytearray()
+    for p in range(w * h):
+        x, y = p % w, p // w
+        v = (37 * (x + 3) * (y + 5)) % 256  # crosses 0x80 all over
+        raster += bytes([v, v, v])
+    payload = bytes(header + raster)
+    assert any(b >= 0x80 for b in raster[::3])  # the plant is real
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, content binary"
+    )
+    got = df.select(
+        multimodal.media_dhash(F.col("content")).alias("h")
+    ).first()
+    expect = _py_dhash(payload)
+    assert got.h == expect
+    # the character-indexed form cannot even evaluate this payload:
+    # ANSI decode rejects the malformed (real-media) byte stream
+    with pytest.raises(Exception, match="MALFORMED_CHARACTER_CODING"):
+        df.select(
+            multimodal._media_dhash_utf8(F.col("content")).alias("h")
+        ).first()
+
+
+def test_media_dhash_byte_and_char_paths_agree_below_0x80(spark):
+    """On sub-0x80 payloads (the synthetic corpus by the _thumb_gray
+    33..123 law) the byte-indexed and character-indexed forms are the
+    same function — the round-11 sampling change cannot move any
+    synthetic-corpus hash."""
+    base = spark.range(0, 60, 3).select(F.col("id").alias("doc_id"))
+    rows = base.select(
+        multimodal.media_dhash(
+            multimodal._thumb_payload(8, 8, 0)
+        ).alias("a"),
+        multimodal._media_dhash_utf8(
+            multimodal._thumb_payload(8, 8, 0)
+        ).alias("b"),
+    ).collect()
+    assert rows and all(r.a == r.b for r in rows)
+
+
+def test_bpe_learn_merges_degenerate_corpora(spark):
+    """VERDICT r10 #2: a corpus with no mergeable pair (all single-char
+    words, or no words at all) returns the documented EMPTY merge log
+    instead of crashing in the empty-branch session lookup."""
+    from hadoop_ozone_spark.datapipe import text as text_ops
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    merges, vocab = text_ops.bpe_learn_merges(empty, n_merges=4)
+    assert merges.count() == 0 and vocab.count() == 0
+    assert merges.columns == ["merge_rank", "left", "right", "pair_count"]
+
+    single = spark.createDataFrame(
+        [(1, "a b c a")], "doc_id long, text string"
+    )
+    merges2, vocab2 = text_ops.bpe_learn_merges(single, n_merges=4)
+    assert merges2.count() == 0
+    assert {r.word for r in vocab2.collect()} == {"a", "b", "c"}

@@ -656,3 +656,29 @@ def test_grouped_sketch_builds_are_windowgrouplimit_partial(spark, sf_dir):
         i_exchange = p.index("Exchange hashpartitioning(key", i_final)
         assert i_final < i_exchange < i_partial
         assert "Sort [" not in p.split("WindowGroupLimit")[0]  # no global sort above
+
+def test_cluster_size_is_groupby_join_not_window(spark, sf_dir):
+    # VERDICT r10 #1: cluster_size must be a map-side-combinable
+    # groupBy(cluster_id).count() joined back — NEVER a count window
+    # partitioned by cluster_id. cluster_id is the one key these
+    # operators guarantee is skewed (a dup-dense corpus IS a hot
+    # cluster), and WindowExec materializes each partition in ONE
+    # task, serializing the viral cluster through a single core while
+    # the groupBy reduces it in parallel and AQE can split the join.
+    from hadoop_ozone_spark.datapipe import multimodal
+
+    docs = model.load(spark, sf_dir, "documents")
+    for df in (
+        entry.queries()["dp_dedup_clusters"](spark, sf_dir),
+        multimodal.media_dup_clusters(
+            multimodal.synthesize_thumbnails(docs)
+        ),
+    ):
+        p = plan_of(df)
+        for line in p.splitlines():
+            assert not (
+                line.lstrip().startswith(("Window ", "+- Window", ":- Window"))
+                and "cluster_id" in line
+            ), f"count window over cluster_id: {line}"
+        # the size fold is a two-phase hash aggregate keyed on cluster_id
+        assert "partial_count" in p or ", Partial" in p

@@ -79,6 +79,12 @@ def main() -> int:
     )
     _spill = tempfile.mkdtemp(prefix="oracle_duckdb_spill_")
     con.execute(f"SET temp_directory='{_spill}'")
+    # remove the spill dir even on an exceptional exit — a single sf10
+    # replay can spill tens of GB, and repeated gate runs would leak it
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, _spill, ignore_errors=True)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
