@@ -1280,6 +1280,59 @@ def cc_probe(n_edges_m: float = 1.0) -> None:
     spark.stop()
 
 
+def cc_skew_probe(n_docs_m: float = 10.0) -> None:
+    """Viral-cluster forced-skew probe for the CC tail (VERDICT r10 #1,
+    the grouped-sketch probe discipline): ONE cluster holding ~50% of
+    an n-doc corpus (every doc in the first half is a star edge to hub
+    0 — the viral-image / template-corpus shape these operators exist
+    for) vs a uniform corpus of 10-doc stars. The claim under test:
+    cluster_size is a map-side-combinable groupBy + join back, so the
+    hot cluster_id reduces in parallel before its shuffle and skewed
+    wall time stays within ~2x of uniform — a count window over
+    cluster_id would serialize 50% of the corpus through ONE WindowExec
+    task (the round-10 weak)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark.datapipe import dedup
+
+    spark = get_spark("scale-probe-cc-skew")
+    n = int(n_docs_m * 1_000_000)
+
+    def mk(skewed: bool):
+        if skewed:
+            viral = spark.range(1, n // 2).select(
+                F.lit(0).cast("long").alias("doc_a"), F.col("id").alias("doc_b")
+            )
+            rest = spark.range(n // 2, n).select(
+                (F.col("id") - F.col("id") % 10).alias("doc_a"),
+                F.col("id").alias("doc_b"),
+            ).filter(F.col("doc_a") != F.col("doc_b"))
+            return viral.unionByName(rest)
+        return spark.range(n).select(
+            (F.col("id") - F.col("id") % 10).alias("doc_a"),
+            F.col("id").alias("doc_b"),
+        ).filter(F.col("doc_a") != F.col("doc_b"))
+
+    out = {"num_docs": n, "num_edges": {}, "timings_sec": {},
+           "max_cluster_size": {}}
+    for label, skewed in (("uniform", False), ("skew50", True)):
+        pairs = mk(skewed).persist()
+        out["num_edges"][label] = pairs.count()
+        t0 = time.time()
+        labels = dedup.dedup_clusters(pairs, max_iters=16)
+        biggest = labels.agg(
+            F.max("cluster_size").alias("m"), F.count(F.lit(1)).alias("n")
+        ).first()
+        out["timings_sec"][label] = round(time.time() - t0, 2)
+        out["max_cluster_size"][label] = biggest.m
+        pairs.unpersist()
+    out["ratio"] = round(
+        out["timings_sec"]["skew50"] / max(out["timings_sec"]["uniform"], 0.01), 2
+    )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def events_probe(n_events_m: float = 1.0, n_users: int = 50_000) -> None:
     """Temporal-family scale probe: synthesize n million events whose
     per-user cadence is deterministic (13-minute steps with a 2-hour
@@ -1532,6 +1585,8 @@ if __name__ == "__main__":
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "--cc":
         cc_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 1.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cc-skew":
+        cc_skew_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 10.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--lm":
         lm_probe(
             int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 100_000,
