@@ -164,6 +164,14 @@ FLOOR_PROFILE = {
     "bm1_balancer_moves",
     "pp1_pipeline_targets",
     "rm4_delete_actions",
+    # VERDICT r10 #4: the sketch family drifted +18-31% in r10 on a
+    # faster-calibration round, with 9-25% recorded spread on sub-2s
+    # queries — same floor-jitter signature; the median treatment
+    # separates it from the round's two family diffs (kmv_set_ops
+    # refactor, read_mg_summary zone form)
+    "dp_qsketch_tokens",
+    "dp_qsketch_by_source",
+    "dp_kmv_user_overlap",
 }
 FLOOR_PROFILE_STEADY = 5
 
