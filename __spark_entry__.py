@@ -672,73 +672,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Registration order. The driver's correctness artifact covers the FIRST
-# 50 entries of queries() each round. Round 10 (VERDICT r9 #1): the 10
-# queries registered during round 9 have judge + sf1 evidence but zero
-# driver evidence — they front-load this window; next the 2 queries
-# registered NEW this round (dp_bpe_vocab, dp_media_near_dup); then the
-# 23 round-5-evidence leftovers that did not fit in the r9 window
-# (R5_LEFTOVER_R10 in tests/test_entry_contract.py); the remaining 15
-# slots take the stalest rows — the first 15 (alphabetical) of the 50
-# queries whose latest driver evidence is CORRECTNESS_r06.json. The 35
-# round-6-evidence rows that don't fit (R6_LEFTOVER_R11 in the contract
-# test) lead the round-11 queue.
+# 50 entries of queries() each round. Round 11 (VERDICT r10 #5): the one
+# round-10 registration that missed the r10 window (dp_media_dup_clusters,
+# staged in last round's NEXT_WINDOW) leads; then the 35 round-6-evidence
+# leftovers that did not fit in the r10 window (R6_LEFTOVER_R11 in
+# tests/test_entry_contract.py — their latest driver evidence is
+# CORRECTNESS_r06.json); the remaining 14 slots take the next-stalest
+# rows — the first 14 (alphabetical) of the 50 queries whose latest
+# driver evidence is CORRECTNESS_r07.json. The 36 round-7-evidence rows
+# that don't fit (R7_LEFTOVER_R12 in the contract test) lead the
+# round-12 queue.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
-    # registered during round 9 — first-ever driver check (10)
-    "dp_knn_label_ivfpq",
-    "recon_task_status",
-    "dp_qsketch_tokens",
-    "dp_qsketch_by_source",
-    "dp_cm_by_source",
-    "dp_kmv_user_overlap",
-    "dp_mg_heavy_hitters",
-    "dp_mg_by_source",
-    "dp_kmv_type_matrix",
-    "dp_corpus_drift",
-    # registered NEW in round 10 (2)
-    "dp_bpe_vocab",
-    "dp_media_near_dup",
-    # round-5 evidence leftovers (R5_LEFTOVER_R10 — stalest rows, 23)
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_selective_agg",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "rm1_replication_actions",
-    "rm2_placement_targets",
-    "rm3_close_actions",
-    "rm4_delete_actions",
-    "s3_head_object",
-    "s5_snapshot_tail_merge",
-    "s6_debug_scan",
-    "so3_multi_delete",
-    "w1_list_buckets",
-    "w1_list_volumes_by_user",
-    "w4_list_uploads",
-    "x10_storage_units",
-    "x6_range_read",
-    "x9_time_format",
-    "x_path_functions",
-    # round-6 evidence rows (next-stalest — first 15, alphabetical)
-    "a1_file_size_histogram",
-    "a1_histogram_rollup",
-    "a2_signed_counts",
-    "a3_namespace_du",
-    "a4_table_counts",
-    "a5_quota_usage",
-    "a6_cluster_state",
-    "a7_daily_growth",
-    "a8_failure_rate",
-    "a8_top_ops",
-    "a8_top_users",
-    "acl_effective_access",
-    "dp_ann_brute_topk",
-    "dp_ann_knn_join",
-    "dp_decontaminate",
+    # registered during round 10, driver evidence landing now (1)
+    "dp_media_dup_clusters",
+    # round-6 evidence leftovers (R6_LEFTOVER_R11 — stalest rows, 35)
+    "dp_dedup_groups",
+    "dp_exact_dedup",
+    "dp_minhash_incremental",
+    "dp_mixture_sample",
+    "dp_pack_plan",
+    "dp_pii_redact",
+    "dp_repetition",
+    "f2_range_scan",
+    "f4_tombstone_anti_join",
+    "gdpr_metadata_filter",
+    "j1_keys_for_container",
+    "j2_container_health",
+    "j2_health_summary",
+    "j3_fso_path_resolution",
+    "j4_container_key_index",
+    "j5_keys_in_open_containers",
+    "l1_bucket_links",
+    "m2_rename_prefix",
+    "m3_delete_prefix",
+    "m4_open_key_expiry",
+    "m5_multipart_check",
+    "nested_locations_stats",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "s1_prefix_scan",
+    "s2_point_lookup",
+    "size_percentiles",
+    "so1_latest_state",
+    "w1_list_keys_page",
+    "w1_list_volumes",
+    "w2_s3_common_prefixes",
+    "w2_s3_leaf_listing",
+    "w3_list_status",
+    "x11_busiest_seconds",
+    # round-7 evidence rows (next-stalest — first 14, alphabetical)
+    "a10_rate_spikes",
+    "a3_fso_namespace_du",
+    "a9_distinct_dirs",
+    "b1_balancer_utilization",
+    "b2_balancer_summary",
+    "bm1_balancer_moves",
+    "c1_list_containers",
+    "c2_container_info",
+    "d1_decommission_status",
+    "d2_failed_txns",
+    "d2_pending_deletion",
+    "dp_ann_bucket_histogram",
+    "dp_ann_bucketed_topk",
+    "dp_ann_ivf_topk",
 ]
 
 
@@ -789,14 +788,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Queries registered NEW this round that did NOT fit in the 50-slot
 # driver window — placed immediately after it so the judge's HEAD
-# oracle run sees them and the round-11 rotation can front-load them.
-# Round 10's first two registrations (dp_bpe_vocab, dp_media_near_dup)
-# fit inside the window; dp_media_dup_clusters (the linear cluster
-# contract, added after the rotation) queues here with this round's
-# sf0.01 + sf1 + sf10 oracle evidence already recorded. The round-11
-# window otherwise leads with R6_LEFTOVER_R11
-# (tests/test_entry_contract.py).
-NEXT_WINDOW: list[str] = ["dp_media_dup_clusters"]
+# oracle run sees them and the round-12 rotation can front-load them.
+# Round 11 registered no new oracle queries (the round closed the r10
+# weak + evidence items), so the queue is empty; the round-12 window
+# leads with R7_LEFTOVER_R12 (tests/test_entry_contract.py).
+NEXT_WINDOW: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

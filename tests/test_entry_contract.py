@@ -291,6 +291,39 @@ R6_LEFTOVER_R11 = [
 ]
 
 
+# the r6-evidence filler rows that completed the round-10 window
+R6_FILLER_R10 = [
+    "a1_file_size_histogram", "a1_histogram_rollup", "a2_signed_counts",
+    "a3_namespace_du", "a4_table_counts", "a5_quota_usage",
+    "a6_cluster_state", "a7_daily_growth", "a8_failure_rate",
+    "a8_top_ops", "a8_top_users", "acl_effective_access",
+    "dp_ann_brute_topk", "dp_ann_knn_join", "dp_decontaminate",
+]
+
+# the 50 keys the driver hash-checked in round 10 (CORRECTNESS_r10.json)
+R10_WINDOW = (
+    R9_REGISTRATIONS + R10_REGISTRATIONS + R5_LEFTOVER_R10 + R6_FILLER_R10
+)
+
+# the 36 round-7-evidence rows that did not fit in the r11 window
+# (14 slots after dp_media_dup_clusters + the 35 R6 leftovers) —
+# front of the round-12 queue
+R7_LEFTOVER_R12 = [
+    "dp_ann_multiprobe_topk", "dp_ann_pq_topk", "dp_bpe_pair_counts",
+    "dp_budget_sample", "dp_chunk_dedup", "dp_curation_pipeline",
+    "dp_dedup_keep_best", "dp_dedup_rate_report", "dp_dsir_weights",
+    "dp_fingerprint", "dp_lang_id", "dp_media_features",
+    "dp_media_frame_sample", "dp_media_resize_plan", "dp_minhash_pairs",
+    "dp_ngram_jaccard", "dp_quality_strata", "dp_simhash_pairs",
+    "dp_split_assign", "dp_token_stats", "dp_train_order",
+    "dp_unigram_quality", "dp_vocabulary", "f5_slim_projection",
+    "h1_access_heatmap", "j1_replica_history", "j2_missing_containers",
+    "j3_fso_list_status", "m1_open_key_commit", "m2_fso_rename_dir",
+    "n3_topology", "n4_datanode_list", "pp1_pipeline_targets",
+    "s3_bucket_acl", "u1_file_counts_filtered", "w2_list_objects_v1",
+]
+
+
 def test_window_is_first_50_and_oracle_backed():
     q, o = entry.queries(), entry.oracle_sql()
     names = list(q)
@@ -304,35 +337,46 @@ def test_every_query_has_an_oracle():
     assert set(q) == set(o)  # no rows-only checks remain
 
 
-def test_round10_window_frontloads_round9_and_round10_registrations():
-    # VERDICT r9 #1: the 10 queries registered during round 9 have zero
-    # driver evidence — they lead the r10 window; the 2 round-10
-    # registrations ride inside the window from day one; next the 23
-    # round-5 leftovers that missed the r9 window
-    assert entry.DRIVER_WINDOW[:10] == R9_REGISTRATIONS
-    assert entry.DRIVER_WINDOW[10:12] == R10_REGISTRATIONS
-    assert entry.DRIVER_WINDOW[12:35] == R5_LEFTOVER_R10
+def test_round10_window_structure_is_preserved():
+    # the r10 window (now the historical R10_WINDOW constant) led with
+    # the 10 r9 registrations, the 2 r10 registrations, the 23 R5
+    # leftovers, then 15 r6-evidence filler rows
+    assert R10_WINDOW[:10] == R9_REGISTRATIONS
+    assert R10_WINDOW[10:12] == R10_REGISTRATIONS
+    assert R10_WINDOW[12:35] == R5_LEFTOVER_R10
+    assert len(R10_WINDOW) == 50
     assert R4_LEFTOVER[7:] == R4_LEFTOVER_R9
 
 
-def test_round10_window_fills_with_stalest_rows():
-    # the remaining 15 slots hold round-6-evidence rows (the stalest
-    # after the R5 leftovers); together with R6_LEFTOVER_R11 they
-    # exactly exhaust the still-stale round-6-evidence set
+def test_round11_window_frontloads_media_clusters_and_r6_leftovers():
+    # VERDICT r10 #5: dp_media_dup_clusters (the one r10 registration
+    # without driver evidence, staged in the r10 NEXT_WINDOW) leads;
+    # then the 35 round-6-evidence leftovers that missed the r10 window
+    assert entry.DRIVER_WINDOW[0] == "dp_media_dup_clusters"
+    assert entry.DRIVER_WINDOW[1:36] == R6_LEFTOVER_R11
+
+
+def test_round11_window_fills_with_stalest_rows():
+    # the remaining 14 slots hold round-7-evidence rows (the stalest
+    # after the R6 leftovers); together with R7_LEFTOVER_R12 they
+    # exactly exhaust the still-stale round-7-evidence set
     last_checked = {}
     for rnd, window in (
         (1, R1_WINDOW), (2, R2_WINDOW), (3, R3_WINDOW),
         (4, R4_WINDOW), (5, R5_WINDOW), (6, R6_WINDOW), (7, R7_WINDOW),
-        (8, R8_WINDOW), (9, R9_WINDOW),
+        (8, R8_WINDOW), (9, R9_WINDOW), (10, R10_WINDOW),
     ):
         for name in window:
             last_checked[name] = rnd
-    r6_stale = {
-        n for n in entry.queries() if last_checked.get(n, 0) == 6
-    }
-    filler = entry.DRIVER_WINDOW[35:]
-    assert set(filler) <= r6_stale, sorted(set(filler) - r6_stale)
-    assert set(filler) | set(R6_LEFTOVER_R11) == r6_stale
+    qs = entry.queries()
+    # every remaining r6-evidence row sits inside THIS window, so the
+    # r6 backlog zeroes out when CORRECTNESS_r11 lands
+    r6_stale = {n for n in qs if last_checked.get(n, 0) == 6}
+    assert r6_stale == set(R6_LEFTOVER_R11)
+    r7_stale = {n for n in qs if last_checked.get(n, 0) == 7}
+    filler = entry.DRIVER_WINDOW[36:]
+    assert set(filler) <= r7_stale, sorted(set(filler) - r7_stale)
+    assert set(filler) | set(R7_LEFTOVER_R12) == r7_stale
     assert filler == sorted(filler)  # deterministic: alphabetical
 
 
@@ -341,7 +385,7 @@ def test_round_union_covers_every_registered_query():
     covered = (
         set(R1_WINDOW) | set(R2_WINDOW) | set(R3_WINDOW) | set(R4_WINDOW)
         | set(R5_WINDOW) | set(R6_WINDOW) | set(R7_WINDOW) | set(R8_WINDOW)
-        | set(R9_WINDOW) | set(entry.DRIVER_WINDOW)
+        | set(R9_WINDOW) | set(R10_WINDOW) | set(entry.DRIVER_WINDOW)
     )
     pending = set(q) - covered
     # only registrations newer than the current window (NEXT_WINDOW)
