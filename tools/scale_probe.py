@@ -1238,6 +1238,120 @@ def sketch_skew_probe(n_m: float = 100.0) -> None:
     spark.stop()
 
 
+def drift_zones_probe(sf_dir: str = "/root/repo/.testdata/sf10",
+                      n_batches: int = 6) -> None:
+    """The 100 TB zone-fed drift story executed end-to-end ONCE at 100x
+    data (VERDICT r10 #6): split each drift side of the corpus into
+    ``n_batches`` parquet files, drive the REAL writeStream entry
+    points (run_set_sketch_stream over the exploded token stream +
+    run_numeric_sketch_stream over per-doc token counts, availableNow
+    micro-batches), then fold the landed KMV/MG/QS zones with
+    corpus_drift_from_zones and compare row-for-row against the
+    corpus-scan report (dp_corpus_drift) on the same data.
+
+    Expected: the KMV and quantile legs are EXACT by their merge laws;
+    the MG legs (hh_shared/only_a/only_b) are exact whenever the
+    per-zone summaries' fold re-surfaces the same key sets — at real
+    vocabulary scale zones truncate, so the probe reports the MG legs'
+    agreement separately instead of asserting blind equality."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark import model
+    from hadoop_ozone_spark.datapipe import text as text_ops
+    from hadoop_ozone_spark.plans import datapipe_queries as dq
+    from hadoop_ozone_spark.streaming import sketch_stream
+
+    spark = get_spark("scale-probe-drift-zones")
+    docs = model.load(spark, sf_dir, "documents")
+    side = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, F.lit("a")
+    ).otherwise(F.lit("b"))
+    tagged = docs.select(
+        side.alias("side"),
+        "doc_id",
+        F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+    )
+    out = {"sf_dir": sf_dir, "n_batches": n_batches, "timings_sec": {}}
+    tmp = tempfile.mkdtemp(prefix="ozspark_drift_scale_")
+    try:
+        # land each side as n_batches files — the micro-batch feed
+        t0 = time.time()
+        feeds = {}
+        for s in ("a", "b"):
+            feed = os.path.join(tmp, f"feed_{s}")
+            tagged.filter(F.col("side") == s).select(
+                "doc_id", "text"
+            ).repartition(n_batches).write.parquet(feed)
+            feeds[s] = feed
+        out["timings_sec"]["feed_write"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        dirs = {}
+        for s in ("a", "b"):
+            state = os.path.join(tmp, f"state_{s}")
+            dirs[s] = state
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feeds[s])
+            )
+            q1 = sketch_stream.run_set_sketch_stream(
+                stream.select(
+                    F.explode(text_ops.tokens(F.col("text"))).alias("token")
+                ),
+                state,
+                os.path.join(tmp, f"ckpt_set_{s}"),
+                "token",
+            )
+            q1.awaitTermination()
+            q2 = sketch_stream.run_numeric_sketch_stream(
+                stream.select(
+                    F.size(text_ops.tokens(F.col("text")))
+                    .cast("long")
+                    .alias("n_tokens")
+                ),
+                state,
+                os.path.join(tmp, f"ckpt_num_{s}"),
+                "n_tokens",
+            )
+            q2.awaitTermination()
+        out["timings_sec"]["streams"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        zoned = {
+            r["metric"]: r["value"]
+            for r in dq.corpus_drift_from_zones(
+                spark, dirs["a"], dirs["b"]
+            ).collect()
+        }
+        out["timings_sec"]["zone_fold"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        corpus = {
+            r["metric"]: r["value"]
+            for r in dq.corpus_drift_report(tagged).collect()
+        }
+        out["timings_sec"]["corpus_scan"] = round(time.time() - t0, 1)
+
+        exact_legs = [
+            m for m in corpus
+            if m.startswith(("vocab_", "p50_", "p90_"))
+        ]
+        mg_legs = [m for m in corpus if m.startswith("hh_")]
+        out["exact_legs_match"] = all(zoned[m] == corpus[m] for m in exact_legs)
+        out["mg_legs_match"] = all(zoned[m] == corpus[m] for m in mg_legs)
+        out["zoned"] = zoned
+        out["corpus"] = corpus
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def cc_probe(n_edges_m: float = 1.0) -> None:
     """Connected-components scale probe (dedup_clusters): a realistic
     near-dup pair graph is mostly stars (canonical + variants) with a
@@ -1587,6 +1701,10 @@ if __name__ == "__main__":
         cc_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 1.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--cc-skew":
         cc_skew_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 10.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--drift-zones":
+        drift_zones_probe(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.testdata/sf10"
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "--lm":
         lm_probe(
             int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 100_000,
