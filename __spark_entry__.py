@@ -789,10 +789,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Queries registered NEW this round that did NOT fit in the 50-slot
 # driver window — placed immediately after it so the judge's HEAD
 # oracle run sees them and the round-12 rotation can front-load them.
-# Round 11 registered no new oracle queries (the round closed the r10
-# weak + evidence items), so the queue is empty; the round-12 window
-# leads with R7_LEFTOVER_R12 (tests/test_entry_contract.py).
-NEXT_WINDOW: list[str] = []
+# Round 11 registered the mergeable reservoir-sample family (RSV —
+# the sixth write-time sketch artifact); both ride here with sf0.01
+# oracle evidence, queued ahead of R7_LEFTOVER_R12 for round 12
+# (tests/test_entry_contract.py).
+NEXT_WINDOW: list[str] = ["dp_reservoir_sample", "dp_reservoir_by_source"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

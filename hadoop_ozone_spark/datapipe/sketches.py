@@ -1170,3 +1170,102 @@ SELECT key_a, key_b,
        CAST(_inter * 1000000 // greatest(_uni, 1) AS BIGINT) AS jaccard_ppm
 FROM anchored
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable uniform reservoir sample — bottom-k-by-hash over ROW identity.
+#
+# The sixth mergeable write-time artifact (HLL / CM / Bloom / QS / KMV /
+# RSV): an EXACT-k uniform sample of rows, reproducible and mergeable.
+# Where KMV keeps the k smallest hashes of the DISTINCT VALUES of a
+# column (a cardinality sketch), the reservoir keys the draw on row
+# IDENTITY — each row gets an iid uniform draw h = lane(seed#id), and
+# the k smallest draws are a uniform k-subset of the rows (bottom-k
+# sampling; the distributed, deterministic form of reservoir sampling —
+# Vitter 1985 gives the sequential algorithm, the bottom-k-by-hash
+# reformulation is the standard mergeable equivalent, e.g. Cohen &
+# Kaplan 2007). Merge = union-then-k-smallest, EXACT by the KMV
+# argument: a globally k-smallest draw is k-smallest within its own
+# zone. This is the op that carves a fixed-size eval/inspection slice
+# out of an unbounded corpus and keeps it consistent as zones land —
+# re-running over corpus ∪ delta only ever swaps members whose draws
+# are displaced by smaller delta draws.
+#
+# Contract: ``id_col`` must identify rows (a duplicated id draws the
+# same h and the duplicates travel together). Changing ``seed`` is a
+# fresh independent sample.
+# ---------------------------------------------------------------------------
+
+RSV_K = 256
+
+
+def reservoir_draw(id_col: Column, seed: str) -> Column:
+    """The engine-portable uniform draw for one row: the md5 lane of
+    'seed#id' folded into [0, 2^59) — the same lane law every sketch
+    here shares. DuckDB twin: md5_lane_sql over the same concat."""
+    return F.pmod(
+        md5_lane(F.concat(F.lit(seed), F.lit("#"), id_col.cast("string"))),
+        F.lit(_LANE_MOD),
+    )
+
+
+def reservoir_sample(
+    df: DataFrame, id_col: str = "doc_id", k: int = RSV_K, seed: str = "rsv"
+) -> DataFrame:
+    """(h, doc_id): the ``k`` rows with the smallest draws — an exact-k
+    uniform row sample. orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition bottom-k, merged at the
+    driver) — never a global sort; the artifact never exceeds k rows.
+    Ties (a lane collision) break on the id, so the sample is a pure
+    function of (row set, seed) — partition- and order-independent."""
+    return (
+        df.select(
+            reservoir_draw(F.col(id_col), seed).alias("h"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(k)
+    )
+
+
+def reservoir_sample_grouped(
+    df: DataFrame,
+    key: str,
+    id_col: str = "doc_id",
+    k: int = RSV_K,
+    seed: str = "rsv",
+) -> DataFrame:
+    """(key, h, doc_id): the exact-k uniform sample per GROUP via a
+    key-partitioned rank window (the kmv_sketch_grouped shape —
+    compiles to WindowGroupLimit with a Partial map-side pass, so a
+    hot group never forces its full row set through one task); a
+    group's rows are bit-identical to the ungrouped sample of its
+    slice."""
+    drawn = df.select(
+        F.col(key).alias("key"),
+        reservoir_draw(F.col(id_col), seed).alias("h"),
+        F.col(id_col).alias("doc_id"),
+    ).filter(F.col("key").isNotNull())
+    w = Window.partitionBy("key").orderBy("h", "doc_id")
+    return (
+        drawn.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(k))
+        .select("key", "h", "doc_id")
+    )
+
+
+def reservoir_draw_sql(id_expr: str, seed: str) -> str:
+    """DuckDB twin of reservoir_draw."""
+    lane = md5_lane_sql(f"concat('{seed}#', CAST({id_expr} AS VARCHAR))")
+    return f"((({lane}) % {_LANE_MOD}) + {_LANE_MOD}) % {_LANE_MOD}"
+
+
+def reservoir_sample_sql(
+    source_sql: str, id_expr: str, k: int, seed: str = "rsv"
+) -> str:
+    """DuckDB twin of reservoir_sample (a SELECT producing h, doc_id)."""
+    return (
+        f"SELECT {reservoir_draw_sql(id_expr, seed)} AS h,"
+        f" {id_expr} AS doc_id FROM ({source_sql})"
+        f" ORDER BY h, doc_id LIMIT {k}"
+    )

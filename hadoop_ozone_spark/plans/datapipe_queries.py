@@ -4515,3 +4515,70 @@ DP_MEDIA_DUP_CLUSTERS_SQL = _media_dup_clusters_sql()
 
 QUERIES["dp_media_dup_clusters"] = dp_media_dup_clusters
 ORACLES["dp_media_dup_clusters"] = DP_MEDIA_DUP_CLUSTERS_SQL
+
+
+def dp_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable exact-k uniform row sample (datapipe/sketches.py
+    reservoir_sample — bottom-k-by-hash; Vitter 1985's reservoir in
+    its deterministic distributed reformulation, Cohen & Kaplan 2007):
+    the k=100 documents with the smallest md5-lane draws of
+    'rsv#doc_id' — the reproducible eval/inspection slice a curation
+    run carves from an unbounded corpus. Where KMV samples the
+    DISTINCT VALUES of a column (cardinality), this samples ROWS:
+    exact size k, uniform, a pure function of (row set, seed). The
+    artifact is input-size-independent and zones merge by
+    union-then-k-smallest EXACTLY (sketch_stream.read_reservoir,
+    stream ≡ batch pinned); the build is one TakeOrderedAndProject —
+    per-partition bottom-k, never a global sort."""
+    from hadoop_ozone_spark.datapipe import sketches
+
+    docs = model.load(spark, sf_dir, "documents")
+    return sketches.reservoir_sample(docs, "doc_id", k=100, seed="rsv")
+
+
+def _reservoir_sample_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    return sketches.reservoir_sample_sql(
+        "SELECT doc_id FROM documents", "doc_id", 100, "rsv"
+    )
+
+
+def dp_reservoir_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exact-k sample: the k=5 uniform rows per SOURCE via
+    the key-partitioned rank window (the kmv_sketch_grouped /
+    WindowGroupLimit-Partial shape — the hot source never forces its
+    full row set through one task); each source's rows are
+    bit-identical to the ungrouped sample of its slice. The
+    per-stratum inspection slice a dataset card quotes."""
+    from hadoop_ozone_spark.datapipe import sketches
+
+    docs = model.load(spark, sf_dir, "documents")
+    return sketches.reservoir_sample_grouped(
+        docs, "source", "doc_id", k=5, seed="rsv"
+    ).select(F.col("key").alias("source"), "h", "doc_id")
+
+
+def _reservoir_by_source_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    draw = sketches.reservoir_draw_sql("doc_id", "rsv")
+    return f"""
+WITH drawn AS (
+  SELECT source, {draw} AS h, doc_id
+  FROM documents WHERE source IS NOT NULL
+),
+ranked AS (
+  SELECT source, h, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM drawn
+)
+SELECT source, h, doc_id FROM ranked WHERE rn <= 5
+ORDER BY source, h, doc_id
+"""
+
+
+QUERIES["dp_reservoir_sample"] = dp_reservoir_sample
+ORACLES["dp_reservoir_sample"] = _reservoir_sample_sql()
+QUERIES["dp_reservoir_by_source"] = dp_reservoir_by_source
+ORACLES["dp_reservoir_by_source"] = _reservoir_by_source_sql()

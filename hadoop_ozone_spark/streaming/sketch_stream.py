@@ -233,3 +233,60 @@ def run_numeric_sketch_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def process_sample_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    id_col: str,
+    k: int = sketches.RSV_K,
+    seed: str = "rsv",
+) -> None:
+    """Land one batch's reservoir zone (idempotent overwrite): the
+    batch's own bottom-k draws. Zones fold by union-then-k-smallest,
+    which is EXACT (the KMV merge argument applied to row identity):
+    a globally k-smallest draw is k-smallest within its own batch."""
+    sketches.reservoir_sample(batch, id_col, k, seed).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/rsv/batch={batch_id}")
+
+
+def read_reservoir(
+    spark: SparkSession, state_dir: str, k: int = sketches.RSV_K
+) -> DataFrame:
+    """Union-then-k-smallest over every landed reservoir zone —
+    identical to the batch sample of the concatenated input (pinned):
+    the rolling exact-k uniform sample of everything ingested so far."""
+    zones.assert_zones_clean(spark, state_dir, ("rsv",))
+    return (
+        spark.read.parquet(f"{state_dir}/rsv")
+        .select("h", "doc_id")
+        .orderBy("h", "doc_id")
+        .limit(k)
+    )
+
+
+def run_reservoir_stream(
+    df_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    k: int = sketches.RSV_K,
+    seed: str = "rsv",
+):
+    """foreachBatch driver wiring ``process_sample_batch`` to a stream
+    — the deployment entry point (the run_sketch_stream shape)."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        process_sample_batch(
+            batch.sparkSession, batch, batch_id, state_dir, id_col, k, seed
+        )
+
+    return (
+        df_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -682,3 +682,15 @@ def test_cluster_size_is_groupby_join_not_window(spark, sf_dir):
             ), f"count window over cluster_id: {line}"
         # the size fold is a two-phase hash aggregate keyed on cluster_id
         assert "partial_count" in p or ", Partial" in p
+
+def test_reservoir_builds_takeordered_and_windowgrouplimit(spark, sf_dir):
+    # the flat sample is one TakeOrderedAndProject (per-partition
+    # bottom-k, never a global sort); the grouped sample compiles to
+    # the WindowGroupLimit-Partial map-side top-k like the rest of the
+    # grouped sketch family
+    p = plan_of(entry.queries()["dp_reservoir_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    pg = plan_of(entry.queries()["dp_reservoir_by_source"](spark, sf_dir))
+    assert "WindowGroupLimit" in pg
+    assert ", Partial" in pg

@@ -344,3 +344,95 @@ def test_zone_fed_corpus_drift_matches_corpus_report(spark):
         assert m["hh_shared"] > 0 and m["hh_only_a"] > 0 and m["hh_only_b"] > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+def test_reservoir_sample_laws(spark):
+    """The bottom-k row sample: exact size min(k, n), a subset of the
+    input ids, partition/order-independent (pure function of the row
+    set + seed), different seeds draw different samples, and the
+    grouped form is bit-identical to the ungrouped sample per slice."""
+    docs = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 7).cast("string")).alias(
+            "source"
+        ),
+    ).persist()
+    sample = sketches.reservoir_sample(docs, "doc_id", k=64).collect()
+    assert len(sample) == 64
+    ids = {r.doc_id for r in sample}
+    assert len(ids) == 64 and all(0 <= d < 5_000 for d in ids)
+    # partition-independence: a reshuffled input draws the SAME sample
+    re_ids = {
+        r.doc_id
+        for r in sketches.reservoir_sample(
+            docs.repartition(13, "source"), "doc_id", k=64
+        ).collect()
+    }
+    assert re_ids == ids
+    # small-n: the sample IS the input
+    assert (
+        sketches.reservoir_sample(docs.limit(10), "doc_id", k=64).count()
+        == 10
+    )
+    # a fresh seed is an (almost surely) different draw
+    other = {
+        r.doc_id
+        for r in sketches.reservoir_sample(
+            docs, "doc_id", k=64, seed="rsv2"
+        ).collect()
+    }
+    assert other != ids
+    # grouped == per-slice ungrouped, every group exactly k (n >> k)
+    grouped = sketches.reservoir_sample_grouped(
+        docs, "source", "doc_id", k=8
+    ).collect()
+    by_key: dict[str, list] = {}
+    for r in grouped:
+        by_key.setdefault(r.key, []).append((r.h, r.doc_id))
+    assert set(by_key) == {f"src{i}" for i in range(7)}
+    for key, rows in by_key.items():
+        slice_rows = [
+            (r.h, r.doc_id)
+            for r in sketches.reservoir_sample(
+                docs.filter(F.col("source") == key), "doc_id", k=8
+            ).collect()
+        ]
+        assert sorted(rows) == sorted(slice_rows)
+    docs.unpersist()
+
+
+def test_reservoir_stream_matches_batch_exactly_and_replays(spark):
+    """Zones fold by union-then-k-smallest, EXACT by the KMV argument
+    applied to row identity: stream == batch, replay idempotent, torn
+    zone fails loudly."""
+    import os
+
+    import pytest
+
+    whole = spark.range(20_000).select(F.col("id").alias("doc_id")).persist()
+    batches = [whole.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="ozspark_rsvstream_")
+    try:
+        for i, b in enumerate(batches):
+            sketch_stream.process_sample_batch(spark, b, i, tmp, "doc_id")
+        folded = sorted(
+            (r.h, r.doc_id)
+            for r in sketch_stream.read_reservoir(spark, tmp).collect()
+        )
+        direct = sorted(
+            (r.h, r.doc_id)
+            for r in sketches.reservoir_sample(whole, "doc_id").collect()
+        )
+        assert folded == direct and len(folded) == sketches.RSV_K
+        # replay = idempotent overwrite
+        sketch_stream.process_sample_batch(spark, batches[1], 1, tmp, "doc_id")
+        assert sorted(
+            (r.h, r.doc_id)
+            for r in sketch_stream.read_reservoir(spark, tmp).collect()
+        ) == folded
+        # torn zone (writer died before commit) fails the reader loudly
+        os.remove(os.path.join(tmp, "rsv", "batch=1", "_SUCCESS"))
+        with pytest.raises(Exception, match="batch=1"):
+            sketch_stream.read_reservoir(spark, tmp).collect()
+    finally:
+        whole.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
