@@ -436,3 +436,42 @@ def test_reservoir_stream_matches_batch_exactly_and_replays(spark):
     finally:
         whole.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
+
+def test_reservoir_stream_foreachbatch_end_to_end(spark):
+    """Drive run_reservoir_stream's real writeStream/foreachBatch
+    wiring (availableNow) over a multi-file stream: the folded rolling
+    sample must equal the batch sample of the whole input — the
+    union-then-k-smallest fold is exact through the production entry
+    point, not just the process function."""
+    import os
+
+    whole = spark.range(15_000).select(F.col("id").alias("doc_id"))
+    tmp = tempfile.mkdtemp(prefix="ozspark_rsvstream_e2e_")
+    try:
+        src = os.path.join(tmp, "src")
+        whole.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(whole.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = sketch_stream.run_reservoir_stream(
+            stream,
+            os.path.join(tmp, "state"),
+            os.path.join(tmp, "ckpt"),
+            "doc_id",
+        )
+        q.awaitTermination(120)
+        folded = sorted(
+            (r.h, r.doc_id)
+            for r in sketch_stream.read_reservoir(
+                spark, os.path.join(tmp, "state")
+            ).collect()
+        )
+        direct = sorted(
+            (r.h, r.doc_id)
+            for r in sketches.reservoir_sample(whole, "doc_id").collect()
+        )
+        assert folded == direct and len(folded) == sketches.RSV_K
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
