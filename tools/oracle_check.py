@@ -65,30 +65,35 @@ def main() -> int:
     only = set(argv[1:])
     records: dict[str, dict] = {}
     spark = get_spark("oracle-check")
-    con = duckdb.connect()
     # bound the oracle side: at sf10 a replay's intermediate (e.g. the
     # dup-span position self-join) can exceed RAM; unlimited, DuckDB
     # grows until the kernel OOM-kills the whole gate (observed: 93 GB
     # RSS alongside the 48g JVM). A limit + temp_directory makes it
     # spill instead.
+    import atexit
     import os
+    import shutil
     import tempfile
 
-    con.execute(
-        f"SET memory_limit='{os.environ.get('ORACLE_DUCKDB_MEM', '32GB')}'"
-    )
     _spill = tempfile.mkdtemp(prefix="oracle_duckdb_spill_")
-    con.execute(f"SET temp_directory='{_spill}'")
     # remove the spill dir even on an exceptional exit — a single sf10
     # replay can spill tens of GB, and repeated gate runs would leak it
-    import atexit
-    import shutil
-
     atexit.register(shutil.rmtree, _spill, ignore_errors=True)
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute(
+            f"SET memory_limit='{os.environ.get('ORACLE_DUCKDB_MEM', '32GB')}'"
         )
+        c.execute(f"SET temp_directory='{_spill}'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS"
+                f" SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
+
+    con = fresh_con()
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
     strict_failures = []  # repr-level float compare, no 6dp tolerance
@@ -125,6 +130,17 @@ def main() -> int:
             failures.append(name)
             record_error("duckdb error", e)
             print(f"FAIL {name}: duckdb error: {e}")
+            # a failed replay (OOM / spill-disk death) can leave the
+            # connection's allocator poisoned — every later query then
+            # dies on tiny block allocations (observed: one 48GB-limit
+            # OOM failed 20 downstream queries). Rebuild the connection
+            # so one infeasible twin can never poison the rest of the
+            # gate.
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con()
             continue
         elapsed = time.time() - t0
         problems = []
