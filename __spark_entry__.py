@@ -672,72 +672,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Registration order. The driver's correctness artifact covers the FIRST
-# 50 entries of queries() each round. Round 11 (VERDICT r10 #5): the one
-# round-10 registration that missed the r10 window (dp_media_dup_clusters,
-# staged in last round's NEXT_WINDOW) leads; then the 35 round-6-evidence
-# leftovers that did not fit in the r10 window (R6_LEFTOVER_R11 in
-# tests/test_entry_contract.py — their latest driver evidence is
-# CORRECTNESS_r06.json); the remaining 14 slots take the next-stalest
-# rows — the first 14 (alphabetical) of the 50 queries whose latest
-# driver evidence is CORRECTNESS_r07.json. The 36 round-7-evidence rows
-# that don't fit (R7_LEFTOVER_R12 in the contract test) lead the
-# round-12 queue.
+# 50 entries of queries() each round. Round 12 (VERDICT r11 #4): the two
+# round-12 registrations (the weighted A-ExpJ reservoir family) lead;
+# then the two round-11 registrations staged in last round's NEXT_WINDOW
+# (the uniform reservoir family — judge-green at r11, driver evidence
+# landing now); then the 36 round-7-evidence leftovers that did not fit
+# in the r11 window (R7_LEFTOVER_R12 in tests/test_entry_contract.py —
+# their latest driver evidence is CORRECTNESS_r07.json); the remaining
+# 10 slots take the next-stalest rows — the first 10 (alphabetical) of
+# the 50 queries whose latest driver evidence is CORRECTNESS_r08.json.
+# The 40 round-8-evidence rows that don't fit (R8_LEFTOVER_R13) lead the
+# round-13 queue.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
-    # registered during round 10, driver evidence landing now (1)
-    "dp_media_dup_clusters",
-    # round-6 evidence leftovers (R6_LEFTOVER_R11 — stalest rows, 35)
-    "dp_dedup_groups",
-    "dp_exact_dedup",
-    "dp_minhash_incremental",
-    "dp_mixture_sample",
-    "dp_pack_plan",
-    "dp_pii_redact",
-    "dp_repetition",
-    "f2_range_scan",
-    "f4_tombstone_anti_join",
-    "gdpr_metadata_filter",
-    "j1_keys_for_container",
-    "j2_container_health",
-    "j2_health_summary",
-    "j3_fso_path_resolution",
-    "j4_container_key_index",
-    "j5_keys_in_open_containers",
-    "l1_bucket_links",
-    "m2_rename_prefix",
-    "m3_delete_prefix",
-    "m4_open_key_expiry",
-    "m5_multipart_check",
-    "nested_locations_stats",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "s1_prefix_scan",
-    "s2_point_lookup",
-    "size_percentiles",
-    "so1_latest_state",
-    "w1_list_keys_page",
-    "w1_list_volumes",
-    "w2_s3_common_prefixes",
-    "w2_s3_leaf_listing",
-    "w3_list_status",
-    "x11_busiest_seconds",
-    # round-7 evidence rows (next-stalest — first 14, alphabetical)
-    "a10_rate_spikes",
-    "a3_fso_namespace_du",
-    "a9_distinct_dirs",
-    "b1_balancer_utilization",
-    "b2_balancer_summary",
-    "bm1_balancer_moves",
-    "c1_list_containers",
-    "c2_container_info",
-    "d1_decommission_status",
-    "d2_failed_txns",
-    "d2_pending_deletion",
-    "dp_ann_bucket_histogram",
-    "dp_ann_bucketed_topk",
-    "dp_ann_ivf_topk",
+    # registered THIS round — the weighted reservoir family (2)
+    "dp_reservoir_weighted",
+    "dp_reservoir_weighted_by_source",
+    # round-11 registrations from the r11 NEXT_WINDOW (2)
+    "dp_reservoir_sample",
+    "dp_reservoir_by_source",
+    # round-7 evidence leftovers (R7_LEFTOVER_R12 — stalest rows, 36)
+    "dp_ann_multiprobe_topk",
+    "dp_ann_pq_topk",
+    "dp_bpe_pair_counts",
+    "dp_budget_sample",
+    "dp_chunk_dedup",
+    "dp_curation_pipeline",
+    "dp_dedup_keep_best",
+    "dp_dedup_rate_report",
+    "dp_dsir_weights",
+    "dp_fingerprint",
+    "dp_lang_id",
+    "dp_media_features",
+    "dp_media_frame_sample",
+    "dp_media_resize_plan",
+    "dp_minhash_pairs",
+    "dp_ngram_jaccard",
+    "dp_quality_strata",
+    "dp_simhash_pairs",
+    "dp_split_assign",
+    "dp_token_stats",
+    "dp_train_order",
+    "dp_unigram_quality",
+    "dp_vocabulary",
+    "f5_slim_projection",
+    "h1_access_heatmap",
+    "j1_replica_history",
+    "j2_missing_containers",
+    "j3_fso_list_status",
+    "m1_open_key_commit",
+    "m2_fso_rename_dir",
+    "n3_topology",
+    "n4_datanode_list",
+    "pp1_pipeline_targets",
+    "s3_bucket_acl",
+    "u1_file_counts_filtered",
+    "w2_list_objects_v1",
+    # round-8 evidence rows (next-stalest — first 10, alphabetical)
+    "acl_add_remove_plane",
+    "acl_set_plane",
+    "c3_unhealthy_page",
+    "c4_unhealthy_all",
+    "dn1_block_deletion_plan",
+    "dn2_scanner_rollup",
+    "dp_ann_ivfpq_knn_join",
+    "dp_ann_ivfpq_topk",
+    "dp_cdc_chunks",
+    "dp_cdc_source_matrix",
 ]
 
 
@@ -788,12 +790,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Queries registered NEW this round that did NOT fit in the 50-slot
 # driver window — placed immediately after it so the judge's HEAD
-# oracle run sees them and the round-12 rotation can front-load them.
-# Round 11 registered the mergeable reservoir-sample family (RSV —
-# the sixth write-time sketch artifact); both ride here with sf0.01
-# oracle evidence, queued ahead of R7_LEFTOVER_R12 for round 12
-# (tests/test_entry_contract.py).
-NEXT_WINDOW: list[str] = ["dp_reservoir_sample", "dp_reservoir_by_source"]
+# oracle run sees them and the next rotation can front-load them.
+# Round 12: empty — both round-12 registrations (the weighted
+# reservoir family) fit inside the window, slots 1–2.
+NEXT_WINDOW: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -172,8 +172,19 @@ FLOOR_PROFILE = {
     "dp_qsketch_tokens",
     "dp_qsketch_by_source",
     "dp_kmv_user_overlap",
+    # VERDICT r11 #7: the media plane's binary-safe dHash is a
+    # documented ~1.3x step-change (hex/conv per sampled raster byte);
+    # floor-profile both consumers so that cost is the recorded new
+    # floor and future drift is measured against it, not against r10
+    "dp_media_near_dup",
+    "dp_media_dup_clusters",
 }
 FLOOR_PROFILE_STEADY = 5
+# ADVICE r11: a floor-profiled query whose MEDIAN (not just min) moves
+# >= this factor vs the previous run's recorded floor is flagged in the
+# artifact — the median treatment must not silently soften a real
+# regression into "floor jitter"
+FLOOR_MEDIAN_DRIFT_FLAG = 2.0
 
 
 def calibration_run(spark) -> float:
@@ -278,6 +289,17 @@ def main() -> None:
     spreads: dict[str, float] = {}
     twin_stats: dict[str, dict] = {}
     floor_profile: dict[str, dict] = {}
+    # previous run's recorded floor medians (ADVICE r11's drift flag);
+    # absent file / stale schema just means no flag this run
+    _prev_floor_medians: dict[str, float] = {}
+    try:
+        with open("artifacts/bench_headline.json") as fh:
+            _prev = json.load(fh).get("floor_profile", {})
+        _prev_floor_medians = {
+            k: v.get("median_sec", 0.0) for k, v in _prev.items()
+        }
+    except Exception:
+        pass
 
     def _record(name: str, runs: list[float], n: int) -> None:
         cold, warm = runs[0], runs[1:]
@@ -334,6 +356,15 @@ def main() -> None:
                     if warm[0] > 0
                     else 0.0,
                 }
+                prev = _prev_floor_medians.get(variant)
+                if prev and prev > 0:
+                    ratio = med / prev
+                    floor_profile[variant]["prev_median_sec"] = prev
+                    floor_profile[variant]["median_vs_prev"] = round(ratio, 2)
+                    # the median-drift flag (ADVICE r11): the floor
+                    # treatment never hides a >= 2x median move
+                    if ratio >= FLOOR_MEDIAN_DRIFT_FLAG:
+                        floor_profile[variant]["median_drift_flag"] = True
         if len(pair) == 2:
             portable, fast = pair
             base = timings[portable]

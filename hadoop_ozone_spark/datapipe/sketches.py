@@ -1255,8 +1255,12 @@ def reservoir_sample_grouped(
 
 
 def reservoir_draw_sql(id_expr: str, seed: str) -> str:
-    """DuckDB twin of reservoir_draw."""
-    lane = md5_lane_sql(f"concat('{seed}#', CAST({id_expr} AS VARCHAR))")
+    """DuckDB twin of reservoir_draw. ``seed`` is interpolated into a
+    SQL string literal, so embedded quotes are doubled (the one SQL
+    escape DuckDB and Spark share); ``id_expr`` is a caller-owned SQL
+    expression and is trusted as-is."""
+    safe_seed = seed.replace("'", "''")
+    lane = md5_lane_sql(f"concat('{safe_seed}#', CAST({id_expr} AS VARCHAR))")
     return f"((({lane}) % {_LANE_MOD}) + {_LANE_MOD}) % {_LANE_MOD}"
 
 
@@ -1268,4 +1272,130 @@ def reservoir_sample_sql(
         f"SELECT {reservoir_draw_sql(id_expr, seed)} AS h,"
         f" {id_expr} AS doc_id FROM ({source_sql})"
         f" ORDER BY h, doc_id LIMIT {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# WEIGHTED mergeable reservoir — A-ExpJ / Efraimidis–Spirakis (2006) in
+# the deterministic bottom-k-by-hash reformulation.
+#
+# The seventh write-time artifact: an exact-k sample WITHOUT replacement
+# where a row's inclusion odds are proportional to a per-row weight —
+# the quality- or token-budget-weighted eval slice a curation run wants
+# ("sample docs proportional to token count so the slice represents the
+# token distribution, not the document count distribution").
+#
+# The law (ES 2006, exponential-race form): each row draws
+# u_i ~ Uniform(0,1) and races with key_i = -ln(u_i)/w_i ~ Exp(w_i);
+# the k SMALLEST keys are an ES weighted k-sample without replacement
+# (selecting the k largest u_i^(1/w_i) is the same set — -ln/w is a
+# monotone transform). Merge = union-then-k-smallest-keys, EXACT by the
+# same argument as the uniform reservoir: a globally k-smallest key is
+# k-smallest within its own zone, so zones fold losslessly.
+#
+# Portability discipline: u_i is built from the md5 lane with ONLY
+# IEEE-exact double ops — CAST(lane AS DOUBLE) (round-to-nearest,
+# identical in JVM and DuckDB), + 0.5 (exact at this magnitude's scale
+# rounding, again IEEE-identical), / 2^59 (exact power-of-two scaling) —
+# so u is bit-identical across engines. The single non-exact op is ln
+# (both engines are within 1 ulp of true); the float key is used for
+# ORDERING only and never output, so a last-ulp disagreement could
+# matter only if two rows' true keys straddle the k boundary within
+# ~1e-16 relative — vanishing at any real corpus size, and the (key,
+# id) tie-break makes exact lane collisions deterministic anyway.
+# ---------------------------------------------------------------------------
+
+
+def weighted_reservoir_key(id_col: Column, weight_col: Column, seed: str) -> Column:
+    """The ES exponential race key -ln(u)/w as a DOUBLE column. ``u`` =
+    (lane + 0.5) / 2^59 ∈ (0,1) — never 0 or 1, so ln is finite and the
+    key positive. ``weight_col`` is clamped to ≥ 1 (a weightless row
+    still races, at the floor odds — mirrors greatest(w, 1) in the
+    twin)."""
+    u = (reservoir_draw(id_col, seed).cast("double") + F.lit(0.5)) / F.lit(
+        float(_LANE_MOD)
+    )
+    w = F.greatest(weight_col.cast("double"), F.lit(1.0))
+    return -F.log(u) / w
+
+
+def weighted_reservoir_bottomk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = RSV_K,
+    seed: str = "wrsv",
+) -> DataFrame:
+    """(_key, doc_id, weight): the k rows with the smallest exponential
+    race keys, KEY KEPT — the mergeable zone artifact the stream twin
+    persists (zones fold by union-then-k-smallest over the stored
+    keys; Spark both writes and reads the double, so the fold sees the
+    exact bits the build computed). orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition bottom-k, never a global
+    sort; artifact ≤ k rows."""
+    keyed = df.select(
+        weighted_reservoir_key(F.col(id_col), F.col(weight_col), seed).alias(
+            "_key"
+        ),
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.col(weight_col).cast("long"), F.lit(1)).alias("weight"),
+    )
+    return keyed.orderBy("_key", "doc_id").limit(k)
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = RSV_K,
+    seed: str = "wrsv",
+) -> DataFrame:
+    """(doc_id, weight): the ES weighted k-sample — the k rows with the
+    smallest exponential race keys. The float key orders but is not
+    output (see the portability note above); output is deterministic
+    integer columns, sorted by doc_id for the order-sensitive
+    consumer."""
+    return (
+        weighted_reservoir_bottomk(df, id_col, weight_col, k, seed)
+        .select("doc_id", "weight")
+        .orderBy("doc_id")
+    )
+
+
+def weighted_reservoir_grouped(
+    df: DataFrame,
+    key: str,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = RSV_K,
+    seed: str = "wrsv",
+) -> DataFrame:
+    """(key, doc_id, weight): the ES weighted k-sample per GROUP via the
+    key-partitioned rank window (WindowGroupLimit-Partial — the hot
+    group never funnels its full row set through one task); a group's
+    rows are bit-identical to the ungrouped sample of its slice."""
+    keyed = df.select(
+        F.col(key).alias("key"),
+        weighted_reservoir_key(F.col(id_col), F.col(weight_col), seed).alias(
+            "_key"
+        ),
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.col(weight_col).cast("long"), F.lit(1)).alias("weight"),
+    ).filter(F.col("key").isNotNull())
+    w = Window.partitionBy("key").orderBy("_key", "doc_id")
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(k))
+        .select("key", "doc_id", "weight")
+        .orderBy("key", "doc_id")
+    )
+
+
+def weighted_reservoir_key_sql(id_expr: str, weight_expr: str, seed: str) -> str:
+    """DuckDB twin of weighted_reservoir_key — the same IEEE-exact u
+    construction, DuckDB's ln, the same ≥1 weight clamp."""
+    lane = reservoir_draw_sql(id_expr, seed)
+    return (
+        f"(-ln((CAST(({lane}) AS DOUBLE) + 0.5) / {float(_LANE_MOD)!r})"
+        f" / greatest(CAST({weight_expr} AS DOUBLE), 1.0))"
     )

@@ -4554,9 +4554,11 @@ def dp_reservoir_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_ozone_spark.datapipe import sketches
 
     docs = model.load(spark, sf_dir, "documents")
-    return sketches.reservoir_sample_grouped(
-        docs, "source", "doc_id", k=5, seed="rsv"
-    ).select(F.col("key").alias("source"), "h", "doc_id")
+    return (
+        sketches.reservoir_sample_grouped(docs, "source", "doc_id", k=5, seed="rsv")
+        .select(F.col("key").alias("source"), "h", "doc_id")
+        .orderBy("source", "h", "doc_id")
+    )
 
 
 def _reservoir_by_source_sql() -> str:
@@ -4582,3 +4584,75 @@ QUERIES["dp_reservoir_sample"] = dp_reservoir_sample
 ORACLES["dp_reservoir_sample"] = _reservoir_sample_sql()
 QUERIES["dp_reservoir_by_source"] = dp_reservoir_by_source
 ORACLES["dp_reservoir_by_source"] = _reservoir_by_source_sql()
+
+
+def dp_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED exact-k sample without replacement (A-ExpJ /
+    Efraimidis–Spirakis 2006 in the deterministic exponential-race
+    form, datapipe/sketches.py weighted_reservoir_sample): the k=100
+    documents winning the race key -ln(u)/w with w = n_chars — the
+    token-budget-proportional eval slice (a doc is included with odds
+    proportional to its size, so the slice represents the token
+    distribution rather than the doc-count distribution). The float
+    key orders but is never output; u is IEEE-exact from the md5 lane
+    in both engines, so the selected SET is engine-portable. Merge =
+    union-then-k-smallest-keys, exact (stream twin pinned)."""
+    from hadoop_ozone_spark.datapipe import sketches
+
+    docs = model.load(spark, sf_dir, "documents")
+    return sketches.weighted_reservoir_sample(
+        docs, "doc_id", "n_chars", k=100, seed="wrsv"
+    )
+
+
+def _reservoir_weighted_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    key = sketches.weighted_reservoir_key_sql("doc_id", "n_chars", "wrsv")
+    return f"""
+SELECT doc_id, weight FROM (
+  SELECT doc_id, greatest(CAST(n_chars AS BIGINT), 1) AS weight,
+         {key} AS _key
+  FROM documents
+  ORDER BY _key, doc_id LIMIT 100
+) ORDER BY doc_id
+"""
+
+
+def dp_reservoir_weighted_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stratified weighted sample: the k=5 A-ExpJ winners per SOURCE
+    via the key-partitioned rank window (WindowGroupLimit-Partial —
+    the hot source never funnels through one task); each source's rows
+    are bit-identical to the ungrouped weighted sample of its slice.
+    The per-stratum size-proportional inspection slice."""
+    from hadoop_ozone_spark.datapipe import sketches
+
+    docs = model.load(spark, sf_dir, "documents")
+    return sketches.weighted_reservoir_grouped(
+        docs, "source", "doc_id", "n_chars", k=5, seed="wrsv"
+    ).select(F.col("key").alias("source"), "doc_id", "weight")
+
+
+def _reservoir_weighted_by_source_sql() -> str:
+    from hadoop_ozone_spark.datapipe import sketches
+
+    key = sketches.weighted_reservoir_key_sql("doc_id", "n_chars", "wrsv")
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id, greatest(CAST(n_chars AS BIGINT), 1) AS weight,
+         row_number() OVER (PARTITION BY source ORDER BY {key}, doc_id) AS rn
+  FROM documents WHERE source IS NOT NULL
+)
+SELECT source, doc_id, weight FROM ranked WHERE rn <= 5
+ORDER BY source, doc_id
+"""
+
+
+QUERIES["dp_reservoir_weighted"] = dp_reservoir_weighted
+ORACLES["dp_reservoir_weighted"] = _reservoir_weighted_sql()
+QUERIES["dp_reservoir_weighted_by_source"] = dp_reservoir_weighted_by_source
+ORACLES["dp_reservoir_weighted_by_source"] = (
+    _reservoir_weighted_by_source_sql()
+)

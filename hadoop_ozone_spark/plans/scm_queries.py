@@ -440,13 +440,10 @@ def rm1_replication_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RM1_SQL = model.with_ctes(
-    model.DATANODES_CTE,
-    model.CONTAINERS_CTE,
-    model.RM_REPLICAS_CTE,
-    *_RM_STACK,
-    *_RM_DELETE_STACK,
-    body="""SELECT * FROM (
+# named so the decomposed sf10 replay (tools/sf10_decompose.py) can
+# re-run the per-container stack in container slices without restating
+# the law
+_RM1_BODY = """SELECT * FROM (
   SELECT container_id, 'MISSING' AS action,
          CAST(NULL AS BIGINT) AS datanode_id, CAST(NULL AS VARCHAR) AS rack,
          'no replicas found' AS detail
@@ -471,7 +468,15 @@ RM1_SQL = model.with_ctes(
     AND (is_dup OR single_rank <= GREATEST(
           0, elig_racks - LEAST(replication_factor, total_racks)))
 )
-ORDER BY container_id, action, COALESCE(datanode_id, -1)""",
+ORDER BY container_id, action, COALESCE(datanode_id, -1)"""
+
+RM1_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    model.CONTAINERS_CTE,
+    model.RM_REPLICAS_CTE,
+    *_RM_STACK,
+    *_RM_DELETE_STACK,
+    body=_RM1_BODY,
 )
 
 
@@ -486,18 +491,20 @@ def rm2_placement_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RM2_SQL = model.with_ctes(
-    model.DATANODES_CTE,
-    model.CONTAINERS_CTE,
-    model.RM_REPLICAS_CTE,
-    *_RM_STACK,
-    body="""SELECT container_id, rnk AS rank, datanode_id, rack,
+_RM2_BODY = """SELECT container_id, rnk AS rank, datanode_id, rack,
        rack_covered, free_bytes
 FROM add_ranked
 WHERE container_id = (SELECT min(container_id) FROM rm_under
                       WHERE healthy_source_count > 0)
   AND rnk <= 10
-ORDER BY rnk""",
+ORDER BY rnk"""
+
+RM2_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    model.CONTAINERS_CTE,
+    model.RM_REPLICAS_CTE,
+    *_RM_STACK,
+    body=_RM2_BODY,
 )
 
 
@@ -858,10 +865,53 @@ def bm1_balancer_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BM1_SQL = model.with_ctes(
-    model.DATANODES_CTE,
-    model.CONTAINERS_CTE,
-    model.CONTAINER_REPLICAS_CTE,
+# the bm_pick pairing, named so the sf10 decomposed replay
+# (tools/sf10_decompose.py) can re-run it per container slice without
+# restating the law
+_BM_PICK_SQL = """SELECT *, row_number() OVER (PARTITION BY container_id
+      ORDER BY bytes_under_lower DESC, target_datanode_id) AS t1
+  FROM (
+    SELECT c.*, v.cov_before, cr.rack_cnt AS src_rack_cnt,
+           t.target_datanode_id, t.target_rack, t.bytes_under_lower,
+           COALESCE(cr2.rack_cnt > 0, FALSE) AS target_rack_covered,
+           tr.total_racks,
+           v.cov_before - (CASE WHEN cr.rack_cnt = 1
+                                 AND t.target_rack <> c.source_rack
+                                THEN 1 ELSE 0 END)
+             + (CASE WHEN COALESCE(cr2.rack_cnt > 0, FALSE)
+                     THEN 0 ELSE 1 END) AS cov_after
+    FROM bm_cand c
+    JOIN bm_cov v USING (container_id)
+    JOIN bm_cont_racks cr
+      ON cr.container_id = c.container_id AND cr.rack = c.source_rack
+    CROSS JOIN bm_targets t
+    LEFT JOIN bm_cont_racks cr2
+      ON cr2.container_id = c.container_id AND cr2.rack = t.target_rack
+    CROSS JOIN (SELECT count(DISTINCT rack) AS total_racks FROM datanodes) tr
+    WHERE NOT EXISTS (
+      SELECT 1 FROM container_replicas h
+      WHERE h.container_id = c.container_id
+        AND h.datanode_id = t.target_datanode_id)
+  )
+  WHERE cov_after >= LEAST(replication_factor, total_racks)
+     OR cov_after >= cov_before"""
+
+# the final per-target budget fold, shared with the decomposed replay
+_BM_MOVES_BODY = """SELECT container_id, source_datanode_id, target_datanode_id,
+       used_bytes, source_rack, target_rack
+FROM (
+  SELECT *, SUM(used_bytes) OVER (
+      PARTITION BY target_datanode_id
+      ORDER BY used_bytes DESC, container_id ROWS UNBOUNDED PRECEDING
+    ) AS tgt_cum
+  FROM bm_pick WHERE t1 = 1
+)
+WHERE tgt_cum <= bytes_under_lower
+ORDER BY container_id"""
+
+# named so the decomposed replay can stage the linear frames and the
+# per-container source pick independently
+_BM_STACK = (
     """bm_nodes AS (
   SELECT d.datanode_id, d.rack, d.capacity_bytes,
          COALESCE(u.used_bytes, 0) AS used_bytes
@@ -923,46 +973,17 @@ BM1_SQL = model.with_ctes(
     ) WHERE c1 = 1
   ) WHERE src_cum <= bytes_over_upper
 )""",
-    """bm_pick AS (
-  SELECT *, row_number() OVER (PARTITION BY container_id
-      ORDER BY bytes_under_lower DESC, target_datanode_id) AS t1
-  FROM (
-    SELECT c.*, v.cov_before, cr.rack_cnt AS src_rack_cnt,
-           t.target_datanode_id, t.target_rack, t.bytes_under_lower,
-           COALESCE(cr2.rack_cnt > 0, FALSE) AS target_rack_covered,
-           tr.total_racks,
-           v.cov_before - (CASE WHEN cr.rack_cnt = 1
-                                 AND t.target_rack <> c.source_rack
-                                THEN 1 ELSE 0 END)
-             + (CASE WHEN COALESCE(cr2.rack_cnt > 0, FALSE)
-                     THEN 0 ELSE 1 END) AS cov_after
-    FROM bm_cand c
-    JOIN bm_cov v USING (container_id)
-    JOIN bm_cont_racks cr
-      ON cr.container_id = c.container_id AND cr.rack = c.source_rack
-    CROSS JOIN bm_targets t
-    LEFT JOIN bm_cont_racks cr2
-      ON cr2.container_id = c.container_id AND cr2.rack = t.target_rack
-    CROSS JOIN (SELECT count(DISTINCT rack) AS total_racks FROM datanodes) tr
-    WHERE NOT EXISTS (
-      SELECT 1 FROM container_replicas h
-      WHERE h.container_id = c.container_id
-        AND h.datanode_id = t.target_datanode_id)
-  )
-  WHERE cov_after >= LEAST(replication_factor, total_racks)
-     OR cov_after >= cov_before
+    f"""bm_pick AS (
+  {_BM_PICK_SQL}
 )""",
-    body="""SELECT container_id, source_datanode_id, target_datanode_id,
-       used_bytes, source_rack, target_rack
-FROM (
-  SELECT *, SUM(used_bytes) OVER (
-      PARTITION BY target_datanode_id
-      ORDER BY used_bytes DESC, container_id ROWS UNBOUNDED PRECEDING
-    ) AS tgt_cum
-  FROM bm_pick WHERE t1 = 1
 )
-WHERE tgt_cum <= bytes_under_lower
-ORDER BY container_id""",
+
+BM1_SQL = model.with_ctes(
+    model.DATANODES_CTE,
+    model.CONTAINERS_CTE,
+    model.CONTAINER_REPLICAS_CTE,
+    *_BM_STACK,
+    body=_BM_MOVES_BODY,
 )
 
 QUERIES["bm1_balancer_moves"] = bm1_balancer_moves

@@ -236,7 +236,6 @@ def run_numeric_sketch_stream(
 
 
 def process_sample_batch(
-    spark: SparkSession,
     batch: DataFrame,
     batch_id: int,
     state_dir: str,
@@ -247,7 +246,10 @@ def process_sample_batch(
     """Land one batch's reservoir zone (idempotent overwrite): the
     batch's own bottom-k draws. Zones fold by union-then-k-smallest,
     which is EXACT (the KMV merge argument applied to row identity):
-    a globally k-smallest draw is k-smallest within its own batch."""
+    a globally k-smallest draw is k-smallest within its own batch.
+    (No SparkSession parameter: unlike the numeric/sketch batch
+    processors, the reservoir build needs only the batch frame —
+    ADVICE r11.)"""
     sketches.reservoir_sample(batch, id_col, k, seed).write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/rsv/batch={batch_id}")
@@ -268,6 +270,71 @@ def read_reservoir(
     )
 
 
+def process_weighted_sample_batch(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    id_col: str,
+    weight_col: str,
+    k: int = sketches.RSV_K,
+    seed: str = "wrsv",
+) -> None:
+    """Land one batch's WEIGHTED reservoir zone (idempotent overwrite):
+    the batch's k smallest exponential race keys, key kept — the
+    A-ExpJ merge needs it. Zones fold by union-then-k-smallest-keys,
+    EXACT by the same argument as the uniform reservoir (a globally
+    k-smallest key is k-smallest within its own batch); Spark writes
+    and re-reads the double key, so the fold compares the exact bits
+    the build computed."""
+    sketches.weighted_reservoir_bottomk(
+        batch, id_col, weight_col, k, seed
+    ).write.mode("overwrite").parquet(f"{state_dir}/wrsv/batch={batch_id}")
+
+
+def read_weighted_reservoir(
+    spark: SparkSession, state_dir: str, k: int = sketches.RSV_K
+) -> DataFrame:
+    """Union-then-k-smallest-keys over every landed weighted zone —
+    identical to the batch weighted sample of the concatenated input
+    (pinned): the rolling ES weighted k-sample of everything ingested
+    so far, in the batch output contract (doc_id, weight)."""
+    zones.assert_zones_clean(spark, state_dir, ("wrsv",))
+    return (
+        spark.read.parquet(f"{state_dir}/wrsv")
+        .select("_key", "doc_id", "weight")
+        .orderBy("_key", "doc_id")
+        .limit(k)
+        .select("doc_id", "weight")
+        .orderBy("doc_id")
+    )
+
+
+def run_weighted_reservoir_stream(
+    df_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    weight_col: str,
+    k: int = sketches.RSV_K,
+    seed: str = "wrsv",
+):
+    """foreachBatch driver wiring ``process_weighted_sample_batch`` to
+    a stream — the deployment entry point (the run_sketch_stream
+    shape)."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        process_weighted_sample_batch(
+            batch, batch_id, state_dir, id_col, weight_col, k, seed
+        )
+
+    return (
+        df_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_reservoir_stream(
     df_stream: DataFrame,
     state_dir: str,
@@ -280,9 +347,7 @@ def run_reservoir_stream(
     — the deployment entry point (the run_sketch_stream shape)."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        process_sample_batch(
-            batch.sparkSession, batch, batch_id, state_dir, id_col, k, seed
-        )
+        process_sample_batch(batch, batch_id, state_dir, id_col, k, seed)
 
     return (
         df_stream.writeStream.foreachBatch(handle)

@@ -2720,6 +2720,62 @@ def test_media_dhash_is_binary_safe_above_0x80(spark):
         ).first()
 
 
+def test_media_dhash_nulls_16bit_maxval(spark):
+    """VERDICT r11 #2: the raster stride and 1-byte substr sample are
+    correct only for 1-byte-per-sample PPMs (maxval <= 255). A 16-bit
+    P6 (maxval 65535: TWO big-endian bytes per sample) must hash to
+    NULL — loud failure — never a silently wrong hash, and the frame
+    pass must count it as unsupported while still hashing the 8-bit
+    sibling in the same frame."""
+    w = h = 8
+    hdr16 = f"P6\n{w} {h}\n65535\n".encode()
+    raster16 = bytearray()
+    for p in range(w * h):
+        v = (1021 * (p + 7)) % 65536
+        raster16 += v.to_bytes(2, "big") * 3
+    hdr8 = f"P6\n{w} {h}\n255\n".encode()
+    raster8 = bytes((41 * (p + 3)) % 256 for p in range(w * h * 3))
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(hdr16 + raster16)),
+            (2, bytearray(hdr8 + raster8)),
+        ],
+        "doc_id long, content binary",
+    )
+    rows = {
+        r.doc_id: r.dhash
+        for r in multimodal.media_dhash_frame(df).collect()
+    }
+    assert rows[1] is None  # the guard fires, loudly
+    assert rows[2] == _py_dhash(bytes(hdr8 + raster8))
+    report = multimodal.media_unsupported_report(df).first()
+    assert (report.total, report.hashed, report.unsupported) == (2, 2 - 1, 1)
+    # and the single-expression form agrees with the frame form
+    got = df.filter(F.col("doc_id") == 1).select(
+        multimodal.media_dhash(F.col("content")).alias("h")
+    ).first()
+    assert got.h is None
+
+
+def test_media_dhash_frame_matches_expression_form(spark):
+    """The hoisted two-stage frame pass (header struct computed once)
+    is the same function as the single-expression form on every
+    synthetic thumbnail — the ADVICE r11 hoist cannot move a hash."""
+    from hadoop_ozone_spark import model
+
+    sf_dir = "/root/testdata/sf0.001"
+    thumbs = multimodal.synthesize_thumbnails(
+        model.load(spark, sf_dir, "documents")
+    )
+    expr = thumbs.select(
+        "doc_id", multimodal.media_dhash(F.col("content")).alias("dhash")
+    )
+    frame = multimodal.media_dhash_frame(thumbs)
+    assert expr.exceptAll(frame).count() == 0
+    assert frame.exceptAll(expr).count() == 0
+    assert frame.count() > 0
+
+
 def test_media_dhash_byte_and_char_paths_agree_below_0x80(spark):
     """On sub-0x80 payloads (the synthetic corpus by the _thumb_gray
     33..123 law) the byte-indexed and character-indexed forms are the

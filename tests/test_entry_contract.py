@@ -324,6 +324,46 @@ R7_LEFTOVER_R12 = [
 ]
 
 
+# registered during round 11 — staged in the r11 NEXT_WINDOW, driver
+# evidence landing in the r12 window
+R11_REGISTRATIONS = ["dp_reservoir_sample", "dp_reservoir_by_source"]
+
+# registered during round 12 — inside the r12 window from day one
+R12_REGISTRATIONS = [
+    "dp_reservoir_weighted", "dp_reservoir_weighted_by_source",
+]
+
+# the 50 keys the driver hash-checked in round 11 (CORRECTNESS_r11.json):
+# dp_media_dup_clusters + the 35 R6 leftovers + 14 r7-evidence filler
+R11_WINDOW = ["dp_media_dup_clusters"] + R6_LEFTOVER_R11 + [
+    "a10_rate_spikes", "a3_fso_namespace_du", "a9_distinct_dirs",
+    "b1_balancer_utilization", "b2_balancer_summary",
+    "bm1_balancer_moves", "c1_list_containers", "c2_container_info",
+    "d1_decommission_status", "d2_failed_txns", "d2_pending_deletion",
+    "dp_ann_bucket_histogram", "dp_ann_bucketed_topk", "dp_ann_ivf_topk",
+]
+
+# the 40 round-8-evidence rows that did not fit in the r12 window
+# (10 slots after the 2 r12 registrations + 2 r11 registrations + 36
+# R7 leftovers) — front of the round-13 queue
+R8_LEFTOVER_R13 = [
+    "dp_decontaminate_spans", "dp_dup_span_clean", "dp_dup_span_report",
+    "dp_dup_spans", "dp_embedding_dim_stats", "dp_embedding_norms",
+    "dp_lm_perplexity", "dp_media_exact_dedup", "dp_nb_lang_confusion",
+    "dp_nb_lang_model", "dp_quality_sweep", "dp_split_leakage",
+    "dp_tfidf_topk", "ev_cohort_retention", "ev_funnel",
+    "ev_transition_matrix", "fso_prefix_parse", "m10_bucket_create",
+    "m11_dir_create", "m12_file_create", "m13_bucket_set_property",
+    "m14_bulk_rename", "m15_bulk_delete", "m5_etag_check",
+    "m6_copy_part", "m9_user_volume_list", "m9_volume_lifecycle",
+    "n1_datanodes", "p1_pipelines", "p2_pipeline_rack_spread",
+    "q15_top_supplier", "q18_large_volume_customers",
+    "s10_chunk_locations", "s3_bucket_head_delete", "s3_list_buckets",
+    "s7_audit_roundtrip", "sec_s3_secret_plane", "tok_cancel_decisions",
+    "tok_expiry_sweep", "tok_renew_decisions",
+]
+
+
 def test_window_is_first_50_and_oracle_backed():
     q, o = entry.queries(), entry.oracle_sql()
     names = list(q)
@@ -348,35 +388,47 @@ def test_round10_window_structure_is_preserved():
     assert R4_LEFTOVER[7:] == R4_LEFTOVER_R9
 
 
-def test_round11_window_frontloads_media_clusters_and_r6_leftovers():
-    # VERDICT r10 #5: dp_media_dup_clusters (the one r10 registration
-    # without driver evidence, staged in the r10 NEXT_WINDOW) leads;
-    # then the 35 round-6-evidence leftovers that missed the r10 window
-    assert entry.DRIVER_WINDOW[0] == "dp_media_dup_clusters"
-    assert entry.DRIVER_WINDOW[1:36] == R6_LEFTOVER_R11
+def test_round11_window_structure_is_preserved():
+    # the r11 window (now the historical R11_WINDOW constant) led with
+    # dp_media_dup_clusters, then the 35 R6 leftovers, then 14
+    # r7-evidence filler rows (alphabetical)
+    assert R11_WINDOW[0] == "dp_media_dup_clusters"
+    assert R11_WINDOW[1:36] == R6_LEFTOVER_R11
+    assert R11_WINDOW[36:] == sorted(R11_WINDOW[36:])
+    assert len(R11_WINDOW) == 50
 
 
-def test_round11_window_fills_with_stalest_rows():
-    # the remaining 14 slots hold round-7-evidence rows (the stalest
-    # after the R6 leftovers); together with R7_LEFTOVER_R12 they
-    # exactly exhaust the still-stale round-7-evidence set
+def test_round12_window_frontloads_registrations_and_r7_leftovers():
+    # VERDICT r11 #4: the 2 round-12 registrations (weighted reservoir)
+    # lead; then the 2 r11 registrations staged in the r11 NEXT_WINDOW;
+    # then the 36 round-7-evidence leftovers that missed the r11 window
+    assert entry.DRIVER_WINDOW[:2] == R12_REGISTRATIONS
+    assert entry.DRIVER_WINDOW[2:4] == R11_REGISTRATIONS
+    assert entry.DRIVER_WINDOW[4:40] == R7_LEFTOVER_R12
+
+
+def test_round12_window_fills_with_stalest_rows():
+    # the remaining 10 slots hold round-8-evidence rows (the stalest
+    # after the R7 leftovers); together with R8_LEFTOVER_R13 they
+    # exactly exhaust the still-stale round-8-evidence set
     last_checked = {}
     for rnd, window in (
         (1, R1_WINDOW), (2, R2_WINDOW), (3, R3_WINDOW),
         (4, R4_WINDOW), (5, R5_WINDOW), (6, R6_WINDOW), (7, R7_WINDOW),
         (8, R8_WINDOW), (9, R9_WINDOW), (10, R10_WINDOW),
+        (11, R11_WINDOW),
     ):
         for name in window:
             last_checked[name] = rnd
     qs = entry.queries()
-    # every remaining r6-evidence row sits inside THIS window, so the
-    # r6 backlog zeroes out when CORRECTNESS_r11 lands
-    r6_stale = {n for n in qs if last_checked.get(n, 0) == 6}
-    assert r6_stale == set(R6_LEFTOVER_R11)
+    # every remaining r7-evidence row sits inside THIS window, so the
+    # r7 backlog zeroes out when CORRECTNESS_r12 lands
     r7_stale = {n for n in qs if last_checked.get(n, 0) == 7}
-    filler = entry.DRIVER_WINDOW[36:]
-    assert set(filler) <= r7_stale, sorted(set(filler) - r7_stale)
-    assert set(filler) | set(R7_LEFTOVER_R12) == r7_stale
+    assert r7_stale == set(R7_LEFTOVER_R12)
+    r8_stale = {n for n in qs if last_checked.get(n, 0) == 8}
+    filler = entry.DRIVER_WINDOW[40:]
+    assert set(filler) <= r8_stale, sorted(set(filler) - r8_stale)
+    assert set(filler) | set(R8_LEFTOVER_R13) == r8_stale
     assert filler == sorted(filler)  # deterministic: alphabetical
 
 
@@ -385,7 +437,8 @@ def test_round_union_covers_every_registered_query():
     covered = (
         set(R1_WINDOW) | set(R2_WINDOW) | set(R3_WINDOW) | set(R4_WINDOW)
         | set(R5_WINDOW) | set(R6_WINDOW) | set(R7_WINDOW) | set(R8_WINDOW)
-        | set(R9_WINDOW) | set(R10_WINDOW) | set(entry.DRIVER_WINDOW)
+        | set(R9_WINDOW) | set(R10_WINDOW) | set(R11_WINDOW)
+        | set(entry.DRIVER_WINDOW)
     )
     pending = set(q) - covered
     # only registrations newer than the current window (NEXT_WINDOW)

@@ -694,3 +694,48 @@ def test_reservoir_builds_takeordered_and_windowgrouplimit(spark, sf_dir):
     pg = plan_of(entry.queries()["dp_reservoir_by_source"](spark, sf_dir))
     assert "WindowGroupLimit" in pg
     assert ", Partial" in pg
+
+
+def test_weighted_reservoir_builds_takeordered_and_windowgrouplimit(
+    spark, sf_dir
+):
+    # the A-ExpJ family compiles to the same physical shapes as the
+    # uniform reservoir: flat = TakeOrderedAndProject on the race key
+    # (per-partition bottom-k; the only sort above it is the k-row
+    # output ordering), grouped = WindowGroupLimit-Partial (map-side
+    # per-group top-k — the hot group never funnels through one task)
+    p = plan_of(entry.queries()["dp_reservoir_weighted"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    # any sort above the TakeOrdered operates on <= k rows (the output
+    # ordering), never on the input: the scan side must feed the
+    # TakeOrdered directly
+    assert "Exchange rangepartitioning" not in p.split(
+        "TakeOrderedAndProject"
+    )[1]
+    pg = plan_of(
+        entry.queries()["dp_reservoir_weighted_by_source"](spark, sf_dir)
+    )
+    assert "WindowGroupLimit" in pg
+    assert ", Partial" in pg
+
+
+def test_media_null_filter_never_pushes_into_hash_projection(spark, sf_dir):
+    # Round 12: the unsupported-payload NULL filter must sit ABOVE the
+    # persisted hash frame, never below it — Catalyst pushes a filter
+    # on the computed column under the projection, duplicating the
+    # 64-sample dHash expression into the predicate (measured 2.4s ->
+    # 33.1s on the sf0.1 hash build). In the correct plan every Filter
+    # that checks dhash NULLness references the COLUMN, not the
+    # re-inlined conv(hex(substr ...)) sample expression.
+    from hadoop_ozone_spark.datapipe import multimodal
+
+    docs = model.load(spark, sf_dir, "documents")
+    thumbs = multimodal.synthesize_thumbnails(docs)
+    for df in (
+        multimodal.media_near_dup_pairs(thumbs),
+        multimodal.media_dup_clusters(thumbs),
+    ):
+        p = plan_of(df)
+        for line in p.splitlines():
+            if "isnotnull(dhash" in line:
+                assert "conv(hex(" not in line, line[:200]

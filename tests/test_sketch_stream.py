@@ -8,6 +8,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hadoop_ozone_spark.datapipe import sketches
 from hadoop_ozone_spark.streaming import sketch_stream
@@ -413,7 +414,7 @@ def test_reservoir_stream_matches_batch_exactly_and_replays(spark):
     tmp = tempfile.mkdtemp(prefix="ozspark_rsvstream_")
     try:
         for i, b in enumerate(batches):
-            sketch_stream.process_sample_batch(spark, b, i, tmp, "doc_id")
+            sketch_stream.process_sample_batch(b, i, tmp, "doc_id")
         folded = sorted(
             (r.h, r.doc_id)
             for r in sketch_stream.read_reservoir(spark, tmp).collect()
@@ -424,7 +425,7 @@ def test_reservoir_stream_matches_batch_exactly_and_replays(spark):
         )
         assert folded == direct and len(folded) == sketches.RSV_K
         # replay = idempotent overwrite
-        sketch_stream.process_sample_batch(spark, batches[1], 1, tmp, "doc_id")
+        sketch_stream.process_sample_batch(batches[1], 1, tmp, "doc_id")
         assert sorted(
             (r.h, r.doc_id)
             for r in sketch_stream.read_reservoir(spark, tmp).collect()
@@ -474,4 +475,166 @@ def test_reservoir_stream_foreachbatch_end_to_end(spark):
         )
         assert folded == direct and len(folded) == sketches.RSV_K
     finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_weighted_reservoir_laws(spark):
+    """The A-ExpJ weighted sample: exact size min(k, n), a subset of
+    the input ids, partition/order-independent (pure function of the
+    row set + seed), weight clamped to >= 1 (a zero/NULL-weight row
+    still races), and the grouped form is bit-identical to the
+    ungrouped weighted sample per slice."""
+    docs = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 7).cast("string")).alias(
+            "source"
+        ),
+        (F.col("id") % 97 + 1).alias("n_chars"),
+    ).persist()
+    sample = sketches.weighted_reservoir_sample(docs, k=64).collect()
+    assert len(sample) == 64
+    ids = {r.doc_id for r in sample}
+    assert len(ids) == 64 and all(0 <= d < 5_000 for d in ids)
+    assert all(r.weight == r.doc_id % 97 + 1 for r in sample)
+    # partition-independence: a reshuffled input draws the SAME sample
+    re_ids = {
+        r.doc_id
+        for r in sketches.weighted_reservoir_sample(
+            docs.repartition(13, "source"), k=64
+        ).collect()
+    }
+    assert re_ids == ids
+    # small-n: the sample IS the input
+    assert (
+        sketches.weighted_reservoir_sample(docs.limit(10), k=64).count() == 10
+    )
+    # the clamp: zero weight races at floor odds, never divides by zero
+    clamped = sketches.weighted_reservoir_sample(
+        docs.withColumn("n_chars", F.lit(0)), k=16
+    ).collect()
+    assert len(clamped) == 16 and all(r.weight == 1 for r in clamped)
+    # grouped == per-slice ungrouped, every group exactly k (n >> k)
+    grouped = sketches.weighted_reservoir_grouped(
+        docs, "source", k=8
+    ).collect()
+    by_key: dict[str, list] = {}
+    for r in grouped:
+        by_key.setdefault(r.key, []).append((r.doc_id, r.weight))
+    assert set(by_key) == {f"src{i}" for i in range(7)}
+    for key, rows in by_key.items():
+        slice_rows = [
+            (r.doc_id, r.weight)
+            for r in sketches.weighted_reservoir_sample(
+                docs.filter(F.col("source") == key), k=8
+            ).collect()
+        ]
+        assert sorted(rows) == sorted(slice_rows)
+    docs.unpersist()
+
+
+def test_weighted_reservoir_inclusion_probability(spark):
+    """The ES law, measured: with k=1 the winner is row i with
+    probability EXACTLY w_i / sum(w) (the defining property of the
+    exponential race — min of independent Exp(w_i) lands on i with
+    rate-proportional odds). 600 independent trials in ONE Spark job
+    (trial-scoped row ids make the draws independent); each doc's win
+    count must sit within 5 sigma of the multinomial expectation. The
+    md5 draws are deterministic, so this never flakes."""
+    import math
+
+    weights = {d: d + 1 for d in range(6)}  # 1..6, sum 21
+    n_trials, total_w = 600, sum(weights.values())
+    trials = spark.range(n_trials).select(F.col("id").alias("trial"))
+    docs = spark.createDataFrame(
+        list(weights.items()), "doc_id long, w long"
+    )
+    keyed = trials.crossJoin(docs).select(
+        "trial",
+        "doc_id",
+        sketches.weighted_reservoir_key(
+            F.concat_ws("_", "trial", "doc_id"), F.col("w"), "wprop"
+        ).alias("_key"),
+    )
+    win = Window.partitionBy("trial").orderBy("_key", "doc_id")
+    winners = (
+        keyed.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("wins"))
+        .collect()
+    )
+    wins = {r.doc_id: r.wins for r in winners}
+    assert sum(wins.values()) == n_trials
+    for d, w in weights.items():
+        p = w / total_w
+        mu = n_trials * p
+        sigma = math.sqrt(n_trials * p * (1 - p))
+        assert abs(wins.get(d, 0) - mu) <= 5 * sigma, (d, wins.get(d, 0), mu)
+
+
+def test_weighted_reservoir_stream_matches_batch_and_replays(spark):
+    """Weighted zones fold by union-then-k-smallest-keys, EXACT by the
+    uniform-reservoir argument: stream == batch, replay idempotent,
+    torn zone fails loudly, and the production writeStream entry point
+    agrees end-to-end."""
+    import os
+
+    import pytest
+
+    whole = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 211 + 1).alias("n_chars")
+    ).persist()
+    batches = [whole.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="ozspark_wrsvstream_")
+    try:
+        for i, b in enumerate(batches):
+            sketch_stream.process_weighted_sample_batch(
+                b, i, tmp, "doc_id", "n_chars"
+            )
+        folded = sorted(
+            (r.doc_id, r.weight)
+            for r in sketch_stream.read_weighted_reservoir(spark, tmp).collect()
+        )
+        direct = sorted(
+            (r.doc_id, r.weight)
+            for r in sketches.weighted_reservoir_sample(whole).collect()
+        )
+        assert folded == direct and len(folded) == sketches.RSV_K
+        # replay = idempotent overwrite
+        sketch_stream.process_weighted_sample_batch(
+            batches[1], 1, tmp, "doc_id", "n_chars"
+        )
+        assert sorted(
+            (r.doc_id, r.weight)
+            for r in sketch_stream.read_weighted_reservoir(spark, tmp).collect()
+        ) == folded
+        # torn zone (writer died before commit) fails the reader loudly
+        os.remove(os.path.join(tmp, "wrsv", "batch=1", "_SUCCESS"))
+        with pytest.raises(Exception, match="batch=1"):
+            sketch_stream.read_weighted_reservoir(spark, tmp).collect()
+        # production entry point: real writeStream over a 3-file source
+        src = os.path.join(tmp, "src")
+        whole.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(whole.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = sketch_stream.run_weighted_reservoir_stream(
+            stream,
+            os.path.join(tmp, "state"),
+            os.path.join(tmp, "ckpt"),
+            "doc_id",
+            "n_chars",
+        )
+        q.awaitTermination(120)
+        e2e = sorted(
+            (r.doc_id, r.weight)
+            for r in sketch_stream.read_weighted_reservoir(
+                spark, os.path.join(tmp, "state")
+            ).collect()
+        )
+        assert e2e == direct
+    finally:
+        whole.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1352,6 +1352,209 @@ def drift_zones_probe(sf_dir: str = "/root/repo/.testdata/sf10",
         spark.stop()
 
 
+def drift_highvocab_probe(n_docs: int = 100_000, tpd: int = 20,
+                          n_batches: int = 6) -> None:
+    """High-cardinality end-to-end drift leg (VERDICT r11 #1): the
+    oracle corpus has a 31-token vocabulary at every sf, so the
+    KMV/HLL ESTIMATION paths are never exercised by the sf10 zone-fed
+    drift leg (31 < k=256 — the sketch IS the distinct set). This
+    probe builds a synthetic corpus with KNOWN ground truth at real
+    vocabulary scale and runs the FULL production path — writeStream
+    zones (run_set_sketch_stream + run_numeric_sketch_stream,
+    availableNow micro-batches) → corpus_drift_from_zones — against
+    both the corpus-scan report and the analytic truth, asserting
+    every metric within its documented error law:
+
+    - corpus: per side, ``n_docs`` docs × ``tpd`` UNIQUE tail tokens
+      (side a covers t0..t(20·n−1), side b starts at half that — so
+      true vocab union = 3·SIDE + 16 hot keys and true jaccard =
+      (SIDE+10)/(3·SIDE+16), both in the millions: theta is deep
+      below 2^59 and the (k−1)/θ estimator actually estimates);
+    - 10 shared + 3-per-side heavy hitters planted in EVERY doc
+      (≤ MG_K=16 per side) — MG truth is exact: hh 10/3/3;
+    - doc length = tpd + 13 + (doc % 80) repeats of a hot token —
+      uniform over 80 values with exact per-residue counts, so the
+      true p50/p90 are closed-form and the QS one-sided
+      within-one-bin law (est ≤ true < next threshold) is checkable.
+
+    Error laws asserted: zone fold ≡ corpus scan on all 9 metrics
+    (KMV merge exact, QS SUM-merge exact, MG re-truncation here
+    lossless because every zone's summary is exactly the 16 hot
+    keys); KMV union within 5/√(k−2) relative of truth; jaccard
+    within 5·√(j(1−j)/k) absolute; hh exact; quantiles within one
+    bin. Per-metric error ppm goes in the JSON for BENCH_NOTES."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark.datapipe import sketches
+    from hadoop_ozone_spark.datapipe import text as text_ops
+    from hadoop_ozone_spark.plans import datapipe_queries as dq
+    from hadoop_ozone_spark.streaming import sketch_stream
+
+    spark = get_spark("scale-probe-drift-highvocab")
+    side_tokens = n_docs * tpd          # distinct tail tokens per side
+    overlap = side_tokens // 2          # b starts at a's midpoint
+    hot_shared = [f"hs{i}" for i in range(10)]
+    hot_a, hot_b = [f"ha{i}" for i in range(3)], [f"hb{i}" for i in range(3)]
+    true_union = 2 * side_tokens - overlap + 16
+    true_inter = overlap + 10
+    true_j_ppm = true_inter * 1_000_000 // true_union
+
+    def mk_side(side: str, doc_base: int, tok_base: int, hot_own: list[str]):
+        docs = spark.range(n_docs)
+        tail = F.transform(
+            F.sequence(F.lit(0), F.lit(tpd - 1)),
+            lambda i: F.concat(
+                F.lit("t"),
+                (F.col("id") * tpd + i + F.lit(tok_base)).cast("string"),
+            ),
+        )
+        hot = F.array(*[F.lit(t) for t in hot_shared + hot_own])
+        reps = F.array_repeat(F.lit("hs0"), (F.col("id") % 80).cast("int"))
+        return docs.select(
+            F.lit(side).alias("side"),
+            (F.col("id") + doc_base).alias("doc_id"),
+            F.concat_ws(
+                " ", F.concat(tail, hot, reps)
+            ).alias("text"),
+        )
+
+    tagged = mk_side("a", 0, 0, hot_a).unionByName(
+        mk_side("b", 10_000_000, overlap, hot_b)
+    )
+    # closed-form quantile truth: n_tokens = tpd + 13 + (doc % 80),
+    # exactly n_docs/80 docs per residue (n_docs divisible by 80)
+    assert n_docs % 80 == 0, "per-residue counts must be exact"
+    base_len = tpd + 13
+
+    def true_q(q_ppm: int) -> int:
+        rank = -(-q_ppm * n_docs // 1_000_000)  # ceil, the qsketch law
+        return base_len + (rank - 1) // (n_docs // 80)
+
+    truth = {
+        "vocab_union_est": true_union,
+        "vocab_jaccard_ppm": true_j_ppm,
+        "hh_shared": 10,
+        "hh_only_a": 3,
+        "hh_only_b": 3,
+    }
+    for s in ("a", "b"):
+        truth[f"p50_tokens_{s}"] = true_q(500_000)
+        truth[f"p90_tokens_{s}"] = true_q(900_000)
+
+    out = {
+        "n_docs_per_side": n_docs,
+        "distinct_tokens_per_side": side_tokens + 13,
+        "true_union": true_union,
+        "n_batches": n_batches,
+        "timings_sec": {},
+    }
+    tmp = tempfile.mkdtemp(prefix="ozspark_drift_highvocab_")
+    try:
+        t0 = time.time()
+        feeds = {}
+        for s in ("a", "b"):
+            feed = os.path.join(tmp, f"feed_{s}")
+            tagged.filter(F.col("side") == s).select(
+                "doc_id", "text"
+            ).repartition(n_batches).write.parquet(feed)
+            feeds[s] = feed
+        out["timings_sec"]["feed_write"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        dirs = {}
+        for s in ("a", "b"):
+            state = os.path.join(tmp, f"state_{s}")
+            dirs[s] = state
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feeds[s])
+            )
+            q1 = sketch_stream.run_set_sketch_stream(
+                stream.select(
+                    F.explode(text_ops.tokens(F.col("text"))).alias("token")
+                ),
+                state,
+                os.path.join(tmp, f"ckpt_set_{s}"),
+                "token",
+            )
+            q1.awaitTermination()
+            q2 = sketch_stream.run_numeric_sketch_stream(
+                stream.select(
+                    F.size(text_ops.tokens(F.col("text")))
+                    .cast("long")
+                    .alias("n_tokens")
+                ),
+                state,
+                os.path.join(tmp, f"ckpt_num_{s}"),
+                "n_tokens",
+            )
+            q2.awaitTermination()
+        out["timings_sec"]["streams"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        zoned = {
+            r["metric"]: r["value"]
+            for r in dq.corpus_drift_from_zones(
+                spark, dirs["a"], dirs["b"]
+            ).collect()
+        }
+        out["timings_sec"]["zone_fold"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        corpus = {
+            r["metric"]: r["value"]
+            for r in dq.corpus_drift_report(tagged).collect()
+        }
+        out["timings_sec"]["corpus_scan"] = round(time.time() - t0, 1)
+
+        out["zoned"], out["corpus"], out["truth"] = zoned, corpus, truth
+        # law 1: the zone fold IS the corpus scan, at estimation scale
+        out["zones_equal_scan"] = all(
+            zoned[m] == corpus[m] for m in corpus
+        )
+        # law 2: KMV estimation error vs truth (5-sigma of the
+        # documented theta-estimator RSE 1/sqrt(k-2))
+        k = sketches.KMV_K
+        union_rel = abs(zoned["vocab_union_est"] - true_union) / true_union
+        out["union_err_ppm"] = round(union_rel * 1e6)
+        out["union_bound_ppm"] = round(5 / math.sqrt(k - 2) * 1e6)
+        j_true = true_inter / true_union
+        j_abs = abs(zoned["vocab_jaccard_ppm"] - true_j_ppm) / 1e6
+        out["jaccard_err_ppm"] = round(j_abs * 1e6)
+        out["jaccard_bound_ppm"] = round(
+            5 * math.sqrt(j_true * (1 - j_true) / k) * 1e6
+        )
+        # law 3: MG truth exact; law 4: QS one-sided within-one-bin
+        out["hh_exact"] = all(
+            zoned[m] == truth[m] for m in ("hh_shared", "hh_only_a", "hh_only_b")
+        )
+        ts = sketches.QS_THRESHOLDS
+        qs_ok = True
+        for m in ("p50_tokens_a", "p90_tokens_a", "p50_tokens_b",
+                  "p90_tokens_b"):
+            est, tru = zoned[m], truth[m]
+            nxt = next((t for t in ts if t > est), float("inf"))
+            qs_ok = qs_ok and est <= tru < nxt
+        out["qs_within_one_bin"] = qs_ok
+        out["pass"] = (
+            out["zones_equal_scan"]
+            and out["union_err_ppm"] <= out["union_bound_ppm"]
+            and out["jaccard_err_ppm"] <= out["jaccard_bound_ppm"]
+            and out["hh_exact"]
+            and qs_ok
+        )
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def rsv_skew_probe(n_m: float = 100.0) -> None:
     """Forced-skew probe for the grouped reservoir build (the
     sketch_skew_probe discipline applied to the round-11 RSV family):
@@ -1752,6 +1955,10 @@ if __name__ == "__main__":
         rsv_skew_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--cc-skew":
         cc_skew_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 10.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--drift-highvocab":
+        drift_highvocab_probe(
+            int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 100_000
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "--drift-zones":
         drift_zones_probe(
             sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.testdata/sf10"
