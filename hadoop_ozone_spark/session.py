@@ -39,6 +39,15 @@ def get_spark(app_name: str = "hadoop-ozone-spark", cpus: int | None = None) -> 
         # 100 chars, which silently defeats plan-string path asserts)
         .config("spark.sql.maxMetadataStringLength", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # the oracle gate materializes FULL result frames via toPandas
+        # (multi-million-row surfaces at sf10 exceed the 1g default and
+        # kill the context, poisoning every later query in the run); a
+        # production consumer never collects, so this only widens the
+        # harness's safety valve, not the engine's memory model
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
