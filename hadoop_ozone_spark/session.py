@@ -43,10 +43,14 @@ def get_spark(app_name: str = "hadoop-ozone-spark", cpus: int | None = None) -> 
         # (multi-million-row surfaces at sf10 exceed the 1g default and
         # kill the context, poisoning every later query in the run); a
         # production consumer never collects, so this only widens the
-        # harness's safety valve, not the engine's memory model
+        # harness's safety valve, not the engine's memory model.
+        # Kept at HALF the driver heap (ADVICE r12): a cap equal to the
+        # heap can never fire — the collect OOMs the driver first — so
+        # the valve only provides a clean failure while meaningfully
+        # below spark.driver.memory.
         .config(
             "spark.driver.maxResultSize",
-            os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"),
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
         )
         .config("spark.ui.enabled", "false")
     )

@@ -51,9 +51,27 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
+# Chunked compare (VERDICT r12 #1): --chunked swaps the driver-side
+# toPandas pull for the bounded-memory multiset hash fold in
+# hadoop_ozone_spark/foldhash.py (there, not here, so mapInPandas
+# workers can import it by module reference). The fold hash is NOT
+# comparable to the full-frame hash (different law); VERDICTS are —
+# tests/test_oracle_gate.py pins verdict equivalence on planted
+# equal/mutated frames, and green sf10 rows re-run --chunked to
+# identical verdicts before the mode certifies anything new.
+from hadoop_ozone_spark.foldhash import (  # noqa: E402
+    fold_duckdb,
+    fold_frame,
+    fold_spark,
+)
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     json_out = None
+    chunked = "--chunked" in argv
+    if chunked:
+        argv.remove("--chunked")
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv):
@@ -113,6 +131,57 @@ def main() -> int:
                 "err": f"{kind}: {e}"[:500],
             }
 
+        if chunked:
+            sql = oracles.get(name)
+            try:
+                sn, shs, shss, scols = fold_spark(fn(get_spark("oracle-check"), sf_dir))
+            except Exception as e:
+                failures.append(name)
+                record_error("spark error", e)
+                print(f"FAIL {name}: spark error: {e}")
+                continue
+            if sql is None:
+                print(f"SKIP {name}: no oracle (rows-only: {sn} rows)")
+                continue
+            try:
+                on, ohs, ohss, ocols = fold_duckdb(con, sql)
+            except Exception as e:
+                failures.append(name)
+                record_error("duckdb error", e)
+                print(f"FAIL {name}: duckdb error: {e}")
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = fresh_con()
+                continue
+            elapsed = time.time() - t0
+            problems = []
+            if sn != on:
+                problems.append(f"rows {sn} != {on}")
+            if scols != ocols:
+                problems.append(f"cols {scols} != {ocols}")
+            if not problems and shs != ohs:
+                problems.append(f"fold {shs:032x} != {ohs:032x}")
+            if not problems and shss != ohss:
+                strict_failures.append(name)
+            if problems:
+                failures.append(name)
+                if name not in strict_failures:
+                    strict_failures.append(name)
+                print(f"FAIL {name}: {'; '.join(problems)}")
+            else:
+                print(f"OK   {name} ({sn} rows, {elapsed:.1f}s, chunked)")
+            records[name] = {
+                "rows_match": not any(p.startswith("rows") for p in problems),
+                "schema_match": not any(p.startswith("cols") for p in problems),
+                "hash_match": not problems,
+                "rows": sn,
+                "sec": round(elapsed, 1),
+                "mode": "chunked",
+                "err": "; ".join(problems) or None,
+            }
+            continue
         try:
             sdf = fn(get_spark("oracle-check"), sf_dir).toPandas()
         except Exception as e:
