@@ -672,74 +672,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Registration order. The driver's correctness artifact covers the FIRST
-# 50 entries of queries() each round. Round 12 (VERDICT r11 #4): the two
-# round-12 registrations (the weighted A-ExpJ reservoir family) lead;
-# then the two round-11 registrations staged in last round's NEXT_WINDOW
-# (the uniform reservoir family — judge-green at r11, driver evidence
-# landing now); then the 36 round-7-evidence leftovers that did not fit
-# in the r11 window (R7_LEFTOVER_R12 in tests/test_entry_contract.py —
-# their latest driver evidence is CORRECTNESS_r07.json); the remaining
-# 10 slots take the next-stalest rows — the first 10 (alphabetical) of
-# the 50 queries whose latest driver evidence is CORRECTNESS_r08.json.
-# The 40 round-8-evidence rows that don't fit (R8_LEFTOVER_R13) lead the
-# round-13 queue.
+# 50 entries of queries() each round. Round 13 (VERDICT r12 #5): the two
+# round-13 registrations (the unsupported-media routing pair) lead; then
+# the 40 round-8-evidence leftovers staged last round as R8_LEFTOVER_R13
+# in tests/test_entry_contract.py (their latest driver evidence is
+# CORRECTNESS_r08.json — this zeroes the r8 backlog); the remaining 8
+# slots take the next-stalest rows — the first 8 (alphabetical) of the
+# 50 queries whose latest driver evidence is CORRECTNESS_r09.json. The
+# 42 round-9-evidence rows that don't fit (R9_LEFTOVER_R14) lead the
+# round-14 queue.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
-    # registered THIS round — the weighted reservoir family (2)
-    "dp_reservoir_weighted",
-    "dp_reservoir_weighted_by_source",
-    # round-11 registrations from the r11 NEXT_WINDOW (2)
-    "dp_reservoir_sample",
-    "dp_reservoir_by_source",
-    # round-7 evidence leftovers (R7_LEFTOVER_R12 — stalest rows, 36)
-    "dp_ann_multiprobe_topk",
-    "dp_ann_pq_topk",
-    "dp_bpe_pair_counts",
-    "dp_budget_sample",
-    "dp_chunk_dedup",
-    "dp_curation_pipeline",
-    "dp_dedup_keep_best",
-    "dp_dedup_rate_report",
-    "dp_dsir_weights",
-    "dp_fingerprint",
-    "dp_lang_id",
-    "dp_media_features",
-    "dp_media_frame_sample",
-    "dp_media_resize_plan",
-    "dp_minhash_pairs",
-    "dp_ngram_jaccard",
-    "dp_quality_strata",
-    "dp_simhash_pairs",
-    "dp_split_assign",
-    "dp_token_stats",
-    "dp_train_order",
-    "dp_unigram_quality",
-    "dp_vocabulary",
-    "f5_slim_projection",
-    "h1_access_heatmap",
-    "j1_replica_history",
-    "j2_missing_containers",
-    "j3_fso_list_status",
-    "m1_open_key_commit",
-    "m2_fso_rename_dir",
-    "n3_topology",
-    "n4_datanode_list",
-    "pp1_pipeline_targets",
-    "s3_bucket_acl",
-    "u1_file_counts_filtered",
-    "w2_list_objects_v1",
-    # round-8 evidence rows (next-stalest — first 10, alphabetical)
-    "acl_add_remove_plane",
-    "acl_set_plane",
-    "c3_unhealthy_page",
-    "c4_unhealthy_all",
-    "dn1_block_deletion_plan",
-    "dn2_scanner_rollup",
-    "dp_ann_ivfpq_knn_join",
-    "dp_ann_ivfpq_topk",
-    "dp_cdc_chunks",
-    "dp_cdc_source_matrix",
+    # registered THIS round — the unsupported-media routing pair (2)
+    "dp_media_deep_near_dup",
+    "dp_media_unsupported",
+    # round-8 evidence leftovers (R8_LEFTOVER_R13 — stalest rows, 40)
+    "dp_decontaminate_spans",
+    "dp_dup_span_clean",
+    "dp_dup_span_report",
+    "dp_dup_spans",
+    "dp_embedding_dim_stats",
+    "dp_embedding_norms",
+    "dp_lm_perplexity",
+    "dp_media_exact_dedup",
+    "dp_nb_lang_confusion",
+    "dp_nb_lang_model",
+    "dp_quality_sweep",
+    "dp_split_leakage",
+    "dp_tfidf_topk",
+    "ev_cohort_retention",
+    "ev_funnel",
+    "ev_transition_matrix",
+    "fso_prefix_parse",
+    "m10_bucket_create",
+    "m11_dir_create",
+    "m12_file_create",
+    "m13_bucket_set_property",
+    "m14_bulk_rename",
+    "m15_bulk_delete",
+    "m5_etag_check",
+    "m6_copy_part",
+    "m9_user_volume_list",
+    "m9_volume_lifecycle",
+    "n1_datanodes",
+    "p1_pipelines",
+    "p2_pipeline_rack_spread",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "s10_chunk_locations",
+    "s3_bucket_head_delete",
+    "s3_list_buckets",
+    "s7_audit_roundtrip",
+    "sec_s3_secret_plane",
+    "tok_cancel_decisions",
+    "tok_expiry_sweep",
+    "tok_renew_decisions",
+    # round-9 evidence rows (next-stalest — first 8, alphabetical)
+    "a3_namespace_histogram",
+    "a5_quota_enforcement",
+    "a7_datanode_growth",
+    "acl_longest_prefix",
+    "dp_bloom_decontaminate",
+    "dp_bm25_topk",
+    "dp_cm_heavy_hitters",
+    "dp_datasheet",
 ]
 
 
@@ -791,8 +788,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Queries registered NEW this round that did NOT fit in the 50-slot
 # driver window — placed immediately after it so the judge's HEAD
 # oracle run sees them and the next rotation can front-load them.
-# Round 12: empty — both round-12 registrations (the weighted
-# reservoir family) fit inside the window, slots 1–2.
+# Round 13: empty — both round-13 registrations (the unsupported-media
+# routing pair) fit inside the window, slots 1–2.
 NEXT_WINDOW: list[str] = []
 
 

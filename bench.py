@@ -148,6 +148,8 @@ HEADLINE = [
     "dp_bpe_vocab",
     "dp_media_near_dup",
     "dp_media_dup_clusters",
+    "dp_reservoir_weighted",
+    "dp_reservoir_weighted_by_source",
 ]
 
 RUNS_PER_QUERY = 3  # 1 cold + 2 steady-state
@@ -178,6 +180,11 @@ FLOOR_PROFILE = {
     # floor and future drift is measured against it, not against r10
     "dp_media_near_dup",
     "dp_media_dup_clusters",
+    # VERDICT r12 #8: the weighted reservoir pair lands in the
+    # headline this round — floor-profile from day one so their first
+    # recorded medians ARE the floor and later drift has a baseline
+    "dp_reservoir_weighted",
+    "dp_reservoir_weighted_by_source",
 }
 FLOOR_PROFILE_STEADY = 5
 # ADVICE r11: a floor-profiled query whose MEDIAN (not just min) moves

@@ -4357,11 +4357,21 @@ def dp_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _media_hashes_ctes(recursive: bool = False) -> str:
+def _media_hashes_ctes(recursive: bool = False, deep: bool = False) -> str:
     """Shared DuckDB CTE prefix replaying synthesize_thumbnails +
     media_dhash: the ``hashes`` frame is (did, dhash). ``recursive``
     emits WITH RECURSIVE for consumers whose tail needs a fixpoint
-    member (the clusters twin's CC)."""
+    member (the clusters twin's CC). ``deep`` adds the planted 16-bit
+    slice (doc_id % 33 = 0 at +9M): its decoded high byte IS the base
+    gray (sample = gray * 257), so the twin gives it the base image's
+    hash — exactly what the engine's decode route must produce."""
+    deep_arm = (
+        "  UNION ALL\n"
+        "  SELECT doc_id + 9000000, doc_id, 8, 8, 0\n"
+        "  FROM documents WHERE doc_id % 33 = 0\n"
+        if deep
+        else ""
+    )
     g = (
         "(33 + bright + d % 38"
         " + CASE WHEN (i * (w - 1)) // 7 >= 1 + d % 6 THEN 24 ELSE 0 END"
@@ -4379,7 +4389,7 @@ WITH {"RECURSIVE " if recursive else ""}imgs AS (
   UNION ALL
   SELECT doc_id + 6000000, doc_id, 8, 7, 0
   FROM documents WHERE doc_id % 21 = 0
-),
+{deep_arm}),
 samples AS (
   SELECT did, i, j, {g} AS gray
   FROM imgs,
@@ -4407,9 +4417,9 @@ hashes AS (
 )"""
 
 
-def _media_near_dup_sql() -> str:
+def _media_near_dup_sql(deep: bool = False) -> str:
     t = multimodal.NEAR_DUP_MAX_HAMMING
-    return f"""{_media_hashes_ctes()},
+    return f"""{_media_hashes_ctes(deep=deep)},
 bands AS (
   SELECT did, dhash, u.bi, u.bv FROM (
     SELECT did, dhash,
@@ -4436,6 +4446,67 @@ DP_MEDIA_NEAR_DUP_SQL = _media_near_dup_sql()
 
 QUERIES["dp_media_near_dup"] = dp_media_near_dup
 ORACLES["dp_media_near_dup"] = DP_MEDIA_NEAR_DUP_SQL
+
+
+def dp_media_deep_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup pair contract over a corpus that INCLUDES
+    out-of-law payloads (VERDICT r12 #4): the deep fixture plants a
+    16-bit (maxval 65535) copy of every doc_id % 33 = 0 image at
+    +9M. The fast Column hash NULLs those (2-byte samples), the
+    routing lane (multimodal.media_dhash_frame_routed) decodes them —
+    high byte at 8-bit depth — through the Arrow mapInPandas boundary,
+    and they re-enter the SAME banding + verify, so every planted
+    16-bit twin surfaces as a hamming-0 pair with its 8-bit original.
+    The DuckDB twin needs no decode special-case: sample = gray * 257
+    means high byte = gray, so the deep arm of the hashes CTE is just
+    the base hash under the +9M id — which is exactly the claim being
+    certified about the engine's decode route."""
+    return multimodal.media_near_dup_pairs(
+        multimodal.synthesize_thumbnails(
+            model.load(spark, sf_dir, "documents"), deep=True
+        )
+    )
+
+
+DP_MEDIA_DEEP_NEAR_DUP_SQL = _media_near_dup_sql(deep=True)
+
+QUERIES["dp_media_deep_near_dup"] = dp_media_deep_near_dup
+ORACLES["dp_media_deep_near_dup"] = DP_MEDIA_DEEP_NEAR_DUP_SQL
+
+
+def dp_media_unsupported(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loud-failure audit row over the deep fixture
+    (multimodal.media_unsupported_report): how many payloads the fast
+    sample law could not index and therefore entered the decode lane.
+    With the planted 16-bit slice this is exactly the doc_id % 33 = 0
+    image population — a non-trivial count certifying the guard fires
+    where it must (2-byte samples) and NOWHERE else (every 1-byte
+    payload, any maxval 1..255, hashes on the fast path per ADVICE
+    r12)."""
+    return multimodal.media_unsupported_report(
+        multimodal.synthesize_thumbnails(
+            model.load(spark, sf_dir, "documents"), deep=True
+        )
+    )
+
+
+DP_MEDIA_UNSUPPORTED_SQL = """
+WITH imgs AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+SELECT CAST((SELECT COUNT(*) FROM imgs)
+          + (SELECT COUNT(*) FROM imgs WHERE doc_id % 5 = 0)
+          + (SELECT COUNT(*) FROM imgs WHERE doc_id % 7 = 0)
+          + (SELECT COUNT(*) FROM imgs WHERE doc_id % 11 = 0) AS BIGINT)
+         AS total,
+       CAST((SELECT COUNT(*) FROM imgs)
+          + (SELECT COUNT(*) FROM imgs WHERE doc_id % 5 = 0)
+          + (SELECT COUNT(*) FROM imgs WHERE doc_id % 7 = 0) AS BIGINT)
+         AS hashed,
+       CAST((SELECT COUNT(*) FROM imgs WHERE doc_id % 11 = 0) AS BIGINT)
+         AS unsupported
+"""
+
+QUERIES["dp_media_unsupported"] = dp_media_unsupported
+ORACLES["dp_media_unsupported"] = DP_MEDIA_UNSUPPORTED_SQL
 
 
 def dp_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

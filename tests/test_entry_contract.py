@@ -343,9 +343,25 @@ R11_WINDOW = ["dp_media_dup_clusters"] + R6_LEFTOVER_R11 + [
     "dp_ann_bucket_histogram", "dp_ann_bucketed_topk", "dp_ann_ivf_topk",
 ]
 
+# the 50 keys the driver hash-checked in round 12 (CORRECTNESS_r12.json):
+# the 2 r12 registrations + the 2 r11 registrations + the 36 R7
+# leftovers + 10 r8-evidence filler rows (alphabetical)
+R12_WINDOW = (
+    R12_REGISTRATIONS + R11_REGISTRATIONS + R7_LEFTOVER_R12 + [
+        "acl_add_remove_plane", "acl_set_plane", "c3_unhealthy_page",
+        "c4_unhealthy_all", "dn1_block_deletion_plan",
+        "dn2_scanner_rollup", "dp_ann_ivfpq_knn_join",
+        "dp_ann_ivfpq_topk", "dp_cdc_chunks", "dp_cdc_source_matrix",
+    ]
+)
+
+# registered during round 13 — the unsupported-media routing pair,
+# inside the r13 window from day one
+R13_REGISTRATIONS = ["dp_media_deep_near_dup", "dp_media_unsupported"]
+
 # the 40 round-8-evidence rows that did not fit in the r12 window
 # (10 slots after the 2 r12 registrations + 2 r11 registrations + 36
-# R7 leftovers) — front of the round-13 queue
+# R7 leftovers) — consumed by the round-13 window below
 R8_LEFTOVER_R13 = [
     "dp_decontaminate_spans", "dp_dup_span_clean", "dp_dup_span_report",
     "dp_dup_spans", "dp_embedding_dim_stats", "dp_embedding_norms",
@@ -361,6 +377,26 @@ R8_LEFTOVER_R13 = [
     "s10_chunk_locations", "s3_bucket_head_delete", "s3_list_buckets",
     "s7_audit_roundtrip", "sec_s3_secret_plane", "tok_cancel_decisions",
     "tok_expiry_sweep", "tok_renew_decisions",
+]
+
+# the 42 round-9-evidence rows that did not fit in the r13 window
+# (8 slots after the 2 r13 registrations + 40 R8 leftovers) — front of
+# the round-14 queue
+R9_LEFTOVER_R14 = [
+    "dp_dedup_clusters", "dp_dedup_clusters_incr", "dp_embedding_neardup",
+    "dp_gram_novelty", "dp_hll_vocab", "dp_kmeans_step",
+    "dp_knn_label", "dp_pmi_collocations", "dp_semantic_dedup",
+    "dp_winnow_report", "ev_asof_join", "ev_conversion_latency",
+    "ev_hll_users_by_type", "ev_range_join_binned", "ev_sessionization",
+    "ev_top_paths", "m4_gc_batch", "m4_mpu_expiry",
+    "m6_copy_object", "m7_mpu_abort", "m8_mpu_initiate",
+    "n2_datanode_usage", "p3_pipeline_scrub", "q10_returned_items",
+    "q11_important_parts", "q12_late_shipments", "q13_customer_distribution",
+    "q14_promo_effect", "q16_supplier_variety", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue", "q20_surplus_suppliers",
+    "s8_freon_generator", "sm1_safemode_status", "t1_trash_status",
+    "w4_list_parts", "w5_topk_containers", "w6_latest_version",
+    "x12_sorted_locations", "x13_get_file_status", "x15_list_tables",
 ]
 
 
@@ -398,38 +434,49 @@ def test_round11_window_structure_is_preserved():
     assert len(R11_WINDOW) == 50
 
 
-def test_round12_window_frontloads_registrations_and_r7_leftovers():
-    # VERDICT r11 #4: the 2 round-12 registrations (weighted reservoir)
-    # lead; then the 2 r11 registrations staged in the r11 NEXT_WINDOW;
-    # then the 36 round-7-evidence leftovers that missed the r11 window
-    assert entry.DRIVER_WINDOW[:2] == R12_REGISTRATIONS
-    assert entry.DRIVER_WINDOW[2:4] == R11_REGISTRATIONS
-    assert entry.DRIVER_WINDOW[4:40] == R7_LEFTOVER_R12
+def test_round12_window_structure_is_preserved():
+    # the r12 window (now the historical R12_WINDOW constant) led with
+    # the 2 r12 registrations, the 2 r11 registrations staged in the
+    # r11 NEXT_WINDOW, the 36 R7 leftovers, then 10 r8-evidence filler
+    assert R12_WINDOW[:2] == R12_REGISTRATIONS
+    assert R12_WINDOW[2:4] == R11_REGISTRATIONS
+    assert R12_WINDOW[4:40] == R7_LEFTOVER_R12
+    assert R12_WINDOW[40:] == sorted(R12_WINDOW[40:])
+    assert len(R12_WINDOW) == 50
 
 
-def test_round12_window_fills_with_stalest_rows():
-    # the remaining 10 slots hold round-8-evidence rows (the stalest
-    # after the R7 leftovers); together with R8_LEFTOVER_R13 they
-    # exactly exhaust the still-stale round-8-evidence set
+def test_round13_window_frontloads_registrations_and_r8_leftovers():
+    # VERDICT r12 #5: the 2 round-13 registrations (unsupported-media
+    # routing pair) lead; then the 40 round-8-evidence leftovers staged
+    # last round — landing CORRECTNESS_r13 zeroes the r8 backlog
+    assert entry.DRIVER_WINDOW[:2] == R13_REGISTRATIONS
+    assert entry.DRIVER_WINDOW[2:42] == R8_LEFTOVER_R13
+
+
+def test_round13_window_fills_with_stalest_rows():
+    # the remaining 8 slots hold round-9-evidence rows (the stalest
+    # after the R8 leftovers); together with R9_LEFTOVER_R14 they
+    # exactly exhaust the still-stale round-9-evidence set
     last_checked = {}
     for rnd, window in (
         (1, R1_WINDOW), (2, R2_WINDOW), (3, R3_WINDOW),
         (4, R4_WINDOW), (5, R5_WINDOW), (6, R6_WINDOW), (7, R7_WINDOW),
         (8, R8_WINDOW), (9, R9_WINDOW), (10, R10_WINDOW),
-        (11, R11_WINDOW),
+        (11, R11_WINDOW), (12, R12_WINDOW),
     ):
         for name in window:
             last_checked[name] = rnd
     qs = entry.queries()
-    # every remaining r7-evidence row sits inside THIS window, so the
-    # r7 backlog zeroes out when CORRECTNESS_r12 lands
-    r7_stale = {n for n in qs if last_checked.get(n, 0) == 7}
-    assert r7_stale == set(R7_LEFTOVER_R12)
+    # every remaining r8-evidence row sits inside THIS window, so the
+    # r8 backlog zeroes out when CORRECTNESS_r13 lands
     r8_stale = {n for n in qs if last_checked.get(n, 0) == 8}
-    filler = entry.DRIVER_WINDOW[40:]
-    assert set(filler) <= r8_stale, sorted(set(filler) - r8_stale)
-    assert set(filler) | set(R8_LEFTOVER_R13) == r8_stale
+    assert r8_stale == set(R8_LEFTOVER_R13)
+    r9_stale = {n for n in qs if last_checked.get(n, 0) == 9}
+    filler = entry.DRIVER_WINDOW[42:]
+    assert set(filler) <= r9_stale, sorted(set(filler) - r9_stale)
+    assert set(filler) | set(R9_LEFTOVER_R14) == r9_stale
     assert filler == sorted(filler)  # deterministic: alphabetical
+    assert filler == sorted(r9_stale)[: len(filler)]
 
 
 def test_round_union_covers_every_registered_query():
@@ -438,7 +485,7 @@ def test_round_union_covers_every_registered_query():
         set(R1_WINDOW) | set(R2_WINDOW) | set(R3_WINDOW) | set(R4_WINDOW)
         | set(R5_WINDOW) | set(R6_WINDOW) | set(R7_WINDOW) | set(R8_WINDOW)
         | set(R9_WINDOW) | set(R10_WINDOW) | set(R11_WINDOW)
-        | set(entry.DRIVER_WINDOW)
+        | set(R12_WINDOW) | set(entry.DRIVER_WINDOW)
     )
     pending = set(q) - covered
     # only registrations newer than the current window (NEXT_WINDOW)

@@ -1604,6 +1604,59 @@ def rsv_skew_probe(n_m: float = 100.0) -> None:
     spark.stop()
 
 
+def wrsv_skew_probe(n_m: float = 100.0) -> None:
+    """Forced-skew probe for the grouped WEIGHTED reservoir build
+    (VERDICT r12 #6 — the rsv_skew_probe discipline at parity for the
+    A-ExpJ family): one group holding ~50% of n million rows vs a
+    uniform 20-group split through weighted_reservoir_grouped, plus
+    the flat weighted_reservoir_sample as the linear baseline. Weights
+    vary per row (1 + id % 1000) so the exponential race key is doing
+    real work, not reducing to the uniform draw. The claim under test:
+    the rank window compiles to WindowGroupLimit with a Partial
+    map-side pass (pinned in tests/test_plans.py), so the hot group's
+    rows reduce to <= k per partition BEFORE the key exchange and
+    skewed wall time stays within ~2x of uniform."""
+    from pyspark.sql import functions as F
+
+    from hadoop_ozone_spark.datapipe import sketches
+
+    spark = get_spark("scale-probe-wrsv-skew")
+    n = int(n_m * 1_000_000)
+
+    def mk(skewed: bool):
+        if skewed:
+            key = F.when(F.col("id") % 2 == 0, F.lit("hot")).otherwise(
+                F.concat(F.lit("g"), (F.col("id") % 19).cast("string"))
+            )
+        else:
+            key = F.concat(F.lit("g"), (F.col("id") % 20).cast("string"))
+        return spark.range(n).select(
+            key.alias("key"),
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 1000 + 1).alias("n_chars"),
+        )
+
+    out = {"num_rows": n, "timings_sec": {}, "artifact_rows": {}}
+    t0 = time.time()
+    flat = sketches.weighted_reservoir_sample(mk(False)).count()
+    out["timings_sec"]["flat"] = round(time.time() - t0, 2)
+    out["artifact_rows"]["flat"] = flat
+    for label, skewed in (("uniform", False), ("skew50", True)):
+        t0 = time.time()
+        rows = sketches.weighted_reservoir_grouped(
+            mk(skewed), "key"
+        ).count()
+        out["timings_sec"][f"grouped_{label}"] = round(time.time() - t0, 2)
+        out["artifact_rows"][f"grouped_{label}"] = rows
+    out["ratio"] = round(
+        out["timings_sec"]["grouped_skew50"]
+        / max(out["timings_sec"]["grouped_uniform"], 0.01),
+        2,
+    )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def cc_probe(n_edges_m: float = 1.0) -> None:
     """Connected-components scale probe (dedup_clusters): a realistic
     near-dup pair graph is mostly stars (canonical + variants) with a
@@ -1953,6 +2006,8 @@ if __name__ == "__main__":
         cc_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 1.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--rsv-skew":
         rsv_skew_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100.0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--wrsv-skew":
+        wrsv_skew_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 100.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--cc-skew":
         cc_skew_probe(float(sys.argv[2]) if len(sys.argv) > 2 else 10.0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--drift-highvocab":
