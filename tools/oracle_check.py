@@ -115,9 +115,36 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
     strict_failures = []  # repr-level float compare, no 6dp tolerance
+
+    def flush_json(partial: bool) -> None:
+        # write the artifact INCREMENTALLY (after every query), not
+        # once at the end: the r12 sf10 widen batches ran 100+ minutes
+        # of green rows and then lost ALL of it when the process was
+        # OOM-killed before the single end-of-run dump (observed in
+        # artifacts/sf10_r12_widen_driver.log — exit 137 with zero
+        # artifacts for three batches)
+        if not json_out:
+            return
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "partial": partial,
+                    "failures": len(failures),
+                    "strict_float_failures": len(strict_failures),
+                    "queries": records,
+                    "n_queries": len(records),
+                },
+                fh,
+                indent=1,
+            )
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        flush_json(partial=True)
         t0 = time.time()
         def record_error(kind: str, e: Exception) -> None:
             # errored queries must appear in the artifact as failures,
@@ -248,21 +275,7 @@ def main() -> int:
             "sec": round(elapsed, 1),
             "err": "; ".join(problems) or None,
         }
-    if json_out:
-        import json
-
-        with open(json_out, "w") as fh:
-            json.dump(
-                {
-                    "sf_dir": sf_dir,
-                    "failures": len(failures),
-                    "strict_float_failures": len(strict_failures),
-                    "queries": records,
-                    "n_queries": len(records),
-                },
-                fh,
-                indent=1,
-            )
+    flush_json(partial=False)
     print(
         f"\nstrict_floats: {len(strict_failures)} failures"
         + (f": {strict_failures}" if strict_failures else "")
