@@ -767,7 +767,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             F.least(F.col("node"), F.min("nbr")).alias("label")
         ),
     )
-    prev_ckpt = None
+    prev_ckpts: list[DataFrame] = []
     for _ in range(max_iters):
         prop = (
             edges.join(
@@ -785,30 +785,49 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             F.least(
                 F.col("label"), F.coalesce("nbr_label", F.col("label"))
             ).alias("mid_label"),
-        )
+        ).localCheckpoint()
+        changed = folded.filter(F.col("mid_label") < F.col("label")).count()
+        # Convergence is decided on the NEIGHBOR FOLD, before the
+        # pointer-jump join is ever built (optimization r13): over the
+        # symmetrized edge set, a fold that moves nothing means
+        # label(u) == label(v) across every edge — labels are constant
+        # per component, i.e. the TRUE fixed point — so the jump (a
+        # pure accelerator) has nothing left to do. Dup graphs are
+        # mostly cliques that converge at initialization, and the old
+        # shape paid the folded⋈folded self-join (with folded's 3-join
+        # subtree duplicated, un-checkpointed) on exactly that final
+        # verification round — measured 10.9s of a 14.1s query on a
+        # 183-node rep graph (artifacts/probe_media_before.log).
+        if changed == 0:
+            # labels (the PRE-round frame) is already the fixed point;
+            # this round's fold carried no news — drop its blocks. The
+            # checkpoint backing `labels` itself stays live: downstream
+            # (label_frame/sizes) still reads it.
+            folded.unpersist()
+            break
         # pointer jumping: label(label(v)) — one equi-join of the round's
-        # label map with itself (mid_label is always a node id)
+        # label map with itself (mid_label is always a node id); folded
+        # is checkpointed above, so both join sides scan the cached
+        # blocks instead of re-deriving the fold twice
         lmap = folded.select(
             F.col("mid_label").alias("jump"), F.col("node").alias("mid_label")
         )
         stepped = folded.join(lmap, "mid_label", "left").select(
             "node",
-            "label",
             F.least(
                 F.col("mid_label"), F.coalesce("jump", F.col("mid_label"))
-            ).alias("new_label"),
+            ).alias("label"),
         ).localCheckpoint()
-        changed = stepped.filter(F.col("new_label") < F.col("label")).count()
-        # the NEW checkpoint is materialized (eager + the count above),
-        # so round N−1's blocks are unreachable from any future lineage —
-        # free them, or the per-round checkpoints accumulate to OOM
-        # (a 30M-edge probe died at 8g holding 7 rounds of labels)
-        if prev_ckpt is not None:
-            prev_ckpt.unpersist()
-        prev_ckpt = stepped
-        labels = stepped.select("node", F.col("new_label").alias("label"))
-        if changed == 0:
-            break
+        # stepped is materialized (localCheckpoint is eager), so the
+        # previous round's label checkpoint and this round's fold are
+        # unreachable from any future lineage — free them, or the
+        # per-round checkpoints accumulate to OOM (a 30M-edge probe
+        # died at 8g holding 7 rounds of labels)
+        folded.unpersist()
+        for p in prev_ckpts:
+            p.unpersist()
+        prev_ckpts = [stepped]
+        labels = stepped
     # cluster_size via a map-side-combinable groupBy joined back — NEVER
     # a count window over cluster_id: cluster_id is the one key this
     # operator guarantees is skewed (a dup-dense corpus IS a hot

@@ -367,14 +367,20 @@ def _thumb_gray(d, x, y, bright: int):
 
 def _thumb_payload(w: int, h: int, bright: int):
     """P6 payload Column for one w x h thumbnail of the doc on this
-    row: header + w*h RGB samples (r = g = b = gray)."""
+    row: header + w*h RGB samples (r = g = b = gray). Memoized per
+    (w, h, bright) — pure Column over doc_id, same rationale as
+    _DHASH_MEMO."""
+    key = ("payload", w, h, bright)
+    hit = _THUMB_PAYLOAD_MEMO.get(key)
+    if hit is not None:
+        return hit
     d = F.col("doc_id")
 
     def px(p):
         c = F.char(_thumb_gray(d, p % w, F.floor(p / w).cast("long"), bright))
         return F.concat(c, c, c)
 
-    return F.encode(
+    out = F.encode(
         F.concat(
             F.lit(f"P6\n{w} {h}\n255\n"),
             F.array_join(
@@ -383,13 +389,20 @@ def _thumb_payload(w: int, h: int, bright: int):
         ),
         "UTF-8",
     )
+    _THUMB_PAYLOAD_MEMO[key] = out
+    return out
 
 
 def _thumb_payload_deep(w: int, h: int, bright: int):
     """16-BIT P6 payload Column: maxval 65535, every sample the 2-byte
     big-endian value gray * 257 = (gray << 8) | gray — the canonical
     8->16-bit depth expansion, so the high byte IS the 8-bit gray and
-    the decode route hashes it identically to the 8-bit twin."""
+    the decode route hashes it identically to the 8-bit twin.
+    Memoized per (w, h, bright), the _thumb_payload rationale."""
+    key = ("deep", w, h, bright)
+    hit = _THUMB_PAYLOAD_MEMO.get(key)
+    if hit is not None:
+        return hit
     d = F.col("doc_id")
 
     def px(p):
@@ -397,7 +410,7 @@ def _thumb_payload_deep(w: int, h: int, bright: int):
         # (high, low) x (r, g, b) — all six bytes equal char(gray)
         return F.concat(c, c, c, c, c, c)
 
-    return F.encode(
+    out = F.encode(
         F.concat(
             F.lit(f"P6\n{w} {h}\n65535\n"),
             F.array_join(
@@ -406,6 +419,8 @@ def _thumb_payload_deep(w: int, h: int, bright: int):
         ),
         "UTF-8",
     )
+    _THUMB_PAYLOAD_MEMO[key] = out
+    return out
 
 
 def synthesize_thumbnails(docs: DataFrame, deep: bool = False) -> DataFrame:
@@ -444,6 +459,19 @@ def synthesize_thumbnails(docs: DataFrame, deep: bool = False) -> DataFrame:
         ).withColumn("doc_id", d + 9_000_000)
         out = out.unionByName(deep16)
     return out
+
+
+# Column-construction memos (optimization r13, guide §1/§7.3 — driver
+# work): media_dhash builds a multi-thousand-node Column tree through
+# py4j (64 samples x the inlined header regex trees); CONSTRUCTION
+# alone measured 11-43s of pure driver time per call at sf0.1
+# (artifacts/probe_media_call — the JVM-side analysis/canonicalization
+# is milliseconds). The expression is a pure function of the input
+# column — Columns are immutable and session-independent — so build it
+# once per process and reuse. Keyed by str(content) so distinct input
+# expressions still get distinct trees.
+_DHASH_MEMO: dict[str, "F.Column"] = {}
+_THUMB_PAYLOAD_MEMO: dict[tuple, "F.Column"] = {}
 
 
 def media_dhash(content) -> "F.Column":
@@ -500,6 +528,11 @@ def media_dhash(content) -> "F.Column":
     from functools import reduce
     from operator import add
 
+    memo_key = str(content)
+    hit = _DHASH_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+
     # header parse on the HEX of a 32-byte prefix (any sane P6 header
     # fits: "P6\n9999 9999\n255\n" is 17 bytes) — never decoded. In hex
     # the grammar is exact and byte-aligned by anchoring at ^: magic
@@ -554,9 +587,11 @@ def media_dhash(content) -> "F.Column":
     # way). hash * WHEN(maxval in 1..255, 1) keeps the sum
     # unconditional and yields NULL (1 * NULL) exactly when the sample
     # law is wrong (2-byte samples) or the header failed to parse.
-    return reduce(add, bits).cast("long") * F.when(
+    out = reduce(add, bits).cast("long") * F.when(
         _digits(3).between(1, 255), F.lit(1).cast("long")
     )
+    _DHASH_MEMO[memo_key] = out
+    return out
 
 
 def media_dhash_frame(
@@ -629,7 +664,15 @@ def media_dhash_frame_routed(
     reason as media_near_dup_pairs."""
     from hadoop_ozone_spark import scratch
 
-    hashes = scratch.keep(tag, media_dhash_frame(thumbs, content_col))
+    # keep_ckpt, not keep (optimization r13): the hash frame is bounded
+    # (2 columns) but its PLAN embeds the ~10^4-node dHash expression
+    # tree — persisted-only, every downstream action (banding, CC,
+    # label joins) re-optimized that tree on the driver for seconds per
+    # action (measured: 18.75s of inter-job driver gaps vs 2.35s of
+    # executor time on dp_media_dup_clusters at sf0.1). The checkpoint
+    # truncates the plan to a leaf; the data cost is identical (one
+    # materialization of the same bounded frame).
+    hashes = scratch.keep_ckpt(tag, media_dhash_frame(thumbs, content_col))
     ok = hashes.filter(F.col("dhash").isNotNull())
     # bounded driver-side decision on the persisted 2-column frame
     # (the same discipline as the documented upsert partition-list

@@ -53,6 +53,9 @@ from pyspark.sql import DataFrame
 # (session_key, tag) → slot list / cursor
 _SLOTS: dict[tuple[str, str], list[DataFrame]] = {}
 _CURSOR: dict[tuple[str, str], int] = {}
+# keep_ckpt's parallel registry: slot holds (plan_frame, ckpt_frame)
+_CKPT_SLOTS: dict[tuple[str, str], list[tuple[DataFrame, DataFrame]]] = {}
+_CKPT_CURSOR: dict[tuple[str, str], int] = {}
 
 
 def _session_key(df_or_spark) -> str:
@@ -72,10 +75,14 @@ def fresh(tag: str, spark=None) -> None:
     common case: the operator resets before it has a frame in hand)."""
     if spark is not None:
         _CURSOR[(_session_key(spark), tag)] = 0
+        _CKPT_CURSOR[(_session_key(spark), tag)] = 0
         return
     for key in list(_CURSOR):
         if key[1] == tag:
             _CURSOR[key] = 0
+    for key in list(_CKPT_CURSOR):
+        if key[1] == tag:
+            _CKPT_CURSOR[key] = 0
 
 
 def _same_plan(a: DataFrame, b: DataFrame) -> bool:
@@ -112,3 +119,47 @@ def keep(tag: str, df: DataFrame) -> DataFrame:
     df = df.persist()
     slots.append(df)
     return df
+
+
+def keep_ckpt(tag: str, df: DataFrame) -> DataFrame:
+    """:func:`keep`, but the slot's cached artifact is a
+    ``localCheckpoint`` of ``df`` rather than a persist of its full
+    plan: the returned frame's logical plan is a LEAF (scan of the
+    checkpointed RDD), so downstream consumers re-plan in O(1) instead
+    of re-optimizing the whole upstream tree on EVERY action.
+
+    Why this exists (optimization r13, guide §7.3): persist caches
+    DATA but leaves the logical plan intact — a bounded frame whose
+    plan embeds a very large expression tree (the media dHash frame:
+    ~10^4 nodes) makes every downstream action pay seconds of pure
+    driver-side Catalyst time even though the scan itself is cached
+    (measured on dp_media_dup_clusters at sf0.1: 2.35s of executor
+    job time vs 18.75s of inter-job driver gaps; the checkpoint leaf
+    removes the gaps). Use for bounded intermediates with huge plans;
+    plain :func:`keep` is right everywhere else — a checkpoint cannot
+    be recomputed from lineage, so this also inherits the standard
+    localCheckpoint durability caveat (on a cluster with executor
+    churn, point the session at durable storage and swap in
+    ``.checkpoint()``; the law is identical).
+
+    Same slot/cursor/same-plan-reuse contract as :func:`keep` — the
+    plan comparison runs on the PRE-checkpoint frames, so steady-state
+    invocations reuse one checkpoint instead of re-materializing."""
+    key = (_session_key(df), tag)
+    i = _CKPT_CURSOR.get(key, 0)
+    _CKPT_CURSOR[key] = i + 1
+    slots = _CKPT_SLOTS.setdefault(key, [])
+    if i < len(slots):
+        old_plan, old_ckpt = slots[i]
+        if _same_plan(old_plan, df):
+            return old_ckpt  # steady-state: reuse the live checkpoint
+        try:
+            old_ckpt.unpersist()
+        except Exception:
+            pass  # session gone / already unpersisted
+        ck = df.localCheckpoint()
+        slots[i] = (df, ck)
+        return ck
+    ck = df.localCheckpoint()
+    slots.append((df, ck))
+    return ck
