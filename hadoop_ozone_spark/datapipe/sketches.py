@@ -710,13 +710,18 @@ def kmv_set_ops_from_sketches(
     from hadoop_ozone_spark import scratch
 
     # both sketches feed the overlap AND the per-side estimates — keep
-    # them persisted through the caller's materialization via the
-    # bounded scratch registry (the repo contract for persists that
-    # outlive the function return; raw .persist() would leak one cached
-    # generation per invocation with changing inputs)
+    # them through the caller's materialization via the bounded scratch
+    # registry (the repo contract for persists that outlive the
+    # function return; raw .persist() would leak one cached generation
+    # per invocation with changing inputs). keep_ckpt, not keep
+    # (optimization r13): the artifacts are <= KMV_K+1 rows but their
+    # plans embed the full input tree (corpus token explosions in the
+    # drift path) — checkpointing makes every downstream set-op leg
+    # (theta, merged, per-side estimates: 5+ actions) re-plan against a
+    # leaf instead of re-optimizing the corpus tree per action.
     scratch.fresh(tag)
-    ska = scratch.keep(tag, sketch_a.withColumn("_a", F.lit(1)))
-    skb = scratch.keep(tag, sketch_b.withColumn("_b", F.lit(1)))
+    ska = scratch.keep_ckpt(tag, sketch_a.withColumn("_a", F.lit(1)))
+    skb = scratch.keep_ckpt(tag, sketch_b.withColumn("_b", F.lit(1)))
     ta = kmv_theta(ska.select("h")).withColumnRenamed("theta", "theta_a")
     tb = kmv_theta(skb.select("h")).withColumnRenamed("theta", "theta_b")
     th = ta.crossJoin(tb).select(

@@ -3512,11 +3512,17 @@ def dp_qsketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    # persist the <=160-row artifact (the write-time-artifact contract
-    # made literal): the quantile fold and both n references read the
-    # cached sketch instead of re-running the corpus pass
+    # checkpoint the <=160-row artifact (the write-time-artifact
+    # contract made literal): the quantile fold and both n references
+    # read the cached sketch instead of re-running the corpus pass.
+    # keep_ckpt, not keep (optimization r13, guide §7.3): the persist
+    # form kept the corpus CASE-ladder tree in the plan, so each of
+    # the 3 references re-optimized it on the driver per action — the
+    # checkpoint leaf removes that
     scratch.fresh("dp_qsketch")
-    counts = scratch.keep("dp_qsketch", sketches.qsketch_counts(tc, "n_tokens"))
+    counts = scratch.keep_ckpt(
+        "dp_qsketch", sketches.qsketch_counts(tc, "n_tokens")
+    )
     est = sketches.qsketch_quantiles(counts, QS_QUERY_PPMS)
     n = counts.agg(F.sum("cnt").alias("n"))
     qd = spark.createDataFrame([(q,) for q in QS_QUERY_PPMS], "q_ppm long")
@@ -4078,8 +4084,17 @@ def corpus_drift_report(tagged: DataFrame) -> DataFrame:
     a_tok = tok.filter(F.col("side") == "a").select("token")
     b_tok = tok.filter(F.col("side") == "b").select("token")
     ops = sketches.kmv_set_ops(a_tok, b_tok, "token")
-    ka = sketches.mg_summary(a_tok, "token").select("key")
-    kb = sketches.mg_summary(b_tok, "token").select("key")
+    # checkpoint the two <=MG_K+1-row heavy-hitter key frames
+    # (optimization r13, guide §7.3): un-truncated, each embeds the
+    # corpus groupBy + TakeOrdered tree in the assembled report plan —
+    # the 9-leg union then re-optimizes both trees on every action
+    scratch.fresh("dp_corpus_drift_mg")
+    ka = scratch.keep_ckpt(
+        "dp_corpus_drift_mg", sketches.mg_summary(a_tok, "token").select("key")
+    )
+    kb = scratch.keep_ckpt(
+        "dp_corpus_drift_mg", sketches.mg_summary(b_tok, "token").select("key")
+    )
     tc = tagged.select(
         "side",
         F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
@@ -4090,7 +4105,7 @@ def corpus_drift_report(tagged: DataFrame) -> DataFrame:
     # reference (measured 25s -> <1s at sf0.1)
     scratch.fresh("dp_corpus_drift_qs")
     counts = {
-        s: scratch.keep(
+        s: scratch.keep_ckpt(
             "dp_corpus_drift_qs",
             sketches.qsketch_counts(
                 tc.filter(F.col("side") == s).select("n_tokens"), "n_tokens"
@@ -4135,10 +4150,10 @@ def corpus_drift_from_zones(
         .select("key")
     )
     scratch.fresh("corpus_drift_zones_qs")
-    counts_a = scratch.keep(
+    counts_a = scratch.keep_ckpt(
         "corpus_drift_zones_qs", sketch_stream.read_qsketch_counts(spark, state_a)
     )
-    counts_b = scratch.keep(
+    counts_b = scratch.keep_ckpt(
         "corpus_drift_zones_qs", sketch_stream.read_qsketch_counts(spark, state_b)
     )
     return _drift_assemble(ops, ka, kb, counts_a, counts_b)

@@ -582,11 +582,32 @@ def test_knn_label_never_broadcasts_corpus_labels(spark, sf_dir):
 def test_qsketch_artifact_cached_and_no_smj(spark, sf_dir):
     # the <=160-row sketch artifact must be cached and reused by the
     # quantile fold and both n references (write-time-artifact contract)
-    # instead of re-running the corpus pass per reference
+    # instead of re-running the corpus pass per reference. Either
+    # cached form counts: a persisted relation (InMemoryTableScan) or
+    # the r13 checkpoint leaf (Scan ExistingRDD — same data reuse, plan
+    # truncated so downstream actions skip re-optimizing the corpus
+    # CASE-ladder tree)
     p = plan_of(entry.queries()["dp_qsketch_tokens"](spark, sf_dir))
     assert "SortMergeJoin" not in p
-    assert p.count("InMemoryTableScan") >= 2
-    assert "partial_count" in p  # map-side combine on the sketch groupBy
+    cached_scans = p.count("InMemoryTableScan") + p.count("Scan ExistingRDD")
+    assert cached_scans >= 2, p
+    # the corpus pass itself (map-side combine on the sketch groupBy)
+    # runs once, at artifact build time — with the checkpoint leaf the
+    # final plan no longer carries it, so assert it on the artifact's
+    # own (pre-checkpoint) build plan instead
+    from hadoop_ozone_spark.datapipe import sketches as sk
+    from hadoop_ozone_spark import model as _model
+    from pyspark.sql import functions as F
+    from hadoop_ozone_spark.datapipe import text as _text
+
+    docs = _model.load(spark, sf_dir, "documents")
+    tc = docs.select(
+        F.size(_text.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    build_p = plan_of(sk.qsketch_counts(tc, "n_tokens"))
+    assert "partial_count" in build_p
 
 
 def test_kmv_sketch_is_takeordered_not_global_sort(spark, sf_dir):
