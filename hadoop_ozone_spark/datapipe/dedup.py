@@ -691,12 +691,12 @@ def connected_dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = (
         und.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("group_id", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         neigh_min = (
@@ -713,7 +713,11 @@ def connected_dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("group_id"), F.coalesce(F.col("n_min"), F.col("group_id"))
                 ).alias("group_id"),
             )
-            .localCheckpoint()
+            # lazy: the changed-count below materializes the round's
+            # checkpoint inside its own job — one action per round, not
+            # two (optimization r13; this loop never unpersists, so the
+            # lazy form has no freed-parent hazard)
+            .localCheckpoint(eager=False)
         )
         changed = proposed.filter(F.col("group_id") < F.col("old_group")).count()
         labels = proposed.drop("old_group")

@@ -540,9 +540,17 @@ def train_centroids(
     """
     c = ivf_centroids(embeddings, n_lists, vec_col)
     for _ in range(iters):
+        # LAZY checkpoint (optimization r13, guide §1.2): the loop has
+        # no control-flow read of the data, so nothing needs to run at
+        # construction time — each step's blocks materialize inside the
+        # first downstream action, and a steady-state caller whose
+        # index persist plan-matches (scratch.keep) pays ZERO training
+        # jobs per invocation instead of `iters` eager corpus passes.
+        # Lineage is still truncated per step (the plan is a leaf
+        # either way), so k merges remain k bounded passes.
         c = kmeans_step(embeddings, c, vec_col).select(
             "list_id", "cvec"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return c
 
 
@@ -1258,7 +1266,11 @@ def pq_train_codebooks(
         ).alias("p"),
     ).select(
         "vec_id", F.col("p.sub_id").alias("sub_id"), F.col("p.svec").alias("svec")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    # both checkpoints below are LAZY for the train_centroids reason
+    # (optimization r13): no control-flow reads the data, so training
+    # jobs only run inside the first consumer's action — a plan-matched
+    # steady-state invocation builds plans only.
     for _ in range(iters):
         scored = subv.join(F.broadcast(cb), "sub_id").select(
             "vec_id",
@@ -1315,7 +1327,7 @@ def pq_train_codebooks(
                 "code",
                 F.coalesce(F.col("ncvec"), F.col("cvec")).alias("cvec"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return cb
 

@@ -659,12 +659,23 @@ def bpe_learn_merges(
 
     Scale shape, mirroring train_centroids: the corpus collapses ONCE
     to its word-frequency table (the only corpus-sized shuffle); each
-    merge step is a |vocab|-sized pair count + a 1-row broadcast of the
-    winning pair + a map-only rewrite, localCheckpointed so k merges
-    stay k bounded passes instead of a k-deep lazy lineage. No
-    collect: the winner rides a broadcast join; the merge log
-    accumulates as 1-row frames.
+    merge step is a |vocab|-sized pair count folded to ONE Spark job
+    (a TakeOrderedAndProject collect of the single winning row —
+    bounded driver work, <= n_merges rows total, the documented
+    bounded-collect discipline) + a map-only rewrite with the winner
+    inlined as literals. The rewrite is a LAZY localCheckpoint: round
+    k's winner job materializes round k-1's rewrite, so k merges stay
+    k bounded passes instead of a k-deep lazy lineage — and a caller
+    that discards ``vocab`` (dp_bpe_vocab) never pays for the final
+    rewrite at all.
+
+    (Optimization r13, guide §1.2/§7.3: the prior shape spent ~4
+    sequential driver round-trips per round — eager winner checkpoint,
+    isEmpty, broadcast build, eager rewrite checkpoint — on
+    dictionary-sized data where executor time is negligible; the
+    winner-collect shape is the same law with 1 action per round.)
     """
+    spark = docs.sparkSession
     words = docs.select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
     ).filter(F.length("word") >= 1)
@@ -672,9 +683,9 @@ def bpe_learn_merges(
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("symbols", F.split(F.col("word"), ""))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    merge_log = []
+    merge_rows: list[tuple] = []
     for rank in range(1, n_merges + 1):
         pairs = (
             # words already collapsed to one symbol pair nothing; the
@@ -694,20 +705,25 @@ def bpe_learn_merges(
             .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
             .agg(F.sum("freq").alias("pair_count"))
         )
-        top = (
-            pairs.orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
-            .limit(1)
-            .withColumn("merge_rank", F.lit(rank))
-            .localCheckpoint(eager=True)
-        )
-        if top.isEmpty():
+        # deterministic winner: (pair_count desc, left, right) is a
+        # total order because (left, right) is the group key. ONE row
+        # crosses to the driver per round.
+        top = pairs.orderBy(
+            F.desc("pair_count"), F.asc("left"), F.asc("right")
+        ).take(1)
+        if not top:
             break
-        merge_log.append(top)
+        left, right, pair_count = top[0]
+        merge_rows.append((rank, left, right, pair_count))
+        # the winner rides back in as a broadcast 1-row LocalRelation,
+        # NOT as inlined literals: literals would change the generated
+        # code every round and defeat the whole-stage-codegen compile
+        # cache (measured: literal inlining tripled the query on pure
+        # janino recompiles), while this plan shape is byte-identical
+        # across rounds so round 1's compiled code serves all n_merges.
+        winner = spark.createDataFrame([(left, right)], "_ml string, _mr string")
         vocab = (
-            vocab.crossJoin(
-                F.broadcast(top.select(F.col("left").alias("_ml"),
-                                       F.col("right").alias("_mr")))
-            )
+            vocab.crossJoin(F.broadcast(winner))
             .select(
                 "word",
                 "freq",
@@ -715,20 +731,11 @@ def bpe_learn_merges(
                     F.col("symbols"), F.col("_ml"), F.col("_mr")
                 ).alias("symbols"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    # empty merge log (degenerate corpus: no word with >=2 symbols, or
-    # no words at all) — the session must come from docs, which always
-    # exists; merge_log[0] doesn't in exactly this branch
-    merges_df = docs.sparkSession.createDataFrame(
-        [], "merge_rank int, left string, right string, pair_count long"
-    ) if not merge_log else (
-        merge_log[0].select("merge_rank", "left", "right", "pair_count")
+    merges_df = spark.createDataFrame(
+        merge_rows, "merge_rank int, left string, right string, pair_count long"
     )
-    for t in merge_log[1:]:
-        merges_df = merges_df.unionByName(
-            t.select("merge_rank", "left", "right", "pair_count")
-        )
     return merges_df.orderBy("merge_rank"), vocab.orderBy("word")
 
 

@@ -351,7 +351,7 @@ def resolve_bucket_links(buckets: DataFrame, max_depth: int = 16) -> DataFrame:
         F.when(F.col("source_volume").isNotNull(), 1)
         .otherwise(0)
         .alias("depth"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     rounds = max(1, max_depth.bit_length() - 1)  # log2(max_depth)
     for _ in range(rounds):
         target = state.select(
@@ -378,7 +378,10 @@ def resolve_bucket_links(buckets: DataFrame, max_depth: int = 16) -> DataFrame:
                     "depth"
                 ),
             )
-            .localCheckpoint(eager=True)  # O(log depth) plans
+            # lazy + O(log depth) plans: the round's isEmpty fixpoint
+            # check materializes this checkpoint inside its own job —
+            # one action per round, not two (optimization r13)
+            .localCheckpoint(eager=False)
         )
         # fixpoint: nothing resolves to a link anymore (cycle-free case
         # exits after ~log2(longest chain) rounds)
