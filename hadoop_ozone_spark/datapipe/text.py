@@ -606,6 +606,15 @@ def bpe_pair_counts(
     )
 
 
+# Pure-Column memo for the BPE loop (the multimodal._DHASH_MEMO
+# rationale): the carry-fold rewrite and the pair-explode Columns are
+# built from FIXED column names (symbols/_ml/_mr), so the ~10^2-node
+# expression trees can be constructed through py4j once per process
+# instead of once per merge round (measured 0.5-3.0s of driver time per
+# round at n_merges=8 — more than the rounds' executor work combined).
+_BPE_COL_MEMO: dict[str, Column] = {}
+
+
 def _apply_merge(symbols: Column, left: Column, right: Column) -> Column:
     """Apply ONE learned BPE merge (left, right) → left||right to a
     symbol array with a single left-to-right fold — the carry scheme:
@@ -675,67 +684,141 @@ def bpe_learn_merges(
     dictionary-sized data where executor time is negligible; the
     winner-collect shape is the same law with 1 action per round.)
     """
+    from hadoop_ozone_spark import scratch
+
     spark = docs.sparkSession
     words = docs.select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
     ).filter(F.length("word") >= 1)
-    vocab = (
+    # the corpus collapse is the ONLY corpus-sized pass — register it
+    # as a persisted scratch frame (the dsir_weights discipline) and
+    # materialize it HERE, under the caller's conf, so the merge
+    # rounds' loop-scoped conf toggle below never plans corpus work
+    scratch.fresh("bpe_learn_merges")
+    base = scratch.keep(
+        "bpe_learn_merges",
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("symbols", F.split(F.col("word"), ""))
-        .localCheckpoint(eager=False)
+        .withColumn("symbols", F.split(F.col("word"), "")),
     )
+    # Size the loop anchor from the MEASURED vocabulary, not the
+    # corpus shuffle width (guide §2.2): the rounds iterate over
+    # |vocab| rows (Heaps'-law bounded — 31 at bench scale), and a
+    # 32-partition anchor made every round pay 32 task launches for
+    # dictionary-sized data. ~200k dictionary rows per round task.
+    n_vocab = base.count()
+    vocab = scratch.keep(
+        "bpe_learn_merges", base.coalesce(max(1, n_vocab // 200_000))
+    )
+    vocab.count()
     merge_rows: list[tuple] = []
-    for rank in range(1, n_merges + 1):
-        pairs = (
-            # words already collapsed to one symbol pair nothing; the
-            # size guard also keeps sequence() ascending (sequence(1,0)
-            # DESCENDS in Spark and indexes out of bounds under ANSI)
-            vocab.filter(F.size("symbols") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(symbols) - 1),"
-                        " i -> struct(symbols[i-1] AS l, symbols[i] AS r))"
-                    )
-                ).alias("p"),
+    # round-invariant Columns, built once per process (_BPE_COL_MEMO):
+    # every round applies the SAME unresolved expressions to a new
+    # vocab frame, so the py4j construction cost must not repeat
+    if "pair_explode" not in _BPE_COL_MEMO:
+        _BPE_COL_MEMO["pair_explode"] = F.explode(
+            F.expr(
+                "transform(sequence(1, size(symbols) - 1),"
+                " i -> struct(symbols[i-1] AS l, symbols[i] AS r))"
             )
-            .filter(F.col("p.l").isNotNull() & F.col("p.r").isNotNull())
-            .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
-            .agg(F.sum("freq").alias("pair_count"))
+        ).alias("p")
+        _BPE_COL_MEMO["pair_filter"] = (
+            F.col("p.l").isNotNull() & F.col("p.r").isNotNull()
         )
-        # deterministic winner: (pair_count desc, left, right) is a
-        # total order because (left, right) is the group key. ONE row
-        # crosses to the driver per round.
-        top = pairs.orderBy(
-            F.desc("pair_count"), F.asc("left"), F.asc("right")
-        ).take(1)
-        if not top:
-            break
-        left, right, pair_count = top[0]
-        merge_rows.append((rank, left, right, pair_count))
-        # the winner rides back in as a broadcast 1-row LocalRelation,
-        # NOT as inlined literals: literals would change the generated
-        # code every round and defeat the whole-stage-codegen compile
-        # cache (measured: literal inlining tripled the query on pure
-        # janino recompiles), while this plan shape is byte-identical
-        # across rounds so round 1's compiled code serves all n_merges.
-        winner = spark.createDataFrame([(left, right)], "_ml string, _mr string")
-        vocab = (
-            vocab.crossJoin(F.broadcast(winner))
-            .select(
-                "word",
-                "freq",
-                _apply_merge(
-                    F.col("symbols"), F.col("_ml"), F.col("_mr")
-                ).alias("symbols"),
+        _BPE_COL_MEMO["size_guard"] = F.size("symbols") >= 2
+        _BPE_COL_MEMO["rewrite"] = _apply_merge(
+            F.col("symbols"), F.col("_ml"), F.col("_mr")
+        ).alias("symbols")
+    # Merge rounds run over DICTIONARY-sized frames (Heaps'-law vocab),
+    # so each round's cost is driver fixed latency, not data: AQE turns
+    # every round's winner pick into 2-3 jobs (shuffle-stage
+    # materialization + re-optimized result job) where the static
+    # planner runs ONE TakeOrdered job over a 1-partition shuffle.
+    # Scope the toggle to the loop and restore afterwards — the
+    # corpus-sized vocab build above is NOT under it (it executes
+    # lazily inside round 1's action... which IS under the loop's conf;
+    # acceptable because that build is one explode+groupBy whose
+    # reducer count a 1-partition shuffle serves fine at vocab scale).
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", "1")
+        for rank in range(1, n_merges + 1):
+            pairs = (
+                # words already collapsed to one symbol pair nothing;
+                # the size guard also keeps sequence() ascending
+                # (sequence(1,0) DESCENDS in Spark and indexes out of
+                # bounds under ANSI)
+                vocab.filter(_BPE_COL_MEMO["size_guard"])
+                .select("freq", _BPE_COL_MEMO["pair_explode"])
+                .filter(_BPE_COL_MEMO["pair_filter"])
+                .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+                .agg(F.sum("freq").alias("pair_count"))
             )
-            .localCheckpoint(eager=False)
+            # deterministic winner: (pair_count desc, left, right) is a
+            # total order because (left, right) is the group key. ONE
+            # row crosses to the driver per round.
+            top = pairs.orderBy(
+                F.desc("pair_count"), F.asc("left"), F.asc("right")
+            ).take(1)
+            if not top:
+                break
+            left, right, pair_count = top[0]
+            merge_rows.append((rank, left, right, pair_count))
+            # the winner rides back in as a broadcast 1-row
+            # LocalRelation, NOT as inlined literals: literals would
+            # change the generated code every round and defeat the
+            # whole-stage-codegen compile cache (measured: literal
+            # inlining tripled the query on pure janino recompiles),
+            # while this plan shape is byte-identical across rounds so
+            # round 1's compiled code serves all n_merges. Built via
+            # parameterized SQL, which constant-folds to a TRUE
+            # LocalRelation — createDataFrame parallelizes even 1 row
+            # across defaultParallelism tasks THROUGH PYTHON WORKERS
+            # (measured 0.3s/round: 32 task launches + pickle
+            # round-trips for one pair of strings).
+            winner = spark.sql(
+                "SELECT :l AS _ml, :r AS _mr", args={"l": left, "r": right}
+            )
+            vocab = (
+                vocab.crossJoin(F.broadcast(winner))
+                .select("word", "freq", _BPE_COL_MEMO["rewrite"])
+                .localCheckpoint(eager=False)
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    # the merge log rides back the same way the winners did: a
+    # parameterized VALUES LocalRelation instead of createDataFrame's
+    # 32-task Python parallelize job (measured 0.7s for 8 rows)
+    if merge_rows:
+        values = ", ".join(
+            f"(CAST(:r{i} AS INT), :l{i}, :g{i}, CAST(:c{i} AS BIGINT))"
+            for i in range(len(merge_rows))
         )
-    merges_df = spark.createDataFrame(
-        merge_rows, "merge_rank int, left string, right string, pair_count long"
-    )
+        args = {}
+        for i, (rank, left, right, pair_count) in enumerate(merge_rows):
+            args.update(
+                {f"r{i}": rank, f"l{i}": left, f"g{i}": right, f"c{i}": pair_count}
+            )
+        merges_df = spark.sql(
+            "SELECT * FROM VALUES "
+            + values
+            + " AS t(merge_rank, left, right, pair_count)",
+            args=args,
+        )
+    else:
+        merges_df = spark.sql(
+            "SELECT CAST(NULL AS INT) merge_rank, CAST(NULL AS STRING) left,"
+            " CAST(NULL AS STRING) right, CAST(NULL AS BIGINT) pair_count"
+        ).filter(F.lit(False))
     return merges_df.orderBy("merge_rank"), vocab.orderBy("word")
 
 
