@@ -42,6 +42,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def hoist_norm(df: DataFrame, vec_col: str, dcol: str, ncol: str) -> DataFrame:
+    """Project the double-cast vector and its norm ONCE PER ROW ahead of
+    a pairwise scoring join (optimization r13, guide §1.2 step 2):
+    inlining ``cosine(as_double(a), as_double(b))`` in a cross/probe
+    join re-evaluates both casts, both self-dots and both sqrts per
+    CANDIDATE PAIR; scoring hoisted sides with
+    ``dot(ad, bd) / (na * nb)`` pays one zip_with fold per pair.
+    ``sqrt(dot(v, v))`` ahead of the division is IEEE-identical to the
+    inline form (the semantic_dedup_pairs precedent), so scores are
+    bit-identical and every oracle hash is unchanged."""
+    out = df.withColumn(dcol, as_double(F.col(vec_col)))
+    return out.withColumn(ncol, F.sqrt(dot(F.col(dcol), F.col(dcol))))
+
+
+def hoisted_cosine(
+    ld: str, ln: str, rd: str, rn: str, round_digits: int
+) -> Column:
+    """Pair score over two :func:`hoist_norm`-prepared sides."""
+    return F.round(
+        dot(F.col(ld), F.col(rd)) / (F.col(ln) * F.col(rn)), round_digits
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query: DataFrame,
@@ -51,11 +74,13 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of ``query`` (1-row DF with ``qvec``) against
     the corpus. Score rounded so the k-cut is engine-stable."""
-    scored = embeddings.crossJoin(F.broadcast(query)).select(
+    emb = hoist_norm(embeddings, vec_col, "_hd", "_hn")
+    q = hoist_norm(query, "qvec", "_qhd", "_qhn")
+    scored = emb.crossJoin(F.broadcast(q)).select(
         "vec_id",
-        F.round(
-            cosine(as_double(F.col(vec_col)), as_double(F.col("qvec"))), round_digits
-        ).alias("cosine_sim"),
+        hoisted_cosine("_hd", "_hn", "_qhd", "_qhn", round_digits).alias(
+            "cosine_sim"
+        ),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(k)
 
@@ -159,8 +184,10 @@ def ivf_index(
     struct-max agg is cheap at assignment fan-out, unlike the encode's
     m·n_codes× blowup; see _pq_encode_select for that fix.)"""
     c = centroids if centroids is not None else ivf_centroids(embeddings, n_lists, vec_col)
-    score = F.round(cosine(as_double(F.col(vec_col)), F.col("cvec")), round_digits)
-    scored = embeddings.crossJoin(F.broadcast(c)).select(
+    emb = hoist_norm(embeddings, vec_col, "_hd", "_hn")
+    cc = c.withColumn("_chn", norm(F.col("cvec")))
+    score = hoisted_cosine("_hd", "_hn", "cvec", "_chn", round_digits)
+    scored = emb.crossJoin(F.broadcast(cc)).select(
         "vec_id",
         F.col(vec_col),
         (-F.col("list_id")).alias("neg_list"),
@@ -192,13 +219,15 @@ def ivf_topk(
     pin); smaller nprobe trades scan breadth for recall with the same
     persisted index."""
     c = centroids if centroids is not None else ivf_centroids(embeddings, n_lists, vec_col)
-    qscore = F.round(cosine(as_double(F.col("qvec")), F.col("cvec")), round_digits)
+    q = hoist_norm(query, "qvec", "_qhd", "_qhn")
+    cc = c.withColumn("_chn", norm(F.col("cvec")))
+    qscore = hoisted_cosine("_qhd", "_qhn", "cvec", "_chn", round_digits)
     probes = (
-        query.crossJoin(F.broadcast(c))
-        .select("qvec", "list_id", qscore.alias("qscore"))
+        q.crossJoin(F.broadcast(cc))
+        .select("qvec", "_qhd", "_qhn", "list_id", qscore.alias("qscore"))
         .orderBy(F.desc("qscore"), F.asc("list_id"))
         .limit(nprobe)
-        .select("qvec", "list_id")
+        .select("qvec", "_qhd", "_qhn", "list_id")
     )
     idx = (
         index
@@ -206,13 +235,13 @@ def ivf_topk(
         else ivf_index(embeddings, n_lists, vec_col, centroids=c)
     )
     return (
-        idx.join(F.broadcast(probes), "list_id")
+        hoist_norm(idx, vec_col, "_hd", "_hn")
+        .join(F.broadcast(probes), "list_id")
         .select(
             "vec_id",
-            F.round(
-                cosine(as_double(F.col(vec_col)), as_double(F.col("qvec"))),
-                round_digits,
-            ).alias("cosine_sim"),
+            hoisted_cosine("_hd", "_hn", "_qhd", "_qhn", round_digits).alias(
+                "cosine_sim"
+            ),
         )
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(k)
@@ -243,12 +272,17 @@ def bucketed_topk(
     ``probe_radius`` trades scan breadth for recall with the same
     index — no rebuild.
     """
-    q = query.select("qvec", bucket_id(F.col("qvec"), num_planes).alias("q_bucket"))
+    q = hoist_norm(query, "qvec", "_qhd", "_qhn").select(
+        "qvec", "_qhd", "_qhn",
+        bucket_id(F.col("qvec"), num_planes).alias("q_bucket"),
+    )
     # the Hamming ball is tiny (≤ 2^num_planes ids) — enumerate and
     # filter, then broadcast: the index side never shuffles
     probes = (
         q.select(
             "qvec",
+            "_qhd",
+            "_qhn",
             "q_bucket",
             F.explode(F.sequence(F.lit(0), F.lit((1 << num_planes) - 1))).alias(
                 "bucket_id"
@@ -261,12 +295,13 @@ def bucketed_topk(
     )
     idx = index if index is not None else bucketed_index(embeddings, vec_col)
     return (
-        idx.join(F.broadcast(probes), "bucket_id")
+        hoist_norm(idx, vec_col, "_hd", "_hn")
+        .join(F.broadcast(probes), "bucket_id")
         .select(
             "vec_id",
-            F.round(
-                cosine(as_double(F.col(vec_col)), as_double(F.col("qvec"))), round_digits
-            ).alias("cosine_sim"),
+            hoisted_cosine("_hd", "_hn", "_qhd", "_qhn", round_digits).alias(
+                "cosine_sim"
+            ),
         )
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(k)
@@ -288,12 +323,16 @@ def knn_join_brute(
     the per-query top-k window — partition count = |queries|, each
     holding candidate rows only.
     """
-    scored = embeddings.crossJoin(F.broadcast(queries)).select(
-        "query_id",
-        "vec_id",
-        F.round(
-            cosine(as_double(F.col(vec_col)), as_double(F.col("qvec"))), round_digits
-        ).alias("cosine_sim"),
+    scored = (
+        hoist_norm(embeddings, vec_col, "_hd", "_hn")
+        .crossJoin(F.broadcast(hoist_norm(queries, "qvec", "_qhd", "_qhn")))
+        .select(
+            "query_id",
+            "vec_id",
+            hoisted_cosine("_hd", "_hn", "_qhd", "_qhn", round_digits).alias(
+                "cosine_sim"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     return (
@@ -322,13 +361,16 @@ def knn_join_bucketed(
     bucket_id, still never a cross join. Recall vs :func:`knn_join_brute`
     is pinned by test_knn_join_recall.
     """
-    q = queries.select(
-        "query_id", "qvec", bucket_id(F.col("qvec"), num_planes).alias("q_bucket")
+    q = hoist_norm(queries, "qvec", "_qhd", "_qhn").select(
+        "query_id", "qvec", "_qhd", "_qhn",
+        bucket_id(F.col("qvec"), num_planes).alias("q_bucket"),
     )
     probes = (
         q.select(
             "query_id",
             "qvec",
+            "_qhd",
+            "_qhn",
             "q_bucket",
             F.explode(F.sequence(F.lit(0), F.lit((1 << num_planes) - 1))).alias(
                 "bucket_id"
@@ -340,12 +382,16 @@ def knn_join_bucketed(
         .drop("q_bucket")
     )
     idx = index if index is not None else bucketed_index(embeddings, vec_col)
-    scored = idx.join(F.broadcast(probes), "bucket_id").select(
-        "query_id",
-        "vec_id",
-        F.round(
-            cosine(as_double(F.col(vec_col)), as_double(F.col("qvec"))), round_digits
-        ).alias("cosine_sim"),
+    scored = (
+        hoist_norm(idx, vec_col, "_hd", "_hn")
+        .join(F.broadcast(probes), "bucket_id")
+        .select(
+            "query_id",
+            "vec_id",
+            hoisted_cosine("_hd", "_hn", "_qhd", "_qhn", round_digits).alias(
+                "cosine_sim"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     return (
@@ -470,13 +516,16 @@ def kmeans_step(
     semantic_dedup_pairs) bounds it, exactly like the within-cluster
     pair stage.
     """
-    c = centroids.select("list_id", "cvec")
-    score = F.round(cosine(as_double(F.col(vec_col)), F.col("cvec")), round_digits)
+    c = centroids.select("list_id", "cvec").withColumn(
+        "_chn", norm(F.col("cvec"))
+    )
+    score = hoisted_cosine("_hd", "_hn", "cvec", "_chn", round_digits)
     assigned = (
-        embeddings.crossJoin(F.broadcast(c))
+        hoist_norm(embeddings, vec_col, "_hd", "_hn")
+        .crossJoin(F.broadcast(c))
         .select(
             "vec_id",
-            as_double(F.col(vec_col)).alias("v"),
+            F.col("_hd").alias("v"),
             (-F.col("list_id")).alias("neg_list"),
             score.alias("score"),
         )
@@ -826,13 +875,19 @@ def ivfpq_residuals(
     residual v − centroid. One corpus pass against the broadcast
     codebook; the residual subtraction is exact FP (both engines
     compute the same doubles)."""
-    score = F.round(cosine(as_double(F.col(vec_col)), F.col("cvec")), round_digits)
-    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        as_double(F.col(vec_col)).alias("v"),
-        (-F.col("list_id")).alias("neg_list"),
-        F.col("cvec"),
-        score.alias("score"),
+    score = hoisted_cosine("_hd", "_hn", "cvec", "_chn", round_digits)
+    scored = (
+        hoist_norm(embeddings, vec_col, "_hd", "_hn")
+        .crossJoin(
+            F.broadcast(centroids.withColumn("_chn", norm(F.col("cvec"))))
+        )
+        .select(
+            "vec_id",
+            F.col("_hd").alias("v"),
+            (-F.col("list_id")).alias("neg_list"),
+            F.col("cvec"),
+            score.alias("score"),
+        )
     )
     # (score, neg_list) is unique per candidate row, so the trailing
     # payload fields never participate in the comparison
@@ -998,10 +1053,10 @@ def ivfpq_topk(
         )
     q = embeddings.filter(F.col("vec_id") == probe_vec_id).select(
         as_double(F.col(vec_col)).alias("qv")
-    )
-    qscore = F.round(cosine(F.col("qv"), F.col("cvec")), round_digits)
+    ).withColumn("_qhn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    qscore = hoisted_cosine("qv", "_qhn", "cvec", "_chn", round_digits)
     probes = (
-        q.crossJoin(F.broadcast(c))
+        q.crossJoin(F.broadcast(c.withColumn("_chn", norm(F.col("cvec")))))
         .select("qv", "list_id", "cvec", qscore.alias("qscore"))
         .orderBy(F.desc("qscore"), F.asc("list_id"))
         .limit(nprobe)
@@ -1127,10 +1182,10 @@ def ivfpq_knn_join(
         )
     q = queries.select(
         "query_id", as_double(F.col("qvec")).alias("qv")
-    )
-    qscore = F.round(cosine(F.col("qv"), F.col("cvec")), round_digits)
+    ).withColumn("_qhn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    qscore = hoisted_cosine("qv", "_qhn", "cvec", "_chn", round_digits)
     probes = (
-        q.crossJoin(F.broadcast(c))
+        q.crossJoin(F.broadcast(c.withColumn("_chn", norm(F.col("cvec")))))
         .select("query_id", "qv", "list_id", "cvec", qscore.alias("qscore"))
         .withColumn(
             "_pr",

@@ -133,7 +133,7 @@ def dp_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus with injected scaled copies. Exact all-pairs baseline — the
     oracle-checkable answer key; the LSH-bucketed variant
     (similarity.bucketed_index) is the production path at scale."""
-    from hadoop_ozone_spark.datapipe.similarity import as_double, cosine
+    from hadoop_ozone_spark.datapipe.similarity import hoist_norm, hoisted_cosine
 
     emb = model.embedding_corpus(spark, sf_dir)
     # the exact baseline is O(n²) BY DESIGN, but it must still spread:
@@ -141,12 +141,22 @@ def dp_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit repartition the broadcast nested loop runs on ~4 tasks
     # (measured at sf1: 4 partitions chewing 2.4e10 pairs). Repartition
     # the streamed side to the session's shuffle width — the shuffle
-    # moves only n rows to unlock n²/width per task.
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    # moves only n rows to unlock n²/width per task. Norms are hoisted
+    # per SIDE (bit-identical, the semantic_dedup_pairs law) so each of
+    # the n² pairs pays one dot, not three plus two casts.
+    a = hoist_norm(
+        emb.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        ),
+        "ea", "_ad", "_an",
     ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    sim = F.round(cosine(as_double(F.col("ea")), as_double(F.col("eb"))), 6)
+    b = hoist_norm(
+        emb.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        ),
+        "eb", "_bd", "_bn",
+    )
+    sim = hoisted_cosine("_ad", "_an", "_bd", "_bn", 6)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", sim.alias("cosine_sim"))

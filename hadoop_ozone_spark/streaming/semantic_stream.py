@@ -62,14 +62,22 @@ def assign_batch(
     """(list_id, vec_id, v, n): nearest-centroid assignment + norm —
     the same law as ivf_index/semantic_dedup_pairs (rounded cosine,
     ties → lowest list_id)."""
-    from hadoop_ozone_spark.datapipe.similarity import norm
+    from hadoop_ozone_spark.datapipe.similarity import (
+        hoist_norm,
+        hoisted_cosine,
+        norm,
+    )
 
-    score = F.round(cosine(as_double(F.col(vec_col)), F.col("cvec")), round_digits)
-    scored = batch.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        as_double(F.col(vec_col)).alias("v"),
-        (-F.col("list_id")).alias("neg_list"),
-        score.alias("score"),
+    score = hoisted_cosine("_hd", "_hn", "cvec", "_chn", round_digits)
+    scored = (
+        hoist_norm(batch, vec_col, "_hd", "_hn")
+        .crossJoin(F.broadcast(centroids.withColumn("_chn", norm(F.col("cvec")))))
+        .select(
+            "vec_id",
+            F.col("_hd").alias("v"),
+            (-F.col("list_id")).alias("neg_list"),
+            score.alias("score"),
+        )
     )
     best = scored.groupBy("vec_id").agg(
         F.max(F.struct("score", "neg_list", F.col("v").alias("v"))).alias("m")
