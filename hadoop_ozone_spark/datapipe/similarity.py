@@ -449,8 +449,12 @@ def semantic_dedup_pairs(
         as_double(F.col(vec_col)).alias("v"),
     ).withColumn("n", norm(F.col("v")))
     if index is None:
+        # keep_ckpt, not keep (optimization r13, guide §5): both join
+        # sides and every downstream action re-plan against a leaf
+        # instead of re-optimizing the assignment tree (the
+        # ivfpq_index discipline)
         scratch.fresh("semantic_dedup_pairs")
-        idx = scratch.keep("semantic_dedup_pairs", idx)
+        idx = scratch.keep_ckpt("semantic_dedup_pairs", idx)
     a = idx.select(
         "list_id", F.col("vec_id").alias("vec_a"),
         F.col("v").alias("va"), F.col("n").alias("na"),
@@ -787,9 +791,20 @@ def pq_topk(
     reranking restores exactness while the broad scan still reads only
     the 32×-compressed code table."""
     cb = pq_codebooks(embeddings, m, n_codes, dims, vec_col)
-    codes = index if index is not None else pq_encode(
-        embeddings, cb, m, dims, vec_col, round_digits
-    )
+    if index is not None:
+        codes = index
+    else:
+        # inline fallback: the code table is a write-time artifact —
+        # register the inline build (the ivfpq_index discipline) so
+        # repeated searches serve from one checkpointed encode instead
+        # of re-running AND re-optimizing the unrolled argmin ladder
+        # (m × n_codes × dsub sub-distances per vector) on every action
+        # (optimization r13, guide §5)
+        scratch.fresh("pq_index")
+        codes = scratch.keep_ckpt(
+            "pq_index",
+            pq_encode(embeddings, cb, m, dims, vec_col, round_digits),
+        )
     dsub = dims // m
     q = embeddings.filter(F.col("vec_id") == probe_vec_id).select(
         as_double(F.col(vec_col)).alias("v")
@@ -1023,7 +1038,25 @@ def ivfpq_topk(
     nprobe compressed partitions instead of the whole code table."""
     assert dims % m == 0
     dsub = dims // m
+    # inline fallback: the code table is a WRITE-TIME artifact (the
+    # deployment persists it partitioned by list_id), so register the
+    # inline build in the scratch registry — repeated searches over the
+    # same corpus reuse one build instead of re-encoding the corpus per
+    # query. The tag is shared with ivfpq_knn_join: both entry points
+    # build the identical default-parameter artifacts in the same slot
+    # order, so single-probe searches and batch joins serve from ONE
+    # artifact set. keep_ckpt, not keep (optimization r13, guide §5):
+    # the centroid/codebook/code-table frames are 16/128/|corpus| rows
+    # but their plans embed the full assign+residual+encode ladder —
+    # checkpoint leaves make every downstream action (probe scoring,
+    # LUT build, ADC fold: each a broadcast future under AQE) re-plan
+    # against leaves instead of re-optimizing the encode tree per job.
+    inline = index is None
+    if inline:
+        scratch.fresh("ivfpq_index")
     c = centroids if centroids is not None else ivf_centroids(embeddings, n_lists, vec_col)
+    if inline and centroids is None:
+        c = scratch.keep_ckpt("ivfpq_index", c)
     cb = (
         codebooks
         if codebooks is not None
@@ -1032,19 +1065,12 @@ def ivfpq_topk(
             seed_start=n_lists,
         )
     )
+    if inline and codebooks is None:
+        cb = scratch.keep_ckpt("ivfpq_index", cb)
     if index is not None:
         idx = index
     else:
-        # inline fallback: the code table is a WRITE-TIME artifact (the
-        # deployment persists it partitioned by list_id), so register
-        # the inline build in the scratch registry — repeated searches
-        # over the same corpus reuse one persisted build (plan-matched,
-        # the semantic_dedup_pairs pattern) instead of re-encoding the
-        # corpus per query. The tag is shared with ivfpq_knn_join: both
-        # build the identical default-parameter code table, so single-
-        # probe searches and batch joins serve from ONE artifact.
-        scratch.fresh("ivfpq_index")
-        idx = scratch.keep(
+        idx = scratch.keep_ckpt(
             "ivfpq_index",
             ivfpq_index(
                 embeddings, n_lists, m, n_codes, dims, vec_col,
@@ -1156,7 +1182,17 @@ def ivfpq_knn_join(
     knn_join_bucketed's caveat."""
     assert dims % m == 0
     dsub = dims // m
+    # same write-time-artifact contract (and slot order) as
+    # ivfpq_topk's inline fallback — and the same TAG: the
+    # default-parameter artifacts are plan-identical across both entry
+    # points, so the registry serves one checkpointed build to
+    # searches and joins alike (see ivfpq_topk on why keep_ckpt)
+    inline = index is None
+    if inline:
+        scratch.fresh("ivfpq_index")
     c = centroids if centroids is not None else ivf_centroids(embeddings, n_lists, vec_col)
+    if inline and centroids is None:
+        c = scratch.keep_ckpt("ivfpq_index", c)
     cb = (
         codebooks
         if codebooks is not None
@@ -1165,15 +1201,12 @@ def ivfpq_knn_join(
             seed_start=n_lists,
         )
     )
+    if inline and codebooks is None:
+        cb = scratch.keep_ckpt("ivfpq_index", cb)
     if index is not None:
         idx = index
     else:
-        # same write-time-artifact contract as ivfpq_topk's inline
-        # fallback — and the same TAG: the default-parameter code table
-        # is plan-identical across both entry points, so the registry
-        # serves one persisted build to searches and joins alike
-        scratch.fresh("ivfpq_index")
-        idx = scratch.keep(
+        idx = scratch.keep_ckpt(
             "ivfpq_index",
             ivfpq_index(
                 embeddings, n_lists, m, n_codes, dims, vec_col,

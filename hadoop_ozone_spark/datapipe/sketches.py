@@ -472,15 +472,23 @@ def qsketch_quantiles(
     rank ceil(q*n) (exact integer: (q_ppm*n + 999999) DIV 1e6). The
     cumulative window is global but runs over the <= 160-row artifact,
     never the input."""
-    spark = counts.sparkSession
     n = counts.agg(F.sum("cnt").alias("n"))
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = counts.withColumn("cum", F.sum("cnt").over(w))
-    qd = spark.createDataFrame([(q,) for q in q_ppms], "q_ppm long")
+    # the q_ppm axis is an inline explode of literals, not a joined
+    # frame (optimization r13, guide §5): createDataFrame parallelizes
+    # even 3 rows through Python workers (one 32-task job per call) and
+    # the crossJoin added a broadcast future per action — the explode
+    # is pure codegen with identical row multiplicity
     bounds = F.array(*[F.lit(t) for t in QS_THRESHOLDS])
     picked = (
         cum.crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(qd))
+        .withColumn(
+            "q_ppm",
+            F.explode(
+                F.array(*[F.lit(q).cast("long") for q in q_ppms])
+            ),
+        )
         .withColumn("rank", F.expr("(q_ppm * n + 999999) DIV 1000000"))
         .filter(F.col("cum") >= F.col("rank"))
         .groupBy("q_ppm")
@@ -514,7 +522,6 @@ def qsketch_quantiles_grouped(
     (key, bin, cnt) sketch — same holding-bin law as
     qsketch_quantiles, windows partitioned by key over the bounded
     artifact (grouped ≡ per-key ungrouped, pinned)."""
-    spark = counts.sparkSession
     n = counts.groupBy("key").agg(F.sum("cnt").alias("n"))
     w = (
         Window.partitionBy("key")
@@ -522,11 +529,17 @@ def qsketch_quantiles_grouped(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = counts.withColumn("cum", F.sum("cnt").over(w))
-    qd = spark.createDataFrame([(q,) for q in q_ppms], "q_ppm long")
+    # inline literal explode, not a createDataFrame crossJoin — see
+    # qsketch_quantiles
     bounds = F.array(*[F.lit(t) for t in QS_THRESHOLDS])
     picked = (
         cum.join(n, "key")
-        .crossJoin(F.broadcast(qd))
+        .withColumn(
+            "q_ppm",
+            F.explode(
+                F.array(*[F.lit(q).cast("long") for q in q_ppms])
+            ),
+        )
         .withColumn("rank", F.expr("(q_ppm * n + 999999) DIV 1000000"))
         .filter(F.col("cum") >= F.col("rank"))
         .groupBy("key", "q_ppm")
@@ -722,62 +735,71 @@ def kmv_set_ops_from_sketches(
     scratch.fresh(tag)
     ska = scratch.keep_ckpt(tag, sketch_a.withColumn("_a", F.lit(1)))
     skb = scratch.keep_ckpt(tag, sketch_b.withColumn("_b", F.lit(1)))
-    ta = kmv_theta(ska.select("h")).withColumnRenamed("theta", "theta_a")
-    tb = kmv_theta(skb.select("h")).withColumnRenamed("theta", "theta_b")
-    th = ta.crossJoin(tb).select(
-        F.least("theta_a", "theta_b").alias("theta")
+    # ONE 1-row stats pass over the union of the two checkpointed
+    # ≤KMV_K-row sketches computes both thetas AND both per-side
+    # estimates (optimization r13, guide §5): the previous shape ran
+    # three separate 1-row aggregates (theta_a × theta_b, a_est,
+    # b_est) plus a full outer join and an empty-sample re-anchor
+    # join — five broadcast futures per action. Arithmetic is
+    # unchanged expression for expression: sum(_a) ≡ count(*) on the
+    # side's distinct-h sketch (coalesced to 0 for the empty side,
+    # matching count's 0), max(h if _a) ≡ the side's max(h), and
+    # union+groupBy(h) ≡ the full join on per-side-distinct h.
+    raw = ska.select("h", "_a", F.lit(0).alias("_b")).unionByName(
+        skb.select("h", F.lit(0).alias("_a"), "_b")
     )
-    merged = (
-        ska.join(skb, "h", "full")
-        .select(
-            "h",
-            F.coalesce("_a", F.lit(0)).alias("in_a"),
-            F.coalesce("_b", F.lit(0)).alias("in_b"),
-        )
-        .crossJoin(F.broadcast(th))
-        .filter(F.col("h") < F.col("theta"))
-    )
-    counts = merged.groupBy("theta").agg(
-        F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0)).alias("_inter"),
-        F.count(F.lit(1)).alias("_uni"),
-    )
-    # an empty merged sample (both inputs empty) drops the theta group;
-    # re-anchor on the 1-row theta frame so the output is always 1 row
-    counts = th.join(F.broadcast(counts), "theta", "left").select(
-        "theta",
-        F.coalesce("_inter", F.lit(0)).alias("_inter"),
-        F.coalesce("_uni", F.lit(0)).alias("_uni"),
-    )
-    # per-side estimates from the ALREADY-BUILT (persisted) sketches —
-    # kmv_estimate(a, col) would rescan the input a second time
-    def _est(sk: DataFrame, alias: str) -> DataFrame:
-        agg = sk.agg(
-            F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk")
-        )
-        e = F.when(F.col("_n") < F.lit(KMV_K), F.col("_n").cast("double")).otherwise(
-            F.lit(float((KMV_K - 1) * _LANE_MOD)) / F.col("_hk").cast("double")
-        )
-        return agg.select(F.round(e).cast("long").alias(alias))
 
-    ea = _est(ska.select("h"), "a_est")
-    eb = _est(skb.select("h"), "b_est")
-    scale = F.lit(float(_LANE_MOD)) / F.col("theta").cast("double")
-    return (
-        counts.crossJoin(F.broadcast(ea))
-        .crossJoin(F.broadcast(eb))
-        .select(
-            "a_est",
-            "b_est",
-            F.round(F.col("_inter").cast("double") * scale)
-            .cast("long")
-            .alias("inter_est"),
-            F.round(F.col("_uni").cast("double") * scale)
-            .cast("long")
-            .alias("union_est"),
-            F.expr("_inter * 1000000 DIV greatest(_uni, 1)").alias(
-                "jaccard_ppm"
-            ),
+    def _est(n: Column, hk: Column) -> Column:
+        e = F.when(n < F.lit(KMV_K), n.cast("double")).otherwise(
+            F.lit(float((KMV_K - 1) * _LANE_MOD)) / hk.cast("double")
         )
+        return F.round(e).cast("long")
+
+    def _theta(n: Column, hk: Column) -> Column:
+        return F.when(n >= F.lit(KMV_K), hk).otherwise(F.lit(_LANE_MOD))
+
+    stats = F.broadcast(
+        raw.agg(
+            F.coalesce(F.sum("_a"), F.lit(0)).alias("_na"),
+            F.coalesce(F.sum("_b"), F.lit(0)).alias("_nb"),
+            F.max(F.when(F.col("_a") == 1, F.col("h"))).alias("_ha"),
+            F.max(F.when(F.col("_b") == 1, F.col("h"))).alias("_hb"),
+        ).select(
+            F.least(
+                _theta(F.col("_na"), F.col("_ha")),
+                _theta(F.col("_nb"), F.col("_hb")),
+            ).alias("theta"),
+            _est(F.col("_na"), F.col("_ha")).alias("a_est"),
+            _est(F.col("_nb"), F.col("_hb")).alias("b_est"),
+        )
+    )
+    # global agg instead of groupBy(theta)+re-anchor: always 1 row,
+    # with the same coalesce-to-0 law for the empty-sample case
+    hits = (
+        raw.groupBy("h")
+        .agg(F.max("_a").alias("in_a"), F.max("_b").alias("in_b"))
+        .crossJoin(stats)
+        .filter(F.col("h") < F.col("theta"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("in_a") * F.col("in_b")), F.lit(0)
+            ).alias("_inter"),
+            F.count(F.lit(1)).alias("_uni"),
+        )
+    )
+    scale = F.lit(float(_LANE_MOD)) / F.col("theta").cast("double")
+    return hits.crossJoin(stats).select(
+        "a_est",
+        "b_est",
+        F.round(F.col("_inter").cast("double") * scale)
+        .cast("long")
+        .alias("inter_est"),
+        F.round(F.col("_uni").cast("double") * scale)
+        .cast("long")
+        .alias("union_est"),
+        F.expr("_inter * 1000000 DIV greatest(_uni, 1)").alias(
+            "jaccard_ppm"
+        ),
     )
 
 

@@ -3301,16 +3301,24 @@ def dp_knn_label_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("true_label"),
     )
     train = emb.filter(F.col("vec_id") % 50 != 3)
-    c = similarity.ivf_centroids(emb, 16)
-    cb = similarity.ivfpq_codebooks(emb, c, seed_start=16)
-    # the train-slice index is plan-stable across repeated calls —
-    # register it (own tag: the slice differs from the full-table
+    # the train-slice artifacts are plan-stable across repeated calls —
+    # register them (own tag: the slice differs from the full-table
     # ivfpq_index build) so steady bench runs and repeated labelings
-    # reuse one persisted code table instead of re-encoding the corpus
+    # reuse one build instead of re-encoding the corpus. keep_ckpt,
+    # not keep (optimization r13, guide §5): the knn plan hangs ~17
+    # AQE broadcast-future jobs off these frames, and with the full
+    # encode ladder retained in the plan each job re-optimized the
+    # tree (measured 11.5s inter-job driver gaps vs 5.9s executor
+    # time steady-state at sf0.1) — checkpoint leaves cut the per-job
+    # re-optimization to the small downstream tree
     from hadoop_ozone_spark import scratch
 
     scratch.fresh("ivfpq_label_index")
-    idx = scratch.keep(
+    c = scratch.keep_ckpt("ivfpq_label_index", similarity.ivf_centroids(emb, 16))
+    cb = scratch.keep_ckpt(
+        "ivfpq_label_index", similarity.ivfpq_codebooks(emb, c, seed_start=16)
+    )
+    idx = scratch.keep_ckpt(
         "ivfpq_label_index",
         similarity.ivfpq_index(train, centroids=c, codebooks=cb),
     )
@@ -3525,13 +3533,18 @@ def dp_qsketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = sketches.qsketch_quantiles(counts, QS_QUERY_PPMS)
     n = counts.agg(F.sum("cnt").alias("n"))
-    qd = spark.createDataFrame([(q,) for q in QS_QUERY_PPMS], "q_ppm long")
     ranked = tc.withColumn(
         "rn", F.row_number().over(Window.orderBy("n_tokens", "doc_id"))
     )
+    # q_ppm axis as an inline literal explode, not a createDataFrame
+    # crossJoin (one fewer Python parallelize job + broadcast per
+    # action — see sketches.qsketch_quantiles)
     exact = (
         ranked.crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(qd))
+        .withColumn(
+            "q_ppm",
+            F.explode(F.array(*[F.lit(q).cast("long") for q in QS_QUERY_PPMS])),
+        )
         .filter(F.col("rn") == F.expr("(q_ppm * n + 999999) DIV 1000000"))
         .select("q_ppm", F.col("n_tokens").alias("exact_tokens"))
     )
@@ -3629,9 +3642,10 @@ def dp_qsketch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sketches.qsketch_quantiles_grouped(
         sketches.qsketch_counts_grouped(tc, "source", "n_tokens"), qs
     ).withColumnRenamed("key", "source")
-    qd = spark.createDataFrame([(q,) for q in qs], "q_ppm long")
     w_rank = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
     w_src = Window.partitionBy("source")
+    # inline literal explode, not a createDataFrame crossJoin — see
+    # sketches.qsketch_quantiles
     exact = (
         tc.select(
             "source",
@@ -3639,7 +3653,10 @@ def dp_qsketch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_rank).alias("rn"),
             F.count(F.lit(1)).over(w_src).alias("n"),
         )
-        .crossJoin(F.broadcast(qd))
+        .withColumn(
+            "q_ppm",
+            F.explode(F.array(*[F.lit(q).cast("long") for q in qs])),
+        )
         .filter(F.col("rn") == F.expr("(q_ppm * n + 999999) DIV 1000000"))
         .select("source", "q_ppm", F.col("n_tokens").alias("exact_tokens"))
     )
@@ -4004,14 +4021,34 @@ def _drift_assemble(
     pure function of the artifacts, wherever they came from."""
     from hadoop_ozone_spark.datapipe import sketches
 
-    def metric(name: str, col: Column, frame: DataFrame) -> DataFrame:
+    # each 1-row source frame contributes ONE union leg that explodes
+    # its (metric, value) pairs inline (optimization r13, guide §5):
+    # the previous one-leg-per-metric shape re-ran the frame's subtree
+    # (kmv_set_ops alone carries 4 broadcast futures) once per metric
+    # on every action — same rows, same values, half the jobs
+    def metrics(frame: DataFrame, pairs: list[tuple[str, Column]]) -> DataFrame:
         return frame.select(
-            F.lit(name).alias("metric"), col.cast("long").alias("value")
-        )
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("metric"),
+                            col.cast("long").alias("value"),
+                        )
+                        for name, col in pairs
+                    ]
+                )
+            ).alias("mv")
+        ).select("mv.metric", "mv.value")
 
     rows = [
-        metric("vocab_jaccard_ppm", F.col("jaccard_ppm"), ops),
-        metric("vocab_union_est", F.col("union_est"), ops),
+        metrics(
+            ops,
+            [
+                ("vocab_jaccard_ppm", F.col("jaccard_ppm")),
+                ("vocab_union_est", F.col("union_est")),
+            ],
+        )
     ]
     hh = (
         ka.select("key", F.lit(1).alias("_a"))
@@ -4035,11 +4072,16 @@ def _drift_assemble(
             ).alias("only_b"),
         )
     )
-    rows += [
-        metric("hh_shared", F.col("shared"), hh),
-        metric("hh_only_a", F.col("only_a"), hh),
-        metric("hh_only_b", F.col("only_b"), hh),
-    ]
+    rows.append(
+        metrics(
+            hh,
+            [
+                ("hh_shared", F.col("shared")),
+                ("hh_only_a", F.col("only_a")),
+                ("hh_only_b", F.col("only_b")),
+            ],
+        )
+    )
     for s, counts in (("a", counts_a), ("b", counts_b)):
         q = sketches.qsketch_quantiles(counts, (500000, 900000))
         rows.append(
