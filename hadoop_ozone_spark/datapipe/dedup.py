@@ -687,7 +687,20 @@ def connected_dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     localCheckpoint so plans stay flat. At extreme scale swap the loop
     body for large-star/small-star — the per-round plan shape is the
     same.
+
+    The converged labels are memoized on the INPUT plan (keep_result,
+    optimization r13): per-round checkpoints make the output plan
+    unmatchable across invocations, so steady-state callers re-ran the
+    whole loop per action without it.
     """
+    return scratch.keep_result(
+        "connected_dedup_groups",
+        pairs,
+        lambda: _connected_dedup_groups_build(pairs, max_iters),
+    )
+
+
+def _connected_dedup_groups_build(pairs: DataFrame, max_iters: int) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -757,7 +770,18 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     round (a 9-round chain OOMed the driver in generateTreeString
     before the checkpoint). On a cluster with executor churn, point
     sparkContext.setCheckpointDir at durable storage and swap in
-    .checkpoint(); the law is identical."""
+    .checkpoint(); the law is identical.
+
+    The converged clusters are memoized on the INPUT plan
+    (keep_result, optimization r13) — see connected_dedup_groups."""
+    return scratch.keep_result(
+        "dedup_clusters",
+        pairs,
+        lambda: _dedup_clusters_build(pairs, max_iters),
+    )
+
+
+def _dedup_clusters_build(pairs: DataFrame, max_iters: int) -> DataFrame:
     scratch.fresh("dedup_clusters")
     sym = pairs.select(
         F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr")

@@ -41,3 +41,32 @@ def test_multiple_slots_align_by_position(spark):
     b1 = scratch.keep("t_slots", _agg(spark, 100))
     b2 = scratch.keep("t_slots", _agg(spark, 300))
     assert a1 is b1 and a2 is b2
+
+
+def test_keep_ckpt_returns_leaf_and_reuses(spark):
+    scratch.fresh("t_ckpt")
+    a = scratch.keep_ckpt("t_ckpt", _agg(spark, 100))
+    # the registered artifact is a checkpoint LEAF, not the full plan
+    assert "LogicalRDD" in a._jdf.queryExecution().analyzed().toString()
+    scratch.fresh("t_ckpt")
+    b = scratch.keep_ckpt("t_ckpt", _agg(spark, 100))
+    assert a is b  # steady state: one checkpoint serves both calls
+    scratch.fresh("t_ckpt")
+    c = scratch.keep_ckpt("t_ckpt", _agg(spark, 200))
+    assert c is not a  # plan change: new generation
+
+
+def test_keep_result_memoizes_on_input_plan(spark):
+    calls = []
+
+    def build(n):
+        def _b():
+            calls.append(n)
+            return _agg(spark, n).localCheckpoint()
+        return _b
+
+    r1 = scratch.keep_result("t_res", spark.range(100), build(100))
+    r2 = scratch.keep_result("t_res", spark.range(100), build(100))
+    assert r1 is r2 and calls == [100]  # same input plan: builder skipped
+    r3 = scratch.keep_result("t_res", spark.range(200), build(200))
+    assert r3 is not r1 and calls == [100, 200]  # input changed: rebuilt
