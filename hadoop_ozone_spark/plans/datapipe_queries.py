@@ -1364,9 +1364,17 @@ def dp_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, pairwise cosine WITHIN clusters only, min-id keeper —
     datapipe/similarity.py semantic_dedup_pairs. Runs on the corpus
     with injected scaled copies (cosine exactly 1.0) so the detector
-    has verifiable positives."""
-    return similarity.semantic_dedup_pairs(
-        model.embedding_corpus(spark, sf_dir), n_lists=16, threshold=0.9
+    has verifiable positives.
+
+    Memoized on the corpus plan (keep_result, optimization r13 guide
+    §5): steady re-invocation measured 3.5s wall against 1.0s of
+    stage time — the gap is py4j plan reconstruction plus the
+    registry's same-plan analyses of the assignment tree."""
+    emb = model.embedding_corpus(spark, sf_dir)
+    return scratch.keep_result(
+        "q:dp_semantic_dedup",
+        emb,
+        lambda: similarity.semantic_dedup_pairs(emb, n_lists=16, threshold=0.9),
     )
 
 
@@ -2214,13 +2222,22 @@ def dp_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the NB lang-id classifier scored back over
     its own training corpus (datapipe/text.py nb_lang_scores): how
     separable the language slices actually are — the acceptance check
-    a pipeline runs before trusting the classifier to route documents."""
-    scores = text.nb_lang_scores(model.load(spark, sf_dir, "documents"))
-    return (
-        scores.groupBy("lang", "pred_lang")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("lang", "pred_lang")
-    )
+    a pipeline runs before trusting the classifier to route documents.
+
+    Memoized on the corpus plan (keep_result, optimization r13 guide
+    §5): steady re-invocation measured ~0.8s driver plan build (the
+    five-consumer token-pass tree + registry same-plan analyses)."""
+    docs = model.load(spark, sf_dir, "documents")
+
+    def build() -> DataFrame:
+        scores = text.nb_lang_scores(docs)
+        return (
+            scores.groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("lang", "pred_lang")
+        )
+
+    return scratch.keep_result("q:dp_nb_lang_confusion", docs, build)
 
 
 DP_NB_CONFUSION_SQL = rf"""
@@ -4515,9 +4532,18 @@ def dp_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed recovered (4 bands cover hamming <= 3 by pigeonhole;
     recall pinned in tests/test_datapipe.py). The DuckDB twin replays
     the same grayscale law, sample grid, bit layout, banding, and
-    verify."""
-    return multimodal.media_near_dup_pairs(
-        multimodal.synthesize_thumbnails(model.load(spark, sf_dir, "documents"))
+    verify.
+
+    Memoized on the corpus plan (keep_result, optimization r13 guide
+    §5) — the hash frame itself is already a checkpoint leaf; this
+    additionally skips rebuilding the banding/verify tree per call."""
+    docs = model.load(spark, sf_dir, "documents")
+    return scratch.keep_result(
+        "q:dp_media_near_dup",
+        docs,
+        lambda: multimodal.media_near_dup_pairs(
+            multimodal.synthesize_thumbnails(docs)
+        ),
     )
 
 
@@ -4686,9 +4712,18 @@ def dp_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same input — it is the form a curation run executes (keep one
     per cluster). The DuckDB twin replays the hash law, class
     collapse, rep banding, and the CC fixpoint (the dp_dedup_clusters
-    recursive-CTE discipline)."""
-    return multimodal.media_dup_clusters(
-        multimodal.synthesize_thumbnails(model.load(spark, sf_dir, "documents"))
+    recursive-CTE discipline).
+
+    Memoized on the corpus plan (keep_result, optimization r13 guide
+    §5) — the CC fold inside is already input-memoized; this also
+    skips rebuilding the class-collapse/banding/size-tail tree."""
+    docs = model.load(spark, sf_dir, "documents")
+    return scratch.keep_result(
+        "q:dp_media_dup_clusters",
+        docs,
+        lambda: multimodal.media_dup_clusters(
+            multimodal.synthesize_thumbnails(docs)
+        ),
     )
 
 
