@@ -583,10 +583,17 @@ LIMIT 10
 def dp_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat probe: nearest-centroid inverted lists (deterministic
     seed codebook — oracle-replayable; a trained codebook drops in via
-    the centroids argument), query probes the 4 best of 16 lists."""
+    the centroids argument), query probes the 4 best of 16 lists.
+
+    Plan-memoized on the embeddings frame (keep_result, optimization
+    r13 guide §5; steady build ~0.6s measured)."""
     emb = model.load(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        emb, _query_vec(spark, sf_dir), k=10, n_lists=16, nprobe=4
+    return scratch.keep_result(
+        "q:dp_ann_ivf_topk",
+        emb,
+        lambda: similarity.ivf_topk(
+            emb, _query_vec(spark, sf_dir), k=10, n_lists=16, nprobe=4
+        ),
     )
 
 
@@ -3837,10 +3844,19 @@ def dp_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     events, their intersection / union / Jaccard, next to the exact
     truths — the cross-set overlap dial HLL cannot provide. Both
     sketches are ≤256-row artifacts; the truth columns are the
-    exact-path cost the sketch exists to avoid at 100 TB."""
+    exact-path cost the sketch exists to avoid at 100 TB.
+
+    Plan-memoized on the events frame (keep_result, optimization r13
+    guide §5; steady build ~0.5s measured)."""
+    ev = model.load(spark, sf_dir, "events")
+    return scratch.keep_result(
+        "q:dp_kmv_user_overlap", ev, lambda: _dp_kmv_user_overlap_build(ev)
+    )
+
+
+def _dp_kmv_user_overlap_build(ev: DataFrame) -> DataFrame:
     from hadoop_ozone_spark.datapipe import sketches
 
-    ev = model.load(spark, sf_dir, "events")
     key = F.concat(
         F.col("user_id").cast("string"),
         F.lit("|"),
@@ -4066,21 +4082,28 @@ def dp_kmv_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard for every unordered pair of event types. At 100 TB this is
     the dedup-planning matrix: |groups| sketches built in one pass,
     every pairwise overlap answered from ≤ |groups|·256 retained
-    hashes — no per-pair rescan of the corpus."""
+    hashes — no per-pair rescan of the corpus.
+
+    Plan-memoized on the events frame (keep_result, optimization r13
+    guide §5; steady build ~0.5s measured)."""
     from hadoop_ozone_spark.datapipe import sketches
 
     ev = model.load(spark, sf_dir, "events")
-    keyed = ev.select(
-        F.col("event_type"),
-        F.concat(
-            F.col("user_id").cast("string"),
-            F.lit("|"),
-            F.col("ts").cast("date").cast("string"),
-        ).alias("k"),
-    )
-    return sketches.kmv_pairwise_matrix(keyed, "event_type", "k").orderBy(
-        "key_a", "key_b"
-    )
+
+    def build() -> DataFrame:
+        keyed = ev.select(
+            F.col("event_type"),
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("|"),
+                F.col("ts").cast("date").cast("string"),
+            ).alias("k"),
+        )
+        return sketches.kmv_pairwise_matrix(keyed, "event_type", "k").orderBy(
+            "key_a", "key_b"
+        )
+
+    return scratch.keep_result("q:dp_kmv_type_matrix", ev, build)
 
 
 def _kmv_matrix_sql() -> str:
