@@ -697,6 +697,7 @@ def connected_dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         "connected_dedup_groups",
         pairs,
         lambda: _connected_dedup_groups_build(pairs, max_iters),
+        params=("max_iters", max_iters),
     )
 
 
@@ -778,6 +779,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         "dedup_clusters",
         pairs,
         lambda: _dedup_clusters_build(pairs, max_iters),
+        params=("max_iters", max_iters),
     )
 
 

@@ -703,10 +703,19 @@ def kmv_estimate(df: DataFrame, col: str) -> DataFrame:
     )
 
 
-def kmv_set_ops(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
+def kmv_set_ops(
+    a: DataFrame, b: DataFrame, col: str, tag: str = "kmv_set_ops"
+) -> DataFrame:
     """1-row theta-sketch set operations over two relations: build the
-    two sketches, then compose (see kmv_set_ops_from_sketches)."""
-    return kmv_set_ops_from_sketches(kmv_sketch(a, col), kmv_sketch(b, col))
+    two sketches, then compose (see kmv_set_ops_from_sketches).
+
+    ``tag`` names the scratch slot pair the composed sketches persist
+    under — call sites whose results outlive the call (keep_result
+    memos) MUST pass an exclusive tag, or building one query's sketches
+    unpersists the other's checkpoint blocks (ADVICE r13 high)."""
+    return kmv_set_ops_from_sketches(
+        kmv_sketch(a, col), kmv_sketch(b, col), tag=tag
+    )
 
 
 def kmv_set_ops_from_sketches(

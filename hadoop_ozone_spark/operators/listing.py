@@ -344,6 +344,7 @@ def resolve_bucket_links(buckets: DataFrame, max_depth: int = 16) -> DataFrame:
         "resolve_bucket_links",
         buckets,
         lambda: _resolve_bucket_links_build(buckets, max_depth),
+        params=("max_depth", max_depth),
     )
 
 

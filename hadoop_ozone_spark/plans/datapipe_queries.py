@@ -3864,7 +3864,11 @@ def _dp_kmv_user_overlap_build(ev: DataFrame) -> DataFrame:
     ).alias("k")
     a = ev.filter(F.col("event_type") == "click").select(key)
     b = ev.filter(F.col("event_type") == "purchase").select(key)
-    ops = sketches.kmv_set_ops(a, b, "k")
+    # exclusive scratch tag (ADVICE r13 high): this result is
+    # keep_result-memoized, and the corpus-drift query composes KMV
+    # sketches of a DIFFERENT input — sharing the default tag would
+    # let either build unpersist the other's checkpoint leaves
+    ops = sketches.kmv_set_ops(a, b, "k", tag="dp_kmv_user_overlap_ops")
     da, db = a.distinct(), b.distinct()
     ti = da.join(db, "k").agg(F.count(F.lit(1)).alias("true_inter"))
     tu = (
@@ -4244,7 +4248,8 @@ def corpus_drift_report(tagged: DataFrame) -> DataFrame:
     )
     a_tok = tok.filter(F.col("side") == "a").select("token")
     b_tok = tok.filter(F.col("side") == "b").select("token")
-    ops = sketches.kmv_set_ops(a_tok, b_tok, "token")
+    # exclusive scratch tag — see dp_kmv_user_overlap (ADVICE r13 high)
+    ops = sketches.kmv_set_ops(a_tok, b_tok, "token", tag="dp_corpus_drift_ops")
     # checkpoint the two <=MG_K+1-row heavy-hitter key frames
     # (optimization r13, guide §7.3): un-truncated, each embeds the
     # corpus groupBy + TakeOrdered tree in the assembled report plan —
