@@ -37,6 +37,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 SNAPSHOT_ENV = "SPARK_GRAFT_SNAPSHOT_DIR"
 BUCKETS = 32
@@ -47,7 +48,13 @@ BUCKETS = 32
 # audit_log resource paths, round 4; rm/close/delete-plane detail views
 # incl. the DELETING lane, pipeline_details, and the bucketed
 # deleted_block_txns + rm planes, round 5).
-LAYOUT_VERSION = 7
+# v8 (optimization r14, guide §6): bucketed planes are repartitioned by
+# the bucket key before the write so each bucket lands in ONE file —
+# the previous layout wrote (writer partitions × buckets) files (1025
+# for an 8.3 MB rm_replicas plane at sf0.1), and every scan of the
+# plane paid ~0.45s of per-file open overhead PER ACTION across the
+# whole scm query family.
+LAYOUT_VERSION = 8
 
 # plane name → model builder attribute; every derived table the query
 # layer can route to the snapshot
@@ -156,22 +163,25 @@ def build_snapshot(spark: SparkSession, sf_dir: str, base: str) -> dict[str, flo
 
 
 def register_bucketed(
-    spark: SparkSession, sf_dir: str, base: str
+    spark: SparkSession, sf_dir: str, base: str, force: bool = False
 ) -> dict[str, float]:
     """Create the container-co-located bucketed tables in the session
     catalog (external parquet under the snapshot dir). Files are
-    rewritten only when absent; registration itself is cheap DDL that
-    must run once per session (the in-memory catalog does not persist).
-    """
+    rewritten only when absent (or when ``force`` says the snapshot was
+    rebuilt for a new layout version); registration itself is cheap DDL
+    that must run once per session (the in-memory catalog does not
+    persist)."""
     from hadoop_ozone_spark import model
 
     timings: dict[str, float] = {}
     for table, source in BUCKETED.items():
         path = plane_path(base, table)
         t0 = time.time()
-        if spark.catalog.tableExists(table):
+        if force:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        elif spark.catalog.tableExists(table):
             continue
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not force and os.path.exists(os.path.join(path, "_SUCCESS")):
             # register the existing bucketed files without rewriting
             src_df = getattr(model, source)(spark, sf_dir)
             cols = ", ".join(
@@ -186,6 +196,14 @@ def register_bucketed(
         else:
             (
                 getattr(model, source)(spark, sf_dir)
+                # ONE file per bucket (guide §6): repartition by the
+                # bucket key with numPartitions == numBuckets — the
+                # repartition hash (pmod(murmur3, n)) IS the bucket-id
+                # function, so each writer task holds exactly one
+                # bucket. Without this the write fans out to (writer
+                # partitions × buckets) tiny files and every scan pays
+                # the per-file open cost per action.
+                .repartition(BUCKETS, F.col("container_id"))
                 .write.mode("overwrite")
                 .option("path", path)
                 .option("compression", "zstd")
@@ -201,7 +219,8 @@ def ensure_snapshot(spark: SparkSession, sf_dir: str, base: str) -> dict[str, fl
     """Build-if-missing + register: the bench/deployment warmup step.
     Sets the routing flag so subsequent ``model`` loads read the
     snapshot. Returns build timings (empty when everything existed)."""
+    fresh = not is_built(base, sf_dir)
     timings = build_snapshot(spark, sf_dir, base)
-    timings.update(register_bucketed(spark, sf_dir, base))
+    timings.update(register_bucketed(spark, sf_dir, base, force=fresh))
     os.environ[SNAPSHOT_ENV] = base
     return timings
